@@ -203,7 +203,9 @@ def generate_pages(
                 lang=lang,
                 title=title,
                 description=description,
-                raw_links=link_targets,
+                # document-order hrefs: nav boilerplate renders first on
+                # every page, then article anchors, then footer leftovers
+                raw_links=["/", "/about"] + link_targets,
                 published_at_meta=published_meta,
                 updated_at_meta=updated_meta,
                 is_valid_expected=bool(title and description and text and len(text) >= 120),
