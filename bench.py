@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures:
+- the headline operator queries (driver_queries registry) at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- full index-build throughput (docs/sec) over the synthetic pages corpus
+- search latency p50 over a fixed query set against the built index
+
+Run directly: ``python bench.py``. Parallelism comes from
+``local[$SPARK_GRAFT_CPUS]`` (default 32); set SPARK_GRAFT_CPUS=8 for the
+N-vs-4N scaling-efficiency evidence (see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from search_engine_spark import driver_queries
+from search_engine_spark.corpus import FIXED_NOW, generate_pages, pages_dataframe
+from search_engine_spark.operators.documents import build_documents
+from search_engine_spark.operators.term_stats import build_term_statistics
+from search_engine_spark.operators.tokens import build_tokens
+from search_engine_spark.query.search import SearchEngine
+from search_engine_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+
+    # warm up JVM/codegen AND the Python worker daemons (first Arrow stage
+    # pays ~15s of worker spawning at local[32]; steady-state is what a
+    # long-lived cluster sees)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    def _noop(batches):
+        for b in batches:
+            yield pd.DataFrame({"x": b["id"]})
+
+    warm = spark.range(CPUS * 4).repartition(CPUS)
+    for _ in range(2):
+        warm.mapInPandas(_noop, T.StructType([T.StructField("x", T.LongType())])).count()
+
+    queries: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(driver_queries.QUERIES.items()):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 4)
+        total += dt
+
+    # --- index build throughput over the synthetic pages corpus -------------
+    records = generate_pages(n_pages=N_BENCH_PAGES, seed=42)
+    pages = pages_dataframe(spark, records).repartition(CPUS).cache()
+    pages.count()  # materialize input before the clock starts
+
+    t0 = time.perf_counter()
+    docs = build_documents(pages, FIXED_NOW).cache()
+    n_docs = docs.count()
+    tokens = build_tokens(docs).cache()
+    tokens.count()
+    stats = build_term_statistics(tokens, docs).cache()
+    stats.count()
+    build_wall = time.perf_counter() - t0
+    queries["index_build"] = round(build_wall, 4)
+    total += build_wall
+    docs_per_sec = n_docs / build_wall if build_wall > 0 else 0.0
+
+    # --- search latency p50 --------------------------------------------------
+    engine = SearchEngine(docs, tokens, stats)
+    stat_rows = stats.orderBy("term").limit(500).collect()
+    by_df = sorted(stat_rows, key=lambda r: (-r["doc_frequency"], r["term"]))
+    qset = [
+        by_df[0]["term"],
+        by_df[len(by_df) // 2]["term"],
+        by_df[-1]["term"],
+        f"{by_df[0]['term']} {by_df[1]['term']}",
+        f"{by_df[2]['term']} {by_df[-2]['term']} {by_df[5]['term']}",
+    ] * 4
+    engine.search(qset[0], 20, 0)  # warm
+    lat = []
+    t0 = time.perf_counter()
+    for q in qset:
+        s = time.perf_counter()
+        engine.search(q, 20, 0)
+        lat.append(time.perf_counter() - s)
+    search_wall = time.perf_counter() - t0
+    queries["search_20q"] = round(search_wall, 4)
+    total += search_wall
+
+    out = {
+        "metric": "headline operator suite + index build + search (wall sec)",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "extras": {
+            "cpus": CPUS,
+            "bench_pages": N_BENCH_PAGES,
+            "index_build_docs_per_sec": round(docs_per_sec, 2),
+            "search_p50_ms": round(statistics.median(lat) * 1000, 2),
+            "search_p95_ms": round(sorted(lat)[int(len(lat) * 0.95) - 1] * 1000, 2),
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

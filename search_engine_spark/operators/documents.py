@@ -18,32 +18,31 @@ from datetime import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..udfs import make_extract_udf, word_count_col
+from pyspark.sql import types as T
+
+from ..udfs import PARSED_PAGE_SCHEMA, make_extract_map, word_count_col
 
 SECONDS_PER_DAY = 86400
 
+_PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+        *PARSED_PAGE_SCHEMA.fields,
+    ]
+)
+
 
 def parse_pages(pages: DataFrame, now: datetime) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> exploded parsed columns.
+    """pages(url, warc_ts, html, text, lang) -> parsed columns.
 
-    Keeps ``links`` / ``feed_links`` arrays for the link-graph stage so html
-    is parsed exactly once.
+    One ``mapInPandas`` pass: html parsed exactly once per row (a
+    struct-UDF formulation gets duplicated by filter pushdown), keeping
+    ``links`` / ``feed_links`` arrays for the link-graph stage.
     """
-    extract = make_extract_udf(now)
-    return (
-        pages.withColumn("parsed", extract("url", "html"))
-        .select(
-            "url",
-            "warc_ts",
-            "lang",
-            F.col("parsed.title").alias("title"),
-            F.col("parsed.description").alias("description"),
-            F.col("parsed.content").alias("content"),
-            F.col("parsed.links").alias("links"),
-            F.col("parsed.feed_links").alias("feed_links"),
-            F.col("parsed.published_at").alias("published_at"),
-            F.col("parsed.updated_at").alias("updated_at"),
-        )
+    return pages.select("url", "warc_ts", "lang", "html").mapInPandas(
+        make_extract_map(now), schema=_PARSED_SCHEMA
     )
 
 

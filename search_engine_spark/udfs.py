@@ -42,42 +42,72 @@ PARSED_PAGE_SCHEMA = T.StructType(
 TOKEN_MAP_TYPE = T.MapType(T.StringType(), T.IntegerType())
 
 
+PARSED_COLUMNS = [
+    "title",
+    "description",
+    "content",
+    "links",
+    "feed_links",
+    "published_at",
+    "updated_at",
+]
+
+
+def _parse_batch(url_s: pd.Series, html_s: pd.Series, now: datetime) -> pd.DataFrame:
+    rows = []
+    for u, h in zip(url_s, html_s):
+        if h is None:
+            rows.append(("", "", "", [], [], None, None))
+            continue
+        raw = bytes(h).decode("utf-8", errors="replace")
+        p = parse_page(u, raw, now)
+        rows.append(
+            (
+                p.title,
+                p.description,
+                p.content,
+                p.links,
+                p.feed_links,
+                # Arrow wants tz-naive UTC here; session TZ is UTC
+                p.published_at.replace(tzinfo=None) if p.published_at else None,
+                p.updated_at.replace(tzinfo=None) if p.updated_at else None,
+            )
+        )
+    return pd.DataFrame(rows, columns=PARSED_COLUMNS)
+
+
+def make_extract_map(now: datetime):
+    """Batch-iterator extraction for ``mapInPandas``.
+
+    A struct-returning pandas UDF gets re-evaluated once per plan reference
+    (filter pushdown duplicates it — observed 2 ArrowEvalPython nodes =
+    2 full parses per row). ``mapInPandas`` is opaque to Catalyst, so the
+    html is parsed exactly once per row regardless of downstream filters.
+    Passthrough columns (url, warc_ts, lang) ride along in the same batch.
+    """
+
+    def extract_batches(batches):
+        for pdf in batches:
+            parsed = _parse_batch(pdf["url"], pdf["html"], now)
+            out = pd.concat(
+                [pdf[["url", "warc_ts", "lang"]].reset_index(drop=True), parsed],
+                axis=1,
+            )
+            yield out
+
+    return extract_batches
+
+
 def make_extract_udf(now: datetime):
-    """(url, html) -> parsed-page struct; ``now`` frozen into the plan."""
+    """(url, html) -> parsed-page struct; ``now`` frozen into the plan.
+
+    Prefer ``make_extract_map`` in pipelines (single evaluation); this form
+    remains for per-column use where only one field is consumed.
+    """
 
     @pandas_udf(PARSED_PAGE_SCHEMA)
     def extract_page(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-        rows = []
-        for u, h in zip(url, html):
-            if h is None:
-                rows.append(("", "", "", [], [], None, None))
-                continue
-            raw = bytes(h).decode("utf-8", errors="replace")
-            p = parse_page(u, raw, now)
-            rows.append(
-                (
-                    p.title,
-                    p.description,
-                    p.content,
-                    p.links,
-                    p.feed_links,
-                    # Arrow wants tz-naive UTC here; session TZ is UTC
-                    p.published_at.replace(tzinfo=None) if p.published_at else None,
-                    p.updated_at.replace(tzinfo=None) if p.updated_at else None,
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "title",
-                "description",
-                "content",
-                "links",
-                "feed_links",
-                "published_at",
-                "updated_at",
-            ],
-        )
+        return _parse_batch(url, html, now)
 
     return extract_page
 
