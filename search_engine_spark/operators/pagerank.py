@@ -1,0 +1,121 @@
+"""PageRank as an iterative DataFrame job (reference ``pagerank.py`` semantics).
+
+Exact reference constants and quirks (``pagerank.py:6-38``):
+
+- damping d = 0.85, EXACTLY 20 iterations by default (no convergence test)
+- init pr = 1/n over all done documents (isolated nodes included)
+- update: new[t] = (1-d)/n + d * sum_src pr[src]/outdeg(src)
+- DANGLING MASS IS DROPPED: nodes without out-edges contribute nothing, so
+  ranks do not sum to 1 — a "correct" PageRank would redistribute; parity
+  requires reproducing the drop.
+
+Spark shape (classic): cache the edges+outdeg DataFrame once; per iteration
+one join + one groupBy-sum + one left join back onto the node list (left join
+keeps isolated/dangling nodes at (1-d)/n). ``localCheckpoint`` every few
+iterations truncates the lineage so the plan doesn't grow exponentially.
+
+An optional L1 tolerance turns it into the "convergent iterative job" the
+north_star names, while the default stays fixed-20 for rank identity.
+
+Scale: each iteration shuffles edge contributions by dst — hash partitioning;
+hub skew is bounded because contributions are pre-aggregated map-side by the
+partial sum. ranks (n rows) is the small side relative to edges and reuses
+its partitioning across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERATIONS = 20
+CHECKPOINT_EVERY = 5
+
+
+def build_document_authority(
+    documents: DataFrame,
+    links_resolved: DataFrame,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+    tol: float | None = None,
+) -> DataFrame:
+    """-> (doc_id, pagerank, inlink_count).
+
+    ``tol``: optional L1 early-stop (checked every CHECKPOINT_EVERY iters to
+    avoid per-iteration actions); None = fixed ``iterations`` (reference).
+    """
+    nodes = documents.select("doc_id")
+    n = nodes.count()
+    if n == 0:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, pagerank double, inlink_count int"
+        )
+
+    # edges restricted to known nodes on both sides (pagerank.py:25-27 checks
+    # membership in the node set; links_resolved already guarantees dst,
+    # src comes from documents by construction)
+    edges = links_resolved.select(
+        F.col("source_doc_id").alias("src"), F.col("target_doc_id").alias("dst")
+    )
+    out_degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    edges_deg = edges.join(out_degree, "src").cache()
+    edges_deg.count()
+
+    inlinks = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("inlink_count"))
+
+    base = 1.0 / n
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("pagerank", F.lit(base))
+
+    prev_ranks: DataFrame | None = None
+    for i in range(iterations):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.doc_id, "inner")
+            .select(
+                "dst",
+                (F.lit(damping) * F.col("pagerank") / F.col("out_degree")).alias(
+                    "contrib"
+                ),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.doc_id == contribs.dst, "left")
+            .select(
+                "doc_id",
+                (F.lit(teleport) + F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                    "pagerank"
+                ),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            if tol is not None and prev_ranks is not None:
+                delta = (
+                    ranks.alias("a")
+                    .join(prev_ranks.alias("b"), "doc_id")
+                    .agg(
+                        F.sum(F.abs(F.col("a.pagerank") - F.col("b.pagerank"))).alias(
+                            "l1"
+                        )
+                    )
+                    .first()["l1"]
+                )
+                if delta is not None and delta < tol:
+                    break
+            prev_ranks = ranks
+
+    result = (
+        ranks.join(inlinks, ranks.doc_id == inlinks.dst, "left")
+        .select(
+            "doc_id",
+            "pagerank",
+            F.coalesce(F.col("inlink_count"), F.lit(0)).cast("int").alias(
+                "inlink_count"
+            ),
+        )
+    )
+    edges_deg.unpersist()
+    return result

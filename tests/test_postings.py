@@ -1,0 +1,88 @@
+"""Postings build: parts reconstruct the token matrix; salting invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.codec import decode_postings
+from search_engine_spark.corpus import FIXED_NOW, generate_pages, pages_dataframe
+from search_engine_spark.operators.documents import build_documents
+from search_engine_spark.operators.postings import build_postings
+from search_engine_spark.operators.tokens import build_tokens
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    pages = pages_dataframe(spark, generate_pages(n_pages=120, seed=42))
+    docs = build_documents(pages, FIXED_NOW).cache()
+    tokens = build_tokens(docs).cache()
+    tokens.count()
+    return docs, tokens
+
+
+def _expected_matrix(tokens):
+    rows = tokens.groupBy("term", "doc_id").agg(
+        F.sum(F.when(F.col("field") == 1, F.col("frequency")).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("field") == 2, F.col("frequency")).otherwise(0)).alias("f2"),
+        F.sum(F.when(F.col("field") == 4, F.col("frequency")).otherwise(0)).alias("f4"),
+    ).collect()
+    want = {}
+    for r in rows:
+        want.setdefault(r["term"], {})[r["doc_id"]] = (r["f1"], r["f2"], r["f4"])
+    return want
+
+
+def _decode_table(postings_rows):
+    got = {}
+    order_ok = True
+    for r in sorted(postings_rows, key=lambda r: (r["term"], r["part"])):
+        ids, f1, f2, f4 = decode_postings(bytes(r["postings"]))
+        assert ids == sorted(ids)
+        assert r["df"] == len(ids)
+        term = got.setdefault(r["term"], {"ids": [], "vals": {}})
+        if term["ids"] and ids and ids[0] <= term["ids"][-1]:
+            order_ok = False
+        term["ids"].extend(ids)
+        for i, d in enumerate(ids):
+            term["vals"][d] = (f1[i], f2[i], f4[i])
+    return got, order_ok
+
+
+def test_postings_reconstruct_tokens(built):
+    _, tokens = built
+    want = _expected_matrix(tokens)
+    rows = build_postings(tokens).collect()
+    got, order_ok = _decode_table(rows)
+    assert order_ok, "part ranges must concatenate in global doc order"
+    assert set(got) == set(want)
+    for term, vals in want.items():
+        assert got[term]["vals"] == vals, term
+        assert got[term]["ids"] == sorted(vals)
+
+
+def test_salting_splits_head_terms_and_preserves_content(built):
+    _, tokens = built
+    # force multi-part on anything with df >= 10
+    rows = build_postings(tokens, target_postings_per_part=10).collect()
+    parts_per_term = {}
+    for r in rows:
+        parts_per_term.setdefault(r["term"], []).append(r)
+    multi = [t for t, rs in parts_per_term.items() if len(rs) > 1]
+    assert multi, "expected head terms to split into multiple parts"
+    got, order_ok = _decode_table(rows)
+    assert order_ok
+    want = _expected_matrix(tokens)
+    for term in want:
+        assert got[term]["vals"] == want[term]
+
+
+def test_ctf_matches_tokens(built):
+    _, tokens = built
+    want = {
+        r["term"]: r["ctf"]
+        for r in tokens.groupBy("term").agg(F.sum("frequency").alias("ctf")).collect()
+    }
+    rows = build_postings(tokens).collect()
+    got = {}
+    for r in rows:
+        got[r["term"]] = got.get(r["term"], 0) + r["ctf"]
+    assert got == want
