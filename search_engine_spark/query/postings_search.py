@@ -1,0 +1,125 @@
+"""Distributed query execution over the compressed postings index.
+
+Plan (SURVEY.md §3.1 "Spark rebuild"):
+
+1. driver: analyze query; collect the <= |terms| idf rows (broadcast-scale).
+2. scan postings WHERE term IN (...) — partition-prunes on term_bucket when
+   the table is written partitioned, plus parquet min/max skipping on term.
+3. groupBy(shard) -> applyInPandas: shard-local block-max WAND top-k
+   (wand.py). Each shard emits <= candidate_limit rows (+boundary ties).
+4. join document metadata on the surviving <= k * n_shards rows only, then
+   global TakeOrderedAndProject by (token_score DESC, url ASC).
+5. intent re-rank Columns + pagination (shared with the row-index engine).
+
+The per-shard k equals the final candidate_limit, so the global top-k is
+exact (any doc in the global top-k is in its shard's top-k).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .analysis import QueryContext, search_context
+from .intent import rerank
+from .search import SearchResponse, SearchResult
+from .wand import TermPostings, score_shard_wand
+
+_CANDIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("token_score", T.DoubleType(), False),
+        T.StructField("matched_terms", T.IntegerType(), False),
+    ]
+)
+
+
+def _make_shard_scorer(idf_by_term: dict, k: int):
+    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+        entries = [
+            TermPostings(
+                term=r.term,
+                idf=idf_by_term.get(r.term, 1.0),
+                blob=bytes(r.postings),
+                block_max=list(r.block_max),
+                block_last=list(r.block_last),
+                block_offset=list(r.block_offset),
+            )
+            for r in pdf.itertuples()
+        ]
+        rows = score_shard_wand(entries, k)
+        if not rows:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "token_score": pd.Series(dtype="float64"),
+                 "matched_terms": pd.Series(dtype="int32")}
+            )
+        docs, scores, matched = zip(*rows)
+        return pd.DataFrame(
+            {"doc_id": docs, "token_score": scores, "matched_terms": matched}
+        )
+
+    return scorer
+
+
+class PostingsSearchEngine:
+    """/search over (documents, postings, term_statistics) tables."""
+
+    def __init__(
+        self,
+        documents: DataFrame,
+        postings: DataFrame,
+        term_statistics: DataFrame,
+    ) -> None:
+        self.documents = documents
+        self.postings = postings
+        self.term_statistics = term_statistics
+
+    def _candidates(self, ctx: QueryContext) -> DataFrame:
+        terms = list(ctx.query_terms)
+        idf_rows = (
+            self.term_statistics.filter(F.col("term").isin(terms))
+            .select("term", "idf")
+            .collect()
+        )
+        idf_by_term = {r["term"]: float(r["idf"]) for r in idf_rows}
+
+        hits = self.postings.filter(F.col("term").isin(terms)).select(
+            "shard", "term", "block_max", "block_last", "block_offset", "postings"
+        )
+        scored = hits.groupBy("shard").applyInPandas(
+            _make_shard_scorer(idf_by_term, ctx.candidate_limit),
+            schema=_CANDIDATE_SCHEMA,
+        )
+        docs_slim = self.documents.select("doc_id", "title", "description", "url")
+        return (
+            scored.join(docs_slim, "doc_id", "inner")
+            .select("title", "description", "url", "token_score", "matched_terms")
+            .orderBy(F.desc("token_score"), F.asc("url"))
+            .limit(ctx.candidate_limit)
+        )
+
+    def candidates_df(self, q: str, limit: int = 20, offset: int = 0) -> DataFrame | None:
+        ctx = search_context(q, limit, offset)
+        if ctx is None:
+            return None
+        return self._candidates(ctx)
+
+    def search(self, q: str, limit: int = 20, offset: int = 0) -> SearchResponse:
+        ctx = search_context(q, limit, offset)
+        if ctx is None:
+            return SearchResponse(results=[], count=0)
+        ranked_rows = rerank(self._candidates(ctx), ctx).collect()
+        page = [
+            SearchResult(
+                title=r["title"] or "",
+                description=r["description"] or "",
+                url=r["url"],
+                score=float(r["score"]),
+            )
+            for r in ranked_rows[offset : offset + limit]
+        ]
+        count = max(len(ranked_rows), offset + len(page))
+        return SearchResponse(results=page, count=count)

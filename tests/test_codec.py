@@ -1,68 +1,74 @@
-"""Varint/delta postings codec: round-trip + block-max properties."""
+"""Varint/delta postings codec: round-trip + skip-metadata properties."""
+
+import math
+import random
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from search_engine_spark.codec import (
     BLOCK_SIZE,
+    block_length,
+    decode_block,
     decode_postings,
     encode_postings,
+    postings_count,
     weighted_tf,
 )
 
 
-@st.composite
-def postings_lists(draw):
-    n = draw(st.integers(min_value=0, max_value=600))
-    doc_ids = sorted(
-        draw(
-            st.sets(
-                st.integers(min_value=-(2**63), max_value=2**63 - 1),
-                min_size=n,
-                max_size=n,
-            )
-        )
-    )
-    freqs = lambda: draw(  # noqa: E731
-        st.lists(st.integers(min_value=0, max_value=5000), min_size=n, max_size=n)
-    )
-    return doc_ids, freqs(), freqs(), freqs()
+def _random_case(rng, n):
+    ids = set()
+    while len(ids) < n:
+        ids.add(rng.randint(-(2**63), 2**63 - 1))
+    doc_ids = sorted(ids)
+    f = lambda: [rng.randint(0, 5000) for _ in range(n)]  # noqa: E731
+    return doc_ids, f(), f(), f()
 
 
-@given(postings_lists())
-@settings(max_examples=150, deadline=None)
-def test_roundtrip(p):
-    doc_ids, f1, f2, f4 = p
-    blob, block_max = encode_postings(doc_ids, f1, f2, f4)
-    got = decode_postings(blob)
-    assert got == (doc_ids, f1, f2, f4)
-    # block structure
-    import math
+@given(st.integers(min_value=0, max_value=100_000), st.integers(min_value=0, max_value=600))
+@settings(max_examples=60, deadline=None)
+def test_roundtrip(seed, n):
+    rng = random.Random(seed)
+    doc_ids, f1, f2, f4 = _random_case(rng, n)
+    blob, block_max, block_last, block_offset = encode_postings(doc_ids, f1, f2, f4)
+    assert postings_count(blob) == n
+    assert decode_postings(blob) == (doc_ids, f1, f2, f4)
 
-    want_blocks = math.ceil(len(doc_ids) / BLOCK_SIZE) if doc_ids else 0
-    assert len(block_max) == want_blocks
-    # each block max bounds its members
+    want_blocks = math.ceil(n / BLOCK_SIZE) if n else 0
+    assert len(block_max) == len(block_last) == len(block_offset) == want_blocks
     for i, d in enumerate(doc_ids):
         b = i // BLOCK_SIZE
         assert weighted_tf(f1[i], f2[i], f4[i]) <= block_max[b] + 1e-9
+        assert d <= block_last[b]
+    # every block independently decodable at its offset
+    for b in range(want_blocks):
+        ln = block_length(n, b, want_blocks)
+        ids_b, f1_b, f2_b, f4_b = decode_block(blob, block_offset[b], ln)
+        lo = b * BLOCK_SIZE
+        assert ids_b == doc_ids[lo : lo + ln]
+        assert f1_b == f1[lo : lo + ln]
+        assert ids_b[-1] == block_last[b]
 
 
 def test_empty():
-    blob, bm = encode_postings([], [], [], [])
+    blob, bm, bl, bo = encode_postings([], [], [], [])
     assert decode_postings(blob) == ([], [], [], [])
-    assert bm == []
+    assert bm == bl == bo == []
+    assert postings_count(blob) == 0
 
 
 def test_extreme_doc_ids():
     ids = [-(2**63), -1, 0, 1, 2**63 - 1]
     one = [1] * 5
-    blob, _ = encode_postings(ids, one, one, one)
+    blob, _, blast, _ = encode_postings(ids, one, one, one)
     assert decode_postings(blob)[0] == ids
+    assert blast == [2**63 - 1]
 
 
 def test_compression_is_real():
     # dense ascending ids compress far below 8 bytes/doc
     ids = list(range(0, 100_000, 3))
     one = [1] * len(ids)
-    blob, _ = encode_postings(ids, one, one, one)
+    blob, _, _, _ = encode_postings(ids, one, one, one)
     assert len(blob) < len(ids) * 8

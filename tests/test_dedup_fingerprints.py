@@ -11,14 +11,6 @@ from search_engine_spark.operators.fingerprints import build_fingerprints, exact
 from search_engine_spark.simhash_impl import simhash_text
 
 
-@pytest.fixture(scope="module")
-def docs(spark):
-    pages = pages_dataframe(spark, generate_pages(n_pages=200, seed=42))
-    d = build_documents(pages, FIXED_NOW).cache()
-    d.count()
-    return d
-
-
 def test_corpus_has_duplicates(docs):
     total = docs.count()
     distinct_contents = docs.select("content").distinct().count()

@@ -11,23 +11,6 @@ from search_engine_spark.oracle import OracleIndex
 TOL = 1e-12
 
 
-@pytest.fixture(scope="module")
-def corpus():
-    return generate_pages(n_pages=200, seed=42)
-
-
-@pytest.fixture(scope="module")
-def oracle(corpus):
-    return OracleIndex(corpus, FIXED_NOW)
-
-
-@pytest.fixture(scope="module")
-def docs(spark, corpus):
-    d = build_documents(pages_dataframe(spark, corpus), FIXED_NOW).cache()
-    d.count()
-    return d
-
-
 def test_links_resolved_match_oracle(docs, oracle):
     url_by_id = {r["doc_id"]: r["url"] for r in docs.select("doc_id", "url").collect()}
     got = {

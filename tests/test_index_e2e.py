@@ -13,37 +13,28 @@ from search_engine_spark.corpus import FIXED_NOW, generate_pages, pages_datafram
 from search_engine_spark.operators.documents import build_documents
 from search_engine_spark.operators.term_stats import build_term_statistics
 from search_engine_spark.operators.tokens import build_tokens
+from search_engine_spark.operators.postings import build_postings
 from search_engine_spark.oracle import OracleIndex
+from search_engine_spark.query.postings_search import PostingsSearchEngine
 from search_engine_spark.query.search import SearchEngine
 
-N_PAGES = 250
 TOL = 1e-9
 
 
 @pytest.fixture(scope="module")
-def corpus():
-    return generate_pages(n_pages=N_PAGES, seed=42)
-
-
-@pytest.fixture(scope="module")
-def oracle(corpus):
-    return OracleIndex(corpus, FIXED_NOW)
-
-
-@pytest.fixture(scope="module")
-def index(spark, corpus):
-    pages = pages_dataframe(spark, corpus)
-    docs = build_documents(pages, FIXED_NOW).cache()
-    tokens = build_tokens(docs).cache()
-    stats = build_term_statistics(tokens, docs).cache()
-    docs.count(), tokens.count(), stats.count()  # materialize
-    return docs, tokens, stats
+def index(docs, tokens, term_stats):
+    return docs, tokens, term_stats
 
 
 @pytest.fixture(scope="module")
 def engine(index):
     docs, tokens, stats = index
     return SearchEngine(docs, tokens, stats)
+
+
+@pytest.fixture(scope="module")
+def postings_engine(docs, postings3, term_stats):
+    return PostingsSearchEngine(docs, postings3, term_stats)
 
 
 def test_documents_match_oracle(index, oracle):
@@ -132,6 +123,31 @@ def test_search_rank_identical(engine, oracle):
         resp = engine.search(q, limit=20, offset=0)
         want_page, want_count = oracle.search(q, limit=20, offset=0)
         assert resp.count == want_count, f"count mismatch for {q!r}"
+        _assert_rank_identical(
+            [{"url": r.url, "score": r.score} for r in resp.results],
+            [{"url": r["url"], "score": r["score"]} for r in want_page],
+        )
+
+
+def test_postings_wand_search_rank_identical(postings_engine, oracle):
+    """Compressed-postings + block-max WAND path: same rank identity."""
+    for q in _queries(oracle):
+        resp = postings_engine.search(q, limit=20, offset=0)
+        want_page, want_count = oracle.search(q, limit=20, offset=0)
+        assert resp.count == want_count, f"count mismatch for {q!r}"
+        _assert_rank_identical(
+            [{"url": r.url, "score": r.score} for r in resp.results],
+            [{"url": r["url"], "score": r["score"]} for r in want_page],
+        )
+
+
+def test_postings_wand_pagination(postings_engine, oracle):
+    by_df = sorted(oracle.doc_frequency.items(), key=lambda kv: (-kv[1], kv[0]))
+    q = by_df[0][0]
+    for limit, offset in [(5, 0), (20, 40)]:
+        resp = postings_engine.search(q, limit=limit, offset=offset)
+        want_page, want_count = oracle.search(q, limit=limit, offset=offset)
+        assert resp.count == want_count, (limit, offset)
         _assert_rank_identical(
             [{"url": r.url, "score": r.score} for r in resp.results],
             [{"url": r["url"], "score": r["score"]} for r in want_page],

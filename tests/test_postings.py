@@ -1,4 +1,4 @@
-"""Postings build: parts reconstruct the token matrix; salting invariants."""
+"""Postings build: shards reconstruct the token matrix; skew invariants."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -11,11 +11,7 @@ from search_engine_spark.operators.tokens import build_tokens
 
 
 @pytest.fixture(scope="module")
-def built(spark):
-    pages = pages_dataframe(spark, generate_pages(n_pages=120, seed=42))
-    docs = build_documents(pages, FIXED_NOW).cache()
-    tokens = build_tokens(docs).cache()
-    tokens.count()
+def built(docs, tokens):
     return docs, tokens
 
 
@@ -34,10 +30,11 @@ def _expected_matrix(tokens):
 def _decode_table(postings_rows):
     got = {}
     order_ok = True
-    for r in sorted(postings_rows, key=lambda r: (r["term"], r["part"])):
+    for r in sorted(postings_rows, key=lambda r: (r["term"], r["shard"])):
         ids, f1, f2, f4 = decode_postings(bytes(r["postings"]))
         assert ids == sorted(ids)
         assert r["df"] == len(ids)
+        assert len(r["block_max"]) == len(r["block_last"]) == len(r["block_offset"])
         term = got.setdefault(r["term"], {"ids": [], "vals": {}})
         if term["ids"] and ids and ids[0] <= term["ids"][-1]:
             order_ok = False
@@ -50,26 +47,26 @@ def _decode_table(postings_rows):
 def test_postings_reconstruct_tokens(built):
     _, tokens = built
     want = _expected_matrix(tokens)
-    rows = build_postings(tokens).collect()
+    rows = build_postings(tokens, n_shards=1).collect()
     got, order_ok = _decode_table(rows)
-    assert order_ok, "part ranges must concatenate in global doc order"
+    assert order_ok
     assert set(got) == set(want)
     for term, vals in want.items():
         assert got[term]["vals"] == vals, term
         assert got[term]["ids"] == sorted(vals)
 
 
-def test_salting_splits_head_terms_and_preserves_content(built):
+def test_sharding_splits_head_terms_and_preserves_content(built):
     _, tokens = built
-    # force multi-part on anything with df >= 10
-    rows = build_postings(tokens, target_postings_per_part=10).collect()
-    parts_per_term = {}
+    rows = build_postings(tokens, n_shards=4).collect()
+    shards_per_term = {}
     for r in rows:
-        parts_per_term.setdefault(r["term"], []).append(r)
-    multi = [t for t, rs in parts_per_term.items() if len(rs) > 1]
-    assert multi, "expected head terms to split into multiple parts"
+        shards_per_term.setdefault(r["term"], []).append(r["shard"])
+    multi = [t for t, s in shards_per_term.items() if len(s) > 1]
+    assert multi, "head terms should span multiple shards"
+    assert all(len(set(s)) == len(s) for s in shards_per_term.values())
     got, order_ok = _decode_table(rows)
-    assert order_ok
+    assert order_ok, "shard ranges must concatenate in global doc order"
     want = _expected_matrix(tokens)
     for term in want:
         assert got[term]["vals"] == want[term]
@@ -81,7 +78,7 @@ def test_ctf_matches_tokens(built):
         r["term"]: r["ctf"]
         for r in tokens.groupBy("term").agg(F.sum("frequency").alias("ctf")).collect()
     }
-    rows = build_postings(tokens).collect()
+    rows = build_postings(tokens, n_shards=3).collect()
     got = {}
     for r in rows:
         got[r["term"]] = got.get(r["term"], 0) + r["ctf"]
