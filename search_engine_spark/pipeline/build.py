@@ -1,0 +1,187 @@
+"""Full index-build DAG: pages -> every derived table, resumable.
+
+Stage graph (reference pipeline order preserved — runner.py:36-52: dedup,
+then link graph BEFORE pagerank; bm25 stats independent):
+
+    pages ──extract/validate/dedup──> documents ─┬─> tokens ─┬─> term_statistics
+                                                 │           └─> postings
+                                                 ├─> fingerprints
+                                                 └─> links_resolved ──> document_authority
+
+Each stage writes parquet under ``out_root/<table>`` and appends lineage +
+per-partition metrics to ``out_root/_checkpoints`` (checkpoints.py). A rerun
+after any interruption skips committed stages whose fingerprints match —
+kill-and-resume converges to byte-identical tables (tested).
+
+Scale notes:
+- postings are written ``partitionBy('term_bucket')`` so query IN-list scans
+  partition-prune; at cluster scale this is an Iceberg table with a bucket
+  transform — the parquet layout here is the same physical idea.
+- ``n_shards`` defaults from corpus size (postings.n_shards_for).
+- documents/tokens write through snappy parquet; all stage outputs are
+  deterministic (no wall clock in data, stable doc ids), so resume at any
+  parallelism yields identical bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.documents import build_documents
+from ..operators.fingerprints import build_fingerprints, exact_dedup
+from ..operators.link_graph import build_links_resolved
+from ..operators.pagerank import build_document_authority
+from ..operators.postings import build_postings, n_shards_for
+from ..operators.term_stats import build_term_statistics
+from ..operators.tokens import build_tokens
+from .checkpoints import CheckpointLog, fingerprint
+
+
+@dataclass
+class BuildResult:
+    out_root: str
+    tables: dict = field(default_factory=dict)
+    stages_run: list = field(default_factory=list)
+    stages_skipped: list = field(default_factory=list)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_root, table))
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    now: datetime,
+    *,
+    build_id: str = "default",
+    dedup: bool = True,
+    n_shards: int | None = None,
+    n_term_buckets: int = 16,
+    pagerank_iterations: int = 20,
+) -> BuildResult:
+    """Run (or resume) the full build. ``build_id`` + params + stage chain
+    form the lineage fingerprints; rerunning with identical inputs is a no-op.
+    """
+    log = CheckpointLog(spark, out_root)
+    result = BuildResult(out_root=out_root)
+    base_params = {"build_id": build_id, "now": now.isoformat(), "dedup": dedup}
+
+    def run_stage(name: str, fp: str, producer, writer) -> str:
+        out_path = os.path.join(out_root, name)
+        if log.is_complete(name, fp, out_path):
+            result.stages_skipped.append(name)
+            result.tables[name] = out_path
+            return out_path
+        t0 = time.perf_counter()
+        df = producer()
+        writer(df, out_path)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        out_df = spark.read.parquet(out_path)
+        log.record(name, fp, out_df, rows_in=None, wall_ms=wall_ms)
+        result.stages_run.append(name)
+        result.tables[name] = out_path
+        return out_path
+
+    def plain_writer(df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").parquet(path)
+
+    # -- documents (extract + validate + dedup + scores) ----------------------
+    fp_docs = fingerprint("documents", base_params, [])
+
+    def make_documents() -> DataFrame:
+        d = build_documents(pages, now)
+        if dedup:
+            d = exact_dedup(d)
+        return d
+
+    docs_path = run_stage("documents", fp_docs, make_documents, plain_writer)
+    documents = spark.read.parquet(docs_path)
+
+    # -- fingerprints ----------------------------------------------------------
+    fp_fprints = fingerprint("document_fingerprints", base_params, [fp_docs])
+    run_stage(
+        "document_fingerprints",
+        fp_fprints,
+        lambda: build_fingerprints(documents),
+        plain_writer,
+    )
+
+    # -- tokens ----------------------------------------------------------------
+    fp_tokens = fingerprint("tokens", base_params, [fp_docs])
+    tokens_path = run_stage(
+        "tokens", fp_tokens, lambda: build_tokens(documents), plain_writer
+    )
+    tokens = spark.read.parquet(tokens_path)
+
+    # -- term statistics ---------------------------------------------------------
+    fp_stats = fingerprint("term_statistics", base_params, [fp_tokens])
+    run_stage(
+        "term_statistics",
+        fp_stats,
+        lambda: build_term_statistics(tokens, documents),
+        plain_writer,
+    )
+
+    # -- postings (term_bucket-partitioned layout) -------------------------------
+    shards = n_shards if n_shards is not None else n_shards_for(documents.count())
+    fp_post = fingerprint(
+        "postings",
+        {**base_params, "n_shards": shards, "n_term_buckets": n_term_buckets},
+        [fp_tokens],
+    )
+    run_stage(
+        "postings",
+        fp_post,
+        lambda: build_postings(tokens, n_shards=shards, n_term_buckets=n_term_buckets),
+        lambda df, path: df.write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path),
+    )
+
+    # -- link graph (BEFORE pagerank — runner.py:51-52 ordering) -----------------
+    fp_links = fingerprint("links_resolved", base_params, [fp_docs])
+    links_path = run_stage(
+        "links_resolved",
+        fp_links,
+        lambda: build_links_resolved(documents),
+        plain_writer,
+    )
+    links = spark.read.parquet(links_path)
+
+    # -- pagerank -----------------------------------------------------------------
+    fp_pr = fingerprint(
+        "document_authority",
+        {**base_params, "iterations": pagerank_iterations},
+        [fp_docs, fp_links],
+    )
+    run_stage(
+        "document_authority",
+        fp_pr,
+        lambda: build_document_authority(
+            documents, links, iterations=pagerank_iterations
+        ),
+        plain_writer,
+    )
+
+    return result
+
+
+def load_engines(spark: SparkSession, out_root: str):
+    """Convenience: open the built tables and return both search engines."""
+    from ..query.postings_search import PostingsSearchEngine
+    from ..query.search import SearchEngine
+
+    documents = spark.read.parquet(os.path.join(out_root, "documents"))
+    tokens = spark.read.parquet(os.path.join(out_root, "tokens"))
+    stats = spark.read.parquet(os.path.join(out_root, "term_statistics"))
+    postings = spark.read.parquet(os.path.join(out_root, "postings"))
+    return (
+        SearchEngine(documents, tokens, stats),
+        PostingsSearchEngine(documents, postings, stats),
+    )
