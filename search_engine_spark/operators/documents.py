@@ -81,6 +81,22 @@ def freshness_col(now: datetime) -> F.Column:
     )
 
 
+def latest_by_url(pages: DataFrame) -> DataFrame:
+    """Upsert-by-url semantics (``worker.py:200-214`` ON CONFLICT(url) DO
+    UPDATE): when a url appears multiple times (re-crawls), keep the row with
+    the greatest warc_ts (ties: greater html wins, deterministically)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc_nulls_last("warc_ts"), F.desc("html")
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def build_documents(pages: DataFrame, now: datetime) -> DataFrame:
     """Full pages -> documents transform (parsed columns retained for reuse).
 

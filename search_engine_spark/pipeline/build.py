@@ -32,7 +32,7 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.documents import build_documents
+from ..operators.documents import build_documents, latest_by_url
 from ..operators.fingerprints import build_fingerprints, exact_dedup
 from ..operators.link_graph import build_links_resolved
 from ..operators.pagerank import build_document_authority
@@ -95,7 +95,9 @@ def build_index(
     fp_docs = fingerprint("documents", base_params, [])
 
     def make_documents() -> DataFrame:
-        d = build_documents(pages, now)
+        # upsert-by-url first (worker.py:200-214): re-crawled urls keep only
+        # their latest snapshot
+        d = build_documents(latest_by_url(pages), now)
         if dedup:
             d = exact_dedup(d)
         return d

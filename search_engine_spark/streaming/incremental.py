@@ -1,0 +1,157 @@
+"""Incremental index maintenance via Structured Streaming micro-batches.
+
+The reference has no streaming framework — its incremental semantics are a
+continuous loop: crawler upserts documents by url and replaces their token
+rows (worker.py:200-239, W6), and every 300 s the batch runner full-refreshes
+the derived tables (runner.py:55-69, W1; bm25_stats/link_graph TRUNCATE +
+rebuild). This module maps that onto Structured Streaming:
+
+- ``readStream`` over the pages directory; ``Trigger.AvailableNow`` drains
+  all new files then stops (the 300 s cadence becomes scheduler cadence);
+  the stream checkpoint remembers which files were already indexed.
+- per micro-batch (``foreachBatch``):
+  1. extract/score ONLY the new pages (the expensive Arrow UDF work is
+     incremental — matching the reference, which only parses fetched pages)
+  2. upsert into ``documents_raw`` by url (last warc_ts wins)
+  3. token rows: recompute for touched urls only, carry the rest forward
+     (the reference's per-doc DELETE+INSERT, worker.py:229-239)
+  4. full-refresh the derived tables (term_statistics, postings, links,
+     pagerank) from the merged state — faithful to the reference's
+     TRUNCATE+rebuild batch jobs
+- exact dedup is re-derived per batch from documents_raw, so an update that
+  changes a previously-duplicated content correctly resurrects the dropped
+  twin.
+
+Storage here is plain parquet (rewrite-on-refresh); on a cluster these
+writes become Iceberg MERGE INTO / overwritePartitions with identical logic.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.documents import build_documents, latest_by_url
+from ..operators.fingerprints import build_fingerprints, exact_dedup
+from ..operators.link_graph import build_links_resolved
+from ..operators.pagerank import build_document_authority
+from ..operators.postings import build_postings
+from ..operators.term_stats import build_term_statistics
+from ..operators.tokens import build_tokens
+from ..schemas import PAGES
+
+
+def _overwrite(df: DataFrame, path: str) -> None:
+    # parquet can't overwrite a path that feeds the same plan; stage via temp
+    tmp = path + "._tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    final_df = df.sparkSession.read.parquet(tmp)
+    final_df.write.mode("overwrite").parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def apply_batch(
+    spark: SparkSession,
+    batch_pages: DataFrame,
+    out_root: str,
+    now: datetime,
+    *,
+    n_shards: int = 1,
+    n_term_buckets: int = 16,
+    pagerank_iterations: int = 20,
+) -> None:
+    """Fold one micro-batch of pages into the index tables under out_root."""
+    raw_path = os.path.join(out_root, "documents_raw")
+    tokens_path = os.path.join(out_root, "tokens_raw")
+
+    new_docs = build_documents(latest_by_url(batch_pages), now)
+    new_tokens = build_tokens(new_docs)
+
+    if os.path.exists(os.path.join(raw_path, "_SUCCESS")):
+        existing = spark.read.parquet(raw_path)
+        touched = new_docs.select("url").distinct()
+        kept = existing.join(touched, "url", "left_anti")
+        merged_docs = kept.unionByName(new_docs)
+        existing_tokens = spark.read.parquet(tokens_path)
+        kept_tokens = existing_tokens.join(
+            new_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        merged_tokens = kept_tokens.unionByName(new_tokens)
+    else:
+        merged_docs = new_docs
+        merged_tokens = new_tokens
+
+    _overwrite(merged_docs, raw_path)
+    _overwrite(merged_tokens, tokens_path)
+
+    # ---- derived state: full refresh (reference TRUNCATE+rebuild parity) ----
+    documents_raw = spark.read.parquet(raw_path)
+    tokens_raw = spark.read.parquet(tokens_path)
+
+    documents = exact_dedup(documents_raw)
+    _overwrite(documents, os.path.join(out_root, "documents"))
+    documents = spark.read.parquet(os.path.join(out_root, "documents"))
+
+    live_tokens = tokens_raw.join(
+        documents.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    _overwrite(live_tokens, os.path.join(out_root, "tokens"))
+    tokens = spark.read.parquet(os.path.join(out_root, "tokens"))
+
+    _overwrite(
+        build_fingerprints(documents),
+        os.path.join(out_root, "document_fingerprints"),
+    )
+    _overwrite(
+        build_term_statistics(tokens, documents),
+        os.path.join(out_root, "term_statistics"),
+    )
+    build_postings(tokens, n_shards=n_shards, n_term_buckets=n_term_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(os.path.join(out_root, "postings"))
+
+    links = build_links_resolved(documents)
+    _overwrite(links, os.path.join(out_root, "links_resolved"))
+    links = spark.read.parquet(os.path.join(out_root, "links_resolved"))
+    _overwrite(
+        build_document_authority(documents, links, iterations=pagerank_iterations),
+        os.path.join(out_root, "document_authority"),
+    )
+
+
+def run_micro_batch_pipeline(
+    spark: SparkSession,
+    pages_dir: str,
+    out_root: str,
+    now: datetime,
+    **params,
+) -> int:
+    """Drain all unprocessed page files (Trigger.AvailableNow) into the index.
+
+    Returns the number of micro-batches processed. Rerunning after new files
+    land picks up exactly the new files (stream checkpoint under out_root).
+    """
+    processed = {"n": 0}
+
+    def _foreach(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_batch(spark, batch_df, out_root, now, **params)
+        processed["n"] += 1
+
+    stream = spark.readStream.schema(PAGES).parquet(pages_dir)
+    query = (
+        stream.writeStream.foreachBatch(_foreach)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(out_root, "_stream_checkpoint")
+        )
+        .start()
+    )
+    query.awaitTermination()
+    return processed["n"]
