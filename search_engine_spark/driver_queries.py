@@ -483,3 +483,10 @@ ORACLES: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "similarity_topk": SQL_SIMILARITY_TOPK,
 }
+
+# training-data pipeline pairs (dedup / similarity / text analysis /
+# multimodal / graph) live in driver_queries_td to keep this module readable
+from .driver_queries_td import ORACLES_TD, QUERIES_TD  # noqa: E402
+
+QUERIES.update(QUERIES_TD)
+ORACLES.update(ORACLES_TD)

@@ -1,0 +1,754 @@
+"""Training-data pipeline (Spark, DuckDB-oracle) query pairs.
+
+Same contract as ``driver_queries``: each Spark callable has an ANSI-SQL twin
+producing identical column names and (order-insensitive) values on the
+driver's parquet tables. All hashing is engine-portable (md5 hex strings,
+integer bit arithmetic), so even MinHash signatures and SimHash fingerprints
+replay bit-for-bit in DuckDB.
+
+Near-dup queries that need guaranteed duplicates run over a *mutated corpus*:
+``documents`` unioned with deterministic variants (doc_id + 100000, first 30
+chars dropped / first embedding component perturbed) planted identically on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .training_data import dedup as D
+from .training_data import similarity as S
+from .training_data import textstats as X
+from .training_data.multimodal import synthesize_media
+
+MUT_OFFSET = 100000
+TOKEN_RUN = "[a-z0-9]{2,}"
+MIN_LONG_SQL = "(-9223372036854775807 - 1)"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _mut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    mut = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.expr("substring(text, 31)").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mut)
+
+
+_MUT_DOCS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MUT_OFFSET}, substring(text, 31) FROM documents
+  WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _shingle_cte(src: str = "corpus", k: int = 3) -> str:
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(1, k + 1))
+    return f"""
+words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w FROM {src}
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM words, unnest(range(len(w) - {k - 1})) AS t(i)
+  WHERE len(w) >= {k}
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (mutated corpus)
+# --------------------------------------------------------------------------
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mut_docs(spark, sf_dir)
+    sig = D.minhash_signatures(D.shingles(corpus), num_perm=9)
+    return D.lsh_candidate_pairs(sig, bands=3, rows_per_band=3)
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_MUT_DOCS_CTE}, {_shingle_cte()},
+sig AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range(9))::INT AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // 3)::INT AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 3
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (natural corpus — it contains real near-dups)
+# --------------------------------------------------------------------------
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.ngram_jaccard_pairs(D.shingles(docs), threshold=0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents), {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (64-bit signed, portable bit expansion)
+# --------------------------------------------------------------------------
+def _tf(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
+    src = _mut_docs(spark, sf_dir) if mutated else _read(
+        spark, sf_dir, "documents"
+    ).select("doc_id", "text")
+    return (
+        src.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _tf_cte(src: str) -> str:
+    return f"""
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM {src}
+  ) GROUP BY doc_id, term
+)
+"""
+
+
+_SIMHASH_CORE_CTE = f"""
+votes AS (
+  SELECT tf.doc_id, 63 - j.j AS p,
+         sum(tf.tf * (2 * (((strpos('0123456789abcdef',
+              substring(md5(tf.term), (j.j // 4) + 1, 1)) - 1)
+             >> (3 - j.j % 4)) % 2) - 1)) AS v
+  FROM tf, (SELECT unnest(range(64))::INT AS j) j
+  GROUP BY tf.doc_id, 63 - j.j
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN
+               CASE WHEN p = 63 THEN {MIN_LONG_SQL} ELSE 1::BIGINT << p END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_fingerprints(_tf(spark, sf_dir, mutated=False))
+
+
+SQL_SIMHASH_FINGERPRINTS = f"""
+WITH {_tf_cte("documents")}, {_SIMHASH_CORE_CTE}
+SELECT doc_id, simhash FROM fp
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup (mutated corpus; banded join vs brute-force oracle).
+# Hamming radius 3 with 4x16-bit bands is lossless by pigeonhole, so the
+# oracle brute-forces bit_count(xor) over all pairs and MUST agree — this
+# pair doubles as the losslessness proof of the banding scheme.
+# --------------------------------------------------------------------------
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup(_tf(spark, sf_dir, mutated=True), max_hamming=3)
+
+
+SQL_SIMHASH_NEAR_DUP = f"""
+WITH {_MUT_DOCS_CTE}, {_tf_cte("corpus")}, {_SIMHASH_CORE_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact kNN join: 1-NN for probe vectors vec_id < 50 (brute-force verifier)
+# --------------------------------------------------------------------------
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.knn_join(emb.filter(F.col("vec_id") < 50), emb, k=1).select(
+        "probe_id", "nn_id", "cosine"
+    )
+
+
+SQL_EMBEDDING_KNN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS nn_id,
+         round(list_sum(list_transform(list_zip(p.v, c.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cosine
+  FROM e p JOIN e c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < 50
+)
+SELECT probe_id, nn_id, cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nn_id ASC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup (mutated corpus): Spark = SRP-LSH bucketed + exact
+# verify; oracle = brute force. Agreement evidences the LSH recall claim.
+# --------------------------------------------------------------------------
+def _mut_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    mut = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + MUT_OFFSET).alias("vec_id"),
+        F.expr(
+            "concat(array(cast(cast(embedding[0] as double) * cast(1.2 as double)"
+            " + cast(0.1 as double) as float)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(mut)
+
+
+_MUT_EMB_CTE = f"""
+ecorpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {MUT_OFFSET},
+         list_concat([((embedding[1]::DOUBLE * 1.2::DOUBLE + 0.1::DOUBLE)::FLOAT)::DOUBLE],
+                     embedding[2:]::DOUBLE[])
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.srp_bucketed_pairs(
+        _mut_emb(spark, sf_dir), threshold=0.995, dim=64
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH {_MUT_EMB_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.995
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN: top-10 neighbors of vec 0 among SRP bucket collisions (both sides
+# compute the identical deterministic bucketing, so results match exactly)
+# --------------------------------------------------------------------------
+ANN_PLANES = 16
+ANN_BANDS = 8
+_ANN_BPB = ANN_PLANES // ANN_BANDS
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    sig = S.srp_signs(emb, n_planes=ANN_PLANES, dim=64).select(
+        "vec_id", "embedding", "srp_bits"
+    )
+    banded = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        S.srp_bucket(F.col("srp_bits"), b * _ANN_BPB, _ANN_BPB)
+                        .alias("bucket"),
+                    )
+                    for b in range(ANN_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    probe = banded.filter(F.col("vec_id") == 0).select(
+        "band", "bucket", F.col("embedding").alias("pv")
+    )
+    cand = (
+        banded.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), ["band", "bucket"])
+        .select("vec_id", "embedding", "pv")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(S.cosine_similarity_col(F.col("embedding"), F.col("pv")), 6),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cosine")
+    )
+
+
+_SRP_CTE = f"""
+planes AS (
+  SELECT p.p::INT AS p, d.d::INT AS d,
+         CASE WHEN (strpos('0123456789abcdef',
+                substring(md5(p.p || ':' || d.d), 1, 1)) - 1) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range({ANN_PLANES})) AS p) p,
+       (SELECT unnest(range(64)) AS d) d
+),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN sum(e.v[pl.d + 1] * pl.s) > 0 THEN 1 ELSE 0 END AS bit
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, planes pl
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, (p // {_ANN_BPB})::INT AS band,
+         sum(bit * (1 << (p % {_ANN_BPB})))::INT AS bucket
+  FROM bits GROUP BY vec_id, p // {_ANN_BPB}
+)
+"""
+
+SQL_ANN_LSH_TOPK = f"""
+WITH {_SRP_CTE},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand AS (
+  SELECT DISTINCT c.vec_id
+  FROM buckets c
+  JOIN buckets q ON q.vec_id = 0 AND c.band = q.band AND c.bucket = q.bucket
+  WHERE c.vec_id <> 0
+)
+SELECT c.vec_id,
+       round(list_sum(list_transform(list_zip(ce.v, pe.v), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(ce.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(pe.v, x -> x * x)))), 6) AS cosine
+FROM cand c
+JOIN e ce ON ce.vec_id = c.vec_id
+JOIN e pe ON pe.vec_id = 0
+ORDER BY cosine DESC, c.vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Language ID (marker heuristic, CJK short-circuit)
+# --------------------------------------------------------------------------
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return X.language_id(docs).select(
+        "doc_id",
+        "pred_lang",
+        "en_hits",
+        "de_hits",
+        "fr_hits",
+        "es_hits",
+        "cjk_chars",
+        (F.col("pred_lang") == F.col("lang")).alias("lang_match"),
+    )
+
+
+def _lang_sql() -> str:
+    hit_cols = []
+    for lang, markers in X.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(
+            f"len(list_filter(w, t -> list_contains([{lst}], t))) AS {lang}_hits"
+        )
+    # identical reverse-priority >= fold as the Spark implementation
+    best, score = "'und'", "0"
+    for lang in reversed(X.LANG_PRIORITY):
+        best = (
+            f"CASE WHEN {lang}_hits >= greatest({score}, 1) "
+            f"THEN '{lang}' ELSE {best} END"
+        )
+        score = f"greatest({score}, {lang}_hits)"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {", ".join(hit_cols)},
+         len(regexp_extract_all(text, '{X.CJK_PATTERN_DUCKDB}')) AS cjk_chars
+  FROM (
+    SELECT doc_id, lang, text,
+           regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w
+    FROM documents
+  )
+)
+SELECT doc_id,
+       CASE WHEN cjk_chars > 0 THEN 'zh' ELSE {best} END AS pred_lang,
+       en_hits, de_hits, fr_hits, es_hits, cjk_chars,
+       (CASE WHEN cjk_chars > 0 THEN 'zh' ELSE {best} END) = lang AS lang_match
+FROM scored
+"""
+
+
+SQL_LANGUAGE_ID = _lang_sql()
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish + chars)
+# --------------------------------------------------------------------------
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return X.token_counts(docs).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "n_chars"
+    )
+
+
+SQL_TOKEN_COUNTS = rf"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{X.BPE_RUN}')) AS bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (k=4 word-grams, window=5)
+# --------------------------------------------------------------------------
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return X.winnowing_fingerprints(docs, k=4, window=5)
+
+
+_WINNOW_GRAM = " || ' ' || ".join(f"w[i + {j}]" for j in range(1, 5))
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i::INT AS pos, md5({_WINNOW_GRAM}) AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM words, unnest(range(len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+),
+selected AS (
+  SELECT DISTINCT doc_id, sel FROM (
+    SELECT doc_id, pos, n_grams,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+    FROM grams
+  ) WHERE pos <= n_grams - 5
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(sel) AS min_fingerprint
+FROM selected GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary metadata scan (payload = utf-8 bytes of text)
+# --------------------------------------------------------------------------
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    # magic prefix = first 4 characters utf-8-encoded (the oracle cannot
+    # slice BLOBs; equals the first 4 payload bytes on an ASCII corpus)
+    return media.join(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    ).select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias(
+            "magic_hex"
+        ),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+    )
+
+
+SQL_BINARY_META = """
+SELECT doc_id AS media_id,
+       octet_length(text::BLOB) AS n_bytes,
+       lower(hex(substring(text, 1, 4)::BLOB)) AS magic_hex,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Spellcheck candidate generation: trigram-Jaccard similarity join (J7/T5)
+# --------------------------------------------------------------------------
+SPELL_INPUTS = ["spakr", "qurey", "tabel", "windw", "streem"]
+_SPELL_INPUT_SQL = ", ".join(f"('{w}')" for w in SPELL_INPUTS)
+
+_TRIGRAMS_SPARK = (
+    "CASE WHEN length({c}) < 3 THEN array() "
+    "ELSE array_distinct(transform(sequence(1, length({c}) - 2),"
+    " i -> substring({c}, i, 3))) END"
+)
+
+
+def q_spellcheck_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]{2,32}', 0)")
+        ).alias("word"),
+    )
+    dictionary = (
+        words.groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("docf"),
+            F.count(F.lit(1)).alias("totf"),
+        )
+        .withColumn(
+            "popularity",
+            F.round(
+                F.log1p(F.col("docf").cast("double")) * 4.0
+                + F.log1p(F.col("totf").cast("double")) * 2.0,
+                6,
+            ),
+        )
+        .filter(F.col("popularity") >= 2.0)
+        .withColumn("tg_w", F.expr(_TRIGRAMS_SPARK.format(c="word")))
+    )
+    inputs = spark.createDataFrame(
+        [(w,) for w in SPELL_INPUTS], "input_word string"
+    ).withColumn("tg_i", F.expr(_TRIGRAMS_SPARK.format(c="input_word")))
+    joined = (
+        dictionary.join(F.broadcast(inputs))
+        .filter(
+            (F.length("word") >= F.length("input_word") - 2)
+            & (F.length("word") <= F.length("input_word") + 2)
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("tg_w", "tg_i")))
+        .filter(F.col("n_inter") > 0)
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("n_inter")
+                / (F.size("tg_w") + F.size("tg_i") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("input_word").orderBy(
+        F.desc("sim"), F.desc("popularity"), F.asc("word")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("input_word", "word", "sim", "popularity")
+    )
+
+
+SQL_SPELLCHECK_CANDIDATES = f"""
+WITH dict AS (
+  SELECT word, round(ln(1 + count(DISTINCT doc_id)) * 4.0
+                   + ln(1 + count(*)) * 2.0, 6) AS popularity
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{{2,32}}')) AS word
+    FROM documents
+  ) GROUP BY word
+  HAVING round(ln(1 + count(DISTINCT doc_id)) * 4.0 + ln(1 + count(*)) * 2.0, 6) >= 2.0
+),
+inputs AS (SELECT * FROM (VALUES {_SPELL_INPUT_SQL}) AS t(input_word)),
+tg AS (
+  SELECT d.word, d.popularity, i.input_word,
+         list_distinct(list_transform(range(1, len(d.word) - 1),
+                                      x -> substring(d.word, x, 3))) AS tg_w,
+         list_distinct(list_transform(range(1, len(i.input_word) - 1),
+                                      x -> substring(i.input_word, x, 3))) AS tg_i
+  FROM dict d, inputs i
+  WHERE len(d.word) BETWEEN len(i.input_word) - 2 AND len(i.input_word) + 2
+    AND len(d.word) >= 3 AND len(i.input_word) >= 3
+),
+scored AS (
+  SELECT input_word, word, popularity,
+         len(list_intersect(tg_w, tg_i)) AS n_inter,
+         round(len(list_intersect(tg_w, tg_i))
+               / (len(tg_w) + len(tg_i) - len(list_intersect(tg_w, tg_i))), 6) AS sim
+  FROM tg
+)
+SELECT input_word, word, sim, popularity
+FROM scored
+WHERE n_inter > 0
+QUALIFY row_number() OVER (PARTITION BY input_word
+                           ORDER BY sim DESC, popularity DESC, word ASC) <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Link-graph degrees + PageRank over a synthetic non-uniform graph with
+# dangling nodes (exercises the reference's dangling-mass-drop semantics)
+# --------------------------------------------------------------------------
+_EDGES_DOC = """edges: every doc with doc_id % 13 != 0 links to
+(7*id+13) % N and (5*id+2) % N (self-loops removed, distinct); docs with
+doc_id % 13 == 0 are dangling (no out-edges) -> their rank mass is dropped,
+per the reference (pagerank.py:29-38)."""
+
+
+def _edges(spark: SparkSession, sf_dir: str):
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    src = docs.filter(F.col("doc_id") % 13 != 0)
+    e1 = src.select(
+        F.col("doc_id").alias("source_doc_id"),
+        ((F.col("doc_id") * 7 + 13) % n).alias("target_doc_id"),
+    )
+    e2 = src.select(
+        F.col("doc_id").alias("source_doc_id"),
+        ((F.col("doc_id") * 5 + 2) % n).alias("target_doc_id"),
+    )
+    edges = (
+        e1.unionByName(e2)
+        .filter(F.col("source_doc_id") != F.col("target_doc_id"))
+        .distinct()
+    )
+    return docs, edges, n
+
+
+_EDGES_CTE = """
+nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT source_doc_id, target_doc_id FROM (
+    SELECT doc_id AS source_doc_id, (doc_id * 7 + 13) % nn.n AS target_doc_id
+    FROM documents, nn WHERE doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 5 + 2) % nn.n FROM documents, nn WHERE doc_id % 13 <> 0
+  ) WHERE source_doc_id <> target_doc_id
+)
+"""
+
+
+def q_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, edges, _ = _edges(spark, sf_dir)
+    outd = edges.groupBy(F.col("source_doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ind = edges.groupBy(F.col("target_doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("in_links")
+    )
+    return (
+        docs.join(outd, "doc_id", "left")
+        .join(ind, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+        )
+    )
+
+
+SQL_DEGREE_COUNTS = f"""
+WITH {_EDGES_CTE},
+outd AS (SELECT source_doc_id AS doc_id, count(*) AS out_degree
+         FROM edges GROUP BY source_doc_id),
+ind AS (SELECT target_doc_id AS doc_id, count(*) AS in_links
+        FROM edges GROUP BY target_doc_id)
+SELECT d.doc_id,
+       COALESCE(o.out_degree, 0) AS out_degree,
+       COALESCE(i.in_links, 0) AS in_links
+FROM documents d
+LEFT JOIN outd o ON o.doc_id = d.doc_id
+LEFT JOIN ind i ON i.doc_id = d.doc_id
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-constant PageRank (d=0.85, 20 fixed iterations, dangling
+    mass dropped) as the iterative DataFrame job, vs a recursive-CTE oracle.
+    """
+    from .operators.pagerank import build_document_authority
+
+    docs, edges, _ = _edges(spark, sf_dir)
+    auth = build_document_authority(docs, edges)
+    return auth.select(
+        "doc_id", F.round("pagerank", 9).alias("pagerank"), "inlink_count"
+    )
+
+
+SQL_PAGERANK = f"""
+WITH RECURSIVE {_EDGES_CTE},
+outdeg AS (SELECT source_doc_id AS src, count(*)::DOUBLE AS od
+           FROM edges GROUP BY source_doc_id),
+edges_w AS (
+  SELECT e.source_doc_id AS src, e.target_doc_id AS dst, 1.0 / o.od AS w
+  FROM edges e JOIN outdeg o ON o.src = e.source_doc_id
+  UNION ALL
+  SELECT doc_id, doc_id, 0.0 FROM documents  -- zero-weight self-loop keeps every node in each iteration
+),
+pr AS (
+  SELECT 0 AS iter, doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, e.dst AS doc_id,
+         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(pr.rank * e.w) AS rank
+  FROM pr JOIN edges_w e ON e.src = pr.doc_id
+  WHERE pr.iter < 20
+  GROUP BY pr.iter + 1, e.dst
+),
+ind AS (SELECT target_doc_id AS doc_id, count(*)::INT AS inlink_count
+        FROM edges GROUP BY target_doc_id)
+SELECT pr.doc_id, round(pr.rank, 9) AS pagerank,
+       COALESCE(i.inlink_count, 0) AS inlink_count
+FROM pr LEFT JOIN ind i ON i.doc_id = pr.doc_id
+WHERE pr.iter = 20
+"""
+
+
+QUERIES_TD = {
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_knn": q_embedding_knn,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "language_id": q_language_id,
+    "token_counts": q_token_counts,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "binary_meta": q_binary_meta,
+    "spellcheck_candidates": q_spellcheck_candidates,
+    "degree_counts": q_degree_counts,
+    "pagerank": q_pagerank,
+}
+
+ORACLES_TD = {
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+    "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
+    "embedding_knn": SQL_EMBEDDING_KNN,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "language_id": SQL_LANGUAGE_ID,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "binary_meta": SQL_BINARY_META,
+    "spellcheck_candidates": SQL_SPELLCHECK_CANDIDATES,
+    "degree_counts": SQL_DEGREE_COUNTS,
+    "pagerank": SQL_PAGERANK,
+}

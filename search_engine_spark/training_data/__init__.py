@@ -1,0 +1,48 @@
+"""Training-data pipeline operators over document / embedding corpora.
+
+Large-scale curation primitives that the reference engine does not have but a
+100 TB web-text pipeline needs alongside the inverted index: near-duplicate
+detection (MinHash+LSH, SimHash banding, n-gram Jaccard), embedding
+similarity search (brute-force and SRP-LSH-bucketed ANN), text analysis
+(language ID, token counting, winnowing fingerprints), and multimodal binary
+column plumbing.
+
+Design rule shared by every operator here: all hashing is expressed with
+engine-portable primitives (md5 hex strings, integer bit arithmetic) so the
+same computation can be replayed by the DuckDB oracle byte-for-byte, and all
+hot paths stay JVM-side (built-in ``pyspark.sql.functions`` — no Python UDFs).
+"""
+
+from .dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_bands,
+    simhash_fingerprints,
+    simhash_near_dup,
+)
+from .similarity import (
+    cosine_similarity_col,
+    knn_join,
+    srp_signs,
+    srp_bucketed_pairs,
+)
+from .textstats import language_id, token_counts, winnowing_fingerprints
+
+__all__ = [
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_bands",
+    "simhash_near_dup",
+    "cosine_similarity_col",
+    "knn_join",
+    "srp_signs",
+    "srp_bucketed_pairs",
+    "language_id",
+    "token_counts",
+    "winnowing_fingerprints",
+]

@@ -1,0 +1,290 @@
+"""Near-duplicate detection: MinHash+LSH, n-gram Jaccard, SimHash banding.
+
+All three families work on word-shingle sets produced by :func:`shingles`.
+Hashing is engine-portable: a shingle's "hash" is its md5 hex string (seeded
+by prefixing ``"<seed>:"``), and MinHash takes the lexicographic minimum of
+those strings — identical in any engine with md5, so the DuckDB oracle can
+replay the exact signature. The reference has only the never-consumed Simhash
+job (``app/batch/duplicate_detection.py:45-69``); everything else here is new
+scale capability.
+
+Scale notes (100 TB corpus):
+
+- every groupBy below is a hash aggregation with map-side partial min/sum —
+  the shuffle carries one row per (doc, seed) or (doc, band), never the raw
+  shingle stream;
+- candidate generation is strictly bucket-equality self-joins (band hash,
+  16-bit SimHash band), so Catalyst plans them as shuffle-hash/sort-merge on
+  a key whose cardinality grows with the corpus — no cross join anywhere;
+- verification (exact Jaccard / Hamming) runs only on bucket-collision pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_RUN = "[a-z0-9]{2,}"
+
+# SimHash banding: 4 bands x 16 bits. By pigeonhole, any pair with Hamming
+# distance <= 3 agrees exactly on at least one band, so the band join is a
+# lossless candidate generator for the <=3 radius (and a high-recall one for
+# slightly larger radii).
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn(
+        "_words",
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id_cols..., shingle) — distinct word k-grams per document.
+
+    Word k-grams (space-joined) are the dedup unit; DISTINCT inside the doc so
+    Jaccard is over *sets*, matching MinHash semantics.
+    """
+    terms = " || ' ' || ".join(f"_words[i + {j}]" for j in range(k))
+    return (
+        _words(df, text_col)
+        .withColumn(
+            "shingle",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_words) < {k} THEN array() "
+                    f"ELSE transform(sequence(0, size(_words) - {k}), i -> {terms}) END"
+                )
+            ),
+        )
+        .drop("_words", text_col)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str = "doc_id", num_perm: int = 9
+) -> DataFrame:
+    """(id, seed, minhash) — portable MinHash.
+
+    h_seed(s) = md5(seed || ':' || s); signature = lexicographic MIN of the
+    hex strings per seed. The seed table is tiny and broadcast; the min is
+    computed with map-side partial aggregation, so the shuffle is
+    |docs| * num_perm rows regardless of shingle count.
+    """
+    spark = shingle_df.sparkSession
+    seeds = spark.range(num_perm).select(F.col("id").cast("int").alias("seed"))
+    return (
+        shingle_df.join(F.broadcast(seeds))
+        .select(
+            id_col,
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 3,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) — docs whose signatures collide in >= 1 LSH band.
+
+    Band hash = md5 of the band's row minhashes joined in seed order
+    (order fixed via sort_array over (seed, minhash) structs — deterministic
+    under any shuffle). Self-join on (band, band_hash) with id_a < id_b.
+    """
+    band_tbl = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.expr(
+                        "transform(sort_array(collect_list(struct(seed, minhash))),"
+                        " x -> x.minhash)"
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = band_tbl.select(
+        F.col(id_col).alias("id_a"), "band", F.col("band_hash").alias("bh_a")
+    )
+    b = band_tbl.select(
+        F.col(id_col).alias("id_b"), "band", F.col("band_hash").alias("bh_b")
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band) & (a.bh_a == b.bh_b) & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact set Jaccard for every pair sharing >= 1
+    shingle, filtered to >= threshold.
+
+    The co-occurrence self-join is on the shingle key; hot shingles fan out,
+    so at web scale prefilter with :func:`lsh_candidate_pairs` and use this
+    as the verifier. Doc sizes join in twice (broadcast-able aggregate).
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumnRenamed("n_shingles", "size_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b"), "id_b")
+        .withColumnRenamed("n_shingles", "size_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _term_bits(tokens: DataFrame) -> DataFrame:
+    """(doc_id, p, v) — per-doc per-bit-position signed vote totals.
+
+    tokens: (doc_id, term, tf). Bit j of md5(term) (j=0 is the MSB of the
+    first hex nibble) votes +tf / -tf; we store it at fingerprint position
+    p = 63 - j so the md5's leading bits land in the high bits of the
+    fingerprint, including the sign bit — reproducing the reference's signed
+    two's-complement wrap (``duplicate_detection.py:11-14``).
+    """
+    spark = tokens.sparkSession
+    bits = spark.range(64).select(F.col("id").cast("int").alias("j"))
+    nib = F.expr("instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1")
+    bit = F.expr("shiftright(_nib, 3 - j % 4) % 2")
+    return (
+        tokens.withColumn("h", F.md5("term"))
+        .join(F.broadcast(bits))
+        .withColumn("_nib", nib)
+        .withColumn("_bit", bit)
+        .select(
+            "doc_id",
+            (F.lit(63) - F.col("j")).alias("p"),
+            (F.col("tf") * (F.col("_bit") * 2 - 1)).alias("vote"),
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.sum("vote").alias("v"))
+    )
+
+
+def simhash_fingerprints(tokens: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash as signed BIGINT.
+
+    Portable bit-expansion formulation (no Python UDF): explode each term
+    into 64 (position, +-tf) votes, sum per position, set bit p where the
+    vote total is positive. shiftleft(1L, 63) wraps negative in two's
+    complement in both Spark and the oracle, matching the reference's
+    signed storage.
+    """
+    return (
+        _term_bits(tokens)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), p)"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_bands(tokens: DataFrame) -> DataFrame:
+    """(doc_id, band, band_value) — 4 x 16-bit band values + full fingerprint.
+
+    Band values are built from the per-position votes directly (not by
+    shifting the signed fingerprint) so no engine-specific signed-shift
+    semantics are involved. Output carries ``simhash`` for verification.
+    """
+    per_pos = _term_bits(tokens).withColumn(
+        "band", (F.col("p") / SIMHASH_BAND_BITS).cast("int")
+    )
+    bands = per_pos.groupBy("doc_id", "band").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.expr(f"shiftleft(cast(1 as bigint), p % {SIMHASH_BAND_BITS})"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("band_value")
+    )
+    # fingerprint reassembled from the 4 band values (one extra tiny agg,
+    # not a second 64x bit expansion); shiftleft(bv, 48) wraps bit 63 into
+    # the sign in two's complement, matching the direct formulation
+    fps = bands.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(f"shiftleft(band_value, band * {SIMHASH_BAND_BITS})")
+        ).alias("simhash")
+    )
+    return bands.join(fps, "doc_id")
+
+
+def simhash_near_dup(tokens: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs within Hamming <= max_hamming.
+
+    Candidate pairs via 16-bit band-equality self-join (lossless for
+    radius <= 3 by pigeonhole over 4 bands), then exact bit_count(xor)
+    verification. The band join shuffles on (band, band_value) — corpus-
+    cardinality key, no cross join.
+    """
+    bt = simhash_bands(tokens)
+    a = bt.select(
+        F.col("doc_id").alias("id_a"),
+        "band",
+        F.col("band_value").alias("bv_a"),
+        F.col("simhash").alias("f_a"),
+    )
+    b = bt.select(
+        F.col("doc_id").alias("id_b"),
+        "band",
+        F.col("band_value").alias("bv_b"),
+        F.col("simhash").alias("f_b"),
+    )
+    return (
+        a.join(b, (a.band == b.band) & (a.bv_a == b.bv_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b", F.expr("bit_count(f_a ^ f_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (greedy keep-first).
+
+    Simple one-pass policy (not full connected components): any doc that
+    appears as ``id_b`` in a pair is removed. Deterministic because pairs
+    are always emitted with id_a < id_b.
+    """
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,171 @@
+"""Embedding similarity search: brute-force cosine, kNN join, SRP-LSH ANN.
+
+Vectors are ``array<float>`` columns; all arithmetic runs JVM-side through
+Catalyst higher-order functions (``zip_with`` + ``aggregate``) in double
+precision — no Python UDFs, no collect-and-loop.
+
+The LSH family is sign-random-projection (SRP / random hyperplane): plane
+component s(p, d) in {+1, -1} is derived from one md5 bit of the string
+"<p>:<d>", so the hyperplanes are deterministic, identical across engines
+(the DuckDB oracle re-derives them in SQL), and need no stored model.
+
+Scale notes: brute-force kNN is probe-set x corpus (use only for small probe
+sets or as the verifier); the SRP bucket join shuffles on the band value —
+corpus-sized key space, no cross join — and exact cosine runs only on bucket
+collisions. For 100 TB, raise ``n_planes``/``bands`` so buckets stay small
+and pre-partition the corpus by bucket so repeated queries prune.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, computed in double."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def knn_join(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+) -> DataFrame:
+    """(probe_id, nn_id, cosine, rank) — exact top-k neighbors per probe.
+
+    Brute force: broadcast the (small) probe side against the corpus, rank
+    per probe with a window. Ties broken by neighbor id ascending for
+    determinism. Self-matches (same id) are excluded.
+    """
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        F.broadcast(p)
+        .join(c, F.col("probe_id") != F.col("nn_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity_col(F.col("_pv"), F.col("_cv")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "nn_id", "cosine", "rank")
+    )
+
+
+def srp_plane_sign(p: int, d: int) -> float:
+    """Deterministic hyperplane component in {+1.0, -1.0}.
+
+    Parity of the first hex nibble of md5("<p>:<d>") — replayable in SQL as
+    (strpos('0123456789abcdef', substr(md5(p || ':' || d), 1, 1)) - 1) % 2.
+    """
+    nib = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16)
+    return 1.0 if nib % 2 == 1 else -1.0
+
+
+def srp_signs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Adds ``srp_bits`` array<int>: sign bit per hyperplane (1 if dot > 0).
+
+    Planes are embedded as literal arrays (driver computes the +-1 components
+    from md5 — cheap, n_planes x dim values), so each sign is a single
+    zip_with/aggregate over the vector; everything stays in codegen.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(srp_plane_sign(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), plane, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, 1).otherwise(0))
+    return df.withColumn("srp_bits", F.array(*bits))
+
+
+def srp_bucket(bits_col: Column, start: int, n_bits: int) -> Column:
+    """Integer bucket from a slice [start, start+n_bits) of srp_bits."""
+    expr = F.lit(0)
+    for i in range(n_bits):
+        expr = expr + F.element_at(bits_col, start + i + 1) * (1 << i)
+    return expr
+
+
+def srp_bucketed_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.995,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — near-dup pairs via banded SRP-LSH + exact verify.
+
+    n_planes bits split into ``bands`` bands; pairs colliding in any band get
+    exact cosine verification against ``threshold``. With 16 planes / 8
+    2-bit bands, a cosine-0.995 pair (theta ~= 0.1 rad) collides per band
+    with p ~= 0.94, so the all-band miss probability is ~1e-9 — effectively
+    exact at the 0.995 radius while still bucket-joining instead of cross-
+    joining (deterministic given the fixed md5-derived planes).
+    """
+    bits_per_band = n_planes // bands
+    sig = srp_signs(df, vec_col, n_planes, dim).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "srp_bits"
+    )
+    banded = sig.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        srp_bucket(F.col("srp_bits"), b * bits_per_band, bits_per_band)
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

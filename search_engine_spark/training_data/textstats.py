@@ -1,0 +1,136 @@
+"""Text analysis for corpus curation: language ID, token counts, fingerprints.
+
+All native Column expressions (regex + higher-order functions) — zero Python
+UDFs, so every operator here is pushdown/codegen-friendly and cheap at
+100 TB. Each has an exact DuckDB-SQL twin in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_RUN = "[a-z0-9]{2,}"
+
+# Marker stopwords per language, by descending corpus frequency in each
+# language's standard stopword inventory. Deliberately small and frozen:
+# language ID here is the n-gram/marker heuristic a curation pipeline uses
+# for coarse routing, not a trained classifier. Priority order breaks ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "mit", "sich"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"),
+    "es": ("el", "los", "las", "que", "una", "por", "con", "para", "del", "se"),
+}
+LANG_PRIORITY = ("en", "de", "fr", "es")
+
+# CJK unified ideographs — presence routes to "zh" before marker voting.
+# Spark pattern holds the literal codepoints (no SQL-literal escape hazards);
+# the DuckDB twin spells the same class in RE2 syntax.
+CJK_PATTERN_SPARK = "[一-鿿]"
+CJK_PATTERN_DUCKDB = "[\\x{4e00}-\\x{9fff}]"
+
+# "BPE-ish" pre-tokenization: letter runs, digit runs, or single
+# non-alphanumeric non-space symbols — the usual byte-level BPE splitter
+# shape, counted (not trained) for cost estimation of a tokenizer pass.
+BPE_RUN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``pred_lang`` plus per-language marker-hit counts.
+
+    Scoring: count token occurrences (with multiplicity) that appear in each
+    language's marker list; predict the max-scoring language in
+    LANG_PRIORITY order (strictly-greater comparison = earlier language wins
+    ties); any CJK character short-circuits to "zh"; all-zero scores -> "und".
+    """
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)")
+    out = df.withColumn("_w", words)
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(
+            f"{lang}_hits",
+            F.size(F.filter(F.col("_w"), lambda w: w.isin(*markers))),
+        )
+    cjk = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(CJK_PATTERN_SPARK), F.lit(0))
+    )
+    out = out.withColumn("cjk_chars", cjk)
+
+    best: F.Column = F.lit("und")
+    best_score: F.Column = F.lit(0)
+    for lang in reversed(LANG_PRIORITY):
+        # walking priority in reverse with >= gives earlier languages the tie
+        score = F.col(f"{lang}_hits")
+        best = F.when(score >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(
+            best
+        )
+        best_score = F.greatest(best_score, score)
+    pred = F.when(F.col("cjk_chars") > 0, F.lit("zh")).otherwise(best)
+    return out.withColumn("pred_lang", pred).drop("_w")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ws_tokens (whitespace split), bpe_tokens (BPE-ish regex pieces),
+    and n_chars — the cost triple a tokenization pass is budgeted with."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RUN), F.lit(0))
+    )
+    return (
+        df.withColumn("ws_tokens", ws)
+        .withColumn("bpe_tokens", bpe)
+        .withColumn("n_chars", F.length(text_col))
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """(id, n_fingerprints, min_fingerprint) — winnowing document sketch.
+
+    Classic winnowing (Schleimer et al., SIGMOD'03) over word k-grams with a
+    rolling window: hash every k-gram (md5 hex — the portable rolling-hash
+    stand-in), keep the minimum hash of each window of ``window`` consecutive
+    k-grams, dedupe the selected hashes per document. Guarantees any shared
+    run of window+k-1 words between two docs shares a fingerprint.
+
+    The window min is a bounded-frame window function partitioned by doc —
+    shuffles once on the doc id, no cross-doc state.
+    """
+    terms = " || ' ' || ".join(f"_words[i + {j}]" for j in range(k))
+    grams = (
+        df.withColumn(
+            "_words",
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)"),
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(_words) < {k} THEN array() "
+                    f"ELSE transform(sequence(0, size(_words) - {k}), i -> {terms}) END"
+                )
+            ).alias("pos", "gram"),
+        )
+        .withColumn("h", F.md5("gram"))
+        .withColumn("n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    sel_win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    selected = (
+        grams.withColumn("sel", F.min("h").over(sel_win))
+        .filter(F.col("pos") <= F.col("n_grams") - window)
+        .select(id_col, "sel")
+        .distinct()
+    )
+    return selected.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("sel").alias("min_fingerprint"),
+    )

@@ -1,0 +1,232 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text analysis) against hand-computed and NumPy oracles."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.training_data import (
+    dedup,
+    similarity,
+    textstats,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),  # near dup (1 word off)
+        (4, "one two three four five six seven eight"),
+        (5, "totally different words entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_word_kgram(spark):
+    df = spark.createDataFrame([(1, "a1 b2 c3 d4")], "doc_id long, text string")
+    got = {r["shingle"] for r in dedup.shingles(df, k=3).collect()}
+    assert got == {"a1 b2 c3", "b2 c3 d4"}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert dedup.shingles(df, k=3).count() == 0
+
+
+def test_minhash_identical_docs_identical_signatures(tiny_docs):
+    sig = dedup.minhash_signatures(dedup.shingles(tiny_docs), num_perm=9)
+    rows = {(r["doc_id"], r["seed"]): r["minhash"] for r in sig.collect()}
+    for seed in range(9):
+        assert rows[(1, seed)] == rows[(2, seed)]
+    # doc 5 shares nothing with doc 1 -> virtually surely different signature
+    assert any(rows[(1, s)] != rows[(5, s)] for s in range(9))
+
+
+def test_lsh_finds_dup_pair(tiny_docs):
+    sig = dedup.minhash_signatures(dedup.shingles(tiny_docs), num_perm=9)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sig).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert (4, 5) not in pairs  # disjoint shingle sets
+
+
+def test_ngram_jaccard_exact_value(tiny_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            dedup.shingles(tiny_docs), threshold=0.1
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3: 4 shingles each, shared = first 3 ("...epsilon zeta" vs
+    # "...epsilon eta" differ in the final word) -> J = 3/5
+    assert pairs[(1, 3)] == round(3 / 5, 6)
+
+
+def test_simhash_identical_and_banding_lossless(tiny_docs):
+    toks = (
+        tiny_docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(toks).collect()}
+    assert fps[1] == fps[2]
+    # banded near-dup must equal brute force at radius 3 (pigeonhole proof)
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_dup(toks, max_hamming=3).collect()
+    }
+    brute = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    assert banded == brute
+    assert (1, 2, 0) in banded
+
+
+def test_simhash_band_reassembly_matches_direct(tiny_docs):
+    toks = (
+        tiny_docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    direct = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(toks).collect()}
+    via_bands = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_bands(toks).select("doc_id", "simhash").distinct().collect()
+    }
+    assert direct == via_bands
+
+
+def test_dedup_keep_first(tiny_docs):
+    pairs = tiny_docs.sparkSession.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    kept = {r["doc_id"] for r in dedup.dedup_keep_first(tiny_docs, pairs).collect()}
+    assert kept == {1, 4, 5}
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_knn_join_matches_numpy(emb_df):
+    df, vecs = emb_df
+    probes = df.filter(F.col("vec_id") < 5)
+    got = {
+        r["probe_id"]: (r["nn_id"], r["cosine"])
+        for r in similarity.knn_join(probes, df, k=1).collect()
+    }
+    norms = np.linalg.norm(vecs.astype("float64"), axis=1)
+    cos = (vecs.astype("float64") @ vecs.astype("float64").T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -2)
+    for p in range(5):
+        nn = int(np.argmax(cos[p]))
+        assert got[p][0] == nn
+        assert math.isclose(got[p][1], round(cos[p][nn], 6), abs_tol=1e-6)
+
+
+def test_srp_near_dup_recall_vs_brute(emb_df):
+    df, vecs = emb_df
+    # plant near-dups: tiny perturbation of vectors 0..4
+    mut = df.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(cast(x as double) * 1.001 as float))"
+        ).alias("embedding"),
+    )
+    corpus = df.unionByName(mut)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.srp_bucketed_pairs(
+            corpus, threshold=0.999, dim=16
+        ).collect()
+    }
+    # uniform scaling leaves cosine at exactly 1 -> all 5 planted pairs found
+    assert {(i, i + 1000) for i in range(5)} <= got
+
+
+def test_srp_plane_sign_deterministic():
+    a = [similarity.srp_plane_sign(p, d) for p in range(4) for d in range(8)]
+    b = [similarity.srp_plane_sign(p, d) for p in range(4) for d in range(8)]
+    assert a == b
+    assert set(a) == {1.0, -1.0}
+
+
+def test_language_id_real_text(spark):
+    rows = [
+        (1, "the cat and the dog sat in the house of cards", "en"),
+        (2, "der hund und die katze sind nicht in das haus", "de"),
+        (3, "le chat et la souris sont dans les jardins des rois", "fr"),
+        (4, "el perro y los gatos que viven en una casa del pueblo", "es"),
+        (5, "这是一个中文句子 testing mixed content", "zh"),
+        (6, "zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, expect string")
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(df).collect()}
+    for doc_id, _, expect in rows:
+        assert got[doc_id] == expect, f"doc {doc_id}: {got[doc_id]} != {expect}"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 foo-bar")], "doc_id long, text string"
+    )
+    r = textstats.token_counts(df).first()
+    assert r["ws_tokens"] == 4
+    # hello , world ! 42 foo - bar
+    assert r["bpe_tokens"] == 8
+    assert r["n_chars"] == 24
+
+
+def _winnow_oracle(text: str, k: int = 4, window: int = 5) -> set[str]:
+    import hashlib
+    import re
+
+    words = re.findall(r"[a-z0-9]{2,}", text.lower())
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    return {
+        min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)
+    }
+
+
+def test_winnowing_matches_python_oracle(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    texts = {
+        1: f"aa bb cc {shared} dd ee ff",
+        2: f"xx yy {shared} zz qq rr ss tt",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.winnowing_fingerprints(df, k=4, window=5).collect()
+    }
+    oracles = {d: _winnow_oracle(t) for d, t in texts.items()}
+    for d in texts:
+        assert rows[d]["n_fingerprints"] == len(oracles[d])
+        assert rows[d]["min_fingerprint"] == min(oracles[d])
+    # winnowing guarantee: a shared word run of window+k-1 = 8 words forces a
+    # shared selected fingerprint between the two docs
+    assert oracles[1] & oracles[2]
