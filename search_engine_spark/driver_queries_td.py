@@ -249,68 +249,99 @@ ecorpus AS (
 """
 
 
+def _srp_cte(src: str, n_planes: int, bits_per_band: int) -> str:
+    """planes/bits/buckets CTEs replicating srp_banded() bit-for-bit."""
+    return f"""
+planes AS (
+  SELECT p.p::INT AS p, d.d::INT AS d,
+         CASE WHEN (strpos('0123456789abcdef',
+                substring(md5(p.p || ':' || d.d), 1, 1)) - 1) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range({n_planes})) AS p) p,
+       (SELECT unnest(range(64)) AS d) d
+),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN sum(e.v[pl.d + 1] * pl.s) > 0 THEN 1 ELSE 0 END AS bit
+  FROM {src} e, planes pl
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, (p // {bits_per_band})::INT AS band,
+         sum(bit * (1 << (p % {bits_per_band})))::INT AS bucket
+  FROM bits GROUP BY vec_id, p // {bits_per_band}
+)
+"""
+
+
+ND_PLANES = 32
+ND_BANDS = 4
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.srp_bucketed_pairs(
-        _mut_emb(spark, sf_dir), threshold=0.995, dim=64
+        _mut_emb(spark, sf_dir),
+        n_planes=ND_PLANES,
+        bands=ND_BANDS,
+        threshold=0.995,
+        dim=64,
     )
 
 
+_COS_AB = """round(list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 6)"""
+
 SQL_EMBEDDING_NEAR_DUP = f"""
-WITH {_MUT_EMB_CTE}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
-         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
-FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
-WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
-        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-           * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.995
+WITH {_MUT_EMB_CTE},
+{_srp_cte("ecorpus", ND_PLANES, ND_PLANES // ND_BANDS)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {_COS_AB} AS cosine
+FROM cand
+JOIN ecorpus ea ON ea.vec_id = id_a
+JOIN ecorpus eb ON eb.vec_id = id_b
+WHERE {_COS_AB} >= 0.995
 """
 
 
 # --------------------------------------------------------------------------
-# ANN: top-10 neighbors of vec 0 among SRP bucket collisions (both sides
-# compute the identical deterministic bucketing, so results match exactly)
+# ANN: top-10 neighbors of vec 0 among SRP bucket collisions. The probe's
+# buckets are computed driver-side (no Spark job) and pushed into the scan
+# as literal filters — the pattern that partition-prunes a bucket-
+# partitioned vector index at scale. Both engines derive the identical
+# deterministic bucketing, so results match exactly.
 # --------------------------------------------------------------------------
 ANN_PLANES = 16
-ANN_BANDS = 8
+ANN_BANDS = 4
 _ANN_BPB = ANN_PLANES // ANN_BANDS
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    sig = S.srp_signs(emb, n_planes=ANN_PLANES, dim=64).select(
-        "vec_id", "embedding", "srp_bits"
-    )
-    banded = sig.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        S.srp_bucket(F.col("srp_bits"), b * _ANN_BPB, _ANN_BPB)
-                        .alias("bucket"),
-                    )
-                    for b in range(ANN_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
-    probe = banded.filter(F.col("vec_id") == 0).select(
-        "band", "bucket", F.col("embedding").alias("pv")
-    )
+    pv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    probe_buckets = S.srp_probe_buckets(list(pv), ANN_PLANES, ANN_BANDS)
+    banded = S.srp_banded(emb, n_planes=ANN_PLANES, bands=ANN_BANDS, dim=64)
+    cond = None
+    for b, k in probe_buckets:
+        clause = (F.col("band") == b) & (F.col("bucket") == k)
+        cond = clause if cond is None else (cond | clause)
     cand = (
-        banded.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(probe), ["band", "bucket"])
-        .select("vec_id", "embedding", "pv")
+        banded.filter(cond)
+        .filter(F.col("id") != 0)
+        .select(F.col("id").alias("vec_id"))
         .distinct()
     )
+    qlit = F.array(*[F.lit(float(x)) for x in pv])
     return (
-        cand.withColumn(
+        cand.join(emb, "vec_id")
+        .withColumn(
             "cosine",
-            F.round(S.cosine_similarity_col(F.col("embedding"), F.col("pv")), 6),
+            F.round(S.cosine_similarity_col(F.col("embedding"), qlit), 6),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
@@ -318,30 +349,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SRP_CTE = f"""
-planes AS (
-  SELECT p.p::INT AS p, d.d::INT AS d,
-         CASE WHEN (strpos('0123456789abcdef',
-                substring(md5(p.p || ':' || d.d), 1, 1)) - 1) % 2 = 1
-              THEN 1.0 ELSE -1.0 END AS s
-  FROM (SELECT unnest(range({ANN_PLANES})) AS p) p,
-       (SELECT unnest(range(64)) AS d) d
-),
-bits AS (
-  SELECT e.vec_id, pl.p,
-         CASE WHEN sum(e.v[pl.d + 1] * pl.s) > 0 THEN 1 ELSE 0 END AS bit
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, planes pl
-  GROUP BY e.vec_id, pl.p
-),
-buckets AS (
-  SELECT vec_id, (p // {_ANN_BPB})::INT AS band,
-         sum(bit * (1 << (p % {_ANN_BPB})))::INT AS bucket
-  FROM bits GROUP BY vec_id, p // {_ANN_BPB}
-)
-"""
-
 SQL_ANN_LSH_TOPK = f"""
-WITH {_SRP_CTE},
+WITH {_srp_cte("(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+               ANN_PLANES, _ANN_BPB)},
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cand AS (
   SELECT DISTINCT c.vec_id

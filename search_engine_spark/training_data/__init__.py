@@ -25,8 +25,10 @@ from .dedup import (
 from .similarity import (
     cosine_similarity_col,
     knn_join,
-    srp_signs,
+    srp_banded,
     srp_bucketed_pairs,
+    srp_probe_buckets,
+    srp_signs,
 )
 from .textstats import language_id, token_counts, winnowing_fingerprints
 
@@ -40,8 +42,10 @@ __all__ = [
     "simhash_near_dup",
     "cosine_similarity_col",
     "knn_join",
-    "srp_signs",
+    "srp_banded",
     "srp_bucketed_pairs",
+    "srp_probe_buckets",
+    "srp_signs",
     "language_id",
     "token_counts",
     "winnowing_fingerprints",
