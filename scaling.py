@@ -37,7 +37,8 @@ DEFAULT_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "8000"))
 
 def run_inner(cpus: int, n_pages: int) -> None:
     from search_engine_spark.corpus import FIXED_NOW, generate_pages, pages_dataframe
-    from search_engine_spark.operators.documents import build_documents, exact_dedup
+    from search_engine_spark.operators.documents import build_documents
+    from search_engine_spark.operators.fingerprints import exact_dedup
     from search_engine_spark.operators.postings import build_postings, n_shards_for
     from search_engine_spark.operators.term_stats import build_term_statistics
     from search_engine_spark.operators.tokens import build_tokens
