@@ -729,6 +729,162 @@ WHERE pr.iter = 20
 """
 
 
+# --------------------------------------------------------------------------
+# A10/U4 — three-source frequency merge via full outer joins + full
+# popularity formula (docs words + "news" words from events.props + a
+# literal external wordlist)
+# --------------------------------------------------------------------------
+EXTERNAL_WORDS = [("spark", 1000), ("data", 500), ("quantum", 800), ("nebula", 300)]
+_EXT_SQL = ", ".join(f"('{w}', {c})" for w, c in EXTERNAL_WORDS)
+WORD_RUN = "[a-z]{2,32}"
+
+
+def q_word_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .spellcheck.service import merge_frequency_sources
+
+    docs = _read(spark, sf_dir, "documents")
+    events = _read(spark, sf_dir, "events")
+    doc_words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+            ).alias("word"),
+        )
+        .groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_frequency"),
+            F.count(F.lit(1)).alias("total_frequency"),
+        )
+    )
+    news_words = (
+        events.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("props"), F.lit(WORD_RUN), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("total_frequency"))
+    )
+    ext = spark.createDataFrame(EXTERNAL_WORDS, "word string, external_frequency long")
+    out = merge_frequency_sources(doc_words, news_words, ext)
+    return out.select(
+        "word",
+        "doc_frequency",
+        "total_frequency",
+        "external_frequency",
+        F.round("popularity_score", 6).alias("popularity_score"),
+    )
+
+
+SQL_WORD_SOURCE_MERGE = f"""
+WITH docw AS (
+  SELECT word, count(DISTINCT doc_id) AS doc_frequency, count(*) AS total_frequency
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RUN}')) AS word
+        FROM documents)
+  GROUP BY word
+),
+newsw AS (
+  SELECT word, count(*) AS news_tf
+  FROM (SELECT unnest(regexp_extract_all(lower(props), '{WORD_RUN}')) AS word
+        FROM events)
+  GROUP BY word
+),
+extw AS (SELECT * FROM (VALUES {_EXT_SQL}) AS t(word, ext))
+SELECT word,
+       COALESCE(doc_frequency, 0) AS doc_frequency,
+       COALESCE(d.total_frequency, 0) + COALESCE(n.news_tf, 0) AS total_frequency,
+       COALESCE(e.ext, 0) AS external_frequency,
+       round(ln(1 + COALESCE(doc_frequency, 0)) * 4.0
+           + ln(1 + COALESCE(d.total_frequency, 0) + COALESCE(n.news_tf, 0)) * 2.0
+           + ln(1 + COALESCE(e.ext, 0)) * 3.0, 6) AS popularity_score
+FROM docw d
+FULL OUTER JOIN newsw n USING (word)
+FULL OUTER JOIN extw e USING (word)
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 — news-domain scoring: flat tf*idf (no field weights) over the "news"
+# subset (source = 'src0'), idf from the whole corpus
+# --------------------------------------------------------------------------
+NEWS_QUERY_TERMS = ["spark", "data", "query"]
+
+
+def q_news_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    dfd = F.col("doc_frequency").cast("double")
+    stats = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("doc_frequency"))
+        .withColumn(
+            "idf", F.log((F.lit(float(n)) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+        )
+        .select("term", "idf")
+    )
+    tf = (
+        toks.filter((F.col("source") == "src0") & F.col("term").isin(NEWS_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.join(
+            F.broadcast(stats.filter(F.col("term").isin(NEWS_QUERY_TERMS))),
+            "term",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf").cast("double") * F.coalesce("idf", F.lit(1.0))), 6
+            ).alias("token_score"),
+            F.countDistinct("term").alias("matched_terms"),
+        )
+        .orderBy(F.desc("token_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _news_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+stats AS (
+  SELECT term,
+         ln((n.n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+  FROM toks, n GROUP BY term, n.n
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE source = 'src0' AND term IN ({terms})
+  GROUP BY doc_id, term
+)
+SELECT tf.doc_id,
+       round(sum(tf.tf::DOUBLE * COALESCE(stats.idf, 1.0)), 6) AS token_score,
+       count(DISTINCT tf.term) AS matched_terms
+FROM tf LEFT JOIN stats ON stats.term = tf.term
+GROUP BY tf.doc_id
+ORDER BY token_score DESC, tf.doc_id ASC
+LIMIT 20
+"""
+
+
+SQL_NEWS_SCORING = _news_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -744,6 +900,8 @@ QUERIES_TD = {
     "spellcheck_candidates": q_spellcheck_candidates,
     "degree_counts": q_degree_counts,
     "pagerank": q_pagerank,
+    "word_source_merge": q_word_source_merge,
+    "news_scoring": q_news_scoring,
 }
 
 ORACLES_TD = {
@@ -761,4 +919,6 @@ ORACLES_TD = {
     "spellcheck_candidates": SQL_SPELLCHECK_CANDIDATES,
     "degree_counts": SQL_DEGREE_COUNTS,
     "pagerank": SQL_PAGERANK,
+    "word_source_merge": SQL_WORD_SOURCE_MERGE,
+    "news_scoring": SQL_NEWS_SCORING,
 }

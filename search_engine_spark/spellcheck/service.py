@@ -58,9 +58,15 @@ def build_dictionary(documents: DataFrame, text_cols: tuple[str, ...] = ("title"
             F.regexp_extract_all(blob, F.lit("[a-z]{2,32}"), F.lit(0))
         ).alias("word"),
     )
-    agg = words.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("doc_frequency"),
-        F.count(F.lit(1)).alias("total_frequency"),
+    # two-phase exact distinct: first shuffle on the uniform (word, doc_id)
+    # key, then count collapsed pairs — head words never bottleneck one
+    # reducer (see operators/term_stats.py)
+    per_doc = words.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    agg = per_doc.groupBy("word").agg(
+        F.count(F.lit(1)).alias("doc_frequency"),
+        F.sum("tf_doc").alias("total_frequency"),
     )
     pop = (
         F.log1p(F.col("doc_frequency").cast("double")) * 4.0
@@ -128,6 +134,119 @@ def trigram_candidates(
             "external_frequency",
             "popularity_score",
         )
+    )
+
+
+def prefix_candidates(
+    dictionary: DataFrame,
+    suspect_words: list[str],
+    min_popularity: float = MIN_CANDIDATE_POPULARITY,
+    limit: int = MAX_CANDIDATES_PER_WORD,
+) -> DataFrame:
+    """J8 fallback candidate generator (``main.py:58-66``): length band,
+    same first letter, popularity floor, top-``limit`` by popularity DESC
+    (word ASC appended for determinism). The reference uses this when
+    pg_trgm is unavailable; kept for surface parity and as the cheaper
+    candidate path when trigram arrays are not materialized."""
+    spark = dictionary.sparkSession
+    inputs = spark.createDataFrame(
+        [(normalize_word(w),) for w in suspect_words], "input_word string"
+    )
+    joined = dictionary.join(F.broadcast(inputs)).filter(
+        (F.col("popularity_score") >= min_popularity)
+        & (
+            F.length("word").between(
+                F.greatest(F.lit(2), F.length("input_word") - 2),
+                F.length("input_word") + 2,
+            )
+        )
+        & (F.substring("word", 1, 1) == F.substring("input_word", 1, 1))
+    )
+    w = Window.partitionBy("input_word").orderBy(
+        F.desc("popularity_score"), F.asc("word")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .select(
+            "input_word",
+            "word",
+            "doc_frequency",
+            "total_frequency",
+            "external_frequency",
+            "popularity_score",
+        )
+    )
+
+
+def merge_frequency_sources(
+    doc_words: DataFrame,
+    news_words: DataFrame | None = None,
+    external_words: DataFrame | None = None,
+) -> DataFrame:
+    """A10/U4: key-set union of the three frequency sources via full outer
+    joins (``spellcheck_dictionary.py:151-194``), then the full popularity
+    formula log1p(df)*4 + log1p(tf)*2 + log1p(ext)*3 (``engine.py:103-108``).
+
+    doc_words: (word, doc_frequency, total_frequency); news_words:
+    (word, total_frequency) — added into total_frequency like the
+    reference's news corpus; external_words: (word, external_frequency).
+    """
+    spark = doc_words.sparkSession
+    empty = spark.createDataFrame([], "word string, freq long")
+    news = (
+        news_words.select("word", F.col("total_frequency").alias("freq"))
+        if news_words is not None
+        else empty
+    )
+    ext = (
+        external_words.select("word", F.col("external_frequency").alias("freq"))
+        if external_words is not None
+        else empty
+    )
+    merged = (
+        doc_words.select("word", "doc_frequency", "total_frequency")
+        .join(news.withColumnRenamed("freq", "_news_tf"), "word", "full_outer")
+        .join(ext.withColumnRenamed("freq", "_ext"), "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("doc_frequency", F.lit(0)).alias("doc_frequency"),
+            (
+                F.coalesce("total_frequency", F.lit(0))
+                + F.coalesce("_news_tf", F.lit(0))
+            ).alias("total_frequency"),
+            F.coalesce("_ext", F.lit(0)).alias("external_frequency"),
+        )
+    )
+    pop = (
+        F.log1p(F.col("doc_frequency").cast("double")) * 4.0
+        + F.log1p(F.col("total_frequency").cast("double")) * 2.0
+        + F.log1p(F.col("external_frequency").cast("double")) * 3.0
+    )
+    return merged.withColumn("popularity_score", pop)
+
+
+def load_external_wordlist(spark: SparkSession, path: str) -> DataFrame:
+    """S8 analog: static word-frequency file -> (word, external_frequency).
+
+    The reference fetches two HTTP wordlists at build time
+    (``spellcheck_dictionary.py:32-110``) — a reproducibility hazard; here
+    the list is a vendored fixture read with spark.read (no network).
+    Format: ``word<TAB>count`` per line; malformed lines dropped.
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        lines.select(
+            F.lower(F.trim(F.get(parts, 0))).alias("word"),
+            F.get(parts, 1).cast("long").alias("external_frequency"),
+        )
+        .filter(
+            F.col("word").rlike("^[a-z]{2,32}$")
+            & F.col("external_frequency").isNotNull()
+        )
+        .groupBy("word")
+        .agg(F.sum("external_frequency").alias("external_frequency"))
     )
 
 

@@ -188,6 +188,52 @@ def test_service_end_to_end(spark, dictionary):
     assert svc.suggest("the and of") is None
 
 
+def test_prefix_candidates_fallback(dictionary):
+    out = S.prefix_candidates(dictionary, ["spakr"]).collect()
+    words = [r["word"] for r in out]
+    # same first letter + length band [3,7]: spark, sparse, search
+    assert set(words) == {"spark", "sparse", "search"}
+    pops = [r["popularity_score"] for r in out]
+    assert pops == sorted(pops, reverse=True)
+
+
+def test_merge_frequency_sources(spark):
+    docw = spark.createDataFrame(
+        [("alpha", 2, 5), ("beta", 1, 1)],
+        "word string, doc_frequency long, total_frequency long",
+    )
+    news = spark.createDataFrame(
+        [("alpha", 3), ("gamma", 7)], "word string, total_frequency long"
+    )
+    ext = spark.createDataFrame(
+        [("beta", 10), ("delta", 4)], "word string, external_frequency long"
+    )
+    rows = {
+        r["word"]: r
+        for r in S.merge_frequency_sources(docw, news, ext).collect()
+    }
+    import math
+
+    assert set(rows) == {"alpha", "beta", "gamma", "delta"}
+    assert rows["alpha"]["total_frequency"] == 8  # 5 docs + 3 news
+    assert rows["gamma"]["doc_frequency"] == 0
+    assert rows["delta"]["external_frequency"] == 4
+    assert rows["beta"]["popularity_score"] == pytest.approx(
+        math.log1p(1) * 4 + math.log1p(1) * 2 + math.log1p(10) * 3
+    )
+
+
+def test_load_external_wordlist(spark, tmp_path):
+    p = tmp_path / "wordlist.tsv"
+    p.write_text("the\t100\nThe\t50\nx\t5\nbadline\nword\t7\n")
+    rows = {
+        r["word"]: r["external_frequency"]
+        for r in S.load_external_wordlist(spark, str(p)).collect()
+    }
+    # case-folded merge; 1-char and malformed lines dropped
+    assert rows == {"the": 150, "word": 7}
+
+
 def test_build_dictionary(docs):
     d = S.build_dictionary(docs)
     cols = set(d.columns)
