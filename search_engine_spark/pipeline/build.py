@@ -171,6 +171,13 @@ def build_index(
         plain_writer,
     )
 
+    # layout meta so readers (load_engines) use the same term_bucket
+    # modulus for partition pruning as the writer did
+    import json
+
+    with open(os.path.join(out_root, "build_meta.json"), "w") as f:
+        json.dump({"n_shards": shards, "n_term_buckets": n_term_buckets}, f)
+
     return result
 
 
@@ -183,7 +190,16 @@ def load_engines(spark: SparkSession, out_root: str):
     tokens = spark.read.parquet(os.path.join(out_root, "tokens"))
     stats = spark.read.parquet(os.path.join(out_root, "term_statistics"))
     postings = spark.read.parquet(os.path.join(out_root, "postings"))
+    n_term_buckets = None
+    meta_path = os.path.join(out_root, "build_meta.json")
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            n_term_buckets = json.load(f).get("n_term_buckets")
     return (
         SearchEngine(documents, tokens, stats),
-        PostingsSearchEngine(documents, postings, stats),
+        PostingsSearchEngine(
+            documents, postings, stats, n_term_buckets=n_term_buckets
+        ),
     )

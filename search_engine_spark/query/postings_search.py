@@ -72,10 +72,31 @@ class PostingsSearchEngine:
         documents: DataFrame,
         postings: DataFrame,
         term_statistics: DataFrame,
+        n_term_buckets: int | None = None,
     ) -> None:
+        from ..operators.postings import DEFAULT_TERM_BUCKETS
+
         self.documents = documents
         self.postings = postings
         self.term_statistics = term_statistics
+        # MUST match the modulus the postings were built with, or bucket
+        # pruning silently drops valid partitions (load_engines reads it
+        # from the build's meta file)
+        self.n_term_buckets = n_term_buckets or DEFAULT_TERM_BUCKETS
+
+    def _query_buckets(self, terms: list[str]) -> list[int]:
+        """term_bucket values for the query terms, computed with the same
+        xxhash64 the writer used (one zero-scan driver job, sub-100 ms)."""
+        spark = self.postings.sparkSession
+        row = spark.range(1).select(
+            *[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(self.n_term_buckets))
+                .cast("int")
+                .alias(f"b{i}")
+                for i, t in enumerate(terms)
+            ]
+        ).first()
+        return sorted(set(row))
 
     def _candidates(self, ctx: QueryContext) -> DataFrame:
         terms = list(ctx.query_terms)
@@ -86,7 +107,14 @@ class PostingsSearchEngine:
         )
         idf_by_term = {r["term"]: float(r["idf"]) for r in idf_rows}
 
-        hits = self.postings.filter(F.col("term").isin(terms)).select(
+        # term_bucket is the storage partition key (pipeline writes
+        # partitionBy('term_bucket')): filtering on it turns the IN-list
+        # term filter into directory-level partition pruning; the term
+        # filter itself then prunes row groups via parquet min/max
+        hits = self.postings.filter(
+            F.col("term_bucket").isin(self._query_buckets(terms))
+            & F.col("term").isin(terms)
+        ).select(
             "shard", "term", "block_max", "block_last", "block_offset", "postings"
         )
         scored = hits.groupBy("shard").applyInPandas(
