@@ -885,6 +885,143 @@ LIMIT 20
 SQL_NEWS_SCORING = _news_sql()
 
 
+# --------------------------------------------------------------------------
+# IVF ANN: deterministic coarse quantizer (every 50th vector is a centroid),
+# nprobe=2 — probe the 2 nearest centroid lists, exact re-rank inside them.
+# The scale path for vector search when SRP buckets are too coarse: the
+# corpus is partitioned by centroid assignment, a query scans nprobe lists.
+# --------------------------------------------------------------------------
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    sim = S.cosine_similarity_col(F.col("embedding"), F.col("cvec"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("_csim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    pv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in pv])
+    probe_cents = [
+        r["cent_id"]
+        for r in cents.withColumn(
+            "_qsim", S.cosine_similarity_col(qlit, F.col("cvec"))
+        )
+        .orderBy(F.desc("_qsim"), F.asc("cent_id"))
+        .limit(IVF_NPROBE)
+        .collect()
+    ]
+    return (
+        assigned.filter(
+            F.col("cent_id").isin(probe_cents) & (F.col("vec_id") != 0)
+        )
+        .withColumn(
+            "cosine", F.round(S.cosine_similarity_col(F.col("embedding"), qlit), 6)
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cosine")
+    )
+
+
+_COS_LIST = """list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))
+  / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+     * sqrt(list_sum(list_transform({b}, x -> x * x))))"""
+
+SQL_ANN_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_LIST.format(a="e.v", b="c.cv")} DESC, c.cent_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT c.cent_id
+  FROM cents c, (SELECT v AS qv FROM e WHERE vec_id = 0) q
+  ORDER BY {_COS_LIST.format(a="q.qv", b="c.cv")} DESC, c.cent_id ASC
+  LIMIT {IVF_NPROBE}
+)
+SELECT a.vec_id,
+       round({_COS_LIST.format(a="a.v", b="q.qv")}, 6) AS cosine
+FROM assigned a
+JOIN probe p ON p.cent_id = a.cent_id,
+     (SELECT v AS qv FROM e WHERE vec_id = 0) q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization over events: per-user session windows split at >30 min
+# gaps (lag + cumulative-sum-of-breaks), aggregated per session
+# --------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    sessions = (
+        events.withColumn("_brk", is_break)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_EVENT_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -902,6 +1039,8 @@ QUERIES_TD = {
     "pagerank": q_pagerank,
     "word_source_merge": q_word_source_merge,
     "news_scoring": q_news_scoring,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "event_sessions": q_event_sessions,
 }
 
 ORACLES_TD = {
@@ -921,4 +1060,6 @@ ORACLES_TD = {
     "pagerank": SQL_PAGERANK,
     "word_source_merge": SQL_WORD_SOURCE_MERGE,
     "news_scoring": SQL_NEWS_SCORING,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "event_sessions": SQL_EVENT_SESSIONS,
 }
