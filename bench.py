@@ -25,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from search_engine_spark import driver_queries
 from search_engine_spark.corpus import FIXED_NOW, generate_pages, pages_dataframe
 from search_engine_spark.operators.documents import build_documents
+from search_engine_spark.operators.postings import build_postings, n_shards_for
 from search_engine_spark.operators.term_stats import build_term_statistics
 from search_engine_spark.operators.tokens import build_tokens
+from search_engine_spark.query.postings_search import PostingsSearchEngine
 from search_engine_spark.query.search import SearchEngine
 from search_engine_spark.session import get_spark
 
@@ -84,13 +86,16 @@ def main() -> None:
     tokens.count()
     stats = build_term_statistics(tokens, docs).cache()
     stats.count()
+    postings = build_postings(tokens, n_shards=n_shards_for(n_docs)).cache()
+    postings.count()
     build_wall = time.perf_counter() - t0
     queries["index_build"] = round(build_wall, 4)
     total += build_wall
     docs_per_sec = n_docs / build_wall if build_wall > 0 else 0.0
 
-    # --- search latency p50 --------------------------------------------------
-    engine = SearchEngine(docs, tokens, stats)
+    # --- search latency p50 (flagship block-max WAND postings path) ----------
+    engine = PostingsSearchEngine(docs, postings, stats)
+    token_engine = SearchEngine(docs, tokens, stats)
     stat_rows = stats.orderBy("term").limit(500).collect()
     by_df = sorted(stat_rows, key=lambda r: (-r["doc_frequency"], r["term"]))
     qset = [
@@ -110,6 +115,14 @@ def main() -> None:
     search_wall = time.perf_counter() - t0
     queries["search_20q"] = round(search_wall, 4)
     total += search_wall
+
+    # token-table engine on the same query set, for comparison
+    token_engine.search(qset[0], 20, 0)  # warm
+    t0 = time.perf_counter()
+    for q in qset:
+        token_engine.search(q, 20, 0)
+    queries["search_20q_tokens"] = round(time.perf_counter() - t0, 4)
+    total += queries["search_20q_tokens"]
 
     out = {
         "metric": "headline operator suite + index build + search (wall sec)",
