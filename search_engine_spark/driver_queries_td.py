@@ -1022,6 +1022,40 @@ GROUP BY user_id, session_seq
 """
 
 
+# --------------------------------------------------------------------------
+# ROLLUP over events: multi-level aggregation in one pass (beyond-reference
+# analytics; grouping_id distinguishes the levels deterministically)
+# --------------------------------------------------------------------------
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            # subtotal rows carry NULL keys; sentinel them so every engine
+            # and the driver's row-sorting comparator handle them uniformly
+            F.coalesce(F.col("day").cast("string"), F.lit("(all)")).alias("day"),
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT COALESCE(ts_day::VARCHAR, '(all)') AS day,
+       COALESCE(event_type, '(all)') AS event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM (SELECT ts::DATE AS ts_day, event_type, value FROM events)
+GROUP BY ROLLUP (ts_day, event_type)
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1041,6 +1075,7 @@ QUERIES_TD = {
     "news_scoring": q_news_scoring,
     "ann_ivf_topk": q_ann_ivf_topk,
     "event_sessions": q_event_sessions,
+    "events_rollup": q_events_rollup,
 }
 
 ORACLES_TD = {
@@ -1062,4 +1097,5 @@ ORACLES_TD = {
     "news_scoring": SQL_NEWS_SCORING,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "event_sessions": SQL_EVENT_SESSIONS,
+    "events_rollup": SQL_EVENTS_ROLLUP,
 }
