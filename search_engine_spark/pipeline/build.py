@@ -171,6 +171,16 @@ def build_index(
         plain_writer,
     )
 
+    # -- spellcheck dictionary (runner.py:52 runs it each batch cycle) -----------
+    fp_dict = fingerprint("spellcheck_dictionary", base_params, [fp_docs])
+
+    def make_dictionary() -> DataFrame:
+        from ..spellcheck.service import build_dictionary
+
+        return build_dictionary(documents)
+
+    run_stage("spellcheck_dictionary", fp_dict, make_dictionary, plain_writer)
+
     # layout meta so readers (load_engines) use the same term_bucket
     # modulus for partition pruning as the writer did
     import json

@@ -85,18 +85,12 @@ class PostingsSearchEngine:
         self.n_term_buckets = n_term_buckets or DEFAULT_TERM_BUCKETS
 
     def _query_buckets(self, terms: list[str]) -> list[int]:
-        """term_bucket values for the query terms, computed with the same
-        xxhash64 the writer used (one zero-scan driver job, sub-100 ms)."""
-        spark = self.postings.sparkSession
-        row = spark.range(1).select(
-            *[
-                F.pmod(F.xxhash64(F.lit(t)), F.lit(self.n_term_buckets))
-                .cast("int")
-                .alias(f"b{i}")
-                for i, t in enumerate(terms)
-            ]
-        ).first()
-        return sorted(set(row))
+        """term_bucket values for the query terms, via the pure-Python
+        xxhash64 twin (bit-identical to the writer's Spark expression,
+        tests/test_xxhash.py) — zero Spark jobs per query."""
+        from ..xxhash import term_bucket
+
+        return sorted({term_bucket(t, self.n_term_buckets) for t in terms})
 
     def _candidates(self, ctx: QueryContext) -> DataFrame:
         terms = list(ctx.query_terms)

@@ -123,6 +123,13 @@ def apply_batch(
         os.path.join(out_root, "document_authority"),
     )
 
+    from ..spellcheck.service import build_dictionary
+
+    _overwrite(
+        build_dictionary(documents),
+        os.path.join(out_root, "spellcheck_dictionary"),
+    )
+
 
 def run_micro_batch_pipeline(
     spark: SparkSession,

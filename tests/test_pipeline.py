@@ -17,6 +17,7 @@ TABLES = [
     "postings",
     "links_resolved",
     "document_authority",
+    "spellcheck_dictionary",
 ]
 PR_ITERS = 5  # keep test builds fast; 20-iter parity is covered in test_graph
 

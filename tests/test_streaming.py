@@ -18,6 +18,7 @@ TABLES = [
     "postings",
     "links_resolved",
     "document_authority",
+    "spellcheck_dictionary",
 ]
 PR_ITERS = 5
 
