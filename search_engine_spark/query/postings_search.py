@@ -83,6 +83,10 @@ class PostingsSearchEngine:
         # pruning silently drops valid partitions (load_engines reads it
         # from the build's meta file)
         self.n_term_buckets = n_term_buckets or DEFAULT_TERM_BUCKETS
+        # idf per term is immutable for one index build; memoize lookups so
+        # repeated query terms cost zero jobs (the reference's term_statistics
+        # read is amortized by Postgres' buffer cache — this is our analog)
+        self._idf_cache: dict[str, float | None] = {}
 
     def _query_buckets(self, terms: list[str]) -> list[int]:
         """term_bucket values for the query terms, via the pure-Python
@@ -94,12 +98,21 @@ class PostingsSearchEngine:
 
     def _candidates(self, ctx: QueryContext) -> DataFrame:
         terms = list(ctx.query_terms)
-        idf_rows = (
-            self.term_statistics.filter(F.col("term").isin(terms))
-            .select("term", "idf")
-            .collect()
-        )
-        idf_by_term = {r["term"]: float(r["idf"]) for r in idf_rows}
+        missing = [t for t in terms if t not in self._idf_cache]
+        if missing:
+            found = {
+                r["term"]: float(r["idf"])
+                for r in self.term_statistics.filter(
+                    F.col("term").isin(missing)
+                )
+                .select("term", "idf")
+                .collect()
+            }
+            for t in missing:
+                self._idf_cache[t] = found.get(t)
+        idf_by_term = {
+            t: v for t in terms if (v := self._idf_cache[t]) is not None
+        }
 
         # term_bucket is the storage partition key (pipeline writes
         # partitionBy('term_bucket')): filtering on it turns the IN-list
