@@ -70,7 +70,7 @@ sh AS (
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mut_docs(spark, sf_dir)
     sig = D.minhash_signatures(D.shingles(corpus), num_perm=9)
-    return D.lsh_candidate_pairs(sig, bands=3, rows_per_band=3)
+    return D.lsh_candidate_pairs(sig, rows_per_band=3)
 
 
 SQL_MINHASH_LSH_PAIRS = f"""
@@ -222,7 +222,11 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nn_id ASC
 
 # --------------------------------------------------------------------------
 # Embedding near-dup (mutated corpus): Spark = SRP-LSH bucketed + exact
-# verify; oracle = brute force. Agreement evidences the LSH recall claim.
+# verify; the oracle replays the IDENTICAL deterministic banding in SQL, so
+# this pair verifies the Spark implementation of the bucketing, not LSH
+# recall — recall vs brute force is covered by the unit suite
+# (test_srp_near_dup_recall_vs_brute) and was spot-checked against a
+# brute-force oracle at sf0.001/0.01/0.1 during development.
 # --------------------------------------------------------------------------
 def _mut_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
@@ -250,21 +254,28 @@ ecorpus AS (
 
 
 def _srp_cte(src: str, n_planes: int, bits_per_band: int) -> str:
-    """planes/bits/buckets CTEs replicating srp_banded() bit-for-bit."""
+    """planes/bits/buckets CTEs replicating srp_banded() bit-for-bit.
+
+    The sign dot product folds the 64 components as an ORDERED list
+    (list_sum over list_transform) exactly like Spark's sequential
+    zip_with/aggregate — a plain GROUP-BY sum() leaves the float summation
+    order engine-defined and could flip a near-zero sign on one side only.
+    """
     return f"""
 planes AS (
-  SELECT p.p::INT AS p, d.d::INT AS d,
-         CASE WHEN (strpos('0123456789abcdef',
-                substring(md5(p.p || ':' || d.d), 1, 1)) - 1) % 2 = 1
-              THEN 1.0 ELSE -1.0 END AS s
-  FROM (SELECT unnest(range({n_planes})) AS p) p,
-       (SELECT unnest(range(64)) AS d) d
+  SELECT p.p::INT AS p,
+         list_transform(range(64), d ->
+           CASE WHEN (strpos('0123456789abcdef',
+                  substring(md5(p.p || ':' || d), 1, 1)) - 1) % 2 = 1
+                THEN 1.0 ELSE -1.0 END) AS s
+  FROM (SELECT unnest(range({n_planes})) AS p) p
 ),
 bits AS (
   SELECT e.vec_id, pl.p,
-         CASE WHEN sum(e.v[pl.d + 1] * pl.s) > 0 THEN 1 ELSE 0 END AS bit
+         CASE WHEN list_sum(list_transform(list_zip(e.v, pl.s),
+                                           z -> z[1] * z[2])) > 0
+              THEN 1 ELSE 0 END AS bit
   FROM {src} e, planes pl
-  GROUP BY e.vec_id, pl.p
 ),
 buckets AS (
   SELECT vec_id, (p // {bits_per_band})::INT AS band,
@@ -437,7 +448,8 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNTS = rf"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
        len(regexp_extract_all(lower(text), '{X.BPE_RUN}')) AS bpe_tokens,
        length(text) AS n_chars
 FROM documents
@@ -513,14 +525,14 @@ FROM documents
 SPELL_INPUTS = ["spakr", "qurey", "tabel", "windw", "streem"]
 _SPELL_INPUT_SQL = ", ".join(f"('{w}')" for w in SPELL_INPUTS)
 
-_TRIGRAMS_SPARK = (
-    "CASE WHEN length({c}) < 3 THEN array() "
-    "ELSE array_distinct(transform(sequence(1, length({c}) - 2),"
-    " i -> substring({c}, i, 3))) END"
-)
-
 
 def q_spellcheck_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/T5 via the SAME pg_trgm-padded trigram join the spellcheck
+    service ships (spellcheck/service.trigram_candidates) — one
+    implementation, not a divergent re-spelling; the oracle mirrors the
+    padded-trigram + GREATEST(2, len-2) band semantics."""
+    from .spellcheck.service import trigram_candidates
+
     docs = _read(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -531,47 +543,27 @@ def q_spellcheck_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary = (
         words.groupBy("word")
         .agg(
-            F.countDistinct("doc_id").alias("docf"),
-            F.count(F.lit(1)).alias("totf"),
+            F.countDistinct("doc_id").alias("doc_frequency"),
+            F.count(F.lit(1)).alias("total_frequency"),
         )
+        .withColumn("external_frequency", F.lit(0))
         .withColumn(
-            "popularity",
+            "popularity_score",
             F.round(
-                F.log1p(F.col("docf").cast("double")) * 4.0
-                + F.log1p(F.col("totf").cast("double")) * 2.0,
+                F.log1p(F.col("doc_frequency").cast("double")) * 4.0
+                + F.log1p(F.col("total_frequency").cast("double")) * 2.0,
                 6,
             ),
         )
-        .filter(F.col("popularity") >= 2.0)
-        .withColumn("tg_w", F.expr(_TRIGRAMS_SPARK.format(c="word")))
-    )
-    inputs = spark.createDataFrame(
-        [(w,) for w in SPELL_INPUTS], "input_word string"
-    ).withColumn("tg_i", F.expr(_TRIGRAMS_SPARK.format(c="input_word")))
-    joined = (
-        dictionary.join(F.broadcast(inputs))
-        .filter(
-            (F.length("word") >= F.length("input_word") - 2)
-            & (F.length("word") <= F.length("input_word") + 2)
-        )
-        .withColumn("n_inter", F.size(F.array_intersect("tg_w", "tg_i")))
-        .filter(F.col("n_inter") > 0)
-        .withColumn(
-            "sim",
-            F.round(
-                F.col("n_inter")
-                / (F.size("tg_w") + F.size("tg_i") - F.col("n_inter")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("input_word").orderBy(
-        F.desc("sim"), F.desc("popularity"), F.asc("word")
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("input_word", "word", "sim", "popularity")
+        trigram_candidates(dictionary, SPELL_INPUTS, limit=5)
+        .select(
+            "input_word",
+            "word",
+            F.round("similarity", 6).alias("sim"),
+            F.col("popularity_score").alias("popularity"),
+        )
     )
 
 
@@ -588,13 +580,13 @@ WITH dict AS (
 inputs AS (SELECT * FROM (VALUES {_SPELL_INPUT_SQL}) AS t(input_word)),
 tg AS (
   SELECT d.word, d.popularity, i.input_word,
-         list_distinct(list_transform(range(1, len(d.word) - 1),
-                                      x -> substring(d.word, x, 3))) AS tg_w,
-         list_distinct(list_transform(range(1, len(i.input_word) - 1),
-                                      x -> substring(i.input_word, x, 3))) AS tg_i
+         list_distinct(list_transform(range(1, len('  ' || d.word || ' ') - 1),
+                                      x -> substring('  ' || d.word || ' ', x, 3))) AS tg_w,
+         list_distinct(list_transform(range(1, len('  ' || i.input_word || ' ') - 1),
+                                      x -> substring('  ' || i.input_word || ' ', x, 3))) AS tg_i
   FROM dict d, inputs i
-  WHERE len(d.word) BETWEEN len(i.input_word) - 2 AND len(i.input_word) + 2
-    AND len(d.word) >= 3 AND len(i.input_word) >= 3
+  WHERE len(d.word) BETWEEN greatest(2, len(i.input_word) - 2)
+                        AND len(i.input_word) + 2
 ),
 scored AS (
   SELECT input_word, word, popularity,
@@ -976,7 +968,12 @@ SESSION_GAP_MIN = 30
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    # fractional-second epoch on both engines (unix_timestamp truncates to
+    # whole seconds and would split sessions differently than the oracle's
+    # epoch() whenever a gap straddles the threshold by <1s); NTZ needs a
+    # timestamp hop before the double cast (session TZ is pinned to UTC)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w_user)
     is_break = F.when(
         gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
     ).otherwise(0)

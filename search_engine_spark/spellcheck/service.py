@@ -96,8 +96,12 @@ def trigram_candidates(
     for a deterministic total order — Postgres leaves this tie unordered).
     """
     spark = dictionary.sparkSession
+    # DISTINCT inputs (main.py:38-39): a word repeated in the query must not
+    # duplicate candidate rows — row_number would count each candidate k
+    # times and the top-`limit` cut would keep only ~limit/k distinct words
+    distinct_words = sorted({normalize_word(w) for w in suspect_words})
     inputs = spark.createDataFrame(
-        [(normalize_word(w),) for w in suspect_words], "input_word string"
+        [(w,) for w in distinct_words], "input_word string"
     ).withColumn("_tg_i", _trigram_col("input_word"))
     dic = dictionary.withColumn("_tg_w", _trigram_col("word"))
     joined = (
@@ -150,7 +154,8 @@ def prefix_candidates(
     candidate path when trigram arrays are not materialized."""
     spark = dictionary.sparkSession
     inputs = spark.createDataFrame(
-        [(normalize_word(w),) for w in suspect_words], "input_word string"
+        [(w,) for w in sorted({normalize_word(w) for w in suspect_words})],
+        "input_word string",
     )
     joined = dictionary.join(F.broadcast(inputs)).filter(
         (F.col("popularity_score") >= min_popularity)

@@ -91,14 +91,16 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 3,
     rows_per_band: int = 3,
 ) -> DataFrame:
     """(id_a, id_b) — docs whose signatures collide in >= 1 LSH band.
 
-    Band hash = md5 of the band's row minhashes joined in seed order
-    (order fixed via sort_array over (seed, minhash) structs — deterministic
-    under any shuffle). Self-join on (band, band_hash) with id_a < id_b.
+    The band count is num_perm / rows_per_band (derived from the seeds
+    actually present — not a separate parameter that could silently
+    disagree). Band hash = md5 of the band's row minhashes joined in seed
+    order (order fixed via sort_array over (seed, minhash) structs —
+    deterministic under any shuffle). Self-join on (band, band_hash) with
+    id_a < id_b.
     """
     band_tbl = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))

@@ -96,11 +96,18 @@ def repartition_by_bytes(
 ) -> DataFrame:
     """Repartition so each task's payload volume ~= target_batch_bytes.
 
-    Row-count partitioning misbehaves when blob sizes are skewed; estimate
-    total bytes from the metadata column and choose the partition count from
-    the byte budget.
+    Row-count partitioning misbehaves when blob sizes are skewed. The byte
+    total comes from the narrow ``meta.n_bytes`` column when present (so
+    parquet never reads the blob pages just to size the pass); falls back
+    to octet_length(payload) for tables without precomputed metadata.
     """
-    total = media.agg(F.sum(F.octet_length("payload"))).first()[0] or 0
+    if "meta" in media.columns and any(
+        f.name == "n_bytes" for f in media.schema["meta"].dataType.fields
+    ):
+        size_col = F.col("meta.n_bytes")
+    else:
+        size_col = F.octet_length("payload")
+    total = media.agg(F.sum(size_col)).first()[0] or 0
     n_parts = max(1, int(total / target_batch_bytes) + 1)
     return media.repartition(n_parts, "media_id")
 

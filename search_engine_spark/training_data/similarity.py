@@ -91,7 +91,15 @@ def srp_signs(
     zip_with/aggregate over the vector; everything stays in codegen.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # note: inferring the dimension runs a job during plan construction;
+        # pass dim explicitly in latency-sensitive paths
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "srp_signs: cannot infer vector dimension from an empty "
+                "DataFrame — pass dim explicitly"
+            )
+        dim = len(first[0])
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(srp_plane_sign(p, d)) for d in range(dim)])

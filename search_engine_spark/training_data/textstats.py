@@ -72,7 +72,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ws_tokens (whitespace split), bpe_tokens (BPE-ish regex pieces),
     and n_chars — the cost triple a tokenization pass is budgeted with."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    # split('') yields [''] (size 1); blank documents must count 0 tokens
+    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    )
     bpe = F.size(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RUN), F.lit(0))
     )
