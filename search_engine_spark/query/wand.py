@@ -63,9 +63,10 @@ class _Cursor:
         "i",
         "doc",
         "exhausted",
+        "stats",
     )
 
-    def __init__(self, tp: TermPostings) -> None:
+    def __init__(self, tp: TermPostings, stats: dict | None = None) -> None:
         self.idf = tp.idf
         self.blob = tp.blob
         self.block_max = tp.block_max
@@ -74,11 +75,14 @@ class _Cursor:
         self.n = postings_count(tp.blob)
         self.n_blocks = len(tp.block_offset)
         self.max_score = tp.idf * max(tp.block_max) if tp.block_max else 0.0
+        self.stats = stats
         self.exhausted = self.n == 0
         if not self.exhausted:
             self._load_block(0)
 
     def _load_block(self, b: int) -> None:
+        if self.stats is not None:
+            self.stats["blocks_decoded"] = self.stats.get("blocks_decoded", 0) + 1
         self.ids, self.f1, self.f2, self.f4 = decode_block(
             self.blob, self.block_offset[b], block_length(self.n, b, self.n_blocks)
         )
@@ -139,10 +143,21 @@ def score_shard_exhaustive(entries: list) -> dict:
     return acc
 
 
-def score_shard_wand(entries: list, k: int) -> list:
+def score_shard_wand(entries: list, k: int, stats: dict | None = None) -> list:
     """Block-max WAND top-k -> [(doc_id, score, matched_terms)], every doc
-    scoring >= the kth score included (boundary ties preserved)."""
-    cursors = [_Cursor(tp) for tp in entries if postings_count(tp.blob)]
+    scoring >= the kth score included (boundary ties preserved).
+
+    ``stats`` (optional dict) accumulates ``blocks_decoded`` and
+    ``blocks_total`` so pruning effectiveness is observable — a skipped
+    block is one the codec never deserializes.
+    """
+    if stats is not None:
+        stats["blocks_total"] = stats.get("blocks_total", 0) + sum(
+            len(tp.block_offset) for tp in entries
+        )
+    cursors = [
+        _Cursor(tp, stats) for tp in entries if postings_count(tp.blob)
+    ]
     cursors = [c for c in cursors if not c.exhausted]
     if not cursors:
         return []

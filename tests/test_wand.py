@@ -106,6 +106,28 @@ def test_exact_score_ties_survive_boundary():
     assert len(got) == 100  # all tie at the kth score -> all kept
 
 
+def test_block_pruning_actually_skips():
+    """A rare high-idf term + a huge low-value tail list: WAND must finish
+    without decoding most of the tail's blocks (skipped = never
+    deserialized), while still matching the exhaustive oracle."""
+    rng = random.Random(99)
+    # tail term: 20,000 docs, tf=1 body hits, tiny idf
+    tail = {d: (0, 0, 1) for d in range(0, 200_000, 10)}
+    # rare term: 40 docs with huge title tf, big idf; all co-occur with tail
+    rare = {d: (3, 2, 40) for d in range(0, 4000, 100)}
+    entries = [_make_tp("tail", 0.05, tail), _make_tp("rare", 6.0, rare)]
+    stats: dict = {}
+    got = score_shard_wand(entries, 10, stats)
+    _check(entries, 10)
+    assert stats["blocks_total"] > 100
+    decoded_frac = stats["blocks_decoded"] / stats["blocks_total"]
+    assert decoded_frac < 0.5, (
+        f"expected majority of blocks skipped, decoded {decoded_frac:.0%} "
+        f"({stats})"
+    )
+    assert len(got) >= 10
+
+
 @given(st.integers(min_value=0, max_value=10_000))
 @settings(max_examples=30, deadline=None)
 def test_property_random_seeds(seed):
