@@ -130,6 +130,14 @@ def apply_batch(
         os.path.join(out_root, "spellcheck_dictionary"),
     )
 
+    # layout meta for readers (same contract as pipeline/build.py)
+    import json
+
+    with open(os.path.join(out_root, "build_meta.json"), "w") as f:
+        json.dump(
+            {"n_shards": n_shards, "n_term_buckets": n_term_buckets}, f
+        )
+
 
 def run_micro_batch_pipeline(
     spark: SparkSession,
