@@ -389,9 +389,12 @@ GROUP BY word
 # --------------------------------------------------------------------------
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; date_trunc hops through the session timezone, so
+    # cast back to NTZ to stay wall-clock-identical under ANY driver session
+    # tz (the oracle's date_trunc is tz-less)
     return (
         events.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
             F.col("event_type"),
         )
         .agg(
