@@ -36,7 +36,7 @@ _CANDIDATE_SCHEMA = T.StructType(
 )
 
 
-def _make_shard_scorer(idf_by_term: dict, k: int):
+def _make_shard_scorer(idf_by_term: dict, k: int, acc_decoded=None, acc_total=None):
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
         entries = [
             TermPostings(
@@ -49,7 +49,11 @@ def _make_shard_scorer(idf_by_term: dict, k: int):
             )
             for r in pdf.itertuples()
         ]
-        rows = score_shard_wand(entries, k)
+        stats: dict = {}
+        rows = score_shard_wand(entries, k, stats)
+        if acc_decoded is not None:
+            acc_decoded.add(stats.get("blocks_decoded", 0))
+            acc_total.add(stats.get("blocks_total", 0))
         if not rows:
             return pd.DataFrame(
                 {"doc_id": pd.Series(dtype="int64"),
@@ -87,6 +91,22 @@ class PostingsSearchEngine:
         # repeated query terms cost zero jobs (the reference's term_statistics
         # read is amortized by Postgres' buffer cache — this is our analog)
         self._idf_cache: dict[str, float | None] = {}
+        # accumulator-backed pruning telemetry from the executor-side WAND
+        # scorers; read via scan_stats() after an action
+        sc = documents.sparkSession.sparkContext
+        self._acc_decoded = sc.accumulator(0)
+        self._acc_total = sc.accumulator(0)
+
+    def scan_stats(self) -> dict:
+        """Cumulative executor-side WAND telemetry: blocks decoded vs total
+        blocks in the scanned posting lists (skipped = never deserialized)."""
+        total = self._acc_total.value
+        decoded = self._acc_decoded.value
+        return {
+            "blocks_decoded": decoded,
+            "blocks_total": total,
+            "decoded_fraction": (decoded / total) if total else None,
+        }
 
     def _query_buckets(self, terms: list[str]) -> list[int]:
         """term_bucket values for the query terms, via the pure-Python
@@ -125,7 +145,12 @@ class PostingsSearchEngine:
             "shard", "term", "block_max", "block_last", "block_offset", "postings"
         )
         scored = hits.groupBy("shard").applyInPandas(
-            _make_shard_scorer(idf_by_term, ctx.candidate_limit),
+            _make_shard_scorer(
+                idf_by_term,
+                ctx.candidate_limit,
+                acc_decoded=self._acc_decoded,
+                acc_total=self._acc_total,
+            ),
             schema=_CANDIDATE_SCHEMA,
         )
         docs_slim = self.documents.select("doc_id", "title", "description", "url")

@@ -145,3 +145,7 @@ def test_load_engines_and_search(spark, clean_build):
     assert [(r.url, round(r.score, 6)) for r in a.results] == [
         (r.url, round(r.score, 6)) for r in b.results
     ]
+    # executor-side WAND telemetry flowed back through the accumulators
+    stats = wand_eng.scan_stats()
+    assert stats["blocks_total"] > 0
+    assert 0 < stats["blocks_decoded"] <= stats["blocks_total"]
