@@ -1020,6 +1020,101 @@ GROUP BY user_id, session_seq
 
 
 # --------------------------------------------------------------------------
+# Full BM25 (k1=1.2, b=0.75) top-k: tf saturation + doc-length
+# normalization. The reference stores avg_doc_len but scores tf*idf only
+# (search_service.py:13-40); this is the engine's complete-BM25 mode the
+# north_star names. Same tie-break discipline (score desc, doc asc).
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double"))).first()[0]
+    dfd = F.col("doc_frequency").cast("double")
+    stats = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("doc_frequency"))
+        .withColumn(
+            "idf", F.log((F.lit(float(n)) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+        )
+        .select("term", "idf")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        1.0 - BM25_B + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(float(avgdl))
+    )
+    contrib = F.coalesce("idf", F.lit(1.0)) * (
+        tfd * (BM25_K1 + 1.0) / (tfd + norm)
+    )
+    return (
+        tf.join(
+            F.broadcast(stats.filter(F.col("term").isin(NEWS_QUERY_TERMS))),
+            "term",
+            "left",
+        )
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25_score"),
+            F.countDistinct("term").alias("matched_terms"),
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT avg(dl::DOUBLE) AS avgdl FROM dl),
+stats AS (
+  SELECT term,
+         ln((n.n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+  FROM toks, n GROUP BY term, n.n
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ({terms})
+  GROUP BY doc_id, term
+)
+SELECT tf.doc_id,
+       round(sum(COALESCE(stats.idf, 1.0) * (tf.tf::DOUBLE * ({BM25_K1} + 1.0)
+             / (tf.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl::DOUBLE / avgdl.avgdl)))), 6) AS bm25_score,
+       count(DISTINCT tf.term) AS matched_terms
+FROM tf
+LEFT JOIN stats ON stats.term = tf.term
+JOIN dl ON dl.doc_id = tf.doc_id, avgdl
+GROUP BY tf.doc_id
+ORDER BY bm25_score DESC, tf.doc_id ASC
+LIMIT 20
+"""
+
+
+SQL_BM25_TOPK = _bm25_sql()
+
+
+# --------------------------------------------------------------------------
 # ROLLUP over events: multi-level aggregation in one pass (beyond-reference
 # analytics; grouping_id distinguishes the levels deterministically)
 # --------------------------------------------------------------------------
@@ -1073,6 +1168,7 @@ QUERIES_TD = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "event_sessions": q_event_sessions,
     "events_rollup": q_events_rollup,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES_TD = {
@@ -1095,4 +1191,5 @@ ORACLES_TD = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "event_sessions": SQL_EVENT_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "bm25_topk": SQL_BM25_TOPK,
 }
