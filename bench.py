@@ -93,6 +93,16 @@ def main() -> None:
     total += build_wall
     docs_per_sec = n_docs / build_wall if build_wall > 0 else 0.0
 
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    comp = postings.agg(
+        F.sum(F.octet_length("postings")).alias("bytes"),
+        F.sum("df").alias("n_postings"),
+    ).first()
+    bytes_per_posting = (
+        comp["bytes"] / comp["n_postings"] if comp["n_postings"] else 0.0
+    )
+
     # --- search latency p50 (flagship block-max WAND postings path) ----------
     engine = PostingsSearchEngine(docs, postings, stats)
     token_engine = SearchEngine(docs, tokens, stats)
@@ -134,6 +144,7 @@ def main() -> None:
             "cpus": CPUS,
             "bench_pages": N_BENCH_PAGES,
             "index_build_docs_per_sec": round(docs_per_sec, 2),
+            "postings_bytes_per_posting": round(bytes_per_posting, 2),
             "search_p50_ms": round(statistics.median(lat) * 1000, 2),
             "search_p95_ms": round(sorted(lat)[int(len(lat) * 0.95) - 1] * 1000, 2),
         },
