@@ -92,6 +92,66 @@ def n_shards_for(n_docs: int, docs_per_shard: int = DEFAULT_DOCS_PER_SHARD) -> i
     return max(1, math.ceil(n_docs / docs_per_shard))
 
 
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge >=1 postings rows of one (term, shard) into one row.
+
+    Rows with higher ``_segment`` win on doc_id conflicts (newer segment
+    overrides — the re-crawl upsert semantic). Decoded lists are combined
+    by doc_id, re-sorted, re-encoded; block metadata is rebuilt.
+    """
+    from ..codec import decode_postings
+
+    merged: dict[int, tuple[int, int, int]] = {}
+    for _, row in pdf.sort_values("_segment").iterrows():
+        ids, f1, f2, f4 = decode_postings(bytes(row["postings"]))
+        for j, d in enumerate(ids):
+            merged[d] = (f1[j], f2[j], f4[j])
+    doc_ids = sorted(merged)
+    blob, block_max, block_last, block_offset = encode_postings(
+        doc_ids,
+        [merged[d][0] for d in doc_ids],
+        [merged[d][1] for d in doc_ids],
+        [merged[d][2] for d in doc_ids],
+    )
+    ctf = sum(sum(merged[d]) for d in doc_ids)
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "term_bucket": [int(pdf["term_bucket"].iloc[0])],
+            "shard": [int(pdf["shard"].iloc[0])],
+            "df": [len(doc_ids)],
+            "ctf": [ctf],
+            "block_max": [block_max],
+            "block_last": [block_last],
+            "block_offset": [block_offset],
+            "postings": [blob],
+        }
+    )
+
+
+def merge_postings(segments: list[DataFrame]) -> DataFrame:
+    """Segment merge: N postings tables -> one (north_rule: "posting-list
+    construction, MERGE, compression").
+
+    Later segments override earlier ones per doc_id (LSM-style upsert: a
+    re-crawled doc's postings in the newest segment replace its older
+    ones). Shuffle key is (term, shard) — the same bounded-size groups as
+    the build, so a head term's merge work is capped by the doc-range
+    sharding exactly like construction.
+
+    Note: ``ctf`` is recomputed as the sum of per-doc field frequencies
+    (consistent with build_postings' per-shard semantics).
+    """
+    if not segments:
+        raise ValueError("merge_postings needs at least one segment")
+    tagged = segments[0].withColumn("_segment", F.lit(0))
+    for i, seg in enumerate(segments[1:], start=1):
+        tagged = tagged.unionByName(seg.withColumn("_segment", F.lit(i)))
+    return tagged.groupBy("term", "shard").applyInPandas(
+        lambda pdf: _merge_group(pdf), schema=POSTINGS_SCHEMA
+    )
+
+
 def build_postings(
     tokens: DataFrame,
     n_shards: int = 1,
