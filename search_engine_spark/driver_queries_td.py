@@ -1148,6 +1148,53 @@ GROUP BY ROLLUP (ts_day, event_type)
 """
 
 
+# --------------------------------------------------------------------------
+# Connected components over the MinHash-LSH near-dup graph: pairs -> dup
+# GROUPS with a canonical (min-id) representative — the step after pairwise
+# detection in a dedup pipeline. Spark: iterative min-label propagation;
+# oracle: recursive-CTE transitive closure (components are tiny).
+# --------------------------------------------------------------------------
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mut_docs(spark, sf_dir)
+    sig = D.minhash_signatures(D.shingles(corpus), num_perm=9)
+    pairs = D.lsh_candidate_pairs(sig, rows_per_band=3)
+    return D.connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_MUT_DOCS_CTE}, {_shingle_cte()},
+sig AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range(9))::INT AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // 3)::INT AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 3
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS peer FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+)
+SELECT node AS doc_id,
+       least(node, min(peer)) AS component
+FROM reach
+GROUP BY node
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1169,6 +1216,7 @@ QUERIES_TD = {
     "event_sessions": q_event_sessions,
     "events_rollup": q_events_rollup,
     "bm25_topk": q_bm25_topk,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES_TD = {
@@ -1192,4 +1240,5 @@ ORACLES_TD = {
     "event_sessions": SQL_EVENT_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "bm25_topk": SQL_BM25_TOPK,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -14,6 +14,7 @@ hot paths stay JVM-side (built-in ``pyspark.sql.functions`` — no Python UDFs).
 """
 
 from .dedup import (
+    connected_components,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -33,6 +34,7 @@ from .similarity import (
 from .textstats import language_id, token_counts, winnowing_fingerprints
 
 __all__ = [
+    "connected_components",
     "shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",

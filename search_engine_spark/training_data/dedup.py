@@ -279,6 +279,70 @@ def simhash_near_dup(tokens: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) — component = min id reachable via near-dup pairs.
+
+    Iterative min-label propagation (the simple alternating-contraction
+    special case): each round every node takes the minimum label among
+    itself and its neighbors; converges in O(component diameter) rounds —
+    near-dup clusters are shallow, so a handful. Each round is one join +
+    one aggregate, labels localCheckpointed to keep lineage flat; the full
+    large-star/small-star algorithm is the drop-in upgrade if components
+    ever get deep.
+
+    ``nodes``: optional (id) DataFrame; isolated nodes keep their own id as
+    component. Deterministic: min is order-insensitive.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    if nodes is None:
+        node_df = (
+            edges.select(F.col("src").alias("id")).distinct()
+        )
+    else:
+        node_df = nodes.select(F.col(id_col).alias("id")).distinct()
+    labels = node_df.withColumn("component", F.col("id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), "component")
+
+
 def dedup_keep_first(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -110,6 +110,22 @@ def test_simhash_band_reassembly_matches_direct(tiny_docs):
     assert direct == via_bands
 
 
+def test_connected_components_chain(spark):
+    # a 6-node chain (needs several label-propagation rounds) + a pair +
+    # an isolated node supplied via nodes=
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 99]],
+                                  "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_dedup_keep_first(tiny_docs):
     pairs = tiny_docs.sparkSession.createDataFrame(
         [(1, 2), (1, 3)], "id_a long, id_b long"
