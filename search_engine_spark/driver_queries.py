@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .pair_helpers import doc_frequencies, scalar_count, sum_fixed6
 from .stopwords import STOPWORDS
 
 # stopwords that the token regex could actually produce
@@ -103,20 +104,19 @@ FROM documents
 # A2 — per-term DF / CTF / BM25 idf
 # --------------------------------------------------------------------------
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY term: df, ctf, LN((N-df+.5)/(df+.5)+1) (bm25_stats.py:16-27)."""
+    """GROUP BY term: df, ctf, LN((N-df+.5)/(df+.5)+1) (bm25_stats.py:16-27).
+
+    Skew-free two-phase distinct (invariant 6) + N computed in-plan as a
+    broadcast scalar (no driver-side pre-count pass)."""
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
     toks = _tokens(spark, sf_dir)
     dfd = F.col("doc_frequency").cast("double")
     return (
-        toks.groupBy("term")
-        .agg(
-            F.countDistinct("doc_id").alias("doc_frequency"),
-            F.count(F.lit(1)).alias("ctf"),
-        )
+        doc_frequencies(toks, with_ctf=True)
+        .crossJoin(F.broadcast(scalar_count(docs)))
         .withColumn(
             "idf",
-            F.round(F.log((F.lit(float(n)) - dfd + 0.5) / (dfd + 0.5) + 1.0), 6),
+            F.round(F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0), 6),
         )
         .select("term", "doc_frequency", "ctf", "idf")
     )
@@ -139,33 +139,31 @@ GROUP BY term, n.n
 # --------------------------------------------------------------------------
 def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf*idf scoring agg for a literal query, top-20 by (score desc, doc asc)
-    (SEARCH_SQL shape, search_service.py:13-40; single field, weight 1.0)."""
+    (SEARCH_SQL shape, search_service.py:13-40; single field, weight 1.0).
+
+    Stats via the two-phase distinct restricted to the query terms (the term
+    filter prunes BEFORE the distinct); N in-plan as a broadcast scalar.
+    ``matched_terms`` is a plain count: tf rows are unique per (doc, term)."""
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
-    toks = _tokens(spark, sf_dir)
-    tf = (
-        toks.filter(F.col("term").isin(QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    qtoks = _tokens(spark, sf_dir).filter(F.col("term").isin(QUERY_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfd = F.col("doc_frequency").cast("double")
     stats = (
-        _tokens(spark, sf_dir)
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("doc_frequency"))
+        doc_frequencies(qtoks)
+        .crossJoin(F.broadcast(scalar_count(docs)))
         .withColumn(
-            "idf", F.log((F.lit(float(n)) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+            "idf", F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
         )
         .select("term", "idf")
     )
     return (
-        tf.join(F.broadcast(stats.filter(F.col("term").isin(QUERY_TERMS))), "term", "left")
+        tf.join(F.broadcast(stats), "term", "left")
         .groupBy("doc_id")
         .agg(
             F.round(
                 F.sum(F.col("tf").cast("double") * F.coalesce("idf", F.lit(1.0))), 6
             ).alias("token_score"),
-            F.countDistinct("term").alias("matched_terms"),
+            F.count(F.lit(1)).alias("matched_terms"),
         )
         .orderBy(F.desc("token_score"), F.asc("doc_id"))
         .limit(20)
@@ -276,10 +274,10 @@ FROM events
 # --------------------------------------------------------------------------
 def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    edges = docs.select(
+    n_df = scalar_count(docs, as_double=False)
+    edges = docs.crossJoin(F.broadcast(n_df)).select(
         F.col("doc_id").alias("source_doc_id"),
-        ((F.col("doc_id") * 7 + 13) % n).alias("target_doc_id"),
+        ((F.col("doc_id") * 7 + 13) % F.col("_n")).alias("target_doc_id"),
     )
     resolved = (
         edges.join(
@@ -320,10 +318,7 @@ def q_spellcheck_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
         ).alias("word"),
     )
-    agg = words.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("doc_frequency"),
-        F.count(F.lit(1)).alias("total_frequency"),
-    )
+    agg = doc_frequencies(words, key="word", with_ctf=True, ctf_alias="total_frequency")
     pop = (
         F.log1p(F.col("doc_frequency").cast("double")) * 4.0
         + F.log1p(F.col("total_frequency").cast("double")) * 2.0
@@ -399,7 +394,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # integer-scaled exact sum (invariant 4): aggregation order can
+            # never flip the 6-decimal rounding
+            sum_fixed6("value", "sum_value"),
         )
     )
 
@@ -408,7 +405,7 @@ SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       round(sum(CAST(round(value * 1000000.0) AS BIGINT)) / 1000000.0, 6) AS sum_value
 FROM events
 GROUP BY 1, 2
 """

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .pair_helpers import doc_frequencies, ntz_epoch_us, scalar_count, sum_fixed6
 from .training_data import dedup as D
 from .training_data import similarity as S
 from .training_data import textstats as X
@@ -541,11 +542,7 @@ def q_spellcheck_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word"),
     )
     dictionary = (
-        words.groupBy("word")
-        .agg(
-            F.countDistinct("doc_id").alias("doc_frequency"),
-            F.count(F.lit(1)).alias("total_frequency"),
-        )
+        doc_frequencies(words, key="word", with_ctf=True, ctf_alias="total_frequency")
         .withColumn("external_frequency", F.lit(0))
         .withColumn(
             "popularity_score",
@@ -615,22 +612,23 @@ per the reference (pagerank.py:29-38)."""
 
 def _edges(spark: SparkSession, sf_dir: str):
     docs = _read(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    src = docs.filter(F.col("doc_id") % 13 != 0)
+    # N in-plan as a broadcast scalar — no driver-side pre-count pass
+    n_df = scalar_count(docs, as_double=False)
+    src = docs.filter(F.col("doc_id") % 13 != 0).crossJoin(F.broadcast(n_df))
     e1 = src.select(
         F.col("doc_id").alias("source_doc_id"),
-        ((F.col("doc_id") * 7 + 13) % n).alias("target_doc_id"),
+        ((F.col("doc_id") * 7 + 13) % F.col("_n")).alias("target_doc_id"),
     )
     e2 = src.select(
         F.col("doc_id").alias("source_doc_id"),
-        ((F.col("doc_id") * 5 + 2) % n).alias("target_doc_id"),
+        ((F.col("doc_id") * 5 + 2) % F.col("_n")).alias("target_doc_id"),
     )
     edges = (
         e1.unionByName(e2)
         .filter(F.col("source_doc_id") != F.col("target_doc_id"))
         .distinct()
     )
-    return docs, edges, n
+    return docs, edges
 
 
 _EDGES_CTE = """
@@ -647,7 +645,7 @@ edges AS (
 
 
 def q_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs, edges, _ = _edges(spark, sf_dir)
+    docs, edges = _edges(spark, sf_dir)
     outd = edges.groupBy(F.col("source_doc_id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
@@ -686,7 +684,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.pagerank import build_document_authority
 
-    docs, edges, _ = _edges(spark, sf_dir)
+    docs, edges = _edges(spark, sf_dir)
     auth = build_document_authority(docs, edges)
     return auth.select(
         "doc_id", F.round("pagerank", 9).alias("pagerank"), "inlink_count"
@@ -736,18 +734,16 @@ def q_word_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     events = _read(spark, sf_dir, "events")
-    doc_words = (
+    doc_words = doc_frequencies(
         docs.select(
             "doc_id",
             F.explode(
                 F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
             ).alias("word"),
-        )
-        .groupBy("word")
-        .agg(
-            F.countDistinct("doc_id").alias("doc_frequency"),
-            F.count(F.lit(1)).alias("total_frequency"),
-        )
+        ),
+        key="word",
+        with_ctf=True,
+        ctf_alias="total_frequency",
     )
     news_words = (
         events.select(
@@ -805,7 +801,6 @@ NEWS_QUERY_TERMS = ["spark", "data", "query"]
 
 def q_news_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
     toks = docs.select(
         "doc_id",
         "source",
@@ -813,32 +808,32 @@ def q_news_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
         ).alias("term"),
     )
+    # idf from the WHOLE corpus for the query terms (term filter prunes
+    # before the two-phase distinct); N in-plan as a broadcast scalar
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
     dfd = F.col("doc_frequency").cast("double")
     stats = (
-        toks.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("doc_frequency"))
+        doc_frequencies(qtoks.select("doc_id", "term"))
+        .crossJoin(F.broadcast(scalar_count(docs)))
         .withColumn(
-            "idf", F.log((F.lit(float(n)) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+            "idf", F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
         )
         .select("term", "idf")
     )
     tf = (
-        toks.filter((F.col("source") == "src0") & F.col("term").isin(NEWS_QUERY_TERMS))
+        qtoks.filter(F.col("source") == "src0")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     return (
-        tf.join(
-            F.broadcast(stats.filter(F.col("term").isin(NEWS_QUERY_TERMS))),
-            "term",
-            "left",
-        )
+        tf.join(F.broadcast(stats), "term", "left")
         .groupBy("doc_id")
         .agg(
             F.round(
                 F.sum(F.col("tf").cast("double") * F.coalesce("idf", F.lit(1.0))), 6
             ).alias("token_score"),
-            F.countDistinct("term").alias("matched_terms"),
+            # tf rows are unique per (doc, term): plain count == distinct terms
+            F.count(F.lit(1)).alias("matched_terms"),
         )
         .orderBy(F.desc("token_score"), F.asc("doc_id"))
         .limit(20)
@@ -966,19 +961,24 @@ SESSION_GAP_MIN = 30
 
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, split at gaps > 30 min.
+
+    All time arithmetic runs on integer epoch microseconds derived
+    timezone-invariantly from the NTZ wall-clock (pair_helpers.ntz_epoch_us)
+    — a tz-dependent epoch would split sessions differently from the
+    oracle's tz-less epoch_us for timestamps inside a session-tz DST gap.
+    Session bounds are emitted as BIGINT micros (not microsecond-precision
+    timestamps, whose serialization was the one r01 hash mismatch), and
+    sum_value is an integer-scaled exact sum (invariant 4)."""
     events = _read(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # fractional-second epoch on both engines (unix_timestamp truncates to
-    # whole seconds and would split sessions differently than the oracle's
-    # epoch() whenever a gap straddles the threshold by <1s); NTZ needs a
-    # timestamp hop before the double cast (session TZ is pinned to UTC)
-    epoch = F.col("ts").cast("timestamp").cast("double")
-    gap = epoch - F.lag(epoch).over(w_user)
+    ev = events.withColumn("_us", ntz_epoch_us(F.col("ts")))
+    gap = F.col("_us") - F.lag("_us").over(w_user)
     is_break = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
     ).otherwise(0)
     sessions = (
-        events.withColumn("_brk", is_break)
+        ev.withColumn("_brk", is_break)
         .withColumn(
             "session_seq",
             F.sum("_brk").over(
@@ -987,33 +987,33 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sessions.groupBy("user_id", "session_seq").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min("_us").alias("session_start_us"),
+        F.max("_us").alias("session_end_us"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        sum_fixed6("value", "sum_value"),
     )
 
 
 SQL_EVENT_SESSIONS = f"""
 WITH marked AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, us, value,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM marked
 )
 SELECT user_id, session_seq,
-       min(ts) AS session_start,
-       max(ts) AS session_end,
+       min(us) AS session_start_us,
+       max(us) AS session_end_us,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       round(sum(CAST(round(value * 1000000.0) AS BIGINT)) / 1000000.0, 6) AS sum_value
 FROM sessions
 GROUP BY user_id, session_seq
 """
@@ -1031,7 +1031,6 @@ BM25_B = 0.75
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1039,39 +1038,35 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    avgdl = dl.agg(F.avg(F.col("dl").cast("double"))).first()[0]
+    # N and avgdl as in-plan broadcast scalars — no pre-plan driver actions
+    avgdl_df = dl.agg(F.avg(F.col("dl").cast("double")).alias("_avgdl"))
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
     dfd = F.col("doc_frequency").cast("double")
     stats = (
-        toks.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("doc_frequency"))
+        doc_frequencies(qtoks)
+        .crossJoin(F.broadcast(scalar_count(docs)))
         .withColumn(
-            "idf", F.log((F.lit(float(n)) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+            "idf", F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
         )
         .select("term", "idf")
     )
-    tf = (
-        toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tfd = F.col("tf").cast("double")
     norm = F.lit(BM25_K1) * (
-        1.0 - BM25_B + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(float(avgdl))
+        1.0 - BM25_B + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("_avgdl")
     )
     contrib = F.coalesce("idf", F.lit(1.0)) * (
         tfd * (BM25_K1 + 1.0) / (tfd + norm)
     )
     return (
-        tf.join(
-            F.broadcast(stats.filter(F.col("term").isin(NEWS_QUERY_TERMS))),
-            "term",
-            "left",
-        )
+        tf.join(F.broadcast(stats), "term", "left")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(contrib), 6).alias("bm25_score"),
-            F.countDistinct("term").alias("matched_terms"),
+            # tf rows are unique per (doc, term): plain count == distinct terms
+            F.count(F.lit(1)).alias("matched_terms"),
         )
         .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
         .limit(20)
@@ -1125,7 +1120,8 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # integer-scaled exact sum (invariant 4): order-independent
+            sum_fixed6("value", "sum_value"),
         )
         .select(
             # subtotal rows carry NULL keys; sentinel them so every engine
@@ -1142,7 +1138,7 @@ SQL_EVENTS_ROLLUP = """
 SELECT COALESCE(ts_day::VARCHAR, '(all)') AS day,
        COALESCE(event_type, '(all)') AS event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       round(sum(CAST(round(value * 1000000.0) AS BIGINT)) / 1000000.0, 6) AS sum_value
 FROM (SELECT ts::DATE AS ts_day, event_type, value FROM events)
 GROUP BY ROLLUP (ts_day, event_type)
 """

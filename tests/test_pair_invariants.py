@@ -1,0 +1,214 @@
+"""Regression tests for the paired-query invariants fixed after round 1
+(VERDICT r01 items 1-4):
+
+- no Expand-plan ``countDistinct`` keyed on a Zipf-skewed term/word column
+  (CLAUDE.md invariant 6) anywhere in the paired queries;
+- zero driver-side actions beyond the unavoidable per-read parquet schema
+  job during pair *construction* (scalars like N/avgdl are in-plan);
+- double SUMs are boundary-proof by construction (invariant 4): a planted
+  fixture whose naive float sum provably flips the 6th decimal with
+  aggregation order still agrees between Spark and DuckDB;
+- epoch derivation from TIMESTAMP_NTZ is timezone-invariant even for
+  wall-clocks inside a DST spring-forward gap (invariant 3).
+"""
+
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+# Queries rewritten to the two-phase distinct shape: their physical plans
+# must never contain an Expand node (the mixed-distinct-aggregate plan that
+# funnels every head-term row through one reducer). events_rollup is
+# excluded: ROLLUP legitimately plans via Expand.
+NO_EXPAND_QUERIES = [
+    "term_stats",
+    "search_topk",
+    "spellcheck_dictionary",
+    "spellcheck_candidates",
+    "word_source_merge",
+    "news_scoring",
+    "bm25_topk",
+]
+
+# Exact number of Spark jobs each pair may run during CONSTRUCTION: one
+# parquet-schema read per spark.read.parquet call, nothing else. A
+# driver-side .count()/.first() scalar would add a job and fail this.
+CONSTRUCTION_JOBS = {
+    "corpus_stats": 1,
+    "term_stats": 2,       # documents + tokens re-read of documents
+    "search_topk": 2,
+    "exact_dedup": 1,
+    "quality_scores": 1,
+    "freshness_scores": 1,
+    "link_resolve": 1,
+    "spellcheck_dictionary": 1,
+    "union_word_sources": 2,  # documents + events
+    "events_hourly": 1,
+    "events_rollup": 1,
+    "event_sessions": 1,
+    "news_scoring": 1,
+    "bm25_topk": 1,
+    "degree_counts": 1,
+    "word_source_merge": 2,
+    "spellcheck_candidates": 1,
+}
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", NO_EXPAND_QUERIES)
+def test_no_expand_in_pair_plan(spark, name):
+    plan = _formatted_plan(entry_mod.queries()[name](spark, SF_DIR))
+    assert "Expand" not in plan, f"{name}: Expand node in plan\n{plan}"
+
+
+@pytest.mark.parametrize("name", sorted(CONSTRUCTION_JOBS))
+def test_pair_construction_runs_no_extra_jobs(spark, name):
+    sc = spark.sparkContext
+    group = f"construct-{name}"
+    sc.setJobGroup(group, "pair construction must not scan data")
+    try:
+        entry_mod.queries()[name](spark, SF_DIR)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == CONSTRUCTION_JOBS[name], (
+        f"{name}: {len(jobs)} construction jobs, expected "
+        f"{CONSTRUCTION_JOBS[name]} (schema reads only — a driver-side "
+        f".count()/.first() scalar adds a scan pass)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boundary fixture: one group mixes a 2^30-magnitude value (ulp ~2.4e-7)
+# with twenty 1e-6 values, so the NAIVE double sum provably differs in the
+# 6th decimal depending on accumulation order. The integer-scaled sums the
+# pairs use must agree between engines AND with exact decimal arithmetic.
+# ---------------------------------------------------------------------------
+BIG = 1073741824.123456
+TINY = 0.000001
+EXACT_SUM = Decimal("1073741824.123456") + 20 * Decimal("0.000001")
+
+
+def _boundary_events(spark, tmp_path):
+    rows = []
+    # group A: hazard values, all inside one hour / one session
+    for i in range(21):
+        rows.append(
+            (i, f"2024-01-01 10:{i:02d}:00", 1, "click", BIG if i == 0 else TINY, "p")
+        )
+    # group B: plain values in another hour and user
+    for i in range(5):
+        rows.append((100 + i, f"2024-01-02 03:0{i}:00", 2, "view", 1.25, "p"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    def cell(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else round(v, 6)
+        return v
+    return [cols[i] for i in order], sorted(
+        tuple(cell(r[i]) for i in order) for r in rows
+    )
+
+
+def test_fixture_is_actually_order_hazardous():
+    vals = [BIG] + [TINY] * 20
+    fwd = 0.0
+    for v in vals:
+        fwd += v
+    rev = 0.0
+    for v in reversed(vals):
+        rev += v
+    assert round(fwd, 6) != round(rev, 6), (
+        "fixture no longer exercises the rounding boundary"
+    )
+    assert round(rev, 6) == float(EXACT_SUM)
+
+
+@pytest.mark.parametrize("name", ["events_hourly", "events_rollup", "event_sessions"])
+def test_sum_value_boundary_proof(spark, tmp_path, name):
+    sf_dir = _boundary_events(spark, tmp_path)
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    sc_cols, sc_rows = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; glob the part files for DuckDB
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    d_cols, d_rows = _norm([d[0] for d in res.description], res.fetchall())
+
+    assert sc_cols == d_cols
+    assert sc_rows == d_rows, f"{name}: engines disagree on boundary fixture"
+
+    # and both equal the exact decimal sum for the hazard group
+    sums = {round(float(EXACT_SUM), 6), round(5 * 1.25, 6)}
+    got = {r[sc_cols.index("sum_value")] for r in sc_rows}
+    assert sums <= got, f"{name}: {got} missing exact sums {sums}"
+
+
+# ---------------------------------------------------------------------------
+# ntz_epoch_us: wall-clocks inside a DST spring-forward gap of the session
+# timezone must still produce DuckDB's tz-less epoch_us. (The obvious
+# cast-through-timestamp spellings shift these by 3600 s.)
+# ---------------------------------------------------------------------------
+DST_SENSITIVE = [
+    "2024-03-10 02:30:00.123456",  # inside America/New_York spring-forward gap
+    "2024-11-03 01:30:00.5",       # inside the fall-back overlap
+    "2024-01-01 00:09:58.778549",
+    "1999-12-31 23:59:59.999999",
+]
+
+
+def test_ntz_epoch_us_is_timezone_invariant(spark):
+    from search_engine_spark.pair_helpers import ntz_epoch_us
+
+    expected = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT epoch_us(ts::TIMESTAMP) FROM (VALUES "
+            + ", ".join(f"('{s}')" for s in DST_SENSITIVE)
+            + ") t(ts)"
+        ).fetchall()
+    ]
+
+    tz_sess = spark.newSession()
+    for tz in ["UTC", "America/New_York", "Pacific/Auckland"]:
+        tz_sess.conf.set("spark.sql.session.timeZone", tz)
+        df = tz_sess.createDataFrame(
+            [(s,) for s in DST_SENSITIVE], "s string"
+        ).select(ntz_epoch_us(F.col("s").cast("timestamp_ntz")).alias("us"))
+        got = [r["us"] for r in df.collect()]
+        assert got == expected, f"tz={tz}: {got} != {expected}"
