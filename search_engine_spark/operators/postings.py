@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..codec import encode_postings
+from ..codec import decode_postings, encode_postings
 
 DEFAULT_DOCS_PER_SHARD = 4_194_304  # 2^22
 DEFAULT_TERM_BUCKETS = 64
@@ -92,63 +92,89 @@ def n_shards_for(n_docs: int, docs_per_shard: int = DEFAULT_DOCS_PER_SHARD) -> i
     return max(1, math.ceil(n_docs / docs_per_shard))
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Merge >=1 postings rows of one (term, shard) into one row.
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("term_bucket", T.IntegerType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("f1", T.LongType(), False),
+        T.StructField("f2", T.LongType(), False),
+        T.StructField("f4", T.LongType(), False),
+        T.StructField("_segment", T.IntegerType(), False),
+    ]
+)
 
-    Rows with higher ``_segment`` win on doc_id conflicts (newer segment
-    overrides — the re-crawl upsert semantic). Decoded lists are combined
-    by doc_id, re-sorted, re-encoded; block metadata is rebuilt.
-    """
-    from ..codec import decode_postings
+_DECODE_CHUNK = 1 << 18  # rows per yielded frame: bounds pandas memory
 
-    merged: dict[int, tuple[int, int, int]] = {}
-    for _, row in pdf.sort_values("_segment").iterrows():
-        ids, f1, f2, f4 = decode_postings(bytes(row["postings"]))
-        for j, d in enumerate(ids):
-            merged[d] = (f1[j], f2[j], f4[j])
-    doc_ids = sorted(merged)
-    blob, block_max, block_last, block_offset = encode_postings(
-        doc_ids,
-        [merged[d][0] for d in doc_ids],
-        [merged[d][1] for d in doc_ids],
-        [merged[d][2] for d in doc_ids],
-    )
-    ctf = sum(sum(merged[d]) for d in doc_ids)
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "term_bucket": [int(pdf["term_bucket"].iloc[0])],
-            "shard": [int(pdf["shard"].iloc[0])],
-            "df": [len(doc_ids)],
-            "ctf": [ctf],
-            "block_max": [block_max],
-            "block_last": [block_last],
-            "block_offset": [block_offset],
-            "postings": [blob],
-        }
-    )
+
+def _decode_rows(iterator):
+    """postings rows -> per-(term, doc) frequency rows (mapInPandas).
+
+    (itertuples would rename the underscore-prefixed ``_segment`` column,
+    so columns are pulled as plain lists.)"""
+    for pdf in iterator:
+        terms = pdf["term"].tolist()
+        buckets = pdf["term_bucket"].tolist()
+        shards = pdf["shard"].tolist()
+        blobs = pdf["postings"].tolist()
+        segs = pdf["_segment"].tolist()
+        for i in range(len(pdf)):
+            ids, f1, f2, f4 = decode_postings(bytes(blobs[i]))
+            for lo in range(0, len(ids), _DECODE_CHUNK):
+                hi = lo + _DECODE_CHUNK
+                n = len(ids[lo:hi])
+                yield pd.DataFrame(
+                    {
+                        "term": [terms[i]] * n,
+                        "term_bucket": [buckets[i]] * n,
+                        "shard": [shards[i]] * n,
+                        "doc_id": ids[lo:hi],
+                        "f1": f1[lo:hi],
+                        "f2": f2[lo:hi],
+                        "f4": f4[lo:hi],
+                        "_segment": [segs[i]] * n,
+                    }
+                )
 
 
 def merge_postings(segments: list[DataFrame]) -> DataFrame:
     """Segment merge: N postings tables -> one (north_rule: "posting-list
     construction, MERGE, compression").
 
-    Later segments override earlier ones per doc_id (LSM-style upsert: a
-    re-crawled doc's postings in the newest segment replace its older
-    ones). Shuffle key is (term, shard) — the same bounded-size groups as
-    the build, so a head term's merge work is capped by the doc-range
-    sharding exactly like construction.
+    Doc-LEVEL override semantics (LSM upsert): the newest segment that
+    contains ANY posting for a doc owns that doc outright — so a
+    re-crawled doc that no longer contains a term it had in an older
+    segment stops matching that term (older segments' stale postings for
+    the doc are dropped, not just overridden per (term, doc)).
 
-    Note: ``ctf`` is recomputed as the sum of per-doc field frequencies
-    (consistent with build_postings' per-shard semantics).
+    Plan: decode each segment's blobs to per-(term, doc) rows
+    (mapInPandas, no shuffle), derive each doc's owning segment with a
+    map-side-combined max over the uniformly distributed doc_id key, keep
+    only rows from the owner, then regroup on the same bounded (term,
+    shard) groups as the build and re-encode. Three shuffles — owner agg
+    (doc_id), owner join (doc_id, exchange reused from the agg), re-encode
+    groupBy (term, shard) — all on uniform or doc-range-capped keys; a
+    head term never funnels through one reducer.
+
+    ``df``/``ctf`` are recomputed per (term, shard) row, consistent with
+    build_postings' per-shard semantics. Merging disjoint-doc segments is
+    bit-identical to a single-shot build of the union.
     """
     if not segments:
         raise ValueError("merge_postings needs at least one segment")
     tagged = segments[0].withColumn("_segment", F.lit(0))
     for i, seg in enumerate(segments[1:], start=1):
         tagged = tagged.unionByName(seg.withColumn("_segment", F.lit(i)))
-    return tagged.groupBy("term", "shard").applyInPandas(
-        lambda pdf: _merge_group(pdf), schema=POSTINGS_SCHEMA
+    decoded = tagged.mapInPandas(_decode_rows, schema=_DECODED_SCHEMA)
+    owner = decoded.groupBy("doc_id").agg(F.max("_segment").alias("_owner"))
+    kept = (
+        decoded.join(owner, "doc_id")
+        .filter(F.col("_segment") == F.col("_owner"))
+        .withColumn("ctf_row", F.col("f1") + F.col("f2") + F.col("f4"))
+    )
+    return kept.groupBy("term", "shard").applyInPandas(
+        lambda pdf: _encode_group(pdf), schema=POSTINGS_SCHEMA
     )
 
 

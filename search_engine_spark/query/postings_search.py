@@ -78,15 +78,17 @@ class PostingsSearchEngine:
         term_statistics: DataFrame,
         n_term_buckets: int | None = None,
     ) -> None:
-        from ..operators.postings import DEFAULT_TERM_BUCKETS
-
         self.documents = documents
         self.postings = postings
         self.term_statistics = term_statistics
         # MUST match the modulus the postings were built with, or bucket
-        # pruning silently drops valid partitions (load_engines reads it
-        # from the build's meta file)
-        self.n_term_buckets = n_term_buckets or DEFAULT_TERM_BUCKETS
+        # pruning silently drops valid partitions (CLAUDE.md invariant 7;
+        # load_engines reads it from the build's meta file). When the
+        # modulus is unknown (no build_meta.json — e.g. an engine built
+        # directly on build_postings output), NEVER guess a default:
+        # pruning is skipped entirely and the term IN-list still prunes
+        # via parquet min/max statistics.
+        self.n_term_buckets = n_term_buckets
         # idf per term is immutable for one index build; memoize lookups so
         # repeated query terms cost zero jobs (the reference's term_statistics
         # read is amortized by Postgres' buffer cache — this is our analog)
@@ -137,11 +139,15 @@ class PostingsSearchEngine:
         # term_bucket is the storage partition key (pipeline writes
         # partitionBy('term_bucket')): filtering on it turns the IN-list
         # term filter into directory-level partition pruning; the term
-        # filter itself then prunes row groups via parquet min/max
-        hits = self.postings.filter(
-            F.col("term_bucket").isin(self._query_buckets(terms))
-            & F.col("term").isin(terms)
-        ).select(
+        # filter itself then prunes row groups via parquet min/max. Only
+        # applied when the build's modulus is known — a mismatched modulus
+        # would silently drop valid partitions.
+        term_filter = F.col("term").isin(terms)
+        if self.n_term_buckets is not None:
+            term_filter = (
+                F.col("term_bucket").isin(self._query_buckets(terms)) & term_filter
+            )
+        hits = self.postings.filter(term_filter).select(
             "shard", "term", "block_max", "block_last", "block_offset", "postings"
         )
         scored = hits.groupBy("shard").applyInPandas(

@@ -55,13 +55,24 @@ def _dedup_fn(
     seen = state.get[0] if state.exists else 0
     first: pd.DataFrame | None = None
     total = seen
+    cols = ["content_sha256", "url", "warc_ts"]
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        if seen == 0 and first is None:
-            ordered = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
-            first = ordered.iloc[[0]][["content_sha256", "url", "warc_ts"]]
         total += len(pdf)
+        if seen == 0:
+            # a group larger than the Arrow batch size arrives as MULTIPLE
+            # chunks: track the running (warc_ts, url)-min across all of
+            # them, not just the first chunk's
+            head = pdf.sort_values(["warc_ts", "url"], kind="mergesort").iloc[[0]][cols]
+            if first is None:
+                first = head
+            else:
+                first = (
+                    pd.concat([first, head])
+                    .sort_values(["warc_ts", "url"], kind="mergesort")
+                    .iloc[[0]]
+                )
     state.update((total,))
     if first is not None:
         yield first

@@ -37,12 +37,23 @@ def test_merge_equals_single_shot(token_halves):
 
 
 def test_merge_newer_segment_wins(spark):
+    """A re-crawled doc is owned OUTRIGHT by its newest segment: postings
+    it no longer has are dropped, not carried forward (doc-level LSM
+    override, not per-(term, doc))."""
     old = spark.createDataFrame(
-        [(1, "alpha", 4, 3), (2, "alpha", 4, 7), (1, "beta", 4, 2)],
+        [
+            (1, "alpha", 4, 3),
+            (2, "alpha", 4, 7),
+            (1, "beta", 4, 2),
+            (2, "beta", 4, 5),
+            (3, "gamma", 4, 1),
+        ],
         "doc_id long, term string, field short, frequency int",
     )
     new = spark.createDataFrame(
-        [(1, "alpha", 4, 99)],  # doc 1 re-crawled: alpha tf changes
+        # doc 1 re-crawled: alpha tf changes AND beta disappeared;
+        # doc 3 re-crawled and now contains nothing but "delta"
+        [(1, "alpha", 4, 99), (3, "delta", 4, 6)],
         "doc_id long, term string, field short, frequency int",
     )
     merged = merge_postings(
@@ -55,9 +66,14 @@ def test_merge_newer_segment_wins(spark):
     assert ids == [1, 2]
     assert f4 == [99, 7]  # doc 1 overridden, doc 2 carried forward
     assert rows["alpha"]["df"] == 2 and rows["alpha"]["ctf"] == 106
-    # beta untouched by the new segment
+    # doc 1's stale beta posting is gone; doc 2 (not re-crawled) keeps it
     idsb, *_ = decode_postings(bytes(rows["beta"]["postings"]))
-    assert idsb == [1]
+    assert idsb == [2]
+    assert rows["beta"]["df"] == 1 and rows["beta"]["ctf"] == 5
+    # gamma's only doc was re-crawled without it: the term row disappears
+    assert "gamma" not in rows
+    idsd, *_ = decode_postings(bytes(rows["delta"]["postings"]))
+    assert idsd == [3]
 
 
 def test_merge_single_segment_identity(token_halves):

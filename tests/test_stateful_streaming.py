@@ -75,3 +75,67 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert urls == ["https://a/2", "https://a/3", "https://b/2"]
     # one output row per distinct hash
     assert len({r["content_sha256"] for r in rows}) == len(rows)
+
+
+def test_dedup_fn_tracks_min_across_chunks():
+    """A group larger than the Arrow batch size arrives as MULTIPLE pandas
+    chunks; the first-seen row must be the global (warc_ts, url) min even
+    when it sits in a later chunk (regression: only the first chunk used
+    to be sorted)."""
+    import pandas as pd
+
+    from search_engine_spark.streaming.stateful import _dedup_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    def chunk(rows):
+        return pd.DataFrame(
+            rows, columns=["content_sha256", "url", "warc_ts", "text"]
+        )
+
+    h = "h" * 64
+    chunks = iter(
+        [
+            chunk([(h, "https://a/9", T0 + timedelta(minutes=9), "t")]),
+            chunk([]),  # empty chunks must be skipped, not break the scan
+            chunk(
+                [
+                    (h, "https://a/5", T0 + timedelta(minutes=5), "t"),
+                    (h, "https://a/1", T0 + timedelta(minutes=1), "t"),  # true min
+                ]
+            ),
+            chunk([(h, "https://a/3", T0 + timedelta(minutes=3), "t")]),
+        ]
+    )
+    state = FakeState()
+    out = list(_dedup_fn((h,), chunks, state))
+    assert len(out) == 1
+    assert out[0].iloc[0]["url"] == "https://a/1"
+    assert state.value == (4,)
+
+
+def test_dedup_fn_emits_nothing_for_already_seen_hash():
+    import pandas as pd
+
+    from search_engine_spark.streaming.stateful import _dedup_fn
+
+    class FakeState:
+        exists = True
+        get = (3,)
+
+        def update(self, v):
+            self.value = v
+
+    h = "h" * 64
+    pdf = pd.DataFrame(
+        [(h, "https://a/1", T0, "t")],
+        columns=["content_sha256", "url", "warc_ts", "text"],
+    )
+    state = FakeState()
+    out = list(_dedup_fn((h,), iter([pdf]), state))
+    assert out == []
+    assert state.value == (4,)
