@@ -793,83 +793,11 @@ FULL OUTER JOIN extw e USING (word)
 
 
 # --------------------------------------------------------------------------
-# A4 — news-domain scoring: flat tf*idf (no field weights) over the "news"
-# subset (source = 'src0'), idf from the whole corpus
+# A4/J6 news scoring moved to driver_queries_news (it now runs over
+# articles produced by the real feed-parse pipeline instead of the
+# source='src0' stand-in); bm25_topk below shares its query-term literal.
 # --------------------------------------------------------------------------
 NEWS_QUERY_TERMS = ["spark", "data", "query"]
-
-
-def q_news_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
-        ).alias("term"),
-    )
-    # idf from the WHOLE corpus for the query terms (term filter prunes
-    # before the two-phase distinct); N in-plan as a broadcast scalar
-    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
-    dfd = F.col("doc_frequency").cast("double")
-    stats = (
-        doc_frequencies(qtoks.select("doc_id", "term"))
-        .crossJoin(F.broadcast(scalar_count(docs)))
-        .withColumn(
-            "idf", F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
-        )
-        .select("term", "idf")
-    )
-    tf = (
-        qtoks.filter(F.col("source") == "src0")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    return (
-        tf.join(F.broadcast(stats), "term", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.col("tf").cast("double") * F.coalesce("idf", F.lit(1.0))), 6
-            ).alias("token_score"),
-            # tf rows are unique per (doc, term): plain count == distinct terms
-            F.count(F.lit(1)).alias("matched_terms"),
-        )
-        .orderBy(F.desc("token_score"), F.asc("doc_id"))
-        .limit(20)
-    )
-
-
-def _news_sql() -> str:
-    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, source,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
-  FROM documents
-),
-n AS (SELECT count(*)::DOUBLE AS n FROM documents),
-stats AS (
-  SELECT term,
-         ln((n.n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
-  FROM toks, n GROUP BY term, n.n
-),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf
-  FROM toks WHERE source = 'src0' AND term IN ({terms})
-  GROUP BY doc_id, term
-)
-SELECT tf.doc_id,
-       round(sum(tf.tf::DOUBLE * COALESCE(stats.idf, 1.0)), 6) AS token_score,
-       count(DISTINCT tf.term) AS matched_terms
-FROM tf LEFT JOIN stats ON stats.term = tf.term
-GROUP BY tf.doc_id
-ORDER BY token_score DESC, tf.doc_id ASC
-LIMIT 20
-"""
-
-
-SQL_NEWS_SCORING = _news_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1207,7 +1135,6 @@ QUERIES_TD = {
     "degree_counts": q_degree_counts,
     "pagerank": q_pagerank,
     "word_source_merge": q_word_source_merge,
-    "news_scoring": q_news_scoring,
     "ann_ivf_topk": q_ann_ivf_topk,
     "event_sessions": q_event_sessions,
     "events_rollup": q_events_rollup,
@@ -1231,7 +1158,6 @@ ORACLES_TD = {
     "degree_counts": SQL_DEGREE_COUNTS,
     "pagerank": SQL_PAGERANK,
     "word_source_merge": SQL_WORD_SOURCE_MERGE,
-    "news_scoring": SQL_NEWS_SCORING,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "event_sessions": SQL_EVENT_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,

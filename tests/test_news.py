@@ -1,0 +1,204 @@
+"""News-ingest domain: RSS/Atom parse semantics vs the reference
+(news_fetcher.py), the Spark plumbing, and the url-keyed upsert."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.news.feeds import (
+    MAX_ITEMS_PER_FEED,
+    article_tokens,
+    clean_html_text,
+    feed_last_published,
+    parse_datetime_rfc2822,
+    parse_feed,
+    parse_feed_metadata,
+    parse_feeds,
+    upsert_articles,
+)
+from search_engine_spark.news.fixtures import (
+    EPOCH0,
+    feed_url_of,
+    item_published,
+    synth_feed_xml,
+    synth_feeds,
+)
+
+
+# --------------------------------------------------------------------------
+# E6 — RFC-2822 parsing (news_fetcher.py:26-35)
+# --------------------------------------------------------------------------
+def test_rfc2822_parse_known_values():
+    assert parse_datetime_rfc2822("Mon, 15 Jan 2024 10:30:00 +0530") == datetime(
+        2024, 1, 15, 5, 0, tzinfo=timezone.utc
+    )
+    # naive -> assumed UTC
+    assert parse_datetime_rfc2822("15 Jan 2024 10:30:00") == datetime(
+        2024, 1, 15, 10, 30, tzinfo=timezone.utc
+    )
+    # named zone
+    assert parse_datetime_rfc2822("Mon, 15 Jan 2024 10:30:00 GMT") == datetime(
+        2024, 1, 15, 10, 30, tzinfo=timezone.utc
+    )
+    assert parse_datetime_rfc2822(None) is None
+    assert parse_datetime_rfc2822("") is None
+    assert parse_datetime_rfc2822("not a date") is None
+
+
+# --------------------------------------------------------------------------
+# E21 — entity strip (news_fetcher.py:43-47)
+# --------------------------------------------------------------------------
+def test_clean_html_text():
+    assert clean_html_text("a &amp; b") == "a & b"
+    assert clean_html_text("x &#8212; y") == "x — y"
+    assert clean_html_text("<p>Hello <b>world</b></p>") == "Hello world"
+    assert clean_html_text("") == ""
+    assert clean_html_text("  already   clean  ") == "already clean"
+
+
+# --------------------------------------------------------------------------
+# feed parsing: fields, fallbacks, caps, skips
+# --------------------------------------------------------------------------
+def test_parse_rss_feed_fields():
+    fid = 2
+    meta, items = parse_feed(feed_url_of(fid), synth_feed_xml(fid, 6))
+    assert meta["name"] == f"Example feed {fid}"
+    assert meta["link"] == f"https://news{fid}.example/"
+    # linkless + oversized-url items are skipped
+    assert len(items) == 6
+    first = items[0]
+    # relative link resolved against the feed url (urljoin keeps feed host)
+    assert first["url"] == f"https://feeds.example/story/{fid}/0"
+    assert first["title"] == f"Feed {fid} story 0"
+    # entity-stripped description: &amp; -> &, <b> tag removed, &#8212; ->
+    # em-dash; &lt;draft&gt; unescapes to a tag shape and is then dropped
+    # (the reference's BeautifulSoup get_text does the same)
+    assert first["description"] == "Lead & summary no. 0 — stats"
+    assert first["author"] == "reporter0@example.com"
+    assert items[1]["author"] == "Desk 1"  # dc:creator fallback
+    # media:content image resolved + normalized against feed url
+    assert first["image_url"].startswith("https://feeds.example/img/")
+    assert items[1]["image_url"] == "https://cdn.example/e1.png"  # enclosure
+    assert items[2]["image_url"] == ""  # none planted
+    # pubDate with a non-utc offset round-trips to the exact instant
+    assert first["published_at"] == item_published(fid, 0)
+    assert items[3]["published_at"] == item_published(fid, 3)
+
+
+def test_parse_atom_feed_fields():
+    fid = 3
+    meta, items = parse_feed(feed_url_of(fid), synth_feed_xml(fid, 4))
+    assert meta["name"] == f"Atom feed {fid}"
+    assert len(items) == 4
+    e = items[0]
+    assert e["url"] == f"https://news{fid}.example/a/0"
+    assert e["author"] == "Writer 0"
+    assert e["content"].startswith("Entry body 0")
+    assert e["published_at"] == item_published(fid, 0)
+
+
+def test_items_per_feed_cap():
+    meta, items = parse_feed(feed_url_of(0), synth_feed_xml(0, 55))
+    assert len(items) == MAX_ITEMS_PER_FEED
+
+
+def test_malformed_xml_yields_empty():
+    meta, items = parse_feed("https://x/f.xml", "<rss><channel>")
+    assert items == [] and meta["last_published"] is None
+
+
+# --------------------------------------------------------------------------
+# A9 — last_published promotion (news_fetcher.py:190-195)
+# --------------------------------------------------------------------------
+def test_meta_promotes_max_item_date():
+    fid = 2
+    meta, items = parse_feed(feed_url_of(fid), synth_feed_xml(fid, 6))
+    assert meta["declared_last_published"] < EPOCH0  # fixture plants it stale
+    assert meta["last_published"] == max(i["published_at"] for i in items)
+
+
+def test_declared_wins_when_newer():
+    xml = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>t</title><link>https://h/</link>
+  <lastBuildDate>Mon, 01 Jan 2029 00:00:00 +0000</lastBuildDate>
+  <item><title>a</title><link>https://h/a</link>
+    <pubDate>Mon, 01 Jan 2024 00:00:00 +0000</pubDate></item>
+</channel></rss>"""
+    meta, _ = parse_feed("https://h/rss", xml)
+    assert meta["last_published"].year == 2029
+
+
+# --------------------------------------------------------------------------
+# Spark plumbing: parse_feeds / metadata / A9 aggregate / tokens / upsert
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def feeds_df(spark):
+    return spark.createDataFrame(synth_feeds(6, 6), "feed_url string, xml string")
+
+
+def test_parse_feeds_df_matches_pure_parser(spark, feeds_df):
+    got = {
+        (r["url"], r["feed_url"], r["published_at_s"])
+        for r in parse_feeds(feeds_df).collect()
+    }
+    want = set()
+    for feed_url, xml in synth_feeds(6, 6):
+        for it in parse_feed(feed_url, xml)[1]:
+            p = it["published_at"]
+            want.add((it["url"], feed_url, int(p.timestamp()) if p else None))
+    assert got == want
+
+
+def test_feed_last_published_aggregate_matches_parser_promotion(spark, feeds_df):
+    meta = parse_feed_metadata(feeds_df)
+    arts = parse_feeds(feeds_df)
+    # the relational A9 (greatest over declared + max item) must equal the
+    # sequential promotion the parser already applied
+    agg = {
+        r["feed_url"]: r["last_published_s"]
+        for r in feed_last_published(meta, arts).collect()
+    }
+    seq = {
+        r["feed_url"]: r["last_published_s"] for r in meta.collect()
+    }
+    assert agg == seq
+
+
+def test_article_tokens_are_stemmed_field4(spark, feeds_df):
+    toks = article_tokens(parse_feeds(feeds_df))
+    rows = toks.filter(F.col("article_url").like("%/a/0")).collect()
+    assert rows and all(r["field"] == 4 for r in rows)
+    terms = {r["term"] for r in rows}
+    # 'entry' stems to 'entri' (Porter) — proves the shared tokenizer runs
+    assert "entri" in terms and "queri" in terms
+
+
+def test_upsert_articles_coalesce_semantics(spark):
+    cols = "url string, feed_url string, title string, description string, content string, author string, published_at_s long, image_url string"
+    old = spark.createDataFrame(
+        [
+            ("u1", "f1", "Old title", "old desc", "old content", "A", 100, "img1"),
+            ("u2", "f1", "Keep", "d", "c", "B", 200, ""),
+        ],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [
+            # empty strings must NOT overwrite; null published falls back
+            ("u1", "f1", "", "new desc", "", "", None, "img2"),
+            ("u3", "f2", "Brand new", "", "", "C", 300, ""),
+        ],
+        cols,
+    )
+    got = {r["url"]: r for r in upsert_articles(old, new).collect()}
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"]["title"] == "Old title"          # '' did not overwrite
+    assert got["u1"]["description"] == "new desc"     # non-empty did
+    assert got["u1"]["content"] == "old content"
+    assert got["u1"]["author"] == "A"
+    assert got["u1"]["published_at_s"] == 100         # null fell back
+    assert got["u1"]["image_url"] == "img2"
+    assert got["u2"]["title"] == "Keep"               # untouched row survives
+    assert got["u3"]["title"] == "Brand new"          # insert path

@@ -36,6 +36,7 @@ NO_EXPAND_QUERIES = [
     "word_source_merge",
     "news_scoring",
     "bm25_topk",
+    "news_feed_freshness",
 ]
 
 # Exact number of Spark jobs each pair may run during CONSTRUCTION: one
@@ -59,6 +60,8 @@ CONSTRUCTION_JOBS = {
     "degree_counts": 1,
     "word_source_merge": 2,
     "spellcheck_candidates": 1,
+    "rfc2822_parse": 1,
+    "news_feed_freshness": 0,  # pure fixture pipeline: no reads at all
 }
 
 
