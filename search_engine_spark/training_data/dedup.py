@@ -279,68 +279,122 @@ def simhash_near_dup(tokens: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", CC-MR family): every node attaches all its
+    STRICTLY LARGER neighbors to the minimum of its closed neighborhood.
+    Input/output: undirected edge set, one row per direction not required
+    (bidirectionalized here)."""
+    b = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        b.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", "u").alias("m"))
+    )
+    return (
+        b.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large->small; every node attaches
+    its smaller-or-equal neighborhood (and itself) to the neighborhood
+    minimum."""
+    c = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = c.groupBy("u").agg(F.min("v").alias("m"))
+    star = c.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    root = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        star.unionByName(root)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_signature(edges: DataFrame) -> tuple:
+    """(count, xor-ish hash sum) — cheap one-pass convergence check."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: 64-bit hash values would overflow a LongType
+        # sum under ANSI mode
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(id, component) — component = min id reachable via near-dup pairs.
 
-    Iterative min-label propagation (the simple alternating-contraction
-    special case): each round every node takes the minimum label among
-    itself and its neighbors; converges in O(component diameter) rounds —
-    near-dup clusters are shallow, so a handful. Each round is one join +
-    one aggregate, labels localCheckpointed to keep lineage flat; the full
-    large-star/small-star algorithm is the drop-in upgrade if components
-    ever get deep.
+    Alternating large-star / small-star contraction (Kiveris et al. 2014):
+    converges in O(log^2 n) rounds REGARDLESS of component diameter —
+    unlike plain min-label propagation, whose round count is the diameter
+    and which silently truncated long chains at max_iter in r01. At
+    convergence the edge set is a forest of stars (node -> component min);
+    labels read straight off it. Each round is two group-aggregates + two
+    joins on the uniformly distributed node id, localCheckpointed to keep
+    lineage flat; convergence is detected by a one-pass (count, hash-sum)
+    signature. Raises RuntimeError if max_iter rounds don't converge
+    (never silently wrong; 50 rounds covers n far beyond 10^12).
 
     ``nodes``: optional (id) DataFrame; isolated nodes keep their own id as
-    component. Deterministic: min is order-insensitive.
+    component. Deterministic: min/greatest are order-insensitive.
     """
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     if nodes is None:
         node_df = (
-            edges.select(F.col("src").alias("id")).distinct()
+            edges.select(F.col("u").alias("id"))
+            .unionByName(edges.select(F.col("v").alias("id")))
+            .distinct()
         )
     else:
         node_df = nodes.select(F.col(id_col).alias("id")).distinct()
-    labels = node_df.withColumn("component", F.col("id"))
+
+    sig = _edge_signature(edges)
+    converged = sig[0] == 0
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), "component")
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _edge_signature(edges)
+        converged = new_sig == sig
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge in "
+            f"{max_iter} rounds"
+        )
+
+    # converged edge set is (node -> its component's min id) stars
+    child_root = edges.select(
+        F.greatest("u", "v").alias("id"), F.least("u", "v").alias("root")
+    )
+    return (
+        node_df.join(child_root, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("root", F.col("id")).alias("component"),
+        )
+    )
 
 
 def dedup_keep_first(

@@ -246,3 +246,55 @@ def test_winnowing_matches_python_oracle(spark):
     # winnowing guarantee: a shared word run of window+k-1 = 8 words forces a
     # shared selected fingerprint between the two docs
     assert oracles[1] & oracles[2]
+
+
+def test_connected_components_long_chain_beyond_diameter(spark):
+    """A 60-hop path (diameter >> the old max_iter=25) must still collapse
+    to one component — the property plain min-label propagation silently
+    violated; star contraction converges in O(log^2 n) rounds."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = dedup.connected_components(pairs)
+    comps = got.agg(F.count_distinct("component")).first()[0]
+    assert comps == 1
+    assert {r["component"] for r in got.collect()} == {0}
+    assert got.count() == 61
+
+
+def test_connected_components_mixed_topologies(spark):
+    """Chain + triangle-with-tail + pair + isolated; arbitrary id order."""
+    pairs = spark.createDataFrame(
+        [
+            (5, 4), (4, 3), (3, 2),          # chain ending at 2
+            (100, 102), (102, 101), (101, 100), (102, 103),  # cycle + tail
+            (7, 9),
+        ],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [2, 3, 4, 5, 7, 9, 100, 101, 102, 103, 999]],
+        "doc_id long",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {
+        2: 2, 3: 2, 4: 2, 5: 2,
+        7: 7, 9: 7,
+        100: 100, 101: 100, 102: 100, 103: 100,
+        999: 999,
+    }
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 2}
