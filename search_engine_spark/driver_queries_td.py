@@ -801,10 +801,15 @@ NEWS_QUERY_TERMS = ["spark", "data", "query"]
 
 
 # --------------------------------------------------------------------------
-# IVF ANN: deterministic coarse quantizer (every 50th vector is a centroid),
-# nprobe=2 — probe the 2 nearest centroid lists, exact re-rank inside them.
-# The scale path for vector search when SRP buckets are too coarse: the
-# corpus is partitioned by centroid assignment, a query scans nprobe lists.
+# IVF ANN pair: deterministic SAMPLED quantizer (every 50th vector) so the
+# DuckDB oracle can replay centroid assignment bit-for-bit — float k-means
+# means are not engine-portable. The PRODUCTION path is the trained
+# quantizer in training_data/similarity.py (train_ivf_centroids /
+# ivf_assign / ivf_topk, deterministic Lloyd k-means), verified by recall
+# tests vs brute force in tests/test_training_data.py (isotropic corpus +
+# clustered corpus). nprobe=2 — probe the 2 nearest centroid lists, exact
+# re-rank inside; the corpus is partitioned by centroid assignment so a
+# query scans nprobe lists.
 # --------------------------------------------------------------------------
 IVF_NPROBE = 2
 

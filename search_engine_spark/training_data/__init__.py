@@ -25,11 +25,15 @@ from .dedup import (
 )
 from .similarity import (
     cosine_similarity_col,
+    ivf_assign,
+    ivf_probe_lists,
+    ivf_topk,
     knn_join,
     srp_banded,
     srp_bucketed_pairs,
     srp_probe_buckets,
     srp_signs,
+    train_ivf_centroids,
 )
 from .textstats import language_id, token_counts, winnowing_fingerprints
 
@@ -48,6 +52,10 @@ __all__ = [
     "srp_bucketed_pairs",
     "srp_probe_buckets",
     "srp_signs",
+    "train_ivf_centroids",
+    "ivf_assign",
+    "ivf_probe_lists",
+    "ivf_topk",
     "language_id",
     "token_counts",
     "winnowing_fingerprints",

@@ -215,3 +215,153 @@ def srp_bucketed_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: trained coarse quantizer (deterministic Lloyd k-means) + nprobe search
+# ---------------------------------------------------------------------------
+def _md5_rank(col: Column) -> Column:
+    """Deterministic pseudo-random ordering key (no RNG, replayable)."""
+    return F.md5(col.cast("string"))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    - init: the k corpus vectors with the smallest md5(id) — a fixed
+      pseudo-random sample, no RNG state, reproducible across runs/sessions.
+    - assign: every vector to its max-cosine centroid (broadcast k
+      centroid rows, JVM-side zip_with/aggregate math, row_number window
+      keyed by the uniform vector id).
+    - update: element-wise mean via posexplode to (cluster, dim) rows —
+      map-side partial sums bound the shuffle at k*d rows per map
+      partition; members are never collected. Empty clusters keep their
+      previous centroid.
+
+    The k x d centroid matrix lives on the driver between iterations
+    (tiny); at 10^9+ vectors train on a deterministic sample (standard IVF
+    practice: ~256*k vectors via the same md5 order) — assignment cost
+    dominates and is the same one broadcast join either way.
+    """
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(_md5_rank(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]
+    if not cents:
+        raise ValueError("train_ivf_centroids: empty corpus")
+    dim = len(cents[0])
+
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_csim"), F.asc("cent_id"))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cent_id int, cvec array<double>"
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .withColumn("_csim", cosine_similarity_col(F.col("_v"), F.col("cvec")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty clusters keep centroids
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["cent_id"], [0.0] * dim)[r["pos"]] = float(r["m"])
+        for ci, vec in acc.items():
+            new_cents[ci] = vec
+        cents = new_cents
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cent_id): max-cosine centroid per vector. This is the
+    partitioning a stored IVF index would write (partitionBy cent_id) so
+    query-time nprobe scans prune to nprobe directories."""
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cent_id int, cvec array<double>"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("_csim", cosine_similarity_col(F.col(vec_col), F.col("cvec")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cent_id")
+    )
+
+
+def _cosine_py(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def ivf_probe_lists(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side nprobe centroid selection — pure Python over the k x d
+    matrix, zero Spark jobs per query (the bucket-prune pattern the SRP
+    path uses)."""
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda i: (-_cosine_py(query_vec, centroids[i]), i),
+    )
+    return sorted(scored[:nprobe])
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF search: prune to the nprobe nearest lists (literal IN filter ->
+    partition pruning on a cent_id-partitioned store), exact cosine re-rank
+    inside them, top-k by (cosine desc, id asc)."""
+    probes = ivf_probe_lists(query_vec, centroids, nprobe)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = assigned.filter(F.col("cent_id").isin(probes))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return (
+        out.withColumn(
+            "cosine", F.round(cosine_similarity_col(F.col(vec_col), qlit), 6)
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
