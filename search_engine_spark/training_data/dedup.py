@@ -138,19 +138,52 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) — exact set Jaccard for every pair sharing >= 1
-    shingle, filtered to >= threshold.
+    """(id_a, id_b, jaccard) — EXACT set Jaccard >= threshold, via lossless
+    prefix filtering (SSJoin/AllPairs family) instead of the all-pairs
+    shingle self-join.
 
-    The co-occurrence self-join is on the shingle key; hot shingles fan out,
-    so at web scale prefilter with :func:`lsh_candidate_pairs` and use this
-    as the verifier. Doc sizes join in twice (broadcast-able aggregate).
+    Prefix principle: order the shingle universe by the canonical
+    (md5(shingle), shingle) total order; a doc with n shingles keeps only
+    its first ``n - ceil(t*n) + 1`` as join keys. Any pair with
+    J(A,B) >= t shares >= t*max(|A|,|B|) elements, so it MUST collide
+    inside both prefixes — the filter loses nothing, and at t=0.5 halves
+    the join input while skipping every pair whose overlap is provably
+    below threshold. Candidates are generated ids-only (invariant 6: no
+    wide payloads through the skewed shingle key), then the exact
+    intersection is recomputed per candidate pair over the FULL shingle
+    sets via two uniform-key joins (id_a, then (id_b, shingle)) — work
+    bounded by sum(|A|) over candidates, not over all co-occurring pairs.
+
+    Output is identical to the brute-force join (the DuckDB oracle still
+    computes it that way); only the plan shape changes.
     """
+    from pyspark.sql import Window
+
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    w = Window.partitionBy(id_col).orderBy(F.md5("shingle"), "shingle")
+    prefix = (
+        shingle_df.withColumn("_rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("_rn")
+            <= F.col("n_shingles")
+            - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+            + 1
+        )
+        .select(id_col, "shingle")
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a_full = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    b_full = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a_full, "id_a")
+        .join(b_full, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
