@@ -39,6 +39,7 @@ from ..operators.pagerank import build_document_authority
 from ..operators.postings import build_postings, n_shards_for
 from ..operators.term_stats import build_term_statistics
 from ..operators.tokens import build_tokens
+from ..sources.tableio import ParquetIO
 from .checkpoints import CheckpointLog, fingerprint
 
 
@@ -88,8 +89,13 @@ def build_index(
         result.tables[name] = out_path
         return out_path
 
+    # all stage writes go through the storage seam (sources/tableio.py):
+    # ParquetIO here; an Iceberg deployment swaps in IcebergIO, whose
+    # replace() is createOrReplace on the catalog table
+    io = ParquetIO(out_root)
+
     def plain_writer(df: DataFrame, path: str) -> None:
-        df.write.mode("overwrite").parquet(path)
+        io.replace(df, os.path.basename(path))
 
     # -- documents (extract + validate + dedup + scores) ----------------------
     fp_docs = fingerprint("documents", base_params, [])
@@ -141,9 +147,9 @@ def build_index(
         "postings",
         fp_post,
         lambda: build_postings(tokens, n_shards=shards, n_term_buckets=n_term_buckets),
-        lambda df, path: df.write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(path),
+        lambda df, path: io.replace(
+            df, os.path.basename(path), partition_by=["term_bucket"]
+        ),
     )
 
     # -- link graph (BEFORE pagerank — runner.py:51-52 ordering) -----------------

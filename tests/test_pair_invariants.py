@@ -215,3 +215,47 @@ def test_ntz_epoch_us_is_timezone_invariant(spark):
         ).select(ntz_epoch_us(F.col("s").cast("timestamp_ntz")).alias("us"))
         got = [r["us"] for r in df.collect()]
         assert got == expected, f"tz={tz}: {got} != {expected}"
+
+
+# ---------------------------------------------------------------------------
+# Invariant 3 (session independence): the driver runs pairs under ITS OWN
+# session — possibly non-UTC tz, ANSI on, 200 shuffle partitions. The
+# time/float-sensitive pairs must match the oracle under those conditions,
+# not just under the test session's defaults.
+# ---------------------------------------------------------------------------
+DRIVERLIKE_QUERIES = [
+    "event_sessions",
+    "events_hourly",
+    "events_rollup",
+    "freshness_scores",
+    "rfc2822_parse",
+    "news_feed_freshness",
+]
+
+
+@pytest.fixture(scope="module")
+def driverlike(spark):
+    """Same JVM, separate session state with a DST-observing timezone and
+    ANSI semantics — the conditions that broke r01's event_sessions."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "200")
+    return s
+
+
+@pytest.mark.parametrize("name", DRIVERLIKE_QUERIES)
+def test_pair_matches_oracle_under_driverlike_session(driverlike, name):
+    sdf = entry_mod.queries()[name](driverlike, SF_DIR)
+    sc_cols, sc_rows = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    for t in ["documents", "events", "embeddings"]:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    res = con.execute(entry_mod.oracle_sql()[name])
+    d_cols, d_rows = _norm([d[0] for d in res.description], res.fetchall())
+
+    assert sc_cols == d_cols
+    assert sc_rows == d_rows, f"{name}: session-dependent divergence"
