@@ -194,6 +194,156 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# Fallback reduced-scoring search (search_service.py:42-66 FALLBACK_SEARCH_SQL
+# + :321-338 reduced re-rank) — the one reference query shape that had no
+# twin. The Postgres trigger (CharacterNotInRepertoire on client decode)
+# cannot occur in Spark, but the SHAPE is modeled: full field-weighted
+# (3.2/1.7/1.0) tf*idf scoring projected down to (score, matched_terms),
+# then the reduced formula log1p(score)*12 + matched/total*25 + 40-if-all.
+# Fields are synthesized by deterministic text spans (title = chars 1-40,
+# description = 41-100, content = rest) identically on both engines.
+# doc_id is kept in the output purely as the deterministic tie-break (the
+# reference emits blank rows because its strings failed to decode; an
+# integer id has no such problem and makes the LIMIT cut order-stable).
+# Every float reduction is a FIXED-ORDER expression (field pivot, then
+# term pivot), never an order-unspecified SUM (invariant 4).
+# --------------------------------------------------------------------------
+FIELD_SPANS = [(1, 1, 40), (2, 41, 60), (4, 101, None)]  # (field, start, len)
+FALLBACK_TOTAL_TERMS = len(QUERY_TERMS)
+
+
+def q_fallback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    parts = []
+    for fid, start, length in FIELD_SPANS:
+        span = (
+            F.substring("text", start, length)
+            if length is not None
+            else F.expr(f"substring(text, {start})")
+        )
+        parts.append(
+            docs.select(
+                "doc_id",
+                F.lit(fid).alias("field"),
+                F.explode(
+                    F.regexp_extract_all(F.lower(span), F.lit(TOKEN_RUN), F.lit(0))
+                ).alias("term"),
+            )
+        )
+    ftoks = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    qtoks = ftoks.filter(F.col("term").isin(QUERY_TERMS))
+
+    # per-(doc, term): per-field counts pivoted into columns so the
+    # 3.2/1.7/1.0 weighting is one fixed-order expression
+    per_term = qtoks.groupBy("doc_id", "term").agg(
+        F.sum(F.when(F.col("field") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("field") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum(F.when(F.col("field") == 4, 1).otherwise(0)).alias("f4"),
+    )
+    wsum = (
+        F.col("f1").cast("double") * 3.2
+        + F.col("f2").cast("double") * 1.7
+        + F.col("f4").cast("double") * 1.0
+    )
+
+    dfd = F.col("doc_frequency").cast("double")
+    stats = (
+        doc_frequencies(qtoks.select("term", "doc_id"))
+        .crossJoin(F.broadcast(scalar_count(docs)))
+        .withColumn("idf", F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0))
+        .select("term", "idf")
+    )
+    contrib = wsum * F.coalesce("idf", F.lit(1.0))
+    # term pivot: one conditional sum per literal query term (each sums
+    # exactly one row), re-added in fixed order
+    term_cols = [
+        F.sum(F.when(F.col("term") == t, contrib).otherwise(0.0)).alias(f"_c{i}")
+        for i, t in enumerate(QUERY_TERMS)
+    ]
+    agg = (
+        per_term.join(F.broadcast(stats), "term", "left")
+        .groupBy("doc_id")
+        .agg(*term_cols, F.count(F.lit(1)).alias("matched_terms"))
+    )
+    token_score = F.col("_c0") + F.col("_c1") + F.col("_c2")
+    md = F.col("matched_terms").cast("double")
+    fallback = (
+        F.log1p(F.greatest(token_score, F.lit(0.0))) * 12.0
+        + md / FALLBACK_TOTAL_TERMS * 25.0
+        + F.when(F.col("matched_terms") == FALLBACK_TOTAL_TERMS, 40.0).otherwise(0.0)
+    )
+    return (
+        agg.select(
+            "doc_id",
+            F.round(fallback, 6).alias("fallback_score"),
+            "matched_terms",
+        )
+        .orderBy(F.desc("fallback_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _fallback_sql() -> str:
+    spans = []
+    for fid, start, length in FIELD_SPANS:
+        expr = (
+            f"substring(text, {start}, {length})"
+            if length is not None
+            else f"substring(text, {start})"
+        )
+        spans.append(
+            f"SELECT doc_id, {fid} AS field, "
+            f"unnest(regexp_extract_all(lower({expr}), '{TOKEN_RUN}')) AS term "
+            f"FROM documents"
+        )
+    union = " UNION ALL ".join(spans)
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    cs = ", ".join(
+        f"sum(CASE WHEN term = '{t}' THEN contrib ELSE 0.0 END) AS _c{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    )
+    return f"""
+WITH ftoks AS ({union}),
+qtoks AS (SELECT * FROM ftoks WHERE term IN ({terms})),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+per_term AS (
+  SELECT doc_id, term,
+         sum(CASE WHEN field = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN field = 2 THEN 1 ELSE 0 END) AS f2,
+         sum(CASE WHEN field = 4 THEN 1 ELSE 0 END) AS f4
+  FROM qtoks GROUP BY doc_id, term
+),
+stats AS (
+  SELECT term,
+         ln((n.n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+  FROM qtoks, n GROUP BY term, n.n
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         (p.f1::DOUBLE * 3.2 + p.f2::DOUBLE * 1.7 + p.f4::DOUBLE * 1.0)
+           * COALESCE(s.idf, 1.0) AS contrib
+  FROM per_term p LEFT JOIN stats s ON s.term = p.term
+),
+agg AS (
+  SELECT doc_id, {cs}, count(*) AS matched_terms
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       round(ln(1 + greatest(_c0 + _c1 + _c2, 0.0)) * 12.0
+             + matched_terms::DOUBLE / {FALLBACK_TOTAL_TERMS} * 25.0
+             + CASE WHEN matched_terms = {FALLBACK_TOTAL_TERMS} THEN 40.0 ELSE 0.0 END,
+             6) AS fallback_score,
+       matched_terms
+FROM agg
+ORDER BY fallback_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+SQL_FALLBACK_SEARCH = _fallback_sql()
+
+
+# --------------------------------------------------------------------------
 # U7 — exact dedup via content hashing (sha256, keep min doc per hash)
 # --------------------------------------------------------------------------
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,6 +610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "term_stats": q_term_stats,
     "search_topk": q_search_topk,
+    "fallback_search": q_fallback_search,
     "exact_dedup": q_exact_dedup,
     "quality_scores": q_quality_scores,
     "freshness_scores": q_freshness_scores,
@@ -474,6 +625,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "term_stats": SQL_TERM_STATS,
     "search_topk": SQL_SEARCH_TOPK,
+    "fallback_search": SQL_FALLBACK_SEARCH,
     "exact_dedup": SQL_EXACT_DEDUP,
     "quality_scores": SQL_QUALITY_SCORES,
     "freshness_scores": SQL_FRESHNESS_SCORES,

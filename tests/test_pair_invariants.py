@@ -37,6 +37,7 @@ NO_EXPAND_QUERIES = [
     "news_scoring",
     "bm25_topk",
     "news_feed_freshness",
+    "fallback_search",
 ]
 
 # Exact number of Spark jobs each pair may run during CONSTRUCTION: one
@@ -62,6 +63,7 @@ CONSTRUCTION_JOBS = {
     "spellcheck_candidates": 1,
     "rfc2822_parse": 1,
     "news_feed_freshness": 0,  # pure fixture pipeline: no reads at all
+    "fallback_search": 1,
 }
 
 
