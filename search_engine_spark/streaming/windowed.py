@@ -47,3 +47,46 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def streaming_event_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """streaming events(ts, user_id, value) -> per-user session aggregates
+    via the NATIVE session window: dynamic-length windows that merge events
+    closer than ``gap`` and close once the watermark passes last_event + gap.
+
+    The streaming twin of the batch sessionization pair
+    (driver_queries_td.q_event_sessions). One boundary difference, by
+    construction: ``session_window`` ends a session at exactly
+    last_event + gap (an event landing precisely on the boundary starts a
+    NEW session), while the batch pair breaks only on gap STRICTLY greater
+    than the threshold — the reference lag-epoch comparison. Continuous
+    event times make the disagreement measure-zero; the parity test uses
+    off-boundary fixtures and documents this.
+
+    State per user is bounded by open sessions inside the watermark
+    horizon; merges of out-of-order events into one session are handled by
+    the state store, not by re-sorting (the property the batch
+    lag/cumulative-sum formulation cannot give on an unbounded stream).
+
+    Output (append mode, one row per CLOSED session):
+    (user_id, session_start, session_end, n_events, sum_value).
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
