@@ -164,6 +164,14 @@ def main() -> None:
             "postings_bytes_per_posting": round(bytes_per_posting, 2),
             "search_p50_ms": round(statistics.median(lat) * 1000, 2),
             "search_p95_ms": round(sorted(lat)[int(len(lat) * 0.95) - 1] * 1000, 2),
+            # executor-side WAND telemetry over the whole query set: the
+            # fraction of posting blocks actually decoded (skipped blocks
+            # were never deserialized — the block-max pruning at work)
+            "wand_blocks_decoded_fraction": (
+                round(engine.scan_stats()["decoded_fraction"], 4)
+                if engine.scan_stats()["decoded_fraction"] is not None
+                else None
+            ),
         },
     }
     spark.stop()

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from .query.news_search import NewsSearchEngine
 from .query.search import SearchEngine, SearchResponse
 from .spellcheck.service import SpellcheckService
 
@@ -42,15 +43,47 @@ def format_results_markdown(response: SearchResponse) -> str:
 
 @dataclass
 class SearchAPI:
-    """search_web / spellcheck tools over built index DataFrames."""
+    """search_web / search_news / spellcheck tools over built DataFrames."""
 
     engine: SearchEngine
     spellcheck: SpellcheckService | None = None
+    news: NewsSearchEngine | None = None
 
     def search_web(self, query: str, limit: int = 10, offset: int = 0) -> str:
         """MCP tool: markdown block of web results (server.py:31-46)."""
         lim, off = bounded(limit, offset)
         return format_results_markdown(self.engine.search(query, lim, off))
+
+    def search_news(self, query: str, limit: int = 20, offset: int = 0) -> str:
+        """MCP tool: markdown block of news results (server.py:49-56);
+        same block format, items from the news engine (+8.0 re-rank)."""
+        if self.news is None:
+            return ""
+        lim, off = bounded(limit, offset)
+        return format_results_markdown(self.news.search(query, lim, off))
+
+    def news_search(self, q: str, limit: int = 20, offset: int = 0) -> dict:
+        """JSON-shaped NewsSearchResponse (main.py news route); feed
+        metadata join is the caller's option — items carry author +
+        published_at epoch-seconds."""
+        if self.news is None:
+            return {"results": [], "count": 0}
+        lim, off = bounded(limit, offset)
+        resp = self.news.search(q, lim, off)
+        return {
+            "results": [
+                {
+                    "title": r.title,
+                    "description": r.description,
+                    "url": r.url,
+                    "score": r.score,
+                    "author": r.author,
+                    "published_at_s": r.published_at_s,
+                }
+                for r in resp.results
+            ],
+            "count": resp.count,
+        }
 
     def web_search(self, q: str, limit: int = 20, offset: int = 0) -> dict:
         """JSON-shaped WebSearchResponse (main.py:139-141)."""

@@ -202,3 +202,53 @@ def test_upsert_articles_coalesce_semantics(spark):
     assert got["u1"]["image_url"] == "img2"
     assert got["u2"]["title"] == "Keep"               # untouched row survives
     assert got["u3"]["title"] == "Brand new"          # insert path
+
+
+# ---------------------------------------------------------------------------
+# News search engine (/search/news lifecycle) + API tools
+# ---------------------------------------------------------------------------
+def test_news_search_end_to_end(spark, feeds_df, term_stats):
+    from search_engine_spark.api import SearchAPI
+    from search_engine_spark.query.news_search import NewsSearchEngine
+
+    articles = parse_feeds(feeds_df).cache()
+    toks = article_tokens(articles).cache()
+    engine = NewsSearchEngine(articles, toks, term_stats)
+
+    resp = engine.search("data query spark", limit=10)
+    assert resp.results, "atom entries carry 'data query spark' vocabulary"
+    scores = [r.score for r in resp.results]
+    assert scores == sorted(scores, reverse=True)
+    # every result earned the flat news bonus on top of a >= 0 intent score
+    assert all(s >= 8.0 for s in scores)
+    # all-terms-matched articles outrank partial matches
+    assert resp.results[0].url.startswith("https://news")
+    assert resp.results[0].published_at_s is not None
+
+    # equal-score ties (if any) are url-ascending — and the markdown tool
+    # renders the reference block format
+    api = SearchAPI(engine=None, news=engine)
+    md = api.search_news("data query spark", limit=3)
+    assert md.startswith("[https://")
+    assert md.count("[") == 3
+
+    js = api.news_search("data query spark", limit=2)
+    assert js["count"] >= len(js["results"]) == 2
+    assert set(js["results"][0]) == {
+        "title", "description", "url", "score", "author", "published_at_s"
+    }
+    articles.unpersist()
+    toks.unpersist()
+
+
+def test_news_search_empty_and_missing_engine(spark, term_stats, feeds_df):
+    from search_engine_spark.api import SearchAPI
+    from search_engine_spark.query.news_search import NewsSearchEngine
+
+    articles = parse_feeds(feeds_df)
+    engine = NewsSearchEngine(articles, article_tokens(articles), term_stats)
+    assert engine.search("").results == []
+    assert engine.search("zzzznotaword").results == []
+    api = SearchAPI(engine=None)
+    assert api.search_news("x") == ""
+    assert api.news_search("x") == {"results": [], "count": 0}
