@@ -35,6 +35,7 @@ from .similarity import (
     srp_signs,
     train_ivf_centroids,
 )
+from .pipeline import CurationReport, curate_corpus, quality_gate
 from .textstats import language_id, token_counts, winnowing_fingerprints
 
 __all__ = [
@@ -59,4 +60,7 @@ __all__ = [
     "language_id",
     "token_counts",
     "winnowing_fingerprints",
+    "curate_corpus",
+    "quality_gate",
+    "CurationReport",
 ]

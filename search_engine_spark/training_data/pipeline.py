@@ -1,0 +1,146 @@
+"""End-to-end corpus curation: the training-data pipeline composed.
+
+Chains the individual operators in the order a 100 TB pretraining-data
+run applies them, each stage narrowing the corpus before the next (cost
+discipline: cheap exact filters first, candidate-bucketed near-dup last,
+and the expensive stages only ever see survivors):
+
+1. exact dedup — sha256 content hash, keep the min-id doc per hash
+   (hash-partitioned, skew-free).
+2. quality gate — native-Column heuristics (length band, alpha ratio,
+   mean word length band); no UDFs.
+3. language gate — marker-token language ID, keep an allow-list.
+4. near-dup dedup — MinHash signatures -> banded LSH candidate pairs
+   (ids only) -> large-star/small-star connected components -> keep each
+   component's min-id representative.
+
+Returns the kept corpus plus a per-stage audit (stage, rows_in,
+rows_out, dropped) computed from the SAME lazily-built frames — one
+count per stage boundary, no extra lineage. The audit is the "no silent
+drops" requirement of curation runs: every removed document is
+attributable to a stage.
+
+Scale notes: stages 1-3 are narrow projections + one hash-partitioned
+window; stage 4's shuffles are the banded-signature joins documented in
+dedup.py — nothing here introduces a new shuffle shape. For 10^12 docs
+run stages as separate checkpointed jobs (pipeline/checkpoints.py) so a
+restart resumes at the last stage boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from .textstats import language_id
+
+DEFAULT_MIN_CHARS = 80
+DEFAULT_MAX_CHARS = 200_000
+DEFAULT_MIN_ALPHA_RATIO = 0.55
+DEFAULT_MEAN_WORD_LEN = (2.0, 14.0)
+
+
+@dataclass
+class CurationReport:
+    stages: list  # (stage, rows_in, rows_out)
+
+    def dropped(self) -> dict:
+        return {s: rin - rout for s, rin, rout in self.stages}
+
+    def total_in(self) -> int:
+        return self.stages[0][1] if self.stages else 0
+
+    def total_out(self) -> int:
+        return self.stages[-1][2] if self.stages else 0
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_chars: int = DEFAULT_MIN_CHARS,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    min_alpha_ratio: float = DEFAULT_MIN_ALPHA_RATIO,
+    mean_word_len: tuple = DEFAULT_MEAN_WORD_LEN,
+) -> DataFrame:
+    """Heuristic quality filter, all native Columns (one scan, no shuffle):
+    char-length band, alphabetic-character ratio, mean word length band —
+    the standard cheap pretraining-data gates (C4/Gopher-style)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(words))
+    mean_wl = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(0.0)
+    lo, hi = mean_word_len
+    return docs.filter(
+        (n_chars >= min_chars)
+        & (n_chars <= max_chars)
+        & (n_alpha.cast("double") >= min_alpha_ratio * n_chars.cast("double"))
+        & (mean_wl >= lo)
+        & (mean_wl <= hi)
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple = ("en",),
+    num_perm: int = 9,
+    rows_per_band: int = 3,
+    quality_kwargs: dict | None = None,
+) -> tuple[DataFrame, CurationReport]:
+    """documents -> (kept documents, per-stage audit).
+
+    Counts run one action per stage boundary; the kept frame stays lazy
+    for the caller to write/cache.
+    """
+    stages: list = []
+
+    def gate(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        rin = before.count()
+        out = after.localCheckpoint(eager=True)
+        stages.append((name, rin, out.count()))
+        return out
+
+    base = docs.select(id_col, text_col)
+
+    # 1. exact dedup: keep min id per content hash
+    w = Window.partitionBy("_sha").orderBy(F.asc(id_col))
+    exact = (
+        base.withColumn("_sha", F.sha2(F.col(text_col), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_sha", "_rn")
+    )
+    exact = gate("exact_dedup", base, exact)
+
+    # 2. quality gate
+    q = quality_gate(exact, text_col=text_col, **(quality_kwargs or {}))
+    q = gate("quality", exact, q)
+
+    # 3. language gate
+    lang = language_id(q, text_col=text_col).filter(
+        F.col("pred_lang").isin(list(languages))
+    ).select(id_col, text_col)
+    lang = gate("language", q, lang)
+
+    # 4. near-dup: LSH pairs -> components -> keep component min
+    shingled = D.shingles(
+        lang.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    sig = D.minhash_signatures(shingled, num_perm=num_perm)
+    pairs = D.lsh_candidate_pairs(sig, rows_per_band=rows_per_band)
+    comps = D.connected_components(
+        pairs, nodes=lang.select(F.col(id_col).alias("doc_id")), id_col="doc_id"
+    )
+    keep_ids = comps.filter(F.col("doc_id") == F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    kept = lang.join(keep_ids, id_col, "inner")
+    kept = gate("near_dup", lang, kept)
+
+    return kept, CurationReport(stages=stages)

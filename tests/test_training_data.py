@@ -417,3 +417,51 @@ def test_ivf_probe_lists_zero_jobs(spark):
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert got == [0, 2]
     assert sc.statusTracker().getJobIdsForGroup("ivf-probe") == []
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation pipeline
+# ---------------------------------------------------------------------------
+def test_curate_corpus_end_to_end(spark):
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "into the green forest where many other animals live quietly"
+    )
+    rows = [
+        (1, good),                                   # keeper
+        (2, good),                                   # exact dup of 1 -> dropped
+        (3, good + " extra tail words here today"),  # near-dup of 1 -> dropped
+        (4, "short"),                                # quality: too short
+        (5, "x" * 100 + "123456789 !!!"),            # quality: mean word len
+        (6, ("le chat est sur la table et il regarde par la fenetre vers le "
+             "jardin ou les oiseaux chantent dans les arbres pres de la "
+             "maison et la vie est tres belle aujourd hui pour tout le monde")),  # language: fr
+        (7, ("completely different english text about distributed systems "
+             "and data processing with spark engines running large scale "
+             "jobs every day for many users around the world")),  # keeper
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, report = curate_corpus(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 7}
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["exact_dedup"] == (7, 6)      # doc 2 gone
+    assert by_stage["quality"][1] == 4            # 4 and 5 gone
+    assert by_stage["language"][1] == 3           # 6 gone
+    assert by_stage["near_dup"] == (3, 2)         # 3 collapsed into 1
+    assert report.total_in() == 7 and report.total_out() == 2
+    assert sum(report.dropped().values()) == 5
+
+
+def test_curate_corpus_is_idempotent(spark):
+    """Curating an already-curated corpus drops nothing."""
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kept, _ = curate_corpus(docs)
+    again, report2 = curate_corpus(kept)
+    assert report2.total_in() == report2.total_out()
