@@ -121,7 +121,9 @@ def main() -> None:
 
     # --- search latency p50 (flagship block-max WAND postings path) ----------
     spark._jvm.System.gc()
-    engine = PostingsSearchEngine(docs, postings, stats)
+    # interactive=True applies the query-service session tuning (AQE off,
+    # small shuffle partitioning) for this section; restored after
+    engine = PostingsSearchEngine(docs, postings, stats, interactive=True)
     token_engine = SearchEngine(docs, tokens, stats)
     stat_rows = stats.orderBy("term").limit(500).collect()
     by_df = sorted(stat_rows, key=lambda r: (-r["doc_frequency"], r["term"]))
@@ -150,6 +152,10 @@ def main() -> None:
         token_engine.search(q, 20, 0)
     queries["search_20q_tokens"] = round(time.perf_counter() - t0, 4)
     total += queries["search_20q_tokens"]
+
+    # restore the batch session configuration
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
 
     out = {
         "metric": "headline operator suite + index build + search (wall sec)",
