@@ -155,43 +155,59 @@ def ngram_jaccard_pairs(
     bounded by sum(|A|) over candidates, not over all co-occurring pairs.
 
     Output is identical to the brute-force join (the DuckDB oracle still
-    computes it that way); only the plan shape changes.
+    computes it that way); only the plan shape changes. One groupBy
+    produces, per doc, the md5-sorted shingle ARRAY, its size, and the
+    sliced prefix — sizes and prefixes share the shuffle, and there is no
+    per-doc window sort. Only prefixes are exploded for the candidate
+    join; verification joins the two per-doc arrays (one row per
+    candidate pair, uniform id keys) and intersects them JVM-side.
     """
-    from pyspark.sql import Window
-
-    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    w = Window.partitionBy(id_col).orderBy(F.md5("shingle"), "shingle")
-    prefix = (
-        shingle_df.withColumn("_rn", F.row_number().over(w))
-        .join(sizes, id_col)
-        .filter(
-            F.col("_rn")
-            <= F.col("n_shingles")
-            - F.ceil(F.lit(threshold) * F.col("n_shingles"))
-            + 1
+    per_doc = (
+        shingle_df.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.md5("shingle").alias("h"), F.col("shingle").alias("s"))
+                )
+            ).alias("_arr")
         )
-        .select(id_col, "shingle")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform("_arr", lambda x: x["s"]).alias("_shingles"),
+            F.size("_arr").alias("n_shingles"),
+        )
+        .withColumn(
+            "_plen",
+            F.col("n_shingles")
+            - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+            + 1,
+        )
+        .withColumn(
+            "_prefix", F.slice("_shingles", F.lit(1), F.col("_plen").cast("int"))
+        )
     )
+    prefix = per_doc.select("_id", F.explode("_prefix").alias("shingle"))
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        prefix.select(F.col("_id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("_id").alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    a_full = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
-    b_full = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(a_full, "id_a")
-        .join(b_full, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    a = per_doc.select(
+        F.col("_id").alias("id_a"),
+        F.col("_shingles").alias("_sa"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = per_doc.select(
+        F.col("_id").alias("id_b"),
+        F.col("_shingles").alias("_sb"),
+        F.col("n_shingles").alias("size_b"),
     )
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
-        .withColumnRenamed("n_shingles", "size_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b"), "id_b")
-        .withColumnRenamed("n_shingles", "size_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(
