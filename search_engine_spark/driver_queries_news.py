@@ -256,14 +256,113 @@ LIMIT 20
 SQL_NEWS_SCORING = _news_scoring_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# S4/W6 — url-keyed article upsert with COALESCE(NULLIF(new,''), old)
+# column merge (news_fetcher.py:267-283), exercised through the REAL
+# upsert_articles operator against deterministic old/new tables derived
+# from documents. Branch coverage by residue class:
+#   old-only rows survive; new-only rows insert; '' never overwrites;
+#   non-empty overwrites; null published_at falls back to old.
+# --------------------------------------------------------------------------
+def _upsert_inputs(spark: SparkSession, sf_dir: str):
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://u/"), F.col("doc_id"))
+    old = docs.filter(F.col("doc_id") % 3 == 0).select(
+        url.alias("url"),
+        F.lit("f-old").alias("feed_url"),
+        F.substring("text", 1, 20).alias("title"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("")).otherwise(
+            F.substring("text", 21, 20)
+        ).alias("description"),
+        F.substring("text", 41, 30).alias("content"),
+        F.lit("old-author").alias("author"),
+        (F.col("doc_id") * 100).alias("published_at_s"),
+        F.lit("img-old").alias("image_url"),
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 0).select(
+        url.alias("url"),
+        F.lit("f-new").alias("feed_url"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("")).otherwise(
+            F.substring("text", 5, 20)
+        ).alias("title"),
+        F.substring("text", 25, 20).alias("description"),
+        F.when(F.col("doc_id") % 8 == 0, F.lit("")).otherwise(
+            F.substring("text", 45, 30)
+        ).alias("content"),
+        F.lit("").alias("author"),  # blank: old author must survive
+        F.when(F.col("doc_id") % 10 == 0, F.lit(None).cast("long")).otherwise(
+            F.col("doc_id") * 200
+        ).alias("published_at_s"),
+        F.lit("img-new").alias("image_url"),
+    )
+    return old, new
+
+
+def q_article_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .news.feeds import upsert_articles
+
+    old, new = _upsert_inputs(spark, sf_dir)
+    merged = upsert_articles(old, new)
+    # insert-only rows with blank new fields legitimately merge to NULL;
+    # sentinel them so the driver's row-sorting comparator (which cannot
+    # order None against str) sees a total order on every column
+    return merged.select(
+        "url",
+        "feed_url",
+        *[
+            F.coalesce(c, F.lit("(none)")).alias(c)
+            for c in ("title", "description", "content", "author")
+        ],
+        F.coalesce("published_at_s", F.lit(-1)).alias("published_at_s"),
+        F.coalesce("image_url", F.lit("(none)")).alias("image_url"),
+    )
+
+
+SQL_ARTICLE_UPSERT = """
+WITH old AS (
+  SELECT 'https://u/' || doc_id AS url,
+         'f-old' AS feed_url,
+         substring(text, 1, 20) AS title,
+         CASE WHEN doc_id % 6 = 0 THEN '' ELSE substring(text, 21, 20) END AS description,
+         substring(text, 41, 30) AS content,
+         'old-author' AS author,
+         doc_id * 100 AS published_at_s,
+         'img-old' AS image_url
+  FROM documents WHERE doc_id % 3 = 0
+),
+new AS (
+  SELECT 'https://u/' || doc_id AS url,
+         'f-new' AS feed_url,
+         CASE WHEN doc_id % 4 = 0 THEN '' ELSE substring(text, 5, 20) END AS title,
+         substring(text, 25, 20) AS description,
+         CASE WHEN doc_id % 8 = 0 THEN '' ELSE substring(text, 45, 30) END AS content,
+         '' AS author,
+         CASE WHEN doc_id % 10 = 0 THEN NULL ELSE doc_id * 200 END AS published_at_s,
+         'img-new' AS image_url
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT COALESCE(n.url, o.url) AS url,
+       COALESCE(n.feed_url, o.feed_url) AS feed_url,
+       COALESCE(NULLIF(n.title, ''), o.title, '(none)') AS title,
+       COALESCE(NULLIF(n.description, ''), o.description, '(none)') AS description,
+       COALESCE(NULLIF(n.content, ''), o.content, '(none)') AS content,
+       COALESCE(NULLIF(n.author, ''), o.author, '(none)') AS author,
+       COALESCE(n.published_at_s, o.published_at_s, -1) AS published_at_s,
+       COALESCE(NULLIF(n.image_url, ''), o.image_url, '(none)') AS image_url
+FROM old o FULL OUTER JOIN new n ON n.url = o.url
+"""
+
+
 QUERIES_NEWS = {
     "rfc2822_parse": q_rfc2822_parse,
     "news_feed_freshness": q_news_feed_freshness,
     "news_scoring": q_news_scoring,
+    "article_upsert": q_article_upsert,
 }
 
 ORACLES_NEWS = {
     "rfc2822_parse": SQL_RFC2822_PARSE,
     "news_feed_freshness": SQL_NEWS_FEED_FRESHNESS,
     "news_scoring": SQL_NEWS_SCORING,
+    "article_upsert": SQL_ARTICLE_UPSERT,
 }

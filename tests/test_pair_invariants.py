@@ -64,6 +64,7 @@ CONSTRUCTION_JOBS = {
     "rfc2822_parse": 1,
     "news_feed_freshness": 0,  # pure fixture pipeline: no reads at all
     "fallback_search": 1,
+    "article_upsert": 1,
 }
 
 
