@@ -84,6 +84,21 @@ def test_no_expand_in_pair_plan(spark, name):
     assert "Expand" not in plan, f"{name}: Expand node in plan\n{plan}"
 
 
+# Scoring pairs join a tiny per-query stats/scalar dimension: that join must
+# stay a broadcast (a shuffled sort-merge join here would shuffle the whole
+# token relation to co-locate against a <= |query terms| row table).
+BROADCAST_QUERIES = ["search_topk", "news_scoring", "bm25_topk", "fallback_search"]
+
+
+@pytest.mark.parametrize("name", BROADCAST_QUERIES)
+def test_scoring_pairs_broadcast_the_stats_dim(spark, name):
+    plan = _formatted_plan(entry_mod.queries()[name](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{name}: stats/scalar dimension not broadcast\n{plan}"
+    )
+    assert "SortMergeJoin" not in plan, f"{name}: sort-merge join crept in\n{plan}"
+
+
 @pytest.mark.parametrize("name", sorted(CONSTRUCTION_JOBS))
 def test_pair_construction_runs_no_extra_jobs(spark, name):
     sc = spark.sparkContext
@@ -233,6 +248,8 @@ DRIVERLIKE_QUERIES = [
     "freshness_scores",
     "rfc2822_parse",
     "news_feed_freshness",
+    "fallback_search",
+    "article_upsert",
 ]
 
 
