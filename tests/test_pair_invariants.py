@@ -279,3 +279,43 @@ def test_pair_matches_oracle_under_driverlike_session(driverlike, name):
 
     assert sc_cols == d_cols
     assert sc_rows == d_rows, f"{name}: session-dependent divergence"
+
+
+# ---------------------------------------------------------------------------
+# Column pruning: scans must read only the columns the pair touches — a
+# scan dragging the full document row for a 2-column projection wastes
+# IO proportional to corpus width at 100 TB.
+# ---------------------------------------------------------------------------
+PRUNING_EXPECTATIONS = {
+    # pair -> (must appear in some ReadSchema, must never appear in any)
+    "exact_dedup": (["doc_id", "text"], ["url", "source", "fetched_at"]),
+    "term_stats": (["doc_id", "text"], ["url", "source"]),
+    "event_sessions": (["user_id", "ts", "value"], ["props"]),
+    "events_hourly": (["event_type", "ts", "value"], ["props", "user_id"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PRUNING_EXPECTATIONS))
+def test_pair_scans_prune_columns(spark, name):
+    plan = _formatted_plan(entry_mod.queries()[name](spark, SF_DIR))
+    schemas = [
+        line.split("ReadSchema:", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert schemas, plan
+    wanted, banned = PRUNING_EXPECTATIONS[name]
+    joined = " ".join(schemas)
+    for col in wanted:
+        assert f"{col}:" in joined, f"{name}: column {col} missing\n{joined}"
+    for col in banned:
+        assert f"{col}:" not in joined, (
+            f"{name}: scan reads unneeded column {col}\n{joined}"
+        )
+
+
+def test_in_plan_scalar_count_reads_zero_columns(spark):
+    """The broadcast COUNT(*) scalar (pair_helpers.scalar_count) must plan
+    as a zero-column scan — the cheapest possible pass over the table."""
+    plan = _formatted_plan(entry_mod.queries()["term_stats"](spark, SF_DIR))
+    assert "ReadSchema: struct<>" in plan, plan
