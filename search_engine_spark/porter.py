@@ -1,9 +1,15 @@
 """Porter stemmer, NLTK-extensions mode, pure Python, zero dependencies.
 
-The reference stems every token with ``nltk.stem.PorterStemmer()`` in its
-default NLTK_EXTENSIONS mode (``app/crawler/tokenizer.py:33,39``). NLTK is
-not a dependency of this engine, so we reimplement the published Porter
-(1980) algorithm plus the documented NLTK departures so stems are identical:
+Provenance: this is a from-scratch implementation of M.F. Porter's
+published 1980 algorithm ("An algorithm for suffix stripping", Program
+14(3):130-137) together with the NLTK project's publicly documented
+NLTK_EXTENSIONS departures (nltk/stem/porter.py, Apache License 2.0 —
+the departure LIST below is transcribed from its public docs/comments;
+the code here is written fresh, not copied). Rationale: the reference
+stems every token with ``nltk.stem.PorterStemmer()`` in its default
+NLTK_EXTENSIONS mode (``app/crawler/tokenizer.py:33,39``); NLTK is not a
+dependency of this engine, and stem-identity is a parity requirement, so
+the exact variant is reimplemented:
 
 - irregular-forms pool (sky, dying->die, news, proceed, ...)
 - words of length <= 2 are returned unchanged
