@@ -319,3 +319,39 @@ def test_in_plan_scalar_count_reads_zero_columns(spark):
     as a zero-column scan — the cheapest possible pass over the table."""
     plan = _formatted_plan(entry_mod.queries()["term_stats"](spark, SF_DIR))
     assert "ReadSchema: struct<>" in plan, plan
+
+
+def test_ntz_epoch_us_sweep_vs_duckdb(spark):
+    """200 seeded wall-clocks across 1970-2100 (plus both DST edges of
+    America/New_York) must produce DuckDB's epoch_us under UTC and two
+    DST-observing session timezones — the batch generalization of the
+    fixed-case test above."""
+    import random
+
+    from search_engine_spark.pair_helpers import ntz_epoch_us
+
+    rng = random.Random(20260817)
+    stamps = [
+        f"{rng.randint(1970, 2100):04d}-{rng.randint(1, 12):02d}-"
+        f"{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:"
+        f"{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}."
+        f"{rng.randint(0, 999999):06d}"
+        for _ in range(200)
+    ] + ["2024-03-10 02:00:00.000001", "2024-11-03 01:59:59.999999"]
+
+    expected = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT epoch_us(ts::TIMESTAMP) FROM (VALUES "
+            + ", ".join(f"('{s}')" for s in stamps)
+            + ") t(ts)"
+        ).fetchall()
+    ]
+    sess = spark.newSession()
+    for tz in ["UTC", "America/New_York", "Australia/Lord_Howe"]:
+        sess.conf.set("spark.sql.session.timeZone", tz)
+        df = sess.createDataFrame([(s,) for s in stamps], "s string").select(
+            ntz_epoch_us(F.col("s").cast("timestamp_ntz")).alias("us")
+        )
+        got = [r["us"] for r in df.collect()]
+        assert got == expected, f"tz={tz}: first mismatch at {next(i for i,(a,b) in enumerate(zip(got,expected)) if a!=b)}"

@@ -83,3 +83,34 @@ def test_ctf_matches_tokens(built):
     for r in rows:
         got[r["term"]] = got.get(r["term"], 0) + r["ctf"]
     assert got == want
+
+
+def test_search_results_invariant_under_shard_count(spark, docs, tokens, term_stats, postings3):
+    """Doc-range sharding is pure layout: top-k results (urls AND scores)
+    must be identical whether the index is built as one shard or five —
+    the distributed-correctness property that makes the per-shard WAND +
+    global top-k reduce exact."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.postings import build_postings
+    from search_engine_spark.query.postings_search import PostingsSearchEngine
+
+    p1 = build_postings(tokens, n_shards=1).cache()
+    p5 = build_postings(tokens, n_shards=5).cache()
+    p1.count(), p5.count()
+    e1 = PostingsSearchEngine(docs, p1, term_stats)
+    e3 = PostingsSearchEngine(docs, postings3, term_stats)
+    e5 = PostingsSearchEngine(docs, p5, term_stats)
+
+    top = [
+        r["term"]
+        for r in term_stats.orderBy(F.desc("doc_frequency"), "term").limit(5).collect()
+    ]
+    queries = [top[0], f"{top[1]} {top[2]}", f"{top[0]} {top[3]} {top[4]}"]
+    for q in queries:
+        results = [
+            [(x.url, round(x.score, 6)) for x in eng.search(q, 20, 0).results]
+            for eng in (e1, e3, e5)
+        ]
+        assert results[0] == results[1] == results[2], f"shard-variant results for {q!r}"
+    p1.unpersist(), p5.unpersist()
