@@ -1,0 +1,84 @@
+"""News-table build: feeds(feed_url, xml) -> persisted articles /
+article_tokens / feed_metadata, plus the engine loader.
+
+The batch analog of the reference's news fetch cycle minus the HTTP loop
+(``news_fetcher.py``: parse -> upsert articles by url -> replace
+source_type=2 tokens -> refresh feed metadata). Writes go through the
+storage seam (``sources/tableio.py``) so the same code persists to
+parquet directories here and Iceberg catalog tables in deployment:
+
+- ``articles``: url-keyed UPSERT against the existing table
+  (COALESCE(NULLIF(new,''), old) column merge);
+- ``article_tokens``: full recompute + overwrite for the fetched
+  articles' tokens (the reference DELETEs + reinserts per article —
+  S5's replace semantics);
+- ``feed_metadata``: declared + A9-promoted last_published per feed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tableio import ParquetIO, TableIO
+from .feeds import (
+    article_tokens,
+    feed_last_published,
+    parse_feed_metadata,
+    parse_feeds,
+    upsert_articles,
+)
+
+ARTICLES = "articles"
+ARTICLE_TOKENS = "article_tokens"
+FEED_METADATA = "feed_metadata"
+
+
+def build_news_tables(
+    spark: SparkSession,
+    feeds: DataFrame,
+    out_root: str,
+    io: TableIO | None = None,
+) -> dict:
+    """Parse + persist one batch of fetched feed XML. Returns table names
+    -> row counts (the ingest metrics the reference logs per cycle)."""
+    io = io or ParquetIO(out_root)
+    incoming = parse_feeds(feeds)
+
+    if isinstance(io, ParquetIO) and io.exists(spark, ARTICLES):
+        merged = upsert_articles(io.read(spark, ARTICLES), incoming)
+        # upsert reads the table it overwrites: break lineage first
+        io.replace(merged.localCheckpoint(eager=True), ARTICLES)
+    else:
+        io.replace(incoming, ARTICLES)
+
+    articles = io.read(spark, ARTICLES)
+    io.replace(article_tokens(articles), ARTICLE_TOKENS)
+    io.replace(
+        feed_last_published(parse_feed_metadata(feeds), incoming), FEED_METADATA
+    )
+    return {
+        ARTICLES: articles.count(),
+        ARTICLE_TOKENS: io.read(spark, ARTICLE_TOKENS).count(),
+        FEED_METADATA: io.read(spark, FEED_METADATA).count(),
+    }
+
+
+def load_news_engine(spark: SparkSession, out_root: str, index_root: str | None = None):
+    """Open the persisted news tables (+ the web index's term_statistics
+    when available — the reference's news search uses the SHARED idf
+    table) and return a ready NewsSearchEngine."""
+    from ..query.news_search import NewsSearchEngine
+
+    io = ParquetIO(out_root)
+    articles = io.read(spark, ARTICLES)
+    toks = io.read(spark, ARTICLE_TOKENS)
+    if index_root is not None and os.path.exists(
+        os.path.join(index_root, "term_statistics")
+    ):
+        stats = spark.read.parquet(os.path.join(index_root, "term_statistics"))
+    else:
+        # no web index: every term falls back to idf 1.0 (COALESCE path)
+        stats = spark.createDataFrame([], "term string, idf double")
+    return NewsSearchEngine(articles, toks, stats)

@@ -252,3 +252,27 @@ def test_news_search_empty_and_missing_engine(spark, term_stats, feeds_df):
     api = SearchAPI(engine=None)
     assert api.search_news("x") == ""
     assert api.news_search("x") == {"results": [], "count": 0}
+
+
+# ---------------------------------------------------------------------------
+# Persisted news build + loader (batch analog of the fetch cycle)
+# ---------------------------------------------------------------------------
+def test_build_news_tables_and_reload(spark, tmp_path):
+    from search_engine_spark.news.pipeline import build_news_tables, load_news_engine
+
+    out = str(tmp_path / "news")
+    feeds = spark.createDataFrame(synth_feeds(4, 5), "feed_url string, xml string")
+    counts = build_news_tables(spark, feeds, out)
+    assert counts["articles"] > 0
+    assert counts["feed_metadata"] == 4
+    assert counts["article_tokens"] > counts["articles"]
+
+    engine = load_news_engine(spark, out)  # no web index: idf -> 1.0
+    resp = engine.search("data query spark", limit=5)
+    assert resp.results and all(r.score >= 8.0 for r in resp.results)
+
+    # second cycle with an overlapping batch: upsert keeps table url-unique
+    counts2 = build_news_tables(spark, feeds, out)
+    assert counts2["articles"] == counts["articles"]
+    arts = spark.read.parquet(f"{out}/articles")
+    assert arts.count() == arts.select("url").distinct().count()
