@@ -276,3 +276,60 @@ def test_build_news_tables_and_reload(spark, tmp_path):
     assert counts2["articles"] == counts["articles"]
     arts = spark.read.parquet(f"{out}/articles")
     assert arts.count() == arts.select("url").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# Hostile-input hardening: at 100 TB the parser sees arbitrary broken web
+# XML — it must never raise, only produce fewer items.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_xmlish = st.text(
+    alphabet=st.sampled_from(list("<>/&;=\"' \n\tabcdefP6rslitemnkudpv0123456789-:%")),
+    max_size=400,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_xmlish)
+def test_parse_feed_never_raises_on_garbage(payload):
+    meta, items = parse_feed("https://f.example/rss", payload)
+    assert isinstance(items, list)
+    assert meta["feed_url"] == "https://f.example/rss"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_parse_feed_never_raises_on_binary_noise(payload):
+    text = payload.decode("utf-8", errors="replace")
+    meta, items = parse_feed("https://f.example/rss", text)
+    assert isinstance(items, list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_xmlish, _xmlish)
+def test_clean_html_and_rfc2822_never_raise(a, b):
+    assert isinstance(clean_html_text(a), str)
+    assert parse_datetime_rfc2822(b) is None or parse_datetime_rfc2822(b).tzinfo is not None
+
+
+def test_parse_feed_item_level_damage_is_isolated():
+    """One malformed item must not take down the siblings... within XML
+    well-formedness: ElementTree rejects non-well-formed documents whole
+    (unlike the reference's lenient BeautifulSoup — documented difference),
+    so damage isolation is at the ITEM-CONTENT level: bad dates, bad urls,
+    bad entities in one item leave the others parsed."""
+    xml = """<?xml version="1.0"?>
+<rss version="2.0"><channel><title>t</title><link>https://h/</link>
+  <item><title>bad date</title><link>https://h/a</link>
+    <pubDate>not a date at all</pubDate></item>
+  <item><title>bad link</title><link>ht!tp://:::</link></item>
+  <item><title>good</title><link>https://h/b</link>
+    <pubDate>Mon, 01 Jan 2024 00:00:00 +0000</pubDate></item>
+</channel></rss>"""
+    _, items = parse_feed("https://h/rss", xml)
+    urls = [i["url"] for i in items]
+    assert "https://h/b" in urls
+    bad_date = next(i for i in items if i["title"] == "bad date")
+    assert bad_date["published_at"] is None  # unparseable date -> None, kept
