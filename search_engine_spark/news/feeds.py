@@ -56,6 +56,10 @@ MAX_ARTICLE_URL_LENGTH = 2000  # news_fetcher.py:24
 
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
+# tag-soup recovery: item/entry blocks inside a non-well-formed envelope
+_ITEM_BLOCK_RE = re.compile(
+    r"<(item|entry)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+)
 
 
 def parse_datetime_rfc2822(value: str | None) -> datetime | None:
@@ -205,18 +209,40 @@ def parse_feed(feed_url: str, xml_text: str) -> tuple[dict, list[dict]]:
 
     Metadata ``last_published`` already includes the A9 promotion: the max
     item date wins over the declared lastBuildDate/pubDate/updated when
-    newer (``:190-195``). Malformed XML -> empty metadata + no items (the
-    reference logs and skips the feed)."""
+    newer (``:190-195``).
+
+    Malformed envelopes degrade in two steps, mirroring the reference's
+    lenient soup parser as closely as stdlib allows: first a tag-soup
+    recovery pass extracts ``<item>``/``<entry>`` blocks by regex and
+    parses each individually (well-formed items inside a broken document
+    survive; broken ones are skipped); if nothing is salvageable the feed
+    yields empty metadata + no items (the reference logs and skips)."""
+    empty_meta = {
+        "feed_url": feed_url,
+        "name": "",
+        "link": "",
+        "declared_last_published": None,
+        "last_published": None,
+    }
     try:
         root = ElementTree.fromstring(xml_text)
     except ElementTree.ParseError:
-        return {
-            "feed_url": feed_url,
-            "name": "",
-            "link": "",
-            "declared_last_published": None,
-            "last_published": None,
-        }, []
+        items = []
+        for m in _ITEM_BLOCK_RE.finditer(xml_text):
+            try:
+                node = ElementTree.fromstring(m.group(0))
+            except ElementTree.ParseError:
+                continue
+            parsed = _parse_item(feed_url, node)
+            if parsed is not None:
+                items.append(parsed)
+            if len(items) >= MAX_ITEMS_PER_FEED:
+                break
+        meta = dict(empty_meta)
+        item_dates = [i["published_at"] for i in items if i["published_at"] is not None]
+        if item_dates:
+            meta["last_published"] = max(item_dates)
+        return meta, items
 
     # channel (RSS) or the feed element itself (Atom)
     source = root

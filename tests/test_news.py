@@ -333,3 +333,19 @@ def test_parse_feed_item_level_damage_is_isolated():
     assert "https://h/b" in urls
     bad_date = next(i for i in items if i["title"] == "bad date")
     assert bad_date["published_at"] is None  # unparseable date -> None, kept
+
+
+def test_broken_envelope_salvages_wellformed_items():
+    """Tag-soup recovery: a feed whose envelope is not well-formed (stray
+    '&', unclosed channel) still yields its parseable items."""
+    xml = """<?xml version="1.0"?>
+<rss version="2.0"><channel><title>Busted & broken</title>
+  <item><title>ok one</title><link>https://h/1</link>
+    <pubDate>Mon, 01 Jan 2024 00:00:00 +0000</pubDate></item>
+  <item><title>broken <b>inside</title><link>https://h/2</link></item>
+  <item><title>ok two</title><link>https://h/3</link></item>
+"""
+    meta, items = parse_feed("https://h/rss", xml)
+    urls = {i["url"] for i in items}
+    assert urls == {"https://h/1", "https://h/3"}  # the broken item skipped
+    assert meta["last_published"] is not None  # promoted from salvaged items
