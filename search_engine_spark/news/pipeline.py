@@ -82,3 +82,41 @@ def load_news_engine(spark: SparkSession, out_root: str, index_root: str | None 
         # no web index: every term falls back to idf 1.0 (COALESCE path)
         stats = spark.createDataFrame([], "term string, idf double")
     return NewsSearchEngine(articles, toks, stats)
+
+
+def run_news_stream(
+    spark: SparkSession,
+    feeds_src: str,
+    out_root: str,
+    checkpoint: str,
+) -> None:
+    """Streaming ingest of fetched feed XML: each micro-batch of
+    (feed_url, xml) rows runs the same parse -> upsert -> token-replace ->
+    metadata-refresh cycle as :func:`build_news_tables` (foreachBatch,
+    AvailableNow). This is the batch-Spark analog of the reference's
+    20-minute refetch scheduler (``news_fetcher.py:236-238``): the
+    SCHEDULE stays external (whatever drops XML into ``feeds_src``), the
+    per-cycle semantics live here, and the streaming checkpoint makes the
+    cycle resumable exactly like the page pipeline's incremental runs."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("feed_url", T.StringType(), False),
+            T.StructField("xml", T.StringType(), False),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(feeds_src)
+
+    def _foreach(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_news_tables(batch_df.sparkSession, batch_df, out_root)
+
+    q = (
+        stream.writeStream.foreachBatch(_foreach)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

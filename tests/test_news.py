@@ -349,3 +349,38 @@ def test_broken_envelope_salvages_wellformed_items():
     urls = {i["url"] for i in items}
     assert urls == {"https://h/1", "https://h/3"}  # the broken item skipped
     assert meta["last_published"] is not None  # promoted from salvaged items
+
+
+def test_run_news_stream_incremental(spark, tmp_path):
+    """Two feed-XML drops -> two micro-batch cycles: the articles table
+    ends url-unique with both batches' articles, and restarting from the
+    checkpoint reprocesses nothing."""
+    import os
+
+    from search_engine_spark.news.pipeline import run_news_stream
+
+    src = str(tmp_path / "feeds_src")
+    out = str(tmp_path / "news")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    batch1 = spark.createDataFrame(synth_feeds(2, 4), "feed_url string, xml string")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    run_news_stream(spark, src, out, ckpt)
+    n1 = spark.read.parquet(f"{out}/articles").count()
+    assert n1 > 0
+
+    # second drop: one overlapping feed (upsert) + one new feed (insert)
+    rows = [(feed_url_of(1), synth_feed_xml(1, 4)), (feed_url_of(9), synth_feed_xml(9, 3))]
+    spark.createDataFrame(rows, "feed_url string, xml string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_news_stream(spark, src, out, ckpt)
+    arts = spark.read.parquet(f"{out}/articles")
+    n2 = arts.count()
+    assert n2 == n1 + 3  # only feed 9's articles are new urls
+    assert arts.count() == arts.select("url").distinct().count()
+
+    # replay with nothing new: checkpoint prevents reprocessing
+    run_news_stream(spark, src, out, ckpt)
+    assert spark.read.parquet(f"{out}/articles").count() == n2
