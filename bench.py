@@ -121,8 +121,11 @@ def main() -> None:
 
     # --- search latency p50 (flagship block-max WAND postings path) ----------
     spark._jvm.System.gc()
-    # interactive=True applies the query-service session tuning (AQE off,
-    # small shuffle partitioning) for this section; restored after
+    # interactive=True scopes the query-service tuning (AQE off, small
+    # shuffle partitioning) around each search() action; the session
+    # configuration is untouched outside those scopes (r02 verdict item 2:
+    # the old constructor-side mutation leaked a 4-partition/no-AQE profile
+    # into the token-engine section below and tripled its time)
     engine = PostingsSearchEngine(docs, postings, stats, interactive=True)
     token_engine = SearchEngine(docs, tokens, stats)
     stat_rows = stats.orderBy("term").limit(500).collect()
@@ -135,27 +138,33 @@ def main() -> None:
         f"{by_df[2]['term']} {by_df[-2]['term']} {by_df[5]['term']}",
     ] * 4
     engine.search(qset[0], 20, 0)  # warm
-    lat = []
-    t0 = time.perf_counter()
-    for q in qset:
-        s = time.perf_counter()
-        engine.search(q, 20, 0)
-        lat.append(time.perf_counter() - s)
-    search_wall = time.perf_counter() - t0
+    # best-of-2 like every other section (this was the only single-pass
+    # measurement in r02; ambient variance hit it hardest)
+    search_wall = float("inf")
+    lat: list[float] = []
+    for _ in range(2):
+        pass_lat = []
+        t0 = time.perf_counter()
+        for q in qset:
+            s = time.perf_counter()
+            engine.search(q, 20, 0)
+            pass_lat.append(time.perf_counter() - s)
+        wall = time.perf_counter() - t0
+        if wall < search_wall:
+            search_wall, lat = wall, pass_lat
     queries["search_20q"] = round(search_wall, 4)
     total += search_wall
 
     # token-table engine on the same query set, for comparison
     token_engine.search(qset[0], 20, 0)  # warm
-    t0 = time.perf_counter()
-    for q in qset:
-        token_engine.search(q, 20, 0)
-    queries["search_20q_tokens"] = round(time.perf_counter() - t0, 4)
+    tok_wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for q in qset:
+            token_engine.search(q, 20, 0)
+        tok_wall = min(tok_wall, time.perf_counter() - t0)
+    queries["search_20q_tokens"] = round(tok_wall, 4)
     total += queries["search_20q_tokens"]
-
-    # restore the batch session configuration
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
 
     out = {
         "metric": "headline operator suite + index build + search (wall sec)",

@@ -938,8 +938,12 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, us, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         -- CAST: DuckDB window-sum of INTEGER yields HUGEINT, which pandas
+         -- serializes as float64 (11.0 vs Spark's int64 11) and fails the
+         -- value hash even when every value matches (r02 verdict item 1)
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM marked
 )
 SELECT user_id, session_seq,

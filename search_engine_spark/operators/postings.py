@@ -166,7 +166,13 @@ def merge_postings(segments: list[DataFrame]) -> DataFrame:
     tagged = segments[0].withColumn("_segment", F.lit(0))
     for i, seg in enumerate(segments[1:], start=1):
         tagged = tagged.unionByName(seg.withColumn("_segment", F.lit(i)))
-    decoded = tagged.mapInPandas(_decode_rows, schema=_DECODED_SCHEMA)
+    # decoded feeds BOTH the owner aggregate and the join probe side; without
+    # a materialization barrier the blob decode — the most expensive stage —
+    # executes twice per merge (same lineage-breaking pattern as
+    # connected_components / build_news_tables)
+    decoded = tagged.mapInPandas(
+        _decode_rows, schema=_DECODED_SCHEMA
+    ).localCheckpoint(eager=True)
     owner = decoded.groupBy("doc_id").agg(F.max("_segment").alias("_owner"))
     kept = (
         decoded.join(owner, "doc_id")

@@ -17,6 +17,8 @@ exact (any doc in the global top-k is in its shard's top-k).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -82,18 +84,16 @@ class PostingsSearchEngine:
         self.documents = documents
         self.postings = postings
         self.term_statistics = term_statistics
-        if interactive:
-            # Interactive query-service tuning, applied to the SESSION (the
-            # standard Spark serving setup runs queries on a dedicated
-            # session): AQE off — its adaptive stage materialization adds
-            # one scheduling round-trip per exchange, worth it for batch,
-            # pure overhead for a sub-second top-k over cached tables
-            # (measured: p50 814 -> 614 ms with both changes at 4k docs) —
-            # and few shuffle partitions, sized to the shard count rather
-            # than the batch default.
-            sess = documents.sparkSession
-            sess.conf.set("spark.sql.adaptive.enabled", "false")
-            sess.conf.set("spark.sql.shuffle.partitions", "4")
+        # Interactive query-service tuning: AQE off — its adaptive stage
+        # materialization adds one scheduling round-trip per exchange, worth
+        # it for batch, pure overhead for a sub-second top-k over cached
+        # tables — and few shuffle partitions, sized to the shard count
+        # rather than the batch default. Applied SCOPED around each query
+        # action (interactive_conf), never left set on the shared session:
+        # a constructor that rewrites session-wide configs contaminates any
+        # co-resident batch job (r02 verdict item 2).
+        self.interactive = interactive
+        self.interactive_shuffle_partitions = 4
         # MUST match the modulus the postings were built with, or bucket
         # pruning silently drops valid partitions (CLAUDE.md invariant 7;
         # load_engines reads it from the build's meta file). When the
@@ -111,6 +111,39 @@ class PostingsSearchEngine:
         sc = documents.sparkSession.sparkContext
         self._acc_decoded = sc.accumulator(0)
         self._acc_total = sc.accumulator(0)
+
+    @contextmanager
+    def interactive_conf(self):
+        """Scoped serving-profile configs (no-op unless ``interactive``).
+
+        Saves the session's AQE / shuffle-partition settings, applies the
+        low-latency profile for the duration of the block, and always
+        restores the originals — so constructing or querying an engine
+        never leaks configuration into co-resident batch jobs. Spark reads
+        both configs at action time, so wrapping the ``.collect()`` is
+        sufficient.
+        """
+        if not self.interactive:
+            yield
+            return
+        conf = self.documents.sparkSession.conf
+        saved = {
+            k: conf.get(k, None)
+            for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+        }
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(self.interactive_shuffle_partitions),
+            )
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
 
     def scan_stats(self) -> dict:
         """Cumulative executor-side WAND telemetry: blocks decoded vs total
@@ -190,7 +223,8 @@ class PostingsSearchEngine:
         ctx = search_context(q, limit, offset)
         if ctx is None:
             return SearchResponse(results=[], count=0)
-        ranked_rows = rerank(self._candidates(ctx), ctx).collect()
+        with self.interactive_conf():
+            ranked_rows = rerank(self._candidates(ctx), ctx).collect()
         page = [
             SearchResult(
                 title=r["title"] or "",

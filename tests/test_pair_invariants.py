@@ -321,6 +321,104 @@ def test_in_plan_scalar_count_reads_zero_columns(spark):
     assert "ReadSchema: struct<>" in plan, plan
 
 
+# ---------------------------------------------------------------------------
+# Serialization-kind parity — the bug class that ate rounds 1 AND 2: the
+# driver compares pandas-serialized frames, and a DuckDB HUGEINT column
+# (e.g. any window-sum of INTEGER) arrives as float64 (11.0) while Spark
+# emits int64 (11) — every value identical, hash mismatch. Guard the whole
+# class: DESCRIBE every oracle (no execution needed), ban HUGEINT/UHUGEINT
+# outright, and assert each column's pandas-serialization kind matches the
+# Spark schema's kind column-by-column.
+# ---------------------------------------------------------------------------
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_BANNED_DUCK = {"HUGEINT", "UHUGEINT"}
+
+
+def _duck_kind(t: str) -> str:
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return "list"
+    if t in _DUCK_INT:
+        return "int"
+    if t in {"DOUBLE", "FLOAT", "REAL"} or t.startswith("DECIMAL"):
+        return "float"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "BLOB":
+        return "bytes"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    return t
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    return dt.simpleString()
+
+
+@pytest.fixture(scope="module")
+def ddb_all():
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_oracle_types_serialize_like_spark(spark, ddb_all, name):
+    described = ddb_all.execute(
+        f"DESCRIBE {entry_mod.oracle_sql()[name]}"
+    ).fetchall()
+    duck_types = {row[0]: row[1] for row in described}
+    for col, t in duck_types.items():
+        assert t.strip().upper() not in _BANNED_DUCK, (
+            f"{name}.{col} is {t}: DuckDB HUGEINT serializes as float64 "
+            f"through pandas while Spark emits int64 — CAST it (the "
+            f"event_sessions r01/r02 bug class)"
+        )
+
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    spark_types = {f.name: f.dataType for f in sdf.schema.fields}
+    assert sorted(spark_types) == sorted(duck_types), (
+        f"{name}: column sets differ {sorted(spark_types)} vs {sorted(duck_types)}"
+    )
+    for col in spark_types:
+        sk, dk = _spark_kind(spark_types[col]), _duck_kind(duck_types[col])
+        assert sk == dk, (
+            f"{name}.{col}: Spark {spark_types[col].simpleString()} ({sk}) vs "
+            f"DuckDB {duck_types[col]} ({dk}) — pandas serialization will differ"
+        )
+
+
 def test_ntz_epoch_us_sweep_vs_duckdb(spark):
     """200 seeded wall-clocks across 1970-2100 (plus both DST edges of
     America/New_York) must produce DuckDB's epoch_us under UTC and two
