@@ -342,13 +342,27 @@ new AS (
   FROM documents WHERE doc_id % 2 = 0
 )
 SELECT COALESCE(n.url, o.url) AS url,
-       COALESCE(n.feed_url, o.feed_url) AS feed_url,
-       COALESCE(NULLIF(n.title, ''), o.title, '(none)') AS title,
-       COALESCE(NULLIF(n.description, ''), o.description, '(none)') AS description,
-       COALESCE(NULLIF(n.content, ''), o.content, '(none)') AS content,
-       COALESCE(NULLIF(n.author, ''), o.author, '(none)') AS author,
+       -- existing attribution wins: the reference's ON CONFLICT update
+       -- list omits feed_url (news_fetcher.py:269-283)
+       COALESCE(o.feed_url, n.feed_url) AS feed_url,
+       -- NULLIF('') merges only ON CONFLICT; the reference's INSERT path
+       -- writes raw values, so insert-only rows keep their ''
+       COALESCE(CASE WHEN o.url IS NOT NULL AND n.url IS NOT NULL
+                     THEN COALESCE(NULLIF(n.title, ''), o.title)
+                     ELSE COALESCE(n.title, o.title) END, '(none)') AS title,
+       COALESCE(CASE WHEN o.url IS NOT NULL AND n.url IS NOT NULL
+                     THEN COALESCE(NULLIF(n.description, ''), o.description)
+                     ELSE COALESCE(n.description, o.description) END, '(none)') AS description,
+       COALESCE(CASE WHEN o.url IS NOT NULL AND n.url IS NOT NULL
+                     THEN COALESCE(NULLIF(n.content, ''), o.content)
+                     ELSE COALESCE(n.content, o.content) END, '(none)') AS content,
+       COALESCE(CASE WHEN o.url IS NOT NULL AND n.url IS NOT NULL
+                     THEN COALESCE(NULLIF(n.author, ''), o.author)
+                     ELSE COALESCE(n.author, o.author) END, '(none)') AS author,
        COALESCE(n.published_at_s, o.published_at_s, -1) AS published_at_s,
-       COALESCE(NULLIF(n.image_url, ''), o.image_url, '(none)') AS image_url
+       COALESCE(CASE WHEN o.url IS NOT NULL AND n.url IS NOT NULL
+                     THEN COALESCE(NULLIF(n.image_url, ''), o.image_url)
+                     ELSE COALESCE(n.image_url, o.image_url) END, '(none)') AS image_url
 FROM old o FULL OUTER JOIN new n ON n.url = o.url
 """
 

@@ -887,6 +887,105 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# TRAINED IVF pair: the real Lloyd-k-means quantizer
+# (training_data/similarity.train_ivf_centroids) end to end — md5-ordered
+# init, 2 assignment/update iterations, final assignment, nprobe search.
+# Portable because every stage is deterministic in BOTH engines: md5 init
+# order, left-to-right double folds for cosine (aggregate vs
+# list_sum(list_transform(...))), and FIXED-POINT centroid means (per-value
+# micros -> integer sum -> double divide, the sum_fixed6 pattern), so the
+# trained k x d matrix is bit-identical and assignments can't flip.
+# --------------------------------------------------------------------------
+IVF_TRAIN_K = 8
+IVF_TRAIN_ITERS = 2
+IVF_TRAIN_NPROBE = 3
+_EMB_DIM = 64  # /root/testdata/sf*/embeddings.parquet vector length
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(emb, k=IVF_TRAIN_K, iters=IVF_TRAIN_ITERS)
+    assigned = S.ivf_assign(emb, cents)
+    pv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    ]
+    return S.ivf_topk(
+        assigned, cents, pv, k=10, nprobe=IVF_TRAIN_NPROBE, exclude_id=0
+    )
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """Chained-CTE replay of train_ivf_centroids: c0 = md5-order seeds,
+    then per iteration assign (argmax cosine, tie cent_id asc) + fixed-point
+    per-dimension means (empty clusters keep their centroid)."""
+    cte = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cent_id, v AS cv
+  FROM (SELECT vec_id, v FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_TRAIN_K})
+)"""
+    prev = "c0"
+    for it in range(1, IVF_TRAIN_ITERS + 1):
+        cos = _COS_LIST.format(a="e.v", b="c.cv")
+        cte += f""",
+a{it} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cent_id ASC) AS rn
+    FROM e, {prev} c
+  ) WHERE rn = 1
+),
+m{it} AS (
+  SELECT cent_id, i,
+         sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+  FROM a{it}, dims GROUP BY cent_id, i
+),
+c{it} AS (
+  SELECT p.cent_id, COALESCE(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cent_id, list(s / (1000000.0 * n) ORDER BY i) AS cv
+    FROM m{it} GROUP BY cent_id
+  ) u USING (cent_id)
+)"""
+        prev = f"c{it}"
+    q_cos = _COS_LIST.format(a="q.qv", b="c.cv")
+    f_cos = _COS_LIST.format(a="e.v", b="c.cv")
+    out_cos = _COS_LIST.format(a="a.v", b="q.qv")
+    return f"""{cte},
+probe AS (
+  SELECT c.cent_id
+  FROM {prev} c, (SELECT v AS qv FROM e WHERE vec_id = 0) q
+  ORDER BY {q_cos} DESC, c.cent_id ASC
+  LIMIT {IVF_TRAIN_NPROBE}
+),
+af AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {f_cos} DESC, c.cent_id ASC) AS rn
+    FROM e, {prev} c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, round({out_cos}, 6) AS cosine
+FROM af a
+JOIN probe p ON p.cent_id = a.cent_id,
+     (SELECT v AS qv FROM e WHERE vec_id = 0) q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+SQL_ANN_IVF_TRAINED = _ivf_trained_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # Sessionization over events: per-user session windows split at >30 min
 # gaps (lag + cumulative-sum-of-breaks), aggregated per session
 # --------------------------------------------------------------------------
@@ -1145,6 +1244,7 @@ QUERIES_TD = {
     "pagerank": q_pagerank,
     "word_source_merge": q_word_source_merge,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "event_sessions": q_event_sessions,
     "events_rollup": q_events_rollup,
     "bm25_topk": q_bm25_topk,
@@ -1168,6 +1268,7 @@ ORACLES_TD = {
     "pagerank": SQL_PAGERANK,
     "word_source_merge": SQL_WORD_SOURCE_MERGE,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
     "event_sessions": SQL_EVENT_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "bm25_topk": SQL_BM25_TOPK,

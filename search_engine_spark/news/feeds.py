@@ -387,23 +387,86 @@ def feed_last_published(meta: DataFrame, articles: DataFrame) -> DataFrame:
     )
 
 
+_MERGE_TEXT_COLS = ("title", "description", "content", "author", "image_url")
+
+# The ON CONFLICT(url) update list (news_fetcher.py:267-283) as SQL over
+# aliases t (existing) / s (incoming) — consumed by TableIO.merge_columns so
+# the Iceberg MERGE INTO and the parquet read-modify-write share one
+# spelling. feed_url is deliberately ABSENT: the reference keeps the
+# original feed attribution on re-fetch.
+ARTICLE_MERGE_SET = {
+    **{c: f"COALESCE(NULLIF(s.{c}, ''), t.{c})" for c in _MERGE_TEXT_COLS},
+    "published_at_s": "COALESCE(s.published_at_s, t.published_at_s)",
+}
+
+
+def dedup_articles(incoming: DataFrame) -> DataFrame:
+    """In-batch url dedup with the same column-merge the cross-batch upsert
+    uses. The reference's sequential ``ON CONFLICT(url)`` guarantees
+    url-uniqueness even when one batch carries the same story twice (two
+    feeds syndicating it, or a repeated item in one feed); without this, a
+    duplicated url writes two rows and the next cycle's url join fans out.
+
+    The reference folds duplicates in fetch order (last non-empty value
+    wins per column); a batch relation has no fetch order, so duplicates
+    are folded in a CANONICAL total order instead — the full row value —
+    which keeps every ON CONFLICT invariant (url-unique output, non-empty
+    beats empty, null published_at falls back) and is deterministic under
+    any partitioning. ``feed_url`` takes the first row in that order,
+    mirroring the upsert's keep-original-attribution rule."""
+    ord_col = F.struct(
+        F.col("feed_url"),
+        F.coalesce(F.col("published_at_s"), F.lit(-(1 << 62))),
+        *[F.coalesce(F.col(c), F.lit("")) for c in _MERGE_TEXT_COLS],
+    )
+
+    def last_nonempty(c: str) -> F.Column:
+        nonempty = F.nullif(F.col(c), F.lit("")).isNotNull()
+        return F.coalesce(
+            F.max_by(F.when(nonempty, F.col(c)), F.when(nonempty, ord_col)),
+            F.min(c),
+        ).alias(c)
+
+    pub_ok = F.col("published_at_s").isNotNull()
+    return incoming.groupBy("url").agg(
+        F.min_by("feed_url", ord_col).alias("feed_url"),
+        last_nonempty("title"),
+        last_nonempty("description"),
+        last_nonempty("content"),
+        last_nonempty("author"),
+        F.max_by(
+            F.when(pub_ok, F.col("published_at_s")), F.when(pub_ok, ord_col)
+        ).alias("published_at_s"),
+        last_nonempty("image_url"),
+    )
+
+
 def upsert_articles(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """url-keyed article upsert with the reference's per-column
     ``COALESCE(NULLIF(new, ''), old)`` merge (``news_fetcher.py:267-283``):
     a re-fetched article only overwrites a field when the new value is
     non-empty; ``published_at`` falls back to the old value when the new
-    one is null. Full outer join on the uniformly distributed url key."""
+    one is null; ``feed_url`` keeps the EXISTING attribution (the
+    reference's ON CONFLICT update list omits feed_url, so a story
+    re-fetched via a second feed stays credited to the feed that first
+    carried it). Incoming rows are url-deduped first (dedup_articles) so
+    the url key stays unique. Full outer join on the uniformly
+    distributed url key."""
+    incoming = dedup_articles(incoming)
     new = incoming.select([F.col(c).alias(f"_n_{c}") for c in incoming.columns])
     joined = existing.join(new, existing["url"] == new["_n_url"], "full_outer")
+    matched = existing["url"].isNotNull() & new["_n_url"].isNotNull()
 
     def pick(col: str) -> F.Column:
-        return F.coalesce(
-            F.nullif(F.col(f"_n_{col}"), F.lit("")), F.col(col)
-        ).alias(col)
+        # the NULLIF('') merge applies only ON CONFLICT; the reference's
+        # INSERT writes raw values, so an insert-only row keeps its ''
+        return F.when(
+            matched, F.coalesce(F.nullif(F.col(f"_n_{col}"), F.lit("")), F.col(col))
+        ).otherwise(F.coalesce(F.col(f"_n_{col}"), F.col(col))).alias(col)
 
     return joined.select(
         F.coalesce(new["_n_url"], existing["url"]).alias("url"),
-        F.coalesce(new["_n_feed_url"], existing["feed_url"]).alias("feed_url"),
+        F.coalesce(existing["feed_url"], new["_n_feed_url"]).alias("feed_url"),
         pick("title"),
         pick("description"),
         pick("content"),

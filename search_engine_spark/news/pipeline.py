@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tableio import ParquetIO, TableIO
 from .feeds import (
+    ARTICLE_MERGE_SET,
     article_tokens,
+    dedup_articles,
     feed_last_published,
     parse_feed_metadata,
     parse_feeds,
@@ -46,12 +48,23 @@ def build_news_tables(
     io = io or ParquetIO(out_root)
     incoming = parse_feeds(feeds)
 
-    if isinstance(io, ParquetIO) and io.exists(spark, ARTICLES):
+    if not io.exists(spark, ARTICLES):
+        # first write still goes through the url dedup: one batch can
+        # carry the same story twice (two feeds syndicating it)
+        io.replace(dedup_articles(incoming), ARTICLES)
+    elif isinstance(io, ParquetIO):
         merged = upsert_articles(io.read(spark, ARTICLES), incoming)
         # upsert reads the table it overwrites: break lineage first
         io.replace(merged.localCheckpoint(eager=True), ARTICLES)
     else:
-        io.replace(incoming, ARTICLES)
+        # catalog backends (Iceberg) merge in place: same ON CONFLICT
+        # column semantics via the shared ARTICLE_MERGE_SET expressions,
+        # but only matching files rewrite (no table-wide replace that
+        # would discard previously accumulated articles)
+        io.merge_columns(
+            dedup_articles(incoming), ARTICLES, key="url",
+            update_set=ARTICLE_MERGE_SET,
+        )
 
     articles = io.read(spark, ARTICLES)
     io.replace(article_tokens(articles), ARTICLE_TOKENS)

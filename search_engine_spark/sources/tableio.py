@@ -50,7 +50,11 @@ def iceberg_available(spark: SparkSession, catalog: str) -> bool:
 
 
 class TableIO:
-    """Five operations every storage backend provides."""
+    """Operations every storage backend provides."""
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        """True when the table has been created/written in this backend."""
+        raise NotImplementedError
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         raise NotImplementedError
@@ -68,6 +72,17 @@ class TableIO:
 
     def upsert(self, df: DataFrame, table: str, key: str) -> None:
         """S4/W6: replace rows matching on key, insert the rest."""
+        raise NotImplementedError
+
+    def merge_columns(
+        self, df: DataFrame, table: str, key: str, update_set: dict[str, str]
+    ) -> None:
+        """W6 column-merge upsert: on key match, each column in
+        ``update_set`` is replaced by its SQL expression over aliases
+        ``t`` (existing row) and ``s`` (incoming row) — e.g.
+        ``COALESCE(NULLIF(s.title, ''), t.title)``; unmatched incoming
+        rows insert. Used by the news article upsert so both backends
+        share the reference's ON-CONFLICT merge semantics."""
         raise NotImplementedError
 
 
@@ -127,6 +142,42 @@ class ParquetIO(TableIO):
             merged = incoming
         self.replace(merged.localCheckpoint(eager=True), table)
 
+    def merge_columns(
+        self, df: DataFrame, table: str, key: str, update_set: dict[str, str]
+    ) -> None:
+        """Read-modify-overwrite spelling of the MERGE: full outer join on
+        the (non-null) key; matched rows evaluate ``update_set``
+        expressions over aliases t/s, untouched columns keep t's value;
+        unmatched incoming rows insert as-is. Equivalence with the
+        news-article Column spelling is locked by
+        tests/test_tableio.py::test_merge_columns_matches_upsert_articles."""
+        spark = df.sparkSession
+        incoming = df.dropDuplicates([key])
+        if not self.exists(spark, table):
+            self.replace(incoming, table)
+            return
+        current = self.read(spark, table)
+        t_view, s_view = f"_mc_t_{table}", f"_mc_s_{table}"
+        current.createOrReplaceTempView(t_view)
+        incoming.createOrReplaceTempView(s_view)
+        sel = [f"COALESCE(s.{key}, t.{key}) AS {key}"]
+        for c in current.columns:
+            if c == key:
+                continue
+            upd = update_set.get(c, f"t.{c}")
+            sel.append(
+                f"CASE WHEN s.{key} IS NOT NULL AND t.{key} IS NOT NULL "
+                f"THEN {upd} WHEN s.{key} IS NOT NULL THEN s.{c} "
+                f"ELSE t.{c} END AS {c}"
+            )
+        merged = spark.sql(
+            f"SELECT {', '.join(sel)} FROM {t_view} t "
+            f"FULL OUTER JOIN {s_view} s ON s.{key} = t.{key}"
+        )
+        self.replace(merged.localCheckpoint(eager=True), table)
+        spark.catalog.dropTempView(t_view)
+        spark.catalog.dropTempView(s_view)
+
 
 class IcebergIO(TableIO):
     """``<catalog>.<namespace>.<table>`` through the standard Iceberg
@@ -139,6 +190,9 @@ class IcebergIO(TableIO):
 
     def _ident(self, table: str) -> str:
         return f"{self.catalog}.{self.namespace}.{table}"
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return spark.catalog.tableExists(self._ident(table))
 
     def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
         if snapshot_id is not None:
@@ -175,6 +229,25 @@ class IcebergIO(TableIO):
 
     def upsert(self, df: DataFrame, table: str, key: str) -> None:
         self._merge(df, table, key, update=True)
+
+    def merge_columns(
+        self, df: DataFrame, table: str, key: str, update_set: dict[str, str]
+    ) -> None:
+        """MERGE INTO with an explicit per-column UPDATE SET — the
+        file-level-rewrite path for the news article column merge. The
+        update expressions are the SAME SQL strings ParquetIO.merge_columns
+        evaluates, so both backends share one spelling of the semantics."""
+        spark = df.sparkSession
+        view = f"_merge_cols_src_{table}"
+        df.dropDuplicates([key]).createOrReplaceTempView(view)
+        set_clause = ", ".join(f"t.{c} = {expr}" for c, expr in update_set.items())
+        spark.sql(
+            f"MERGE INTO {self._ident(table)} t USING {view} s "
+            f"ON t.{key} = s.{key} "
+            f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        spark.catalog.dropTempView(view)
 
 
 def table_io_for(spark: SparkSession, location: str) -> TableIO:

@@ -189,39 +189,57 @@ def merge_frequency_sources(
     news_words: DataFrame | None = None,
     external_words: DataFrame | None = None,
 ) -> DataFrame:
-    """A10/U4: key-set union of the three frequency sources via full outer
-    joins (``spellcheck_dictionary.py:151-194``), then the full popularity
+    """A10/U4: key-set union of the three frequency sources
+    (``spellcheck_dictionary.py:151-194``), then the full popularity
     formula log1p(df)*4 + log1p(tf)*2 + log1p(ext)*3 (``engine.py:103-108``).
 
     doc_words: (word, doc_frequency, total_frequency); news_words:
     (word, total_frequency) — added into total_frequency like the
     reference's news corpus; external_words: (word, external_frequency).
+
+    Shape: the reference spells this as two sequential ``FULL OUTER JOIN``s;
+    here it is a 4-column union + one groupBy-sum instead. Semantically
+    identical on per-word-unique inputs (each source contributes one row per
+    word, so SUM over the union equals COALESCE over the joins), and
+    strictly cheaper: a keyed full-outer join cannot broadcast, so even a
+    4-row external list forced a full shuffle join of the merged relation —
+    twice. The union shape is ONE shuffle with map-side partial aggregation
+    (r02: 0.76 s -> 4.77 s regression traced to the double full-outer).
     """
-    spark = doc_words.sparkSession
-    empty = spark.createDataFrame([], "word string, freq long")
-    news = (
-        news_words.select("word", F.col("total_frequency").alias("freq"))
-        if news_words is not None
-        else empty
-    )
-    ext = (
-        external_words.select("word", F.col("external_frequency").alias("freq"))
-        if external_words is not None
-        else empty
-    )
-    merged = (
-        doc_words.select("word", "doc_frequency", "total_frequency")
-        .join(news.withColumnRenamed("freq", "_news_tf"), "word", "full_outer")
-        .join(ext.withColumnRenamed("freq", "_ext"), "word", "full_outer")
-        .select(
+    zero = F.lit(0).cast("long")
+    parts = [
+        doc_words.select(
             "word",
-            F.coalesce("doc_frequency", F.lit(0)).alias("doc_frequency"),
-            (
-                F.coalesce("total_frequency", F.lit(0))
-                + F.coalesce("_news_tf", F.lit(0))
-            ).alias("total_frequency"),
-            F.coalesce("_ext", F.lit(0)).alias("external_frequency"),
+            F.col("doc_frequency").cast("long").alias("_df"),
+            F.col("total_frequency").cast("long").alias("_tf"),
+            zero.alias("_ext"),
         )
+    ]
+    if news_words is not None:
+        parts.append(
+            news_words.select(
+                "word",
+                zero.alias("_df"),
+                F.col("total_frequency").cast("long").alias("_tf"),
+                zero.alias("_ext"),
+            )
+        )
+    if external_words is not None:
+        parts.append(
+            external_words.select(
+                "word",
+                zero.alias("_df"),
+                zero.alias("_tf"),
+                F.col("external_frequency").cast("long").alias("_ext"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    merged = unioned.groupBy("word").agg(
+        F.sum("_df").alias("doc_frequency"),
+        F.sum("_tf").alias("total_frequency"),
+        F.sum("_ext").alias("external_frequency"),
     )
     pop = (
         F.log1p(F.col("doc_frequency").cast("double")) * 4.0

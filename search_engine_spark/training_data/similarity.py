@@ -242,7 +242,13 @@ def train_ivf_centroids(
     - update: element-wise mean via posexplode to (cluster, dim) rows —
       map-side partial sums bound the shuffle at k*d rows per map
       partition; members are never collected. Empty clusters keep their
-      previous centroid.
+      previous centroid. Sums are FIXED-POINT (per-value micros, integer
+      sum, double divide — the sum_fixed6 pattern): a float mean's
+      accumulation order varies with partitioning, so borderline
+      assignments could flip between runs; integer sums make the trained
+      centroids bit-identical across runs, sessions AND engines (the
+      ann_ivf_trained pair replays the whole loop in DuckDB). The 1e-6
+      quantization of the means is far below assignment noise.
 
     The k x d centroid matrix lives on the driver between iterations
     (tiny); at 10^9+ vectors train on a deterministic sample (standard IVF
@@ -280,13 +286,20 @@ def train_ivf_centroids(
         means = (
             assigned.select("cent_id", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cent_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.lit(1000000.0), 0).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new_cents = [list(c) for c in cents]  # empty clusters keep centroids
         acc: dict[int, list[float]] = {}
         for r in means:
-            acc.setdefault(r["cent_id"], [0.0] * dim)[r["pos"]] = float(r["m"])
+            acc.setdefault(r["cent_id"], [0.0] * dim)[r["pos"]] = r["s"] / (
+                1000000.0 * r["n"]
+            )
         for ci, vec in acc.items():
             new_cents[ci] = vec
         cents = new_cents

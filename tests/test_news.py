@@ -10,6 +10,7 @@ from search_engine_spark.news.feeds import (
     MAX_ITEMS_PER_FEED,
     article_tokens,
     clean_html_text,
+    dedup_articles,
     feed_last_published,
     parse_datetime_rfc2822,
     parse_feed,
@@ -202,6 +203,103 @@ def test_upsert_articles_coalesce_semantics(spark):
     assert got["u1"]["image_url"] == "img2"
     assert got["u2"]["title"] == "Keep"               # untouched row survives
     assert got["u3"]["title"] == "Brand new"          # insert path
+
+
+_ARTICLE_COLS = (
+    "url string, feed_url string, title string, description string, "
+    "content string, author string, published_at_s long, image_url string"
+)
+
+
+def test_upsert_keeps_original_feed_attribution(spark):
+    """The reference's ON CONFLICT update list omits feed_url
+    (news_fetcher.py:269-283): a story re-fetched via a second feed stays
+    credited to the feed that first carried it."""
+    old = spark.createDataFrame(
+        [("u1", "f-orig", "T", "d", "c", "A", 100, "i")], _ARTICLE_COLS
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "f-other", "T2", "d2", "c2", "B", 200, "i2"),
+            ("u9", "f-other", "New", "", "", "", 300, ""),
+        ],
+        _ARTICLE_COLS,
+    )
+    got = {r["url"]: r for r in upsert_articles(old, new).collect()}
+    assert got["u1"]["feed_url"] == "f-orig"   # conflict: original kept
+    assert got["u1"]["title"] == "T2"          # other columns still merge
+    assert got["u9"]["feed_url"] == "f-other"  # insert: incoming attribution
+
+
+def test_dedup_articles_merges_in_batch_duplicates(spark):
+    """One batch carrying the same story twice (two feeds syndicating it)
+    must collapse to ONE url-unique row with the ON CONFLICT column
+    invariants: non-empty beats empty, null published falls back,
+    deterministic under any row order."""
+    rows = [
+        # same url from two feeds: fa has title but empty desc, fb reverse
+        ("u1", "fb", "", "desc-b", "cont-b", "", None, ""),
+        ("u1", "fa", "title-a", "", "", "auth-a", 500, "img-a"),
+        # repeated item inside one feed
+        ("u2", "fa", "only", "", "", "", None, ""),
+        ("u2", "fa", "only", "", "", "", None, ""),
+        ("u3", "fc", "solo", "d", "c", "x", 9, "i"),
+    ]
+    for perm in (rows, list(reversed(rows))):
+        out = dedup_articles(spark.createDataFrame(perm, _ARTICLE_COLS))
+        got = {r["url"]: r for r in out.collect()}
+        assert sorted(got) == ["u1", "u2", "u3"]
+        assert got["u1"]["title"] == "title-a"       # non-empty wins
+        assert got["u1"]["description"] == "desc-b"  # from the other dup
+        assert got["u1"]["content"] == "cont-b"
+        assert got["u1"]["author"] == "auth-a"
+        assert got["u1"]["published_at_s"] == 500    # non-null wins
+        assert got["u1"]["image_url"] == "img-a"
+        # feed_url: first row in the canonical (full-row) order — fa < fb
+        assert got["u1"]["feed_url"] == "fa"
+        assert got["u2"]["title"] == "only"
+        assert got["u2"]["published_at_s"] is None   # all-null stays null
+        assert got["u3"]["title"] == "solo"          # unique rows untouched
+
+
+def test_upsert_articles_dedups_incoming(spark):
+    """A duplicated incoming url must not write duplicate rows (which would
+    make the NEXT cycle's url join fan out and multiply articles)."""
+    old = spark.createDataFrame(
+        [("u1", "f1", "Old", "od", "oc", "A", 100, "oi")], _ARTICLE_COLS
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "f2", "", "nd", "", "", None, ""),
+            ("u1", "f3", "nt", "", "nc", "", 700, ""),
+        ],
+        _ARTICLE_COLS,
+    )
+    out = upsert_articles(old, new).collect()
+    assert len(out) == 1                       # url stays unique
+    r = out[0]
+    assert r["feed_url"] == "f1"               # original attribution
+    assert r["title"] == "nt" and r["description"] == "nd"
+    assert r["content"] == "nc" and r["author"] == "A"
+    assert r["published_at_s"] == 700
+
+
+def test_build_news_tables_first_write_dedups(spark, tmp_path):
+    """The initial replace path must be url-unique too: the same story in
+    two fixture feeds collapses on first write."""
+    from search_engine_spark.news.pipeline import ARTICLES, build_news_tables
+
+    xml = synth_feed_xml(2, 2)
+    # two different feed rows carrying byte-identical items -> same urls
+    feeds = spark.createDataFrame(
+        [(feed_url_of(2), xml), ("https://feeds.example/mirror", xml)],
+        "feed_url string, xml string",
+    )
+    counts = build_news_tables(spark, feeds, str(tmp_path))
+    arts = spark.read.parquet(str(tmp_path / ARTICLES))
+    urls = [r["url"] for r in arts.select("url").collect()]
+    assert len(urls) == len(set(urls)), "duplicate urls on first write"
+    assert counts[ARTICLES] == len(set(urls))
 
 
 # ---------------------------------------------------------------------------

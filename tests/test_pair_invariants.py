@@ -65,6 +65,20 @@ CONSTRUCTION_JOBS = {
     "news_feed_freshness": 0,  # pure fixture pipeline: no reads at all
     "fallback_search": 1,
     "article_upsert": 1,
+    # ANN pairs: the schema read plus EXPLICITLY-allowed driver-side probe
+    # fetches that mirror the reference's query analysis — each is bounded
+    # (one row / k rows) and documented at the call site. Growth here means
+    # a new plan-construction scan crept in.
+    "embedding_knn": 1,       # read only (probe side is a broadcast join)
+    "embedding_near_dup": 1,  # read only (dim passed explicitly)
+    "similarity_topk": 2,     # read + probe-vector .first()
+    "ann_lsh_topk": 2,        # read + probe-vector .first()
+    "ann_ivf_topk": 3,        # read + probe .first() + centroid .collect()
+    # trained quantizer: read + probe .first() + seed .collect() + per-Lloyd-
+    # iteration (assignment job feeding the means .collect()) x 2 iters x
+    # (seeds/assign/means stages) — 11 total, all on k- or (k x d)-bounded
+    # results; training is a BUILD step, not a per-query cost
+    "ann_ivf_trained": 11,
 }
 
 

@@ -63,6 +63,61 @@ def test_replace_with_partitioning(spark, io, tmp_path):
     assert io.read(spark, "p").count() == 2
 
 
+def test_merge_columns_basic(spark, io):
+    io.replace(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, v string, w long"),
+        "t",
+    )
+    io.merge_columns(
+        spark.createDataFrame([(2, "", 99), (3, "c", 30)], "k long, v string, w long"),
+        "t",
+        "k",
+        # v: non-empty wins; w untouched -> keeps existing on match
+        {"v": "COALESCE(NULLIF(s.v, ''), t.v)"},
+    )
+    got = {(r["k"], r["v"], r["w"]) for r in io.read(spark, "t").collect()}
+    assert got == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+
+
+def test_merge_columns_creates_table(spark, io):
+    io.merge_columns(
+        spark.createDataFrame([(1, "a")], "k long, v string"), "fresh2", "k", {}
+    )
+    assert _rows(io, spark, "fresh2") == {(1, "a")}
+
+
+def test_merge_columns_matches_upsert_articles(spark, io):
+    """The SQL expressions in ARTICLE_MERGE_SET (shared with the Iceberg
+    MERGE INTO UPDATE SET) must reproduce upsert_articles' Column spelling
+    exactly — the guard that keeps the two backends' upsert semantics from
+    drifting apart."""
+    from search_engine_spark.news.feeds import ARTICLE_MERGE_SET, upsert_articles
+
+    cols = (
+        "url string, feed_url string, title string, description string, "
+        "content string, author string, published_at_s long, image_url string"
+    )
+    old = spark.createDataFrame(
+        [
+            ("u1", "f1", "Old title", "old desc", "old content", "A", 100, "img1"),
+            ("u2", "f1", "Keep", "d", "c", "B", 200, ""),
+        ],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "f9", "", "new desc", "", "", None, "img2"),
+            ("u3", "f2", "Brand new", "", "", "C", 300, ""),
+        ],
+        cols,
+    )
+    io.replace(old, "articles")
+    io.merge_columns(new, "articles", "url", ARTICLE_MERGE_SET)
+    via_io = {tuple(r) for r in io.read(spark, "articles").collect()}
+    via_op = {tuple(r) for r in upsert_articles(old, new).collect()}
+    assert via_io == via_op
+
+
 def test_table_io_for_paths_and_catalogs(spark, tmp_path):
     assert isinstance(table_io_for(spark, str(tmp_path)), ParquetIO)
     # sandbox has no Iceberg runtime: catalog syntax must refuse loudly,
