@@ -166,6 +166,100 @@ def main() -> None:
     queries["search_20q_tokens"] = round(tok_wall, 4)
     total += queries["search_20q_tokens"]
 
+    # --- WAND at depth -------------------------------------------------------
+    # At 4k docs every (term, shard) list fits one 128-posting block, so the
+    # flagship block-max pruning is unexercised BY CONSTRUCTION in the main
+    # search section (r02 verdict item 5). This section synthesizes a
+    # deep-list corpus directly at the tokens level (pure JVM expressions —
+    # no extract/tokenize cost), builds real postings, and measures the
+    # fraction of blocks actually decoded over a query mix hitting the
+    # Zipf-head lists. Sized so head terms span hundreds of blocks.
+    # Corpus shape (mirrors what makes pruning work on real crawls):
+    # 50 "common" terms (~14% of docs each, flat body tf — hundreds of
+    # blocks per list) and 2000 "distinctive" terms CLUSTERED by doc-id
+    # region (crawl-order ids cluster topically), carrying title hits.
+    # A rare+common query fills the top-220 heap from the rare term's
+    # region; outside it the common list's block maxima fall below theta
+    # and whole block runs are skipped (or the scan terminates early).
+    wand_docs = int(os.environ.get("SPARK_GRAFT_WAND_DOCS", "48000"))
+    tokens_per_doc = 24
+    region_size = wand_docs // 10
+    from pyspark.sql import functions as F2  # noqa: PLC0415
+
+    base = spark.range(wand_docs).select(F2.col("id").alias("doc_id"))
+    docs_w = base.select(
+        "doc_id",
+        F2.concat(F2.lit("Doc "), "doc_id").alias("title"),
+        F2.lit("synthetic deep-list corpus").alias("description"),
+        F2.concat(F2.lit("https://w.example/"), "doc_id").alias("url"),
+    ).cache()
+    tok = base.select(
+        "doc_id",
+        F2.explode(F2.sequence(F2.lit(0), F2.lit(tokens_per_doc - 1))).alias("j"),
+    )
+    h = F2.xxhash64(F2.col("doc_id"), F2.col("j"))
+    h2 = F2.xxhash64(F2.col("doc_id"), F2.col("j"), F2.lit(7))
+    h3 = F2.xxhash64(F2.col("doc_id"), F2.col("j"), F2.lit(13))
+    is_common = F2.pmod(h, F2.lit(10)) < 3
+    region = F2.floor(F2.col("doc_id") / F2.lit(region_size)).cast("int")
+    common_term = F2.concat(F2.lit("c"), F2.pmod(h2, F2.lit(50)))
+    rare_term = F2.concat(
+        F2.lit("r"), region, F2.lit("x"), F2.pmod(h2, F2.lit(200))
+    )
+    tokens_w = tok.select(
+        "doc_id",
+        F2.when(is_common, common_term).otherwise(rare_term).alias("term"),
+        F2.when(is_common, F2.lit(4))
+        .when(F2.pmod(h3, F2.lit(3)) == 0, F2.lit(1))  # rares hit titles
+        .otherwise(F2.lit(4))
+        .cast("short")
+        .alias("field"),
+        F2.when(
+            is_common,
+            F2.when(F2.pmod(h3, F2.lit(5)) == 0, F2.lit(2)).otherwise(F2.lit(1)),
+        )
+        .otherwise(F2.pmod(h3, F2.lit(3)) + 1)
+        .cast("int")
+        .alias("frequency"),
+    )
+    t0 = time.perf_counter()
+    postings_w = build_postings(tokens_w, n_shards=4).cache()
+    postings_w.count()
+    dfd = F2.col("doc_frequency").cast("double")
+    stats_w = (
+        tokens_w.groupBy("term", "doc_id")
+        .count()
+        .groupBy("term")
+        .agg(F2.count(F2.lit(1)).alias("doc_frequency"))
+        .withColumn(
+            "idf",
+            F2.log((F2.lit(float(wand_docs)) - dfd + 0.5) / (dfd + 0.5) + 1.0),
+        )
+        .cache()
+    )
+    stats_w.count()
+    queries["wand_depth_build"] = round(time.perf_counter() - t0, 4)
+    total += queries["wand_depth_build"]
+
+    deep_engine = PostingsSearchEngine(docs_w, postings_w, stats_w, interactive=True)
+    # rare+common pairs across regions, one 3-term, one pure-common (the
+    # last two decode ~all their blocks — the honest part of the mix)
+    deep_qset = ["r2x5 c0", "r5x17 c1", "r7x3 c2 c3", "r1x9 c4", "c0"] * 2
+    deep_engine.search(deep_qset[0], 20, 0)  # warm (also counted in the
+    # decode fraction — every pass exercises the same pruning)
+    deep_wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for q in deep_qset:
+            deep_engine.search(q, 20, 0)
+        deep_wall = min(deep_wall, time.perf_counter() - t0)
+    queries["search_10q_deep"] = round(deep_wall, 4)
+    total += queries["search_10q_deep"]
+    deep_stats = deep_engine.scan_stats()
+    docs_w.unpersist()
+    postings_w.unpersist()
+    stats_w.unpersist()
+
     out = {
         "metric": "headline operator suite + index build + search (wall sec)",
         "value": round(total, 4),
@@ -185,6 +279,15 @@ def main() -> None:
             "wand_blocks_decoded_fraction": (
                 round(engine.scan_stats()["decoded_fraction"], 4)
                 if engine.scan_stats()["decoded_fraction"] is not None
+                else None
+            ),
+            # same telemetry over the deep-list corpus, where lists span
+            # hundreds of blocks and pruning has room to act
+            "wand_deep_docs": wand_docs,
+            "wand_deep_blocks_total": deep_stats["blocks_total"],
+            "wand_deep_decoded_fraction": (
+                round(deep_stats["decoded_fraction"], 4)
+                if deep_stats["decoded_fraction"] is not None
                 else None
             ),
         },

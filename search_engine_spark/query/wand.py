@@ -45,7 +45,17 @@ class TermPostings:
     block_offset: list
 
 
+_NEG_INF_DOC = -(1 << 63)
+
+
 class _Cursor:
+    """Posting-list cursor with LAZY block decoding (the BMW "shallow"
+    pointer, Ding & Suel 2011): block moves use only the skip arrays, so a
+    pruned block is never deserialized. While a block is undecoded,
+    ``doc`` holds a LOWER BOUND on the true current doc (the pending seek
+    target); ``_materialize`` decodes the block and resolves the exact
+    position — the main loop re-pivots if the bound was loose."""
+
     __slots__ = (
         "idf",
         "blob",
@@ -62,6 +72,8 @@ class _Cursor:
         "f4",
         "i",
         "doc",
+        "loaded",
+        "pending",
         "exhausted",
         "stats",
     )
@@ -77,52 +89,73 @@ class _Cursor:
         self.max_score = tp.idf * max(tp.block_max) if tp.block_max else 0.0
         self.stats = stats
         self.exhausted = self.n == 0
-        if not self.exhausted:
-            self._load_block(0)
+        self.loaded = False
+        self.bi = 0
+        self.pending = _NEG_INF_DOC
+        self.doc = _NEG_INF_DOC
 
-    def _load_block(self, b: int) -> None:
+    def _materialize(self) -> None:
+        """Decode the current block and land on the first doc >= pending.
+
+        Every shallow move keeps ``pending <= block_last[bi]``, so the
+        bisect always lands inside the block."""
+        if self.loaded:
+            return
         if self.stats is not None:
             self.stats["blocks_decoded"] = self.stats.get("blocks_decoded", 0) + 1
         self.ids, self.f1, self.f2, self.f4 = decode_block(
-            self.blob, self.block_offset[b], block_length(self.n, b, self.n_blocks)
+            self.blob,
+            self.block_offset[self.bi],
+            block_length(self.n, self.bi, self.n_blocks),
         )
-        self.bi = b
-        self.i = 0
-        self.doc = self.ids[0]
+        self.i = bisect_left(self.ids, self.pending)
+        self.doc = self.ids[self.i]
+        self.loaded = True
 
     def block_upper(self) -> float:
+        # skip-array read only — legal on an undecoded block
         return self.idf * self.block_max[self.bi]
+
+    def block_end(self) -> int:
+        return self.block_last[self.bi]
 
     def contribution(self) -> float:
         i = self.i
         return self.idf * weighted_tf(self.f1[i], self.f2[i], self.f4[i])
 
     def advance(self) -> None:
+        """Next posting (requires a materialized block). Crossing a block
+        boundary moves SHALLOW: the next block stays undecoded until (and
+        unless) it must be evaluated."""
         self.i += 1
         if self.i < len(self.ids):
             self.doc = self.ids[self.i]
         elif self.bi + 1 < self.n_blocks:
-            self._load_block(self.bi + 1)
+            self.pending = self.block_last[self.bi] + 1
+            self.bi += 1
+            self.loaded = False
+            self.doc = self.pending  # lower bound on the block's first doc
         else:
             self.exhausted = True
 
-    def seek(self, target: int) -> None:
-        """Advance to first doc >= target, skipping blocks via block_last
-        (skipped blocks are never decoded)."""
+    def shallow_seek(self, target: int) -> None:
+        """Position at the first doc >= target WITHOUT decoding: the block
+        pointer jumps via block_last; intervening blocks are never read."""
         if self.exhausted or self.doc >= target:
             return
         b = bisect_left(self.block_last, target, lo=self.bi)
         if b >= self.n_blocks:
             self.exhausted = True
             return
-        if b != self.bi:
-            self._load_block(b)
-            lo = 0
+        if b == self.bi and self.loaded:
+            self.i = bisect_left(self.ids, target, lo=self.i)
+            # block_last[b] >= target guarantees i < len(ids)
+            self.doc = self.ids[self.i]
         else:
-            lo = self.i
-        self.i = bisect_left(self.ids, target, lo=lo)
-        # block_last[b] >= target guarantees i < len(ids)
-        self.doc = self.ids[self.i]
+            self.bi = b
+            self.loaded = False
+            self.pending = target
+            self.doc = target  # lower bound
 
 
 def score_shard_exhaustive(entries: list) -> dict:
@@ -183,12 +216,34 @@ def score_shard_wand(entries: list, k: int, stats: dict | None = None) -> list:
 
         if active[0].doc == pivot_doc:
             at_pivot = [c for c in active if c.doc == pivot_doc]
-            # block-max refinement: exact per-block bound at the pivot
+            # block-max refinement: per-block bound at the pivot, read off
+            # the skip arrays — no decode needed to PRUNE
             block_ub = sum(c.block_upper() for c in at_pivot)
             if len(heap) >= k and block_ub < theta:
+                # BMW skip: within [pivot_doc, d_next) the at-pivot cursors
+                # stay in their current blocks and no other cursor can
+                # contribute, so the bound holds for the whole range — jump
+                # there with shallow moves (skipped blocks never decoded)
+                d_next = min(c.block_end() for c in at_pivot) + 1
+                for c in active:  # sorted: first doc beyond pivot caps it
+                    if c.doc > pivot_doc:
+                        d_next = min(d_next, c.doc)
+                        break
+                d_next = max(d_next, pivot_doc + 1)
                 for c in at_pivot:
-                    c.advance()
+                    c.shallow_seek(d_next)
             else:
+                # evaluation needs exact postings: materialize the at-pivot
+                # cursors; a shallow bound may resolve PAST the pivot, in
+                # which case re-sort and re-pivot
+                moved = False
+                for c in at_pivot:
+                    if not c.loaded:
+                        c._materialize()
+                        if c.doc != pivot_doc:
+                            moved = True
+                if moved:
+                    continue
                 score = 0.0
                 for c in at_pivot:
                     score += c.contribution()
@@ -207,7 +262,7 @@ def score_shard_wand(entries: list, k: int, stats: dict | None = None) -> list:
                 (c for c in active[:pivot_idx] if c.doc < pivot_doc),
                 key=lambda c: c.max_score,
             )
-            lagging.seek(pivot_doc)
+            lagging.shallow_seek(pivot_doc)
         active = [c for c in active if not c.exhausted]
 
     if not evaluated:
