@@ -93,7 +93,11 @@ class PostingsSearchEngine:
         # a constructor that rewrites session-wide configs contaminates any
         # co-resident batch job (r02 verdict item 2).
         self.interactive = interactive
-        self.interactive_shuffle_partitions = 4
+        # r03 sweep at 4k docs / local[32], interleaved best-of-4 to cancel
+        # ambient drift: parts=8 10.0s < aqe-on-default 12.4s < parts=4
+        # 16.1s < parts=16 19.4s for the 20-query set — 8 keeps the doc
+        # join / top-k parallel without AQE's per-exchange round trips
+        self.interactive_shuffle_partitions = 8
         # MUST match the modulus the postings were built with, or bucket
         # pruning silently drops valid partitions (CLAUDE.md invariant 7;
         # load_engines reads it from the build's meta file). When the

@@ -128,6 +128,45 @@ def test_block_pruning_actually_skips():
     assert len(got) >= 10
 
 
+def test_single_term_blocks_skip_after_threshold_converges():
+    """Single-list regression for the LAZY cursor (BMW shallow pointers):
+    once the top-k threshold exceeds the remaining blocks' maxima, those
+    blocks must never be DESERIALIZED. The pre-r03 cursor walked doc-by-doc
+    through 'pruned' blocks and decoded every one of them."""
+    # best docs first: 300 high-tf postings (3 blocks), then a long tf=1 tail
+    postings = {d: (0, 0, 50) for d in range(300)}
+    postings.update({d: (0, 0, 1) for d in range(300, 10_000)})
+    entries = [_make_tp("t", 1.0, postings)]
+    stats: dict = {}
+    score_shard_wand(entries, 10, stats)
+    _check(entries, 10)
+    n_blocks = stats["blocks_total"]
+    assert n_blocks > 70
+    # heap fills inside the first high-tf blocks; theta=50 then dominates
+    # every tail block max of 1 -> at most the high blocks plus a couple of
+    # boundary blocks ever decode
+    assert stats["blocks_decoded"] <= 6, stats
+
+
+def test_shallow_seek_skips_between_clustered_candidates():
+    """Two-term case: after early spikes converge the threshold, the
+    common cursor must jump over the middle of its list without decoding
+    it (shallow_seek over block_last), re-engaging only at the rare
+    term's clustered tail. (A uniform-tf fixture would NOT prune: every
+    doc ties at the threshold and boundary ties must be preserved.)"""
+    common = {
+        d: (0, 0, 40 if d < 4_000 and d % 200 == 0 else 1 + d % 3)
+        for d in range(0, 60_000, 2)
+    }  # ~235 blocks; 20 early spike docs put theta at 2.0 >> 0.15 tail max
+    rare = {d: (3, 2, 30) for d in range(59_000, 60_000, 5)}  # clustered tail
+    entries = [_make_tp("common", 0.05, common), _make_tp("rare", 6.0, rare)]
+    stats: dict = {}
+    score_shard_wand(entries, 10, stats)
+    _check(entries, 10)
+    frac = stats["blocks_decoded"] / stats["blocks_total"]
+    assert frac < 0.3, f"expected the middle of the common list skipped: {stats}"
+
+
 @given(st.integers(min_value=0, max_value=10_000))
 @settings(max_examples=30, deadline=None)
 def test_property_random_seeds(seed):
