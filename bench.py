@@ -223,14 +223,19 @@ def main() -> None:
         .alias("frequency"),
     )
     t0 = time.perf_counter()
-    postings_w = build_postings(tokens_w, n_shards=4).cache()
+    # ONE shard, deliberately: sequential range ids all fall in a single
+    # doc-range bucket anyway (shard_col buckets the full u64 space), and
+    # the section measures PER-SHARD WAND depth — the per-task unit at
+    # scale, where each 4M-doc shard runs exactly this loop. Shard
+    # parallelism is exercised by the main search section and the
+    # shard-count-invariance tests.
+    postings_w = build_postings(tokens_w, n_shards=1).cache()
     postings_w.count()
+    from search_engine_spark.pair_helpers import doc_frequencies  # noqa: PLC0415
+
     dfd = F2.col("doc_frequency").cast("double")
     stats_w = (
-        tokens_w.groupBy("term", "doc_id")
-        .count()
-        .groupBy("term")
-        .agg(F2.count(F2.lit(1)).alias("doc_frequency"))
+        doc_frequencies(tokens_w)
         .withColumn(
             "idf",
             F2.log((F2.lit(float(wand_docs)) - dfd + 0.5) / (dfd + 0.5) + 1.0),

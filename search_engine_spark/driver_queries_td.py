@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .pair_helpers import doc_frequencies, ntz_epoch_us, scalar_count, sum_fixed6
+from .pair_helpers import (
+    SQL_FIXED6_LONG,
+    doc_frequencies,
+    ntz_epoch_us,
+    scalar_count,
+    sum_fixed6,
+)
 from .training_data import dedup as D
 from .training_data import similarity as S
 from .training_data import textstats as X
@@ -943,7 +949,7 @@ a{it} AS (
 ),
 m{it} AS (
   SELECT cent_id, i,
-         sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+         sum({SQL_FIXED6_LONG.format(col="v[i]")}) AS s, count(*) AS n
   FROM a{it}, dims GROUP BY cent_id, i
 ),
 c{it} AS (

@@ -53,17 +53,29 @@ def ntz_epoch_us(ts) -> F.Column:
     )
 
 
+def fixed6_long(col) -> F.Column:
+    """A double scaled to integer micros (the invariant-4 fixed-point
+    unit): ``round(x * 1e6)`` as BIGINT. Summing these is exact and
+    order-independent; both engines round halves identically here.
+
+    DuckDB twin: ``SQL_FIXED6_LONG``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(1000000.0), 0).cast("long")
+
+
+SQL_FIXED6_LONG = "CAST(round({col} * 1000000.0) AS BIGINT)"
+
+
 def sum_fixed6(col, alias: str) -> F.Column:
     """Order-deterministic SUM of a double column, exact for values with
-    <= 6 fractional decimals: per-row scale to integer micros, integer-sum,
-    divide back, round to the 6-decimal grid.
+    <= 6 fractional decimals: per-row scale to integer micros (fixed6_long),
+    integer-sum, divide back, round to the 6-decimal grid.
 
     DuckDB twin:
     ``round(sum(CAST(round(col * 1000000.0) AS BIGINT)) / 1000000.0, 6)``.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    scaled = F.round(c * F.lit(1000000.0), 0).cast("long")
-    return F.round(F.sum(scaled) / F.lit(1000000.0), 6).alias(alias)
+    return F.round(F.sum(fixed6_long(col)) / F.lit(1000000.0), 6).alias(alias)
 
 
 SQL_SUM_FIXED6 = "round(sum(CAST(round({col} * 1000000.0) AS BIGINT)) / 1000000.0, 6)"

@@ -82,7 +82,12 @@ class TableIO:
         ``t`` (existing row) and ``s`` (incoming row) — e.g.
         ``COALESCE(NULLIF(s.title, ''), t.title)``; unmatched incoming
         rows insert. Used by the news article upsert so both backends
-        share the reference's ON-CONFLICT merge semantics."""
+        share the reference's ON-CONFLICT merge semantics.
+
+        Duplicate SOURCE keys resolve to an arbitrary row (dropDuplicates,
+        matching upsert/insert_if_absent); when the in-batch fold order
+        matters, pre-merge duplicates deterministically first (the news
+        path does, via ``dedup_articles``)."""
         raise NotImplementedError
 
 

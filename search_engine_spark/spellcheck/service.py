@@ -236,10 +236,13 @@ def merge_frequency_sources(
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
+    # coalesce: a source row carrying a NULL count must merge as 0, like
+    # the COALESCE in the reference's joined spelling (sum of an all-NULL
+    # group is NULL, and log1p(NULL) would null the popularity score)
     merged = unioned.groupBy("word").agg(
-        F.sum("_df").alias("doc_frequency"),
-        F.sum("_tf").alias("total_frequency"),
-        F.sum("_ext").alias("external_frequency"),
+        F.coalesce(F.sum("_df"), F.lit(0)).alias("doc_frequency"),
+        F.coalesce(F.sum("_tf"), F.lit(0)).alias("total_frequency"),
+        F.coalesce(F.sum("_ext"), F.lit(0)).alias("external_frequency"),
     )
     pop = (
         F.log1p(F.col("doc_frequency").cast("double")) * 4.0

@@ -23,6 +23,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..pair_helpers import fixed6_long
+
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array columns, computed in double."""
@@ -287,9 +289,7 @@ def train_ivf_centroids(
             assigned.select("cent_id", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cent_id", "pos")
             .agg(
-                F.sum(
-                    F.round(F.col("x") * F.lit(1000000.0), 0).cast("long")
-                ).alias("s"),
+                F.sum(fixed6_long("x")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()

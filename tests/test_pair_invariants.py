@@ -396,11 +396,11 @@ def _spark_kind(dt) -> str:
 
 @pytest.fixture(scope="module")
 def ddb_all():
+    # single source of truth for the driver's table list
+    from test_driver_queries import TABLES
+
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
+    for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
