@@ -221,82 +221,89 @@ def ngram_jaccard_pairs(
     )
 
 
-def _term_bits(tokens: DataFrame) -> DataFrame:
-    """(doc_id, p, v) — per-doc per-bit-position signed vote totals.
+# 16 md5 hex nibbles parsed ONCE per token (j=0 is the MSB of the first
+# nibble; fingerprint position p = 63 - j so md5's leading bits land in
+# the high bits including the sign, reproducing the reference's signed
+# two's-complement wrap, ``duplicate_detection.py:11-14``)
+_NIBS_SQL = (
+    "transform(sequence(1, 16), i -> "
+    "instr('0123456789abcdef', substring(_h, i, 1)) - 1)"
+)
 
-    tokens: (doc_id, term, tf). Bit j of md5(term) (j=0 is the MSB of the
-    first hex nibble) votes +tf / -tf; we store it at fingerprint position
-    p = 63 - j so the md5's leading bits land in the high bits of the
-    fingerprint, including the sign bit — reproducing the reference's signed
-    two's-complement wrap (``duplicate_detection.py:11-14``).
+
+def _wide_votes(tokens: DataFrame) -> DataFrame:
+    """(doc_id, v0..v63) — per-doc signed vote totals, one column per
+    fingerprint position.
+
+    tokens: (doc_id, term, tf). Bit j of md5(term) votes +tf / -tf at
+    position p = 63 - j. WIDE-AGGREGATE formulation: the md5 nibbles are
+    parsed once per token and the 64 positions are 64 SUM expressions in
+    ONE whole-stage-codegen aggregate keyed by the uniform doc_id — no
+    64x row explosion (the r02 shape expanded every token into 64 rows
+    with per-row substring/instr work: at 10^6 tokens that is 6.4*10^7
+    string probes and rows through the partial aggregate; here the
+    shuffle carries one 65-column row per doc).
     """
-    spark = tokens.sparkSession
-    bits = spark.range(64).select(F.col("id").cast("int").alias("j"))
-    nib = F.expr("instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1")
-    bit = F.expr("shiftright(_nib, 3 - j % 4) % 2")
+    aggs = []
+    for p in range(64):
+        j = 63 - p
+        bit = f"(shiftright(element_at(_nibs, {j // 4 + 1}), {3 - j % 4}) % 2)"
+        aggs.append(F.sum(F.expr(f"tf * ({bit} * 2 - 1)")).alias(f"v{p}"))
     return (
-        tokens.withColumn("h", F.md5("term"))
-        .join(F.broadcast(bits))
-        .withColumn("_nib", nib)
-        .withColumn("_bit", bit)
-        .select(
-            "doc_id",
-            (F.lit(63) - F.col("j")).alias("p"),
-            (F.col("tf") * (F.col("_bit") * 2 - 1)).alias("vote"),
-        )
-        .groupBy("doc_id", "p")
-        .agg(F.sum("vote").alias("v"))
+        tokens.withColumn("_h", F.md5("term"))
+        .withColumn("_nibs", F.expr(_NIBS_SQL))
+        .groupBy("doc_id")
+        .agg(*aggs)
+    )
+
+
+def _bit_if_positive(p: int, shift: int) -> F.Column:
+    return F.expr(
+        f"case when v{p} > 0 then shiftleft(cast(1 as bigint), {shift}) "
+        f"else cast(0 as bigint) end"
     )
 
 
 def simhash_fingerprints(tokens: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash as signed BIGINT.
 
-    Portable bit-expansion formulation (no Python UDF): explode each term
-    into 64 (position, +-tf) votes, sum per position, set bit p where the
-    vote total is positive. shiftleft(1L, 63) wraps negative in two's
-    complement in both Spark and the oracle, matching the reference's
-    signed storage.
+    Portable formulation (no Python UDF, md5-only bit math so the DuckDB
+    oracle replays it exactly): set bit p where the position's vote total
+    is positive; shiftleft(1L, 63) wraps negative in two's complement in
+    both engines, matching the reference's signed storage.
     """
-    return (
-        _term_bits(tokens)
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), p)"))
-                .otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
-        )
-    )
+    fp = _bit_if_positive(0, 0)
+    for p in range(1, 64):
+        fp = fp + _bit_if_positive(p, p)
+    return _wide_votes(tokens).select("doc_id", fp.alias("simhash"))
 
 
 def simhash_bands(tokens: DataFrame) -> DataFrame:
-    """(doc_id, band, band_value) — 4 x 16-bit band values + full fingerprint.
+    """(doc_id, band, band_value, simhash) — 4 x 16-bit band values + full
+    fingerprint.
 
     Band values are built from the per-position votes directly (not by
     shifting the signed fingerprint) so no engine-specific signed-shift
-    semantics are involved. Output carries ``simhash`` for verification.
+    semantics are involved; the fingerprint is the same vote columns
+    assembled at their absolute positions (bit 63 wraps into the sign).
     """
-    per_pos = _term_bits(tokens).withColumn(
-        "band", (F.col("p") / SIMHASH_BAND_BITS).cast("int")
-    )
-    bands = per_pos.groupBy("doc_id", "band").agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0,
-                F.expr(f"shiftleft(cast(1 as bigint), p % {SIMHASH_BAND_BITS})"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("band_value")
-    )
-    # fingerprint reassembled from the 4 band values (one extra tiny agg,
-    # not a second 64x bit expansion); shiftleft(bv, 48) wraps bit 63 into
-    # the sign in two's complement, matching the direct formulation
-    fps = bands.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(f"shiftleft(band_value, band * {SIMHASH_BAND_BITS})")
-        ).alias("simhash")
-    )
-    return bands.join(fps, "doc_id")
+    wide = _wide_votes(tokens)
+    band_cols = []
+    for b in range(64 // SIMHASH_BAND_BITS):
+        bv = _bit_if_positive(b * SIMHASH_BAND_BITS, 0)
+        for i in range(1, SIMHASH_BAND_BITS):
+            bv = bv + _bit_if_positive(b * SIMHASH_BAND_BITS + i, i)
+        band_cols.append(bv.alias(f"_bv{b}"))
+    fp = _bit_if_positive(0, 0)
+    for p in range(1, 64):
+        fp = fp + _bit_if_positive(p, p)
+    n_bands = 64 // SIMHASH_BAND_BITS
+    stack_args = ", ".join(f"{b}, _bv{b}" for b in range(n_bands))
+    return wide.select("doc_id", fp.alias("simhash"), *band_cols).selectExpr(
+        "doc_id",
+        "simhash",
+        f"stack({n_bands}, {stack_args}) as (band, band_value)",
+    ).select("doc_id", "band", "band_value", "simhash")
 
 
 def simhash_near_dup(tokens: DataFrame, max_hamming: int = 3) -> DataFrame:
