@@ -102,6 +102,16 @@ def srp_signs(
                 "DataFrame — pass dim explicitly"
             )
         dim = len(first[0])
+    # Formulation notes (both alternatives were measured SLOWER, r03):
+    # a single transform() over one n_planes x dim literal evaluates the
+    # same HOF machinery (no win), and unrolling the +-1 dots into a
+    # 2048-term scalar chain blows past JIT/codegen method limits and
+    # falls back to interpretation (10x slower). The per-plane
+    # zip_with/aggregate fold below is the fastest Column spelling AND
+    # the one whose summation order the DuckDB oracle replays
+    # (list_sum(list_transform(...)), invariant 4). At 10^8+ vectors the
+    # scale path is a bucket-partitioned store written once by this
+    # expression, where per-row cost amortizes across queries.
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(srp_plane_sign(p, d)) for d in range(dim)])
