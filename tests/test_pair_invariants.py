@@ -264,6 +264,11 @@ DRIVERLIKE_QUERIES = [
     "news_feed_freshness",
     "fallback_search",
     "article_upsert",
+    # r03-touched pairs: ANSI-mode sum/shift arithmetic (simhash),
+    # fixed-point Lloyd means (trained IVF), union-sum merge
+    "ann_ivf_trained",
+    "simhash_fingerprints",
+    "word_source_merge",
 ]
 
 

@@ -96,6 +96,25 @@ def test_simhash_identical_and_banding_lossless(tiny_docs):
     assert (1, 2, 0) in banded
 
 
+def test_simhash_operator_plans_without_row_explosion(spark):
+    """The r03 wide-aggregate rewrite must hold: given (doc_id, term, tf)
+    rows, the fingerprint plans as ONE aggregate on doc_id with NO
+    Generate node — the pre-r03 shape exploded every token into 64 rows
+    (a 64x multiplier through the partial aggregate at any scale)."""
+    import contextlib
+    import io
+
+    toks = spark.createDataFrame([(1, "alpha", 2), (1, "beta", 1)],
+                                 "doc_id long, term string, tf long")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.simhash_fingerprints(toks).explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" not in plan, plan
+    # one shuffle (each node renders twice in formatted output: tree + detail)
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_simhash_band_reassembly_matches_direct(tiny_docs):
     toks = (
         tiny_docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
