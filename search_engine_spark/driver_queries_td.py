@@ -807,12 +807,12 @@ NEWS_QUERY_TERMS = ["spark", "data", "query"]
 
 
 # --------------------------------------------------------------------------
-# IVF ANN pair: deterministic SAMPLED quantizer (every 50th vector) so the
-# DuckDB oracle can replay centroid assignment bit-for-bit — float k-means
-# means are not engine-portable. The PRODUCTION path is the trained
-# quantizer in training_data/similarity.py (train_ivf_centroids /
-# ivf_assign / ivf_topk, deterministic Lloyd k-means), verified by recall
-# tests vs brute force in tests/test_training_data.py (isotropic corpus +
+# IVF ANN pair #1: deterministic SAMPLED quantizer (every 50th vector) —
+# the cheap assignment-only shape. The TRAINED production quantizer
+# (train_ivf_centroids, deterministic fixed-point Lloyd) has its own full
+# pair below (ann_ivf_trained, r03) replaying the whole training loop in
+# the oracle, plus recall tests vs brute force in
+# tests/test_training_data.py (isotropic corpus +
 # clustered corpus). nprobe=2 — probe the 2 nearest centroid lists, exact
 # re-rank inside; the corpus is partitioned by centroid assignment so a
 # query scans nprobe lists.
