@@ -527,6 +527,98 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Multimodal resize / frame-sample pairs (fixed fixtures, news-style: the
+# oracle replays the same pure decode/resize/sample functions at import
+# time and embeds the expected rows as VALUES — the pair proves the
+# DISTRIBUTED plumbing: Arrow binary round trip, mapInPandas schema,
+# byte-budget partitioning — matches the sequential semantics bit-for-bit,
+# digest-verified)
+# --------------------------------------------------------------------------
+N_MEDIA_IMAGES = 40
+RESIZE_W, RESIZE_H = 12, 9
+N_MEDIA_AUDIO = 16
+FRAME_SAMPLES, FRAME_WINDOW = 4, 512
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.multimodal import resize_images, synthesize_ppm
+
+    media = spark.createDataFrame(
+        [(i, synthesize_ppm(i)) for i in range(N_MEDIA_IMAGES)],
+        "media_id long, payload binary",
+    )
+    out = resize_images(media, RESIZE_W, RESIZE_H)
+    return out.select(
+        "media_id", "width", "height", F.md5("payload").alias("digest")
+    )
+
+
+def _media_resize_oracle_sql() -> str:
+    import hashlib
+
+    from .training_data.multimodal import _resize_ppm, synthesize_ppm
+
+    rows = ", ".join(
+        f"({i}, '{hashlib.md5(_resize_ppm(synthesize_ppm(i), RESIZE_W, RESIZE_H)).hexdigest()}')"
+        for i in range(N_MEDIA_IMAGES)
+    )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       {RESIZE_W} AS width, {RESIZE_H} AS height, digest
+FROM (VALUES {rows}) t(media_id, digest)
+"""
+
+
+SQL_MEDIA_RESIZE = _media_resize_oracle_sql()
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.multimodal import sample_frames, synthesize_wav
+
+    media = spark.createDataFrame(
+        [(i, synthesize_wav(i)) for i in range(N_MEDIA_AUDIO)],
+        "media_id long, payload binary",
+    )
+    out = sample_frames(
+        media, n_samples=FRAME_SAMPLES, window_frames=FRAME_WINDOW
+    )
+    return out.select(
+        "media_id",
+        "sample_idx",
+        "start_frame",
+        "n_frames",
+        F.md5("payload").alias("digest"),
+    )
+
+
+def _media_frame_sample_oracle_sql() -> str:
+    import hashlib
+
+    from .training_data.multimodal import _sample_wav, synthesize_wav
+
+    rows = []
+    for i in range(N_MEDIA_AUDIO):
+        for k, (start, take, blob) in enumerate(
+            _sample_wav(synthesize_wav(i), FRAME_SAMPLES, FRAME_WINDOW)
+        ):
+            rows.append(
+                f"({i}, {k}, {start}, {take}, "
+                f"'{hashlib.md5(blob).hexdigest()}')"
+            )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(sample_idx AS INT) AS sample_idx,
+       CAST(start_frame AS BIGINT) AS start_frame,
+       CAST(n_frames AS INT) AS n_frames,
+       digest
+FROM (VALUES {", ".join(rows)}) t(media_id, sample_idx, start_frame, n_frames, digest)
+"""
+
+
+SQL_MEDIA_FRAME_SAMPLE = _media_frame_sample_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # Spellcheck candidate generation: trigram-Jaccard similarity join (J7/T5)
 # --------------------------------------------------------------------------
 SPELL_INPUTS = ["spakr", "qurey", "tabel", "windw", "streem"]
@@ -1245,6 +1337,8 @@ QUERIES_TD = {
     "token_counts": q_token_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
     "binary_meta": q_binary_meta,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
     "spellcheck_candidates": q_spellcheck_candidates,
     "degree_counts": q_degree_counts,
     "pagerank": q_pagerank,
@@ -1269,6 +1363,8 @@ ORACLES_TD = {
     "token_counts": SQL_TOKEN_COUNTS,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "binary_meta": SQL_BINARY_META,
+    "media_resize": SQL_MEDIA_RESIZE,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "spellcheck_candidates": SQL_SPELLCHECK_CANDIDATES,
     "degree_counts": SQL_DEGREE_COUNTS,
     "pagerank": SQL_PAGERANK,

@@ -35,6 +35,13 @@ from .similarity import (
     srp_signs,
     train_ivf_centroids,
 )
+from .multimodal import (
+    binary_metadata,
+    decode_features,
+    repartition_by_bytes,
+    resize_images,
+    sample_frames,
+)
 from .pipeline import CurationReport, curate_corpus, quality_gate
 from .textstats import language_id, token_counts, winnowing_fingerprints
 
@@ -60,6 +67,11 @@ __all__ = [
     "language_id",
     "token_counts",
     "winnowing_fingerprints",
+    "binary_metadata",
+    "decode_features",
+    "repartition_by_bytes",
+    "resize_images",
+    "sample_frames",
     "curate_corpus",
     "quality_gate",
     "CurationReport",

@@ -1,9 +1,10 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Images / audio / video ride through the pipeline as ``binary`` columns with a
-typed metadata struct; compute-heavy decode / feature-extraction runs as
-Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-driver memory and each task handles a partition-sized batch stream.
+typed metadata struct; compute-heavy decode / feature-extract / resize /
+frame-sample runs as Arrow-batched ``mapInPandas`` stages so bytes never
+round-trip through driver memory and each task handles a partition-sized
+batch stream.
 
 Decode support is format-honest:
 
@@ -161,10 +162,10 @@ def _decode_wav(payload: bytes, dim: int) -> tuple[int | None, int | None, int, 
     return None, None, nf, feature
 
 
-def _decode_ppm(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
-    """Binary PPM (``P6``) decode, pure parsing: header tokens (with
-    comment support) then the RGB raster. Feature = ``dim``-bin luminance
-    histogram, normalized."""
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Binary PPM (``P6``) header + raster parse: header tokens (with
+    comment support) then the RGB bytes. -> (width, height, maxval,
+    raster)."""
     pos = 0
 
     def token() -> bytes:
@@ -189,7 +190,12 @@ def _decode_ppm(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
     pos += 1  # single whitespace after maxval
     if maxval >= 256:
         raise NotImplementedError("16-bit PPM unsupported")
-    raster = payload[pos : pos + width * height * 3]
+    return width, height, maxval, payload[pos : pos + width * height * 3]
+
+
+def _decode_ppm(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
+    """P6 decode. Feature = ``dim``-bin luminance histogram, normalized."""
+    width, height, maxval, raster = _parse_ppm(payload)
     hist = [0] * dim
     for i in range(0, len(raster) - 2, 3):
         # integer Rec.601-ish luminance
@@ -244,6 +250,156 @@ def synthesize_ppm(media_id: int, width: int = 32, height: int = 24) -> bytes:
             v = (x * 255 // max(1, width - 1) + media_id * 13) % 256
             raster += bytes((v, (v + y) % 256, 255 - v))
     return header + bytes(raster)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a P6 image, re-encoded as P6.
+
+    Deterministic integer source indexing (``sx = x * w // out_w``), so
+    the bytes are reproducible anywhere — the property the media_resize
+    pair's import-time oracle replay relies on."""
+    w, h, maxval, raster = _parse_ppm(payload)
+    out = bytearray(f"P6\n{out_w} {out_h}\n{maxval}\n".encode())
+    for y in range(out_h):
+        sy = y * h // out_h
+        row_base = sy * w * 3
+        for x in range(out_w):
+            sx = x * w // out_w
+            i = row_base + sx * 3
+            out += raster[i : i + 3]
+    return bytes(out)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    target_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """mapInPandas image-resize stage -> RESIZED_SCHEMA.
+
+    REAL for P6 PPM (stdlib parse + nearest-neighbor). A payload whose
+    format needs an external codec (JPEG/PNG/...) raises
+    NotImplementedError inside the task — fail fast, never a silently
+    wrong image. Batches are byte-budget partitioned like every decode
+    pass (blob sizes are skewed; row counts mislead)."""
+    sized = repartition_by_bytes(media, target_batch_bytes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:2] != b"P6":
+                    raise NotImplementedError(
+                        f"resize: no stdlib decoder for magic {b[:4]!r}; "
+                        "JPEG/PNG need codec libraries not installed here"
+                    )
+                payloads.append(_resize_ppm(b, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                }
+            )
+
+    return sized.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_idx", T.IntegerType(), False),
+        T.StructField("start_frame", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _sample_wav(payload: bytes, n_samples: int, window_frames: int) -> list[tuple[int, int, bytes]]:
+    """N evenly-spaced windows from a WAV stream, each re-encoded as a
+    standalone WAV with the source's params -> [(start_frame, n_frames,
+    bytes)]. Window starts span [0, nf - window] inclusive (a single
+    sample starts at 0); short files yield shorter final windows."""
+    with wave.open(io.BytesIO(payload)) as w:
+        params = w.getparams()
+        nf = w.getnframes()
+        out: list[tuple[int, int, bytes]] = []
+        span = max(0, nf - window_frames)
+        for k in range(n_samples):
+            start = (k * span) // (n_samples - 1) if n_samples > 1 else 0
+            w.setpos(start)
+            take = min(window_frames, nf - start)
+            frames = w.readframes(take)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as o:
+                o.setnchannels(params.nchannels)
+                o.setsampwidth(params.sampwidth)
+                o.setframerate(params.framerate)
+                o.writeframes(frames)
+            out.append((start, take, buf.getvalue()))
+    return out
+
+
+def sample_frames(
+    media: DataFrame,
+    n_samples: int = 4,
+    window_frames: int = 512,
+    target_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """mapInPandas temporal sampling stage -> FRAME_SAMPLE_SCHEMA (one row
+    per sampled window).
+
+    REAL for RIFF/WAVE via the stdlib ``wave`` module — the audio/video
+    frame-sampling shape (evenly-spaced windows re-encoded standalone,
+    ready for a downstream embed/transcribe stage). Container formats
+    needing codecs (MP4/MKV/...) raise NotImplementedError inside the
+    task."""
+    sized = repartition_by_bytes(media, target_batch_bytes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, lens, blobs = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    raise NotImplementedError(
+                        f"sample_frames: no stdlib demuxer for magic "
+                        f"{b[:4]!r}; MP4/MKV need codec libraries not "
+                        "installed here"
+                    )
+                for k, (start, take, blob) in enumerate(
+                    _sample_wav(b, n_samples, window_frames)
+                ):
+                    ids.append(int(mid))
+                    idxs.append(k)
+                    starts.append(start)
+                    lens.append(take)
+                    blobs.append(blob)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "sample_idx": pd.Series(idxs, dtype="int32"),
+                    "start_frame": pd.Series(starts, dtype="int64"),
+                    "n_frames": pd.Series(lens, dtype="int32"),
+                    "payload": blobs,
+                }
+            )
+
+    return sized.select("media_id", "payload").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
 def _fake_features(payload: bytes | None, dim: int) -> tuple[int, int, int, list[float]]:

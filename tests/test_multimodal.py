@@ -111,3 +111,108 @@ def test_decode_mixed_formats_one_pass(spark):
     }
     assert got[1]["n_frames"] == 800 and got[1]["width"] is None
     assert got[2]["width"] == 32 and got[2]["n_frames"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Resize (real P6 nearest-neighbor) + temporal frame sampling (real WAV)
+# ---------------------------------------------------------------------------
+def test_resize_ppm_pixel_math():
+    """2x2 checkerboard -> 4x4 nearest neighbor: each source pixel becomes
+    a 2x2 block; header rewritten without comments."""
+    src = b"P6\n2 2\n255\n" + bytes(
+        (255, 0, 0) + (0, 255, 0) + (0, 0, 255) + (255, 255, 255)
+    )
+    out = multimodal._resize_ppm(src, 4, 4)
+    w, h, maxval, raster = multimodal._parse_ppm(out)
+    assert (w, h, maxval) == (4, 4, 255)
+    px = [tuple(raster[i : i + 3]) for i in range(0, len(raster), 3)]
+    grid = [px[r * 4 : (r + 1) * 4] for r in range(4)]
+    assert grid[0][0] == grid[0][1] == grid[1][1] == (255, 0, 0)
+    assert grid[0][2] == grid[1][3] == (0, 255, 0)
+    assert grid[2][0] == grid[3][1] == (0, 0, 255)
+    assert grid[3][3] == (255, 255, 255)
+
+
+def test_resize_ppm_downscale_samples_grid():
+    img = multimodal.synthesize_ppm(5, width=32, height=24)
+    out = multimodal._resize_ppm(img, 8, 6)
+    w, h, _, raster = multimodal._parse_ppm(out)
+    assert (w, h) == (8, 6) and len(raster) == 8 * 6 * 3
+    # nearest neighbor: out pixel (x,y) = src pixel (x*32//8, y*24//6)
+    _, _, _, src = multimodal._parse_ppm(img)
+    for x, y in ((0, 0), (7, 5), (3, 2)):
+        sx, sy = x * 32 // 8, y * 24 // 6
+        assert (
+            tuple(raster[(y * 8 + x) * 3 : (y * 8 + x) * 3 + 3])
+            == tuple(src[(sy * 32 + sx) * 3 : (sy * 32 + sx) * 3 + 3])
+        )
+
+
+def test_resize_images_spark_roundtrip(spark):
+    media = spark.createDataFrame(
+        [(i, multimodal.synthesize_ppm(i)) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(media, 8, 6).collect()
+    }
+    assert len(rows) == 6
+    for i in range(6):
+        expect = multimodal._resize_ppm(multimodal.synthesize_ppm(i), 8, 6)
+        assert bytes(rows[i]["payload"]) == expect
+        assert (rows[i]["width"], rows[i]["height"]) == (8, 6)
+
+
+def test_resize_rejects_codec_formats(spark, media):
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        multimodal.resize_images(media, 8, 6).collect()
+
+
+def test_sample_wav_windows_and_roundtrip():
+    src = multimodal.synthesize_wav(3, n_frames=2000)
+    samples = multimodal._sample_wav(src, 4, 512)
+    assert [s[0] for s in samples] == [0, 496, 992, 1488]  # even spacing
+    assert all(s[1] == 512 for s in samples)
+    import io
+    import wave
+
+    for start, take, blob in samples:
+        with wave.open(io.BytesIO(blob)) as w:
+            assert w.getnframes() == take
+            assert w.getframerate() == 8000 and w.getnchannels() == 1
+    # the windows are actual slices of the source stream
+    with wave.open(io.BytesIO(src)) as w:
+        w.setpos(496)
+        expect = w.readframes(512)
+    with wave.open(io.BytesIO(samples[1][2])) as w:
+        assert w.readframes(512) == expect
+
+
+def test_sample_wav_short_file_truncates():
+    src = multimodal.synthesize_wav(1, n_frames=300)
+    samples = multimodal._sample_wav(src, 4, 512)
+    assert [s[0] for s in samples] == [0, 0, 0, 0]  # span is 0
+    assert all(s[1] == 300 for s in samples)
+
+
+def test_sample_frames_spark_one_row_per_window(spark):
+    media = spark.createDataFrame(
+        [(i, multimodal.synthesize_wav(i)) for i in range(5)],
+        "media_id long, payload binary",
+    )
+    out = multimodal.sample_frames(media, n_samples=3, window_frames=256)
+    rows = out.collect()
+    assert len(rows) == 5 * 3
+    got = {(r["media_id"], r["sample_idx"]): r for r in rows}
+    for i in range(5):
+        expect = multimodal._sample_wav(multimodal.synthesize_wav(i), 3, 256)
+        for k, (start, take, blob) in enumerate(expect):
+            r = got[(i, k)]
+            assert (r["start_frame"], r["n_frames"]) == (start, take)
+            assert bytes(r["payload"]) == blob
+
+
+def test_sample_frames_rejects_codec_formats(spark, media):
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        multimodal.sample_frames(media).collect()

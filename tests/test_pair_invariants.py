@@ -79,6 +79,10 @@ CONSTRUCTION_JOBS = {
     # (seeds/assign/means stages) — 11 total, all on k- or (k x d)-bounded
     # results; training is a BUILD step, not a per-query cost
     "ann_ivf_trained": 11,
+    # media pairs: local-fixture createDataFrame conversion + the
+    # byte-budget sizing scalar in repartition_by_bytes
+    "media_resize": 2,
+    "media_frame_sample": 2,
 }
 
 
