@@ -48,7 +48,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-LEVELS = (8, 32)
+# N and 4N parallelism levels. The default 8->32 spans the VM's full width
+# but crosses the SMT boundary (32 logical = 16 physical cores), so raw
+# efficiency is capped at ~0.67 by the hardware itself and the report's
+# efficiency_vs_hardware is the meaningful number. Run with
+# SPARK_GRAFT_SCALE_LEVELS=4,16 for an N->4N pair that stays entirely on
+# physical cores, where raw efficiency >=0.8 is attainable and directly
+# comparable to independent-executor scale-out.
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+)
 DEFAULT_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "200000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 
@@ -208,7 +217,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "index-build scaling efficiency local[8] -> local[32]",
+                "metric": f"index-build scaling efficiency local[{n}] -> local[{n4}]",
                 "value": round(speedup / (n4 / n), 4),
                 "unit": "efficiency",
                 "levels": results,
