@@ -4,7 +4,8 @@
 The north_rule's two-cluster-size criterion (N and 4N executors, >=0.8
 throughput scaling efficiency) cannot use a real cluster in this sandbox, so
 this harness runs the identical job at two parallelism levels —
-``local[8]`` and ``local[32]`` — on identical input and reports throughput
+``local[8]`` and ``local[32]`` by default, ``SPARK_GRAFT_SCALE_LEVELS=4,16``
+for a physical-core-only pair — on identical input and reports throughput
 at both plus efficiency = (thr_4N / thr_N) / 4.
 
 Two sandbox realities the harness corrects for, both documented in
