@@ -45,9 +45,15 @@ def build_document_authority(
     ``tol``: optional L1 early-stop (checked every CHECKPOINT_EVERY iters to
     avoid per-iteration actions); None = fixed ``iterations`` (reference).
     """
-    nodes = documents.select("doc_id")
+    # ids-only node list cached: the rank-refresh left join touches it every
+    # iteration, and without the cache each of the 20 iterations re-scans
+    # the (wide) documents source. No forced repartition — at bench scale
+    # AQE broadcasts the contribs side into it (cheapest), and at scale the
+    # first shuffle's partitioning is preserved by the cache.
+    nodes = documents.select("doc_id").cache()
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
         return documents.sparkSession.createDataFrame(
             [], "doc_id long, pagerank double, inlink_count int"
         )
@@ -59,10 +65,25 @@ def build_document_authority(
         F.col("source_doc_id").alias("src"), F.col("target_doc_id").alias("dst")
     )
     out_degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    # the per-iteration contribution join keys on src. Where the edge table
+    # is big (out_degree too large to broadcast) the cache-build join is a
+    # sort-merge on src, so the cached layout is already hash-partitioned
+    # on src and satisfies the iteration join's distribution requirement —
+    # the (huge) edge table shuffles once, not 20 times; only the small
+    # ranks side moves each iteration. At bench scale the joins broadcast
+    # instead, which is cheaper still — don't force an exchange here.
     edges_deg = edges.join(out_degree, "src").cache()
     edges_deg.count()
 
-    inlinks = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("inlink_count"))
+    # derived from the cached relation (an inner join on out_degree keeps
+    # every edge), not from `edges`, whose lineage would re-run the full
+    # upstream scan + distinct; materialized eagerly (≤n rows) so the final
+    # join stays valid after edges_deg is unpersisted below
+    inlinks = (
+        edges_deg.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("inlink_count"))
+        .localCheckpoint(eager=True)
+    )
 
     base = 1.0 / n
     teleport = (1.0 - damping) / n
@@ -118,4 +139,5 @@ def build_document_authority(
         )
     )
     edges_deg.unpersist()
+    nodes.unpersist()
     return result
