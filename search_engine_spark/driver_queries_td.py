@@ -618,6 +618,85 @@ FROM (VALUES {", ".join(rows)}) t(media_id, sample_idx, start_frame, n_frames, d
 SQL_MEDIA_FRAME_SAMPLE = _media_frame_sample_oracle_sql()
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over a MIXED image/audio corpus — the pair
+    exercises both real stdlib decoders (P6 luminance histogram, WAV
+    windowed-RMS profile) AND the magic-byte dispatch between them, one
+    row per (media, feature dimension). width/height are -1 where the
+    modality has none (audio)."""
+    from .training_data.multimodal import (
+        FEAT_DIM,
+        decode_features,
+        synthesize_ppm,
+        synthesize_wav,
+    )
+
+    media = spark.createDataFrame(
+        [(i, synthesize_ppm(i)) for i in range(N_MEDIA_IMAGES)]
+        + [(1000 + i, synthesize_wav(i)) for i in range(N_MEDIA_AUDIO)],
+        "media_id long, payload binary",
+    )
+    out = decode_features(media, dim=FEAT_DIM)
+    return out.select(
+        "media_id",
+        F.coalesce(F.col("width"), F.lit(-1)).cast("int").alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).cast("int").alias("height"),
+        "n_frames",
+        F.posexplode("feature").alias("pos", "x"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.col("pos").cast("int").alias("pos"),
+        # feature is array<float>: the float32 value widened to double is
+        # exact, and the oracle replay applies the same float32 quantization
+        # (struct.pack round trip) — identical doubles, no rounding games
+        F.col("x").cast("double").alias("x"),
+    )
+
+
+def _media_features_oracle_sql() -> str:
+    import struct
+
+    from .training_data.multimodal import (
+        FEAT_DIM,
+        decode_payload,
+        synthesize_ppm,
+        synthesize_wav,
+    )
+
+    def f32(v: float) -> float:
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    rows = []
+    fixtures = [(i, synthesize_ppm(i)) for i in range(N_MEDIA_IMAGES)] + [
+        (1000 + i, synthesize_wav(i)) for i in range(N_MEDIA_AUDIO)
+    ]
+    for mid, payload in fixtures:
+        width, height, n_frames, feature = decode_payload(payload, FEAT_DIM)
+        for pos, x in enumerate(feature):
+            # the value rides as a STRING literal: DuckDB routes bare
+            # numeric literals through DECIMAL, whose conversion to DOUBLE
+            # perturbs the last bits; VARCHAR -> DOUBLE is a nearest
+            # (round-trip-exact) parse of the shortest repr
+            rows.append(
+                f"({mid}, {-1 if width is None else width}, "
+                f"{-1 if height is None else height}, {n_frames}, {pos}, "
+                f"'{f32(x)!r}')"
+            )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(n_frames AS INT) AS n_frames, CAST(pos AS INT) AS pos,
+       CAST(x AS DOUBLE) AS x
+FROM (VALUES {", ".join(rows)}) t(media_id, width, height, n_frames, pos, x)
+"""
+
+
+SQL_MEDIA_FEATURES = _media_features_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # Spellcheck candidate generation: trigram-Jaccard similarity join (J7/T5)
 # --------------------------------------------------------------------------
@@ -1339,6 +1418,7 @@ QUERIES_TD = {
     "binary_meta": q_binary_meta,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "media_features": q_media_features,
     "spellcheck_candidates": q_spellcheck_candidates,
     "degree_counts": q_degree_counts,
     "pagerank": q_pagerank,
@@ -1365,6 +1445,7 @@ ORACLES_TD = {
     "binary_meta": SQL_BINARY_META,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "media_features": SQL_MEDIA_FEATURES,
     "spellcheck_candidates": SQL_SPELLCHECK_CANDIDATES,
     "degree_counts": SQL_DEGREE_COUNTS,
     "pagerank": SQL_PAGERANK,

@@ -55,6 +55,9 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# feature-vector width shared by decode_features and its driver pair
+FEAT_DIM = 16
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -420,7 +423,7 @@ def _fake_features(payload: bytes | None, dim: int) -> tuple[int, int, int, list
 def decode_features(
     media: DataFrame,
     fake: bool = False,
-    dim: int = 16,
+    dim: int = FEAT_DIM,
     target_batch_bytes: int = 64 << 20,
 ) -> DataFrame:
     """mapInPandas decode / feature-extract stage -> FEATURE_SCHEMA.

@@ -83,6 +83,7 @@ CONSTRUCTION_JOBS = {
     # byte-budget sizing scalar in repartition_by_bytes
     "media_resize": 2,
     "media_frame_sample": 2,
+    "media_features": 2,
 }
 
 
