@@ -84,6 +84,20 @@ CONSTRUCTION_JOBS = {
     "media_resize": 2,
     "media_frame_sample": 2,
     "media_features": 2,
+    # remaining scan-only pairs: schema read, nothing else
+    "binary_meta": 1,
+    "language_id": 1,
+    "minhash_lsh_pairs": 1,
+    "ngram_jaccard_pairs": 1,
+    "simhash_fingerprints": 1,
+    "simhash_near_dup": 1,
+    "token_counts": 1,
+    "winnow_fingerprints": 1,
+    # NOT listed (deliberately): pagerank and dedup_components — iterative
+    # operators whose driver-side loop materializes each round during
+    # construction; under AQE every materialization is several jobs and the
+    # round count is data-dependent, so an exact count would be flaky. Their
+    # loop structure is covered by test_graph / test_training_data instead.
 }
 
 
