@@ -997,14 +997,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
     sim = S.cosine_similarity_col(F.col("embedding"), F.col("cvec"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("cent_id"))
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .withColumn("_csim", sim)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    # map-side partial argmax (same winner as the oracle's row_number —
+    # identical ordering tuple): the vector x centroid expansion never
+    # shuffles, only one partial row per (map partition, vector) does
+    assigned = S.argmax_centroid(
+        emb.join(F.broadcast(cents)).withColumn("_csim", sim),
+        "vec_id",
+        ["cent_id", "embedding"],
+    ).select("vec_id", "embedding", "cent_id")
     pv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     qlit = F.array(*[F.lit(float(x)) for x in pv])
     probe_cents = [

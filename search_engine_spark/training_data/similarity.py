@@ -249,8 +249,8 @@ def train_ivf_centroids(
     - init: the k corpus vectors with the smallest md5(id) — a fixed
       pseudo-random sample, no RNG state, reproducible across runs/sessions.
     - assign: every vector to its max-cosine centroid (broadcast k
-      centroid rows, JVM-side zip_with/aggregate math, row_number window
-      keyed by the uniform vector id).
+      centroid rows, JVM-side zip_with/aggregate math, map-side partial
+      argmax via :func:`argmax_centroid`).
     - update: element-wise mean via posexplode to (cluster, dim) rows —
       map-side partial sums bound the shuffle at k*d rows per map
       partition; members are never collected. Empty clusters keep their
@@ -267,8 +267,6 @@ def train_ivf_centroids(
     practice: ~256*k vectors via the same md5 order) — assignment cost
     dominates and is the same one broadcast join either way.
     """
-    from pyspark.sql import Window
-
     spark = corpus.sparkSession
     seeds = (
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
@@ -284,16 +282,16 @@ def train_ivf_centroids(
     vecs = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    w = Window.partitionBy("_id").orderBy(F.desc("_csim"), F.asc("cent_id"))
     for _ in range(iters):
         cdf = spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)], "cent_id int, cvec array<double>"
         )
-        assigned = (
-            vecs.crossJoin(F.broadcast(cdf))
-            .withColumn("_csim", cosine_similarity_col(F.col("_v"), F.col("cvec")))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+        assigned = argmax_centroid(
+            vecs.crossJoin(F.broadcast(cdf)).withColumn(
+                "_csim", cosine_similarity_col(F.col("_v"), F.col("cvec"))
+            ),
+            "_id",
+            ["cent_id", "_v"],
         )
         means = (
             assigned.select("cent_id", F.posexplode("_v").alias("pos", "x"))
@@ -316,6 +314,27 @@ def train_ivf_centroids(
     return cents
 
 
+def argmax_centroid(
+    expanded: DataFrame, group_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """(group, payload...) of each group's max-``_csim`` row, ties broken
+    by smallest cent_id.
+
+    A group-aggregate ``max_by`` over a lexicographic (similarity,
+    -cent_id) key instead of the window row_number it replaced: the
+    (vector x centroid) expansion is reduced by MAP-SIDE PARTIAL argmax,
+    so only one partial row per (map partition, vector) reaches the
+    shuffle — a window would shuffle AND sort the full k-fold expansion.
+    Picks the identical row (same ordering tuple, tie-broken unique)."""
+    best = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]),
+        F.struct(F.col("_csim").alias("s"), (-F.col("cent_id")).alias("t")),
+    )
+    return expanded.groupBy(group_col).agg(best.alias("_b")).select(
+        group_col, *[F.col(f"_b.{c}").alias(c) for c in payload_cols]
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -325,20 +344,17 @@ def ivf_assign(
     """(id, vec, cent_id): max-cosine centroid per vector. This is the
     partitioning a stored IVF index would write (partitionBy cent_id) so
     query-time nprobe scans prune to nprobe directories."""
-    from pyspark.sql import Window
-
     spark = corpus.sparkSession
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cent_id int, cvec array<double>"
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
-    return (
+    expanded = (
         corpus.select(id_col, vec_col)
         .crossJoin(F.broadcast(cdf))
         .withColumn("_csim", cosine_similarity_col(F.col(vec_col), F.col("cvec")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cent_id")
+    )
+    return argmax_centroid(expanded, id_col, ["cent_id", vec_col]).select(
+        id_col, vec_col, "cent_id"
     )
 
 
