@@ -59,6 +59,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
 )
+if len(LEVELS) != 2:
+    # fail in milliseconds, not after benchmarking every level
+    raise SystemExit(
+        f"SPARK_GRAFT_SCALE_LEVELS must be exactly two comma-separated "
+        f"levels (N,4N), got {LEVELS!r}"
+    )
 DEFAULT_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "200000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 

@@ -392,11 +392,15 @@ _MERGE_TEXT_COLS = ("title", "description", "content", "author", "image_url")
 # The ON CONFLICT(url) update list (news_fetcher.py:267-283) as SQL over
 # aliases t (existing) / s (incoming) — consumed by TableIO.merge_columns so
 # the Iceberg MERGE INTO and the parquet read-modify-write share one
-# spelling. feed_url is deliberately ABSENT: the reference keeps the
-# original feed attribution on re-fetch.
+# spelling. feed_url keeps the EXISTING attribution (the reference's ON
+# CONFLICT update list omits it entirely) with one documented departure:
+# a NULL existing attribution back-fills from the incoming feed — the
+# reference would leave it NULL forever. The same COALESCE(old, new) rule
+# in upsert_articles keeps both backends row-identical either way.
 ARTICLE_MERGE_SET = {
     **{c: f"COALESCE(NULLIF(s.{c}, ''), t.{c})" for c in _MERGE_TEXT_COLS},
     "published_at_s": "COALESCE(s.published_at_s, t.published_at_s)",
+    "feed_url": "COALESCE(t.feed_url, s.feed_url)",
 }
 
 

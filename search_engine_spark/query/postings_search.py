@@ -17,6 +17,7 @@ exact (any doc in the global top-k is in its shard's top-k).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 import pandas as pd
@@ -28,6 +29,12 @@ from .analysis import QueryContext, search_context
 from .intent import rerank
 from .search import SearchResponse, SearchResult
 from .wand import TermPostings, score_shard_wand
+
+# reference-counted interactive_conf state, keyed by session identity:
+# outermost scope saves the true originals, last exit restores them
+_INTERACTIVE_LOCK = threading.Lock()
+_INTERACTIVE_DEPTH: dict[int, int] = {}
+_INTERACTIVE_SAVED: dict[int, dict[str, str | None]] = {}
 
 _CANDIDATE_SCHEMA = T.StructType(
     [
@@ -126,28 +133,50 @@ class PostingsSearchEngine:
         never leaks configuration into co-resident batch jobs. Spark reads
         both configs at action time, so wrapping the ``.collect()`` is
         sufficient.
+
+        Concurrent/nested scopes on the same session are REFERENCE-COUNTED
+        under a lock: only the outermost entry saves (so an inner scope
+        never records the already-overridden profile as "original") and
+        only the last exit restores — without this, two overlapping
+        searches leave the session permanently in the serving profile.
+        Session-wide configs remain visible to a batch action that runs
+        DURING a search's window; keep latency-critical serving on its own
+        SparkSession if batch jobs share the process.
         """
         if not self.interactive:
             yield
             return
-        conf = self.documents.sparkSession.conf
-        saved = {
-            k: conf.get(k, None)
-            for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-        }
+        spark = self.documents.sparkSession
+        conf = spark.conf
+        key = id(spark)
+        with _INTERACTIVE_LOCK:
+            depth = _INTERACTIVE_DEPTH.get(key, 0)
+            if depth == 0:
+                _INTERACTIVE_SAVED[key] = {
+                    k: conf.get(k, None)
+                    for k in (
+                        "spark.sql.adaptive.enabled",
+                        "spark.sql.shuffle.partitions",
+                    )
+                }
+                conf.set("spark.sql.adaptive.enabled", "false")
+                conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(self.interactive_shuffle_partitions),
+                )
+            _INTERACTIVE_DEPTH[key] = depth + 1
         try:
-            conf.set("spark.sql.adaptive.enabled", "false")
-            conf.set(
-                "spark.sql.shuffle.partitions",
-                str(self.interactive_shuffle_partitions),
-            )
             yield
         finally:
-            for k, v in saved.items():
-                if v is None:
-                    conf.unset(k)
-                else:
-                    conf.set(k, v)
+            with _INTERACTIVE_LOCK:
+                _INTERACTIVE_DEPTH[key] -= 1
+                if _INTERACTIVE_DEPTH[key] == 0:
+                    del _INTERACTIVE_DEPTH[key]
+                    for k, v in _INTERACTIVE_SAVED.pop(key).items():
+                        if v is None:
+                            conf.unset(k)
+                        else:
+                            conf.set(k, v)
 
     def scan_stats(self) -> dict:
         """Cumulative executor-side WAND telemetry: blocks decoded vs total

@@ -301,7 +301,15 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for p in pdf["payload"]:
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    # unlike decode_features (which emits a zero feature),
+                    # a resize has no meaningful output for a missing blob
+                    # — fail with a actionable message, not bytes(None)
+                    raise ValueError(
+                        f"resize: media_id={int(mid)} has a NULL payload; "
+                        "filter null payloads before resizing"
+                    )
                 b = bytes(p)
                 if b[:2] != b"P6":
                     raise NotImplementedError(
@@ -377,6 +385,11 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, starts, lens, blobs = [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    raise ValueError(
+                        f"sample_frames: media_id={int(mid)} has a NULL "
+                        "payload; filter null payloads before sampling"
+                    )
                 b = bytes(p)
                 if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
                     raise NotImplementedError(

@@ -114,3 +114,32 @@ def test_search_results_invariant_under_shard_count(spark, docs, tokens, term_st
         ]
         assert results[0] == results[1] == results[2], f"shard-variant results for {q!r}"
     p1.unpersist(), p5.unpersist()
+
+
+def test_interactive_conf_overlapping_scopes_restore_original(
+    spark, docs, tokens, term_stats, postings3
+):
+    """interactive_conf is reference-counted per session: an inner scope
+    (a second engine's concurrent search) must not record the already-
+    applied serving profile as the 'original', and the originals are
+    restored only at the LAST exit — the leak mode where two overlapping
+    searches left the session permanently at AQE-off/8-partitions."""
+    from search_engine_spark.query.postings_search import PostingsSearchEngine
+
+    e_a = PostingsSearchEngine(docs, postings3, term_stats, interactive=True)
+    e_b = PostingsSearchEngine(docs, postings3, term_stats, interactive=True)
+    conf = spark.conf
+    orig_aqe = conf.get("spark.sql.adaptive.enabled", None)
+    orig_parts = conf.get("spark.sql.shuffle.partitions", None)
+    with e_a.interactive_conf():
+        assert conf.get("spark.sql.adaptive.enabled") == "false"
+        with e_b.interactive_conf():
+            assert conf.get("spark.sql.adaptive.enabled") == "false"
+        # inner exit keeps the profile active (outer scope still open)...
+        assert conf.get("spark.sql.adaptive.enabled") == "false"
+        assert conf.get("spark.sql.shuffle.partitions") == str(
+            e_a.interactive_shuffle_partitions
+        )
+    # ...and the outer exit restores the TRUE originals, not the profile
+    assert conf.get("spark.sql.adaptive.enabled", None) == orig_aqe
+    assert conf.get("spark.sql.shuffle.partitions", None) == orig_parts

@@ -101,6 +101,10 @@ def test_merge_columns_matches_upsert_articles(spark, io):
         [
             ("u1", "f1", "Old title", "old desc", "old content", "A", 100, "img1"),
             ("u2", "f1", "Keep", "d", "c", "B", 200, ""),
+            # NULL existing attribution: the one feed_url case where the
+            # backends can drift (merge set must back-fill like the
+            # operator's COALESCE(old, new) does)
+            ("u4", None, "Unattributed", "d4", "c4", "D", 400, ""),
         ],
         cols,
     )
@@ -108,6 +112,7 @@ def test_merge_columns_matches_upsert_articles(spark, io):
         [
             ("u1", "f9", "", "new desc", "", "", None, "img2"),
             ("u3", "f2", "Brand new", "", "", "C", 300, ""),
+            ("u4", "f4", "", "", "", "", None, ""),
         ],
         cols,
     )
