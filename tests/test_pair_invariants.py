@@ -288,6 +288,12 @@ DRIVERLIKE_QUERIES = [
     "ann_ivf_trained",
     "simhash_fingerprints",
     "word_source_merge",
+    # r03-touched late in the round: map-side argmax assignment
+    # (ann_ivf_topk), cached-node/eager-inlinks PageRank under 200
+    # shuffle partitions, float32-exact media features under ANSI
+    "ann_ivf_topk",
+    "pagerank",
+    "media_features",
 ]
 
 
