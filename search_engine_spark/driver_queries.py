@@ -639,6 +639,7 @@ ORACLES: dict[str, str] = {
 # training-data pipeline pairs (dedup / similarity / text analysis /
 # multimodal / graph) live in driver_queries_td to keep this module
 # readable; the news-ingest domain pairs live in driver_queries_news
+from .driver_queries_curation import ORACLES_CUR, QUERIES_CUR  # noqa: E402
 from .driver_queries_news import ORACLES_NEWS, QUERIES_NEWS  # noqa: E402
 from .driver_queries_td import ORACLES_TD, QUERIES_TD  # noqa: E402
 
@@ -646,3 +647,5 @@ QUERIES.update(QUERIES_TD)
 ORACLES.update(ORACLES_TD)
 QUERIES.update(QUERIES_NEWS)
 ORACLES.update(ORACLES_NEWS)
+QUERIES.update(QUERIES_CUR)
+ORACLES.update(ORACLES_CUR)

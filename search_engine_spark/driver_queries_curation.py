@@ -1,0 +1,226 @@
+"""Curation-operator (Spark, DuckDB-oracle) query pairs: PII redaction,
+Gopher quality gates, repetition statistics.
+
+The synthetic ``documents`` corpus is single-line word-soup with no PII, so
+each pair injects the structure it measures *deterministically in-query*,
+from ``doc_id`` alone, with the SAME SQL expression string evaluated by
+Spark (``F.expr``) and DuckDB (CTE) — the ``_mut_docs`` pattern from
+``driver_queries_td``. Only engine-portable functions appear in the shared
+fragments (CASE/||/replace/chr/lpad/CAST AS STRING), so both engines build
+byte-identical inputs.
+
+Float discipline (CLAUDE.md invariants 1/4): every emitted ratio is a
+single division of two exactly-representable integers, rounded to 6 on
+both sides; no accumulation-order-sensitive float SUM exists anywhere in
+these pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .training_data import curation as C
+
+# ---------------------------------------------------------------------------
+# Shared injection fragments (valid in BOTH Spark SQL and DuckDB SQL).
+# ---------------------------------------------------------------------------
+
+# PII: ~1/3 of docs get an email, ~1/5 a NANP phone, ~1/7 an IPv4 — all
+# derived from doc_id so both engines plant identical strings.
+PII_TEXT_EXPR = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS STRING)"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'"
+    " || lpad(CAST((doc_id * 7) % 1000 AS STRING), 3, '0') || '-'"
+    " || lpad(CAST((doc_id * 13) % 10000 AS STRING), 4, '0') || ' today' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS STRING)"
+    " || '.' || CAST((doc_id * 3) % 256 AS STRING)"
+    " || '.' || CAST(doc_id % 100 AS STRING) || ' up' ELSE '' END"
+)
+
+# Line structure: the corpus word 'line' becomes a newline (giving every doc
+# multi-line shape), plus deterministic bullet / ellipsis / symbol /
+# stopword / duplicate-line injections keyed on doc_id.
+CUR_TEXT_EXPR = (
+    "CASE WHEN doc_id % 6 = 0 THEN '- bullet item' || chr(10) ELSE '' END"
+    " || replace("
+    "text"
+    " || CASE WHEN doc_id % 9 = 0 THEN ' # # #' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' and that of' ELSE '' END"
+    ", ' line ', chr(10))"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'repeated line marker'"
+    " || chr(10) || 'repeated line marker' ELSE '' END"
+)
+
+_PII_CTE = f"pii AS (SELECT doc_id, {PII_TEXT_EXPR} AS text FROM documents)"
+_CUR_CTE = f"cur AS (SELECT doc_id, {CUR_TEXT_EXPR} AS text FROM documents)"
+
+
+def _injected(spark: SparkSession, sf_dir: str, expr: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", F.expr(expr).alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected(spark, sf_dir, PII_TEXT_EXPR)
+    stats = C.pii_stats(injected)
+    return stats.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+        (F.length("text") - F.length("redacted")).cast("long").alias(
+            "n_chars_removed"
+        ),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACTION = rf"""
+WITH {_PII_CTE},
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{C.PHONE_RE}', '<PHONE>', 'g'),
+           '{C.IPV4_RE}', '<IP>', 'g') AS redacted
+  FROM pii
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{C.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{C.PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{C.IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(length(text) - length(redacted) AS BIGINT) AS n_chars_removed,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gates
+# ---------------------------------------------------------------------------
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected(spark, sf_dir, CUR_TEXT_EXPR)
+    return C.gopher_quality(injected).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        "frac_alpha_words",
+        "n_stop_kinds",
+        "passes",
+    )
+
+
+_STOP_SUM = " + ".join(
+    f"CAST(list_contains(w, '{s}') AS BIGINT)" for s in C.REQUIRED_STOPWORDS
+)
+
+SQL_GOPHER_QUALITY = rf"""
+WITH {_CUR_CTE},
+base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         string_split(text, chr(10)) AS lines,
+         text
+  FROM cur
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               / len(w), 6) AS mean_word_len,
+         round(len(regexp_extract_all(text, '#|\.\.\.')) / len(w), 6)
+           AS symbol_ratio,
+         round(len(list_filter(lines, l -> l LIKE '- %')) / len(lines), 6)
+           AS frac_bullet_lines,
+         round(len(list_filter(lines, l -> l LIKE '%...')) / len(lines), 6)
+           AS frac_ellipsis_lines,
+         round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w), 6)
+           AS frac_alpha_words,
+         CAST({_STOP_SUM} AS BIGINT) AS n_stop_kinds
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_bullet_lines,
+       frac_ellipsis_lines, frac_alpha_words, n_stop_kinds,
+       CAST(CASE WHEN n_words >= {C.MIN_WORDS} AND n_words <= {C.MAX_WORDS}
+             AND mean_word_len >= {C.MIN_MEAN_WORD_LEN}
+             AND mean_word_len <= {C.MAX_MEAN_WORD_LEN}
+             AND symbol_ratio <= {C.MAX_SYMBOL_RATIO}
+             AND frac_bullet_lines <= {C.MAX_BULLET_LINE_FRAC}
+             AND frac_ellipsis_lines <= {C.MAX_ELLIPSIS_LINE_FRAC}
+             AND frac_alpha_words >= {C.MIN_ALPHA_WORD_FRAC}
+             AND n_stop_kinds >= {C.MIN_STOPWORD_KINDS}
+        THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics
+# ---------------------------------------------------------------------------
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected(spark, sf_dir, CUR_TEXT_EXPR)
+    return C.repetition_stats(injected)
+
+
+SQL_REPETITION_STATS = rf"""
+WITH {_CUR_CTE},
+base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM cur
+),
+stats AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         round((len(lines) - len(list_distinct(lines))) / len(lines), 6)
+           AS dup_line_frac,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+           AS word_chars,
+         w
+  FROM base
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM stats, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+),
+win AS (
+  SELECT doc_id, bigram, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram ASC)
+           AS rn
+  FROM cnt
+)
+SELECT s.doc_id, s.n_lines, s.dup_line_frac,
+       win.bigram AS top_bigram,
+       round(win.c * (length(win.bigram) - 1) / s.word_chars, 6)
+         AS top_bigram_frac
+FROM stats s JOIN win ON win.doc_id = s.doc_id AND win.rn = 1
+"""
+
+
+QUERIES_CUR = {
+    "pii_redaction": q_pii_redaction,
+    "gopher_quality": q_gopher_quality,
+    "repetition_stats": q_repetition_stats,
+}
+
+ORACLES_CUR = {
+    "pii_redaction": SQL_PII_REDACTION,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "repetition_stats": SQL_REPETITION_STATS,
+}

@@ -1,0 +1,202 @@
+"""Webtext curation operators: PII redaction, Gopher quality gates,
+repetition statistics.
+
+These extend the reference's quality scoring (``app/crawler/extractor.py``
+quality heuristics, SURVEY.md E11/E14) with the standard LLM-training-data
+curation rules a 100 TB pipeline applies before tokenization:
+
+- :func:`pii_stats` — regex detection + redaction of emails / NANP phone
+  numbers / IPv4 addresses (the C4-style scrubbing pass);
+- :func:`gopher_quality` — the per-document quality gates of Gopher
+  (Rae et al. 2021, "Scaling Language Models", Appendix A1.1): word count,
+  mean word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+  alphabetic-word fraction, required-stopword count;
+- :func:`repetition_stats` — Gopher's repetition signals: duplicate-line
+  fraction and the character fraction covered by the most frequent word
+  2-gram.
+
+Everything except the top-bigram argmax is a per-row native Column
+expression (regex + higher-order array functions) — zero shuffles, zero
+Python UDFs, embarrassingly parallel at any scale. The top-bigram argmax
+shuffles once on the (uniform) document id and windows within each
+document, so no skew is possible (CLAUDE.md invariant 6). All regexes are
+Java/RE2-portable (ASCII classes, no lookarounds) so the DuckDB oracles
+replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Portable ASCII regexes — identical semantics under Java (Spark) and RE2
+# (DuckDB): character classes, bounded repetition and \b / \d only.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Gopher rule A1.1 required stopwords: a document must contain >= 2 kinds.
+REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Gopher gate constants (Rae et al. 2021, Appendix A1.1).
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MAX_BULLET_LINE_FRAC = 0.1  # ">= 90% of lines do not start with a bullet"
+MAX_ELLIPSIS_LINE_FRAC = 0.3
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOPWORD_KINDS = 2
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_emails / n_phones / n_ipv4 counts and a ``redacted`` text
+    column with each match replaced by <EMAIL> / <PHONE> / <IP>.
+
+    Counts are taken on the original text; redaction applies the three
+    patterns sequentially (email first — its domain can never re-match the
+    phone/IP patterns, so order only matters for determinism, which the
+    fixed sequence provides).
+    """
+    c = F.col(text_col)
+
+    def _count(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return (
+        df.withColumn("n_emails", _count(EMAIL_RE))
+        .withColumn("n_phones", _count(PHONE_RE))
+        .withColumn("n_ipv4", _count(IPV4_RE))
+        .withColumn("redacted", redacted)
+    )
+
+
+def _words(text_col: str) -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality metrics plus a 0/1 ``passes`` gate.
+
+    Ratios are rounded to 6 decimals *before* gating so the Spark and
+    DuckDB sides compare bit-identical doubles against the thresholds
+    (CLAUDE.md invariant 1/4 — every ratio is a single division of two
+    exact integers, deterministic under any execution order).
+    """
+    w = _words(text_col)
+    lines = F.split(F.col(text_col), "\n")
+
+    n_words = F.size(w).cast("long")
+    word_chars = F.expr(
+        f"aggregate(split(trim({text_col}), '\\\\s+'), 0L, (acc, x) -> acc + length(x))"
+    )
+    mean_word_len = F.round(word_chars / n_words, 6)
+
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    symbol_ratio = F.round(n_symbols / n_words, 6)
+
+    n_lines = F.size(lines)
+    frac_bullet = F.round(
+        F.size(F.filter(lines, lambda l: l.like("- %"))) / n_lines, 6
+    )
+    frac_ellipsis = F.round(
+        F.size(F.filter(lines, lambda l: l.like("%..."))) / n_lines, 6
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n_words, 6
+    )
+
+    n_stop = None
+    for s in REQUIRED_STOPWORDS:
+        hit = F.array_contains(w, s).cast("long")
+        n_stop = hit if n_stop is None else n_stop + hit
+
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("frac_bullet_lines", frac_bullet)
+        .withColumn("frac_ellipsis_lines", frac_ellipsis)
+        .withColumn("frac_alpha_words", frac_alpha)
+        .withColumn("n_stop_kinds", n_stop)
+    )
+    passes = (
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        & (F.col("frac_bullet_lines") <= MAX_BULLET_LINE_FRAC)
+        & (F.col("frac_ellipsis_lines") <= MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("frac_alpha_words") >= MIN_ALPHA_WORD_FRAC)
+        & (F.col("n_stop_kinds") >= MIN_STOPWORD_KINDS)
+    )
+    return out.withColumn("passes", passes.cast("long"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, top_bigram, top_bigram_frac).
+
+    - ``dup_line_frac`` = (n_lines - n_distinct_lines) / n_lines, computed
+      per-row with array functions (no shuffle);
+    - ``top_bigram_frac`` = chars covered by the most frequent word 2-gram
+      (count x bigram-chars-sans-space) / total word chars. The argmax tie
+      breaks deterministically on (count DESC, bigram ASC).
+
+    Documents with fewer than two words have no bigram and are omitted —
+    mirrored exactly by the SQL twin's inner join.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines), 6
+        ).alias("dup_line_frac"),
+        _words(text_col).alias("w"),
+    ).withColumn(
+        "word_chars",
+        F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "word_chars",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(w) - 2), "
+                "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2))) END"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy(
+        "doc_id", "n_lines", "dup_line_frac", "word_chars", "bigram"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("bigram").asc())
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.col("bigram").alias("top_bigram"),
+            F.round(
+                F.col("c") * (F.length("bigram") - 1) / F.col("word_chars"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Unit tests for the curation operators (PII redaction, Gopher quality
+gates, repetition stats) on hand-built fixtures with known answers.
+
+The (Spark, DuckDB) pair parity of the same operators over the synthetic
+corpus is covered by test_driver_queries / test_pair_invariants; these
+tests pin the *semantics* — exact counts, redacted strings, gate
+decisions — on documents where the right answer is computed by hand.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.training_data import curation as C
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "write to alice.smith+tag@example.co.uk or bob@test.org today"),
+        (2, "call 555-867-5309 or 555-000-1234 now"),
+        (3, "server 192.168.0.1 and 10.0.255.77 are up"),
+        (4, "mixed: a@b.io, 555-123-4567, 8.8.8.8"),
+        (5, "clean text with no pii at all"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in C.pii_stats(_df(spark, rows)).collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ipv4"]) == (0, 2, 0)
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ipv4"]) == (0, 0, 2)
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ipv4"]) == (1, 1, 1)
+    assert (out[5]["n_emails"], out[5]["n_phones"], out[5]["n_ipv4"]) == (0, 0, 0)
+
+    assert out[1]["redacted"] == "write to <EMAIL> or <EMAIL> today"
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["redacted"] == "server <IP> and <IP> are up"
+    assert out[4]["redacted"] == "mixed: <EMAIL>, <PHONE>, <IP>"
+    assert out[5]["redacted"] == rows[4][1]
+
+
+def test_pii_phone_not_counted_as_ip(spark):
+    out = C.pii_stats(_df(spark, [(1, "dial 555-123-4567")])).collect()[0]
+    assert out["n_phones"] == 1
+    assert out["n_ipv4"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gates
+# ---------------------------------------------------------------------------
+def _gopher_row(spark, text):
+    return C.gopher_quality(_df(spark, [(1, text)])).collect()[0]
+
+
+def test_gopher_passing_document(spark):
+    # 60 plain words incl. >= 2 required stopwords, no symbols/bullets.
+    text = "the quick brown fox jumps over and over the lazy dog " * 6
+    r = _gopher_row(spark, text.strip())
+    assert r["n_words"] == 66
+    assert r["n_stop_kinds"] == 2  # 'the' and 'and' of the required set
+    assert r["passes"] == 1
+
+
+def test_gopher_stopword_kinds_exact(spark):
+    r = _gopher_row(spark, "the cat sat with that mat to be of and have fun")
+    # the, with, that, to, be, of, and, have -> all 8 present
+    assert r["n_stop_kinds"] == 8
+
+
+def test_gopher_word_count_gate(spark):
+    r = _gopher_row(spark, "too short to pass the and gate")
+    assert r["n_words"] == 7
+    assert r["passes"] == 0
+
+
+def test_gopher_bullet_and_ellipsis_line_fractions(spark):
+    text = "- bullet one\nplain line here\nanother plain\ntrailing thought..."
+    r = _gopher_row(spark, text)
+    assert r["frac_bullet_lines"] == 0.25
+    assert r["frac_ellipsis_lines"] == 0.25
+
+
+def test_gopher_symbol_ratio(spark):
+    r = _gopher_row(spark, "alpha beta # gamma ... delta")
+    # 2 symbols (one '#', one '...') over 6 whitespace tokens
+    assert r["n_words"] == 6
+    assert r["symbol_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+
+
+def test_gopher_alpha_word_fraction(spark):
+    r = _gopher_row(spark, "one 1 two 2 three 3 four 4")
+    assert r["frac_alpha_words"] == 0.5
+
+
+def test_gopher_mean_word_length(spark):
+    r = _gopher_row(spark, "aa bbbb")
+    assert r["mean_word_len"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats
+# ---------------------------------------------------------------------------
+def test_repetition_duplicate_lines(spark):
+    text = "same line\nsame line\nsame line\nunique one"
+    r = C.repetition_stats(_df(spark, [(1, text)])).collect()[0]
+    # 4 lines, 2 distinct -> 2/4 duplicated
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == 0.5
+
+
+def test_repetition_top_bigram(spark):
+    text = "red blue red blue red green"
+    r = C.repetition_stats(_df(spark, [(1, text)])).collect()[0]
+    # bigrams: red blue, blue red, red blue, blue red, red green ->
+    # tie between 'red blue' (2) and 'blue red' (2); ASC tie-break
+    assert r["top_bigram"] == "blue red"
+    # covered chars = 2 * len('bluered') = 14; word chars = 3+4+3+4+3+5 = 22
+    assert r["top_bigram_frac"] == pytest.approx(14 / 22, abs=1e-6)
+
+
+def test_repetition_single_word_doc_omitted(spark):
+    out = C.repetition_stats(
+        _df(spark, [(1, "loneword"), (2, "two words")])
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [2]
+
+
+def test_repetition_no_duplicate_lines_is_zero(spark):
+    r = C.repetition_stats(_df(spark, [(1, "a b\nc d")])).collect()[0]
+    assert r["dup_line_frac"] == 0.0

@@ -87,6 +87,9 @@ CONSTRUCTION_JOBS = {
     # remaining scan-only pairs: schema read, nothing else
     "binary_meta": 1,
     "language_id": 1,
+    "pii_redaction": 1,
+    "gopher_quality": 1,
+    "repetition_stats": 1,
     "minhash_lsh_pairs": 1,
     "ngram_jaccard_pairs": 1,
     "simhash_fingerprints": 1,
@@ -288,6 +291,10 @@ DRIVERLIKE_QUERIES = [
     "ann_ivf_trained",
     "simhash_fingerprints",
     "word_source_merge",
+    # r03 curation pairs: in-query injected corpora, ratio rounding
+    "pii_redaction",
+    "gopher_quality",
+    "repetition_stats",
     # r03-touched late in the round: map-side argmax assignment
     # (ann_ivf_topk), cached-node/eager-inlinks PageRank under 200
     # shuffle partitions, float32-exact media features under ANSI
