@@ -14,6 +14,10 @@ and the expensive stages only ever see survivors):
    (ids only) -> large-star/small-star connected components -> keep each
    component's min-id representative.
 
+Opt-in stages: the full Gopher rule set after stage 2 (``gopher=True``)
+and a PII-redaction transform after stage 4 (``redact_pii=True``) — see
+``curation.py``.
+
 Returns the kept corpus plus a per-stage audit (stage, rows_in,
 rows_out, dropped) computed from the SAME lazily-built frames — one
 count per stage boundary, no extra lineage. The audit is the "no silent
@@ -35,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup as D
+from .curation import gopher_quality, pii_stats
 from .textstats import language_id
 
 DEFAULT_MIN_CHARS = 80
@@ -92,11 +97,19 @@ def curate_corpus(
     num_perm: int = 9,
     rows_per_band: int = 3,
     quality_kwargs: dict | None = None,
+    gopher: bool = False,
+    redact_pii: bool = False,
 ) -> tuple[DataFrame, CurationReport]:
     """documents -> (kept documents, per-stage audit).
 
     Counts run one action per stage boundary; the kept frame stays lazy
     for the caller to write/cache.
+
+    ``gopher=True`` inserts the full Gopher rule set (curation.py,
+    Rae et al. 2021 A1.1) after the cheap quality gate — still one scan,
+    native Columns. ``redact_pii=True`` appends a PII-redaction transform
+    to the kept text (row-preserving; audited with rows_in == rows_out so
+    the "every drop is attributable" invariant stays intact).
     """
     stages: list = []
 
@@ -122,6 +135,16 @@ def curate_corpus(
     q = quality_gate(exact, text_col=text_col, **(quality_kwargs or {}))
     q = gate("quality", exact, q)
 
+    # 2b. optional Gopher rule set (word count / mean word length / symbol
+    # ratio / bullet + ellipsis lines / alpha words / required stopwords)
+    if gopher:
+        g = (
+            gopher_quality(q, text_col=text_col)
+            .filter(F.col("passes") == 1)
+            .select(id_col, text_col)
+        )
+        q = gate("gopher", q, g)
+
     # 3. language gate
     lang = language_id(q, text_col=text_col).filter(
         F.col("pred_lang").isin(list(languages))
@@ -142,5 +165,13 @@ def curate_corpus(
     )
     kept = lang.join(keep_ids, id_col, "inner")
     kept = gate("near_dup", lang, kept)
+
+    # 5. optional PII scrub: transform, not filter — rows pass through
+    # unchanged in count, text is replaced by its redacted form
+    if redact_pii:
+        red = pii_stats(kept, text_col=text_col).select(
+            id_col, F.col("redacted").alias(text_col)
+        )
+        kept = gate("pii_redact", kept, red)
 
     return kept, CurationReport(stages=stages)

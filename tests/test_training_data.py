@@ -474,6 +474,33 @@ def test_curate_corpus_end_to_end(spark):
     assert sum(report.dropped().values()) == 5
 
 
+def test_curate_corpus_gopher_and_pii_stages(spark):
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    # >= 50 words, >= 2 required stopwords, clean of symbols -> passes
+    # Gopher; carries an email + an IPv4 that the scrub must remove.
+    passing = (
+        "the big data cluster runs heavy jobs with many workers and every "
+        "task finishes before the deadline because the scheduler balances "
+        "load across racks while operators watch dashboards and the report "
+        "mails ops@example.com from host 10.2.3.4 whenever a stage retries "
+        "or a disk fills up and the team rotates oncall duty each week"
+    )
+    # plenty of words but ZERO required stopwords beyond one -> gopher-dropped
+    failing = " ".join(["alpha beta gamma delta epsilon zeta eta theta"] * 8)
+    docs = spark.createDataFrame(
+        [(1, passing), (2, failing)], "doc_id long, text string"
+    )
+    kept, report = curate_corpus(docs, gopher=True, redact_pii=True)
+    rows = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(rows) == {1}
+    assert "ops@example.com" not in rows[1] and "<EMAIL>" in rows[1]
+    assert "10.2.3.4" not in rows[1] and "<IP>" in rows[1]
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["gopher"] == (2, 1)
+    assert by_stage["pii_redact"] == (1, 1)  # transform: no silent drops
+
+
 def test_curate_corpus_is_idempotent(spark):
     """Curating an already-curated corpus drops nothing."""
     from search_engine_spark.training_data.pipeline import curate_corpus
