@@ -213,14 +213,134 @@ FROM stats s JOIN win ON win.doc_id = s.doc_id AND win.rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (mixing.py): flag documents sharing any word
+# 5-gram with the "benchmark" subset (doc_id % 83 == 0). n=5 instead of the
+# published 13 because the synthetic docs are 10-60 words; the operator
+# defaults to 13.
+# ---------------------------------------------------------------------------
+DECON_N = 5
+DECON_EVAL_MOD = 83
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    eval_docs = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    return M.decontaminate(docs, eval_docs, n=DECON_N)
+
+
+SQL_DECONTAMINATION = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i + {DECON_N - 1}], ' ') AS ngram
+  FROM w, unnest(range(1, len(w) - {DECON_N - 2})) AS t(i)
+  WHERE len(w) >= {DECON_N}
+),
+ev AS (
+  SELECT DISTINCT ngram FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+hits AS (
+  SELECT g.doc_id, count(*) AS h FROM g JOIN ev USING (ngram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(hits.h, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (mixing.py): per-language mixing rates,
+# md5 hex-prefix thresholds — the keep/drop decision is a string compare
+# both engines replay exactly.
+# ---------------------------------------------------------------------------
+MIX_RATES = {"en": 0.5, "fr": 0.25, "es": 0.125, "de": 1.0, "zh": 0.0}
+MIX_SEED = "mix"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return M.stratified_sample(docs, MIX_RATES, seed=MIX_SEED).select(
+        "doc_id", "lang", "u8"
+    )
+
+
+def _mix_threshold_case() -> str:
+    from .training_data.mixing import hex_threshold
+
+    arms = " ".join(
+        f"WHEN '{s}' THEN '{hex_threshold(r)}'"
+        for s, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE lang {arms} ELSE '{hex_threshold(0.0)}' END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, u8 FROM (
+  SELECT doc_id, lang,
+         substr(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+  FROM documents
+)
+WHERE u8 < {_mix_threshold_case()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe per-domain caps (mixing.py): top-3 docs per source by
+# (n_chars DESC, doc_id ASC). The oracle is the naive single window — the
+# two-phase salted plan must produce the identical relation.
+# ---------------------------------------------------------------------------
+DOMAIN_CAP_K = 3
+
+
+def q_domain_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return M.domain_top_k(docs, DOMAIN_CAP_K).select(
+        "source", "doc_id", "n_chars", "rank"
+    )
+
+
+SQL_DOMAIN_TOP_K = f"""
+SELECT source, doc_id, n_chars, rank FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM documents
+)
+WHERE rank <= {DOMAIN_CAP_K}
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
+    "decontamination": q_decontamination,
+    "stratified_sample": q_stratified_sample,
+    "domain_top_k": q_domain_top_k,
 }
 
 ORACLES_CUR = {
     "pii_redaction": SQL_PII_REDACTION,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "repetition_stats": SQL_REPETITION_STATS,
+    "decontamination": SQL_DECONTAMINATION,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "domain_top_k": SQL_DOMAIN_TOP_K,
 }

@@ -4,8 +4,9 @@ Large-scale curation primitives that the reference engine does not have but a
 100 TB web-text pipeline needs alongside the inverted index: near-duplicate
 detection (MinHash+LSH, SimHash banding, n-gram Jaccard), embedding
 similarity search (brute-force and SRP-LSH-bucketed ANN), text analysis
-(language ID, token counting, winnowing fingerprints), and multimodal binary
-column plumbing.
+(language ID, token counting, winnowing fingerprints), multimodal binary
+column plumbing, and corpus assembly (benchmark decontamination,
+deterministic stratified sampling, skew-safe per-domain caps).
 
 Design rule shared by every operator here: all hashing is expressed with
 engine-portable primitives (md5 hex strings, integer bit arithmetic) so the
@@ -42,6 +43,12 @@ from .multimodal import (
     resize_images,
     sample_frames,
 )
+from .mixing import (
+    decontaminate,
+    domain_top_k,
+    stratified_sample,
+    word_ngrams,
+)
 from .pipeline import CurationReport, curate_corpus, quality_gate
 from .textstats import language_id, token_counts, winnowing_fingerprints
 
@@ -75,4 +82,8 @@ __all__ = [
     "curate_corpus",
     "quality_gate",
     "CurationReport",
+    "decontaminate",
+    "domain_top_k",
+    "stratified_sample",
+    "word_ngrams",
 ]

@@ -1,0 +1,156 @@
+"""Unit tests for the training-data mixing operators (mixing.py):
+benchmark decontamination, deterministic stratified sampling, skew-safe
+per-domain caps. The (Spark, DuckDB) pair parity of the three driver
+pairs is covered by test_driver_queries' parametrization; these tests
+pin the operator semantics on hand fixtures."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.training_data import mixing as M
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+def test_decontaminate_flags_ngram_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x b c d e f y"),          # shares the 5-gram "b c d e f"
+            (2, "p q r s t u v w"),        # disjoint
+            (3, "too few"),                # shorter than n: never contaminated
+            (4, "b c d e f z b c d e f"),  # duplicate gram counts once
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in M.decontaminate(docs, eval_docs, n=5).collect()
+    }
+    assert out == {1: (1, 1), 2: (0, 0), 3: (0, 0), 4: (1, 1)}
+
+
+def test_decontaminate_counts_distinct_eval_grams(spark):
+    # doc shares two distinct eval 4-grams -> n_hits == 2
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(9, "a b c d"), (10, "b c d e")], "doc_id long, text string"
+    )
+    row = M.decontaminate(docs, eval_docs, n=4).collect()[0]
+    assert (row["n_hits"], row["contaminated"]) == (2, 1)
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert M.word_ngrams(df, 3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+def test_hex_threshold_exact_values():
+    assert M.hex_threshold(0.5) == "80000000"
+    assert M.hex_threshold(0.25) == "40000000"
+    assert M.hex_threshold(0.125) == "20000000"
+    assert M.hex_threshold(1.0) == "g"
+    assert M.hex_threshold(0.0) == "00000000"
+
+
+@pytest.fixture(scope="module")
+def strata(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_sample_partitioning_invariant(spark, strata):
+    rates = {"en": 0.5, "de": 0.25}
+    a = sorted(
+        r["doc_id"]
+        for r in M.stratified_sample(strata.repartition(7), rates).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in M.stratified_sample(strata.coalesce(1), rates).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_rate_edges(spark, strata):
+    kept = M.stratified_sample(strata, {"en": 1.0, "de": 0.0}).collect()
+    assert all(r["lang"] == "en" for r in kept)
+    assert len(kept) == 250  # every en row, no de row
+
+
+def test_stratified_sample_empirical_rate(spark, strata):
+    kept = M.stratified_sample(strata, {"en": 0.5, "de": 0.5}).count()
+    # 500 Bernoulli(0.5) trials: 5 sigma ~ 56
+    assert 194 <= kept <= 306
+
+
+def test_stratified_sample_unlisted_stratum_uses_default(spark):
+    df = spark.createDataFrame([(i, "xx") for i in range(100)], "doc_id long, lang string")
+    assert M.stratified_sample(df, {"en": 1.0}).count() == 0
+    assert M.stratified_sample(df, {"en": 0.0}, default_rate=1.0).count() == 100
+
+
+def test_stratified_sample_no_shuffle(spark, strata):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        M.stratified_sample(strata, {"en": 0.5, "de": 0.5}).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# domain_top_k
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def skewed_domains(spark):
+    # one Zipf-hot domain (400 rows), several small ones, plus score ties
+    rows = [(i, "hot", (i * 7) % 50) for i in range(400)]
+    rows += [(1000 + i, f"cold{i % 5}", i % 10) for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_domain_top_k_matches_naive_window(spark, skewed_domains):
+    got = sorted(
+        (r["source"], r["rank"], r["doc_id"], r["n_chars"])
+        for r in M.domain_top_k(skewed_domains, 3).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    naive = sorted(
+        (r["source"], r["rank"], r["doc_id"], r["n_chars"])
+        for r in skewed_domains.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    assert got == naive
+
+
+def test_domain_top_k_rank_is_dense_from_one(spark, skewed_domains):
+    out = M.domain_top_k(skewed_domains, 2).collect()
+    by_domain = {}
+    for r in out:
+        by_domain.setdefault(r["source"], []).append(r["rank"])
+    for ranks in by_domain.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_domain_top_k_small_domain_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "only", 10), (2, "only", 20)], "doc_id long, source string, n_chars long"
+    )
+    out = {(r["doc_id"], r["rank"]) for r in M.domain_top_k(df, 5).collect()}
+    assert out == {(2, 1), (1, 2)}

@@ -90,6 +90,9 @@ CONSTRUCTION_JOBS = {
     "pii_redaction": 1,
     "gopher_quality": 1,
     "repetition_stats": 1,
+    "decontamination": 1,
+    "stratified_sample": 1,
+    "domain_top_k": 1,
     "minhash_lsh_pairs": 1,
     "ngram_jaccard_pairs": 1,
     "simhash_fingerprints": 1,
@@ -301,6 +304,12 @@ DRIVERLIKE_QUERIES = [
     "ann_ivf_topk",
     "pagerank",
     "media_features",
+    # r03 mixing pairs: md5 hex-prefix thresholds (string compare),
+    # broadcast eval-ngram join, salted two-phase top-k under 200
+    # shuffle partitions
+    "decontamination",
+    "stratified_sample",
+    "domain_top_k",
 ]
 
 
