@@ -14,9 +14,12 @@ and the expensive stages only ever see survivors):
    (ids only) -> large-star/small-star connected components -> keep each
    component's min-id representative.
 
-Opt-in stages: the full Gopher rule set after stage 2 (``gopher=True``)
-and a PII-redaction transform after stage 4 (``redact_pii=True``) — see
-``curation.py``.
+Opt-in stages: the full Gopher rule set after stage 2 (``gopher=True``),
+a PII-redaction transform at the end (``redact_pii=True``) — see
+``curation.py`` — and the corpus-assembly steps from ``mixing.py`` after
+stage 4: benchmark decontamination (``eval_docs=...``), per-domain caps
+(``domain_cap=...``) and deterministic stratified sampling
+(``mix_rates=...``).
 
 Returns the kept corpus plus a per-stage audit (stage, rows_in,
 rows_out, dropped) computed from the SAME lazily-built frames — one
@@ -40,6 +43,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as D
 from .curation import gopher_quality, pii_stats
+from .mixing import decontaminate, domain_top_k, stratified_sample
 from .textstats import language_id
 
 DEFAULT_MIN_CHARS = 80
@@ -99,6 +103,13 @@ def curate_corpus(
     quality_kwargs: dict | None = None,
     gopher: bool = False,
     redact_pii: bool = False,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 13,
+    domain_cap: int | None = None,
+    domain_col: str = "source",
+    mix_rates: dict | None = None,
+    stratum_col: str = "lang",
+    mix_seed: str = "mix",
 ) -> tuple[DataFrame, CurationReport]:
     """documents -> (kept documents, per-stage audit).
 
@@ -110,6 +121,21 @@ def curate_corpus(
     native Columns. ``redact_pii=True`` appends a PII-redaction transform
     to the kept text (row-preserving; audited with rows_in == rows_out so
     the "every drop is attributable" invariant stays intact).
+
+    Corpus-assembly stages (mixing.py), each opt-in, run after near-dup
+    in pipeline order decontaminate -> domain_cap -> mix_sample:
+
+    - ``eval_docs``: drop documents sharing any ``decontam_n``-word-gram
+      with the benchmark frame (its n-gram set is broadcast);
+    - ``domain_cap``: keep at most that many docs per ``domain_col``
+      (ranked by text length desc, id asc — the cheap quality proxy),
+      computed with the skew-safe two-phase top-k;
+    - ``mix_rates``: per-``stratum_col`` deterministic Bernoulli sampling
+      (md5 hex-prefix threshold, reproducible across runs).
+
+    ``domain_col`` / ``stratum_col`` are looked up on the INPUT frame and
+    re-joined by id at their stage, so the core dedup/gate stages stay
+    two-column no matter which extras the caller's schema carries.
     """
     stages: list = []
 
@@ -165,6 +191,47 @@ def curate_corpus(
     )
     kept = lang.join(keep_ids, id_col, "inner")
     kept = gate("near_dup", lang, kept)
+
+    # 4b. optional benchmark decontamination: drop any doc sharing an
+    # n-gram with the eval frame (flags computed over survivors only)
+    if eval_docs is not None:
+        flags = decontaminate(
+            kept,
+            eval_docs.select(F.col(id_col), F.col(text_col)),
+            n=decontam_n,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        clean_ids = flags.filter(F.col("contaminated") == 0).select(id_col)
+        kept = gate("decontaminate", kept, kept.join(clean_ids, id_col, "inner"))
+
+    # 4c. optional per-domain cap: re-join the domain column by id, rank
+    # by text length (quality proxy) with the skew-safe two-phase top-k
+    if domain_cap is not None:
+        with_dom = kept.join(docs.select(id_col, domain_col), id_col, "inner")
+        capped = (
+            domain_top_k(
+                with_dom.withColumn("_len", F.length(text_col)),
+                domain_cap,
+                domain_col=domain_col,
+                order_col="_len",
+                id_col=id_col,
+            )
+            .select(id_col, text_col)
+        )
+        kept = gate("domain_cap", kept, capped)
+
+    # 4d. optional mixing-rate sampling: deterministic per-stratum keep
+    if mix_rates is not None:
+        with_stratum = kept.join(docs.select(id_col, stratum_col), id_col, "inner")
+        sampled = stratified_sample(
+            with_stratum,
+            mix_rates,
+            stratum_col=stratum_col,
+            key_col=id_col,
+            seed=mix_seed,
+        ).select(id_col, text_col)
+        kept = gate("mix_sample", kept, sampled)
 
     # 5. optional PII scrub: transform, not filter — rows pass through
     # unchanged in count, text is replaced by its redacted form

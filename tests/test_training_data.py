@@ -501,6 +501,57 @@ def test_curate_corpus_gopher_and_pii_stages(spark):
     assert by_stage["pii_redact"] == (1, 1)  # transform: no silent drops
 
 
+def test_curate_corpus_mixing_stages(spark):
+    """Opt-in corpus-assembly stages: decontaminate -> domain_cap ->
+    mix_sample, each audited, in pipeline order after near-dup."""
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    # fully distinct texts (a shared template would near-dup-collapse),
+    # each passing the quality and english-language gates
+    rows = [
+        (1, ("the scheduler assigns every incoming task to an idle worker "
+             "and keeps a fair queue so that heavy tenants never starve "
+             "the small interactive sessions that engineers rely on daily "
+             "while the accounting layer records usage for each project"),
+         "hot", "en"),
+        (2, ("compaction merges the small files that streaming writers "
+             "leave behind and the storage layer then serves reads from "
+             "fewer larger objects which lowers the metadata pressure on "
+             "the catalog during busy afternoons"), "hot", "en"),
+        (3, ("this short note simply reminds the operators to rotate the "
+             "credentials before the quarterly audit happens again"),
+         "hot", "en"),  # shortest hot doc -> capped out
+        (4, ("routing tables converge quickly after a link failure because "
+             "the fabric floods updates to every switch and the hosts "
+             "barely notice the brief reordering of their packets"),
+         "cold", "drop"),  # mix-sampled out
+        (5, ("an engineer pasted the secret eval phrase marker into this "
+             "document by accident and the benchmark overlap check must "
+             "therefore remove it from the training corpus entirely"),
+         "cold", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    eval_docs = spark.createDataFrame(
+        [(100, "benchmark answer with the secret eval phrase marker inside")],
+        "doc_id long, text string",
+    )
+    kept, report = curate_corpus(
+        docs,
+        eval_docs=eval_docs,
+        decontam_n=5,
+        domain_cap=2,
+        mix_rates={"en": 1.0},
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 2}
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["near_dup"] == (5, 5)        # all texts distinct
+    assert by_stage["decontaminate"] == (5, 4)   # doc 5 shares the 5-gram
+    assert by_stage["domain_cap"] == (4, 3)      # hot capped at 2: doc 3 out
+    assert by_stage["mix_sample"] == (3, 2)      # lang 'drop' has rate 0
+    assert report.total_out() == 2
+
+
 def test_curate_corpus_is_idempotent(spark):
     """Curating an already-curated corpus drops nothing."""
     from search_engine_spark.training_data.pipeline import curate_corpus
