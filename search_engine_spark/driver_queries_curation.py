@@ -214,6 +214,52 @@ FROM stats s JOIN win ON win.doc_id = s.doc_id AND win.rn = 1
 
 
 # ---------------------------------------------------------------------------
+# C4-style global line dedup: every occurrence of a line after its
+# corpus-wide first (min (doc_id, idx)) is removed, documents reassembled.
+# The injected corpus plants the same 'repeated line marker' lines across
+# many docs AND twice within each, plus exact-dup documents — both the
+# cross-doc and within-doc paths are exercised. The oracle encodes the
+# first-occurrence owner as min(doc_id * 1e6 + idx) — equivalent to the
+# Spark side's struct-min whenever idx < 1e6 (the operator itself uses the
+# unbounded struct ordering).
+# ---------------------------------------------------------------------------
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected(spark, sf_dir, CUR_TEXT_EXPR)
+    return C.dedup_lines(injected).select(
+        "doc_id", "n_lines_kept", F.md5("text").alias("text_md5")
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH {_CUR_CTE},
+lines AS (
+  SELECT doc_id, i - 1 AS idx, l[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM cur) s,
+       unnest(range(1, len(l) + 1)) AS t(i)
+),
+firsts AS (
+  SELECT line, min(doc_id * 1000000 + idx) AS k
+  FROM lines WHERE length(line) >= 1 GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.idx, l.line
+  FROM lines l JOIN firsts f
+    ON f.line = l.line AND l.doc_id * 1000000 + l.idx = f.k
+  UNION ALL
+  SELECT doc_id, idx, line FROM lines WHERE length(line) < 1
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n, string_agg(line, chr(10) ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_lines_kept,
+       md5(coalesce(r.text, '')) AS text_md5
+FROM cur d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (mixing.py): flag documents sharing any word
 # 5-gram with the "benchmark" subset (doc_id % 83 == 0). n=5 instead of the
 # published 13 because the synthetic docs are 10-60 words; the operator
@@ -331,6 +377,7 @@ QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
+    "line_dedup": q_line_dedup,
     "decontamination": q_decontamination,
     "stratified_sample": q_stratified_sample,
     "domain_top_k": q_domain_top_k,
@@ -340,6 +387,7 @@ ORACLES_CUR = {
     "pii_redaction": SQL_PII_REDACTION,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "repetition_stats": SQL_REPETITION_STATS,
+    "line_dedup": SQL_LINE_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "domain_top_k": SQL_DOMAIN_TOP_K,

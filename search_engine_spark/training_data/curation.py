@@ -13,7 +13,10 @@ curation rules a 100 TB pipeline applies before tokenization:
   alphabetic-word fraction, required-stopword count;
 - :func:`repetition_stats` — Gopher's repetition signals: duplicate-line
   fraction and the character fraction covered by the most frequent word
-  2-gram.
+  2-gram;
+- :func:`dedup_lines` — C4-style GLOBAL line dedup (Raffel et al. 2020
+  §2.2: every occurrence of a repeated span after the first is removed,
+  corpus-wide), skew-safe.
 
 Everything except the top-bigram argmax is a per-row native Column
 expression (regex + higher-order array functions) — zero shuffles, zero
@@ -140,6 +143,65 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("n_stop_kinds") >= MIN_STOPWORD_KINDS)
     )
     return out.withColumn("passes", passes.cast("long"))
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_len: int = 1,
+) -> DataFrame:
+    """(id, n_lines_kept, text) — global line-level dedup: a line is kept
+    only at its corpus-wide FIRST occurrence (min (doc_id, line_index));
+    every later occurrence — in other documents or later in the same one —
+    is removed, and each document is reassembled from its surviving lines
+    in order. Lines shorter than ``min_line_len`` (default: empty lines)
+    are never dedup candidates and always survive.
+
+    A document whose every line was seen earlier reassembles to ''
+    (row-preserving — the caller's audit decides whether to drop empties).
+
+    Skew discipline (CLAUDE.md invariant 6): the hot key here is the line
+    text (boilerplate lines repeat millions of times at crawl scale). The
+    first-occurrence owner is computed with groupBy(line).min(struct) —
+    map-side partial aggregation, one surviving row per distinct line —
+    and the keep decision then joins on the composite (line, id, idx) key,
+    which is UNIQUE per row, so no reducer ever sees a hot-key fan-out.
+    No window over the line key exists anywhere in the plan.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    short = lines.filter(F.length("line") < min_line_len)
+    eligible = lines.filter(F.length("line") >= min_line_len)
+    first = (
+        eligible.groupBy("line")
+        .agg(F.min(F.struct(id_col, "idx")).alias("m"))
+        .select(
+            "line",
+            F.col(f"m.{id_col}").alias(id_col),
+            F.col("m.idx").alias("idx"),
+        )
+    )
+    kept = eligible.join(first, ["line", id_col, "idx"], "left_semi").unionByName(
+        short
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+    )
 
 
 def repetition_stats(

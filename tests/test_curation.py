@@ -134,3 +134,63 @@ def test_repetition_single_word_doc_omitted(spark):
 def test_repetition_no_duplicate_lines_is_zero(spark):
     r = C.repetition_stats(_df(spark, [(1, "a b\nc d")])).collect()[0]
     assert r["dup_line_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines (C4-style global line dedup)
+# ---------------------------------------------------------------------------
+def _dl(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_lines_kept"], r["text"])
+        for r in C.dedup_lines(df, **kw).collect()
+    }
+
+
+def test_dedup_lines_cross_doc_first_occurrence_wins(spark):
+    out = _dl(
+        spark,
+        [
+            (1, "alpha\nshared boilerplate\nbeta"),
+            (2, "shared boilerplate\ngamma"),
+        ],
+    )
+    assert out[1] == (3, "alpha\nshared boilerplate\nbeta")
+    assert out[2] == (1, "gamma")
+
+
+def test_dedup_lines_within_doc_second_copy_removed(spark):
+    out = _dl(spark, [(1, "x\nrepeat me\ny\nrepeat me\nz")])
+    assert out[1] == (4, "x\nrepeat me\ny\nz")
+
+
+def test_dedup_lines_total_loss_preserves_row_as_empty(spark):
+    out = _dl(spark, [(1, "same text"), (2, "same text")])
+    assert out[1] == (1, "same text")
+    assert out[2] == (0, "")
+
+
+def test_dedup_lines_short_lines_never_dedup(spark):
+    # empty lines (default min_line_len=1) survive everywhere
+    out = _dl(spark, [(1, "a\n\nb"), (2, "c\n\nd")])
+    assert out[1] == (3, "a\n\nb")
+    assert out[2] == (3, "c\n\nd")
+    # raising the bar exempts short lines from dedup too
+    out = _dl(spark, [(1, "hi\nlong shared line"), (2, "hi\nlong shared line")], min_line_len=3)
+    assert out[1] == (2, "hi\nlong shared line")
+    assert out[2] == (1, "hi")
+
+
+def test_dedup_lines_plan_has_no_window_over_line_key(spark):
+    """Invariant 6: the hot line key must be handled by partial-agg
+    groupBy + unique-composite-key join, never a window sort."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        C.dedup_lines(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "HashAggregate" in plan

@@ -93,6 +93,7 @@ CONSTRUCTION_JOBS = {
     "decontamination": 1,
     "stratified_sample": 1,
     "domain_top_k": 1,
+    "line_dedup": 1,
     "minhash_lsh_pairs": 1,
     "ngram_jaccard_pairs": 1,
     "simhash_fingerprints": 1,
@@ -310,6 +311,8 @@ DRIVERLIKE_QUERIES = [
     "decontamination",
     "stratified_sample",
     "domain_top_k",
+    # global line dedup: struct-min first-occurrence + ordered reassembly
+    "line_dedup",
 ]
 
 
