@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup as D
-from .curation import gopher_quality, pii_stats
+from .curation import dedup_lines, gopher_quality, pii_stats
 from .mixing import decontaminate, domain_top_k, stratified_sample
 from .textstats import language_id
 
@@ -103,6 +103,7 @@ def curate_corpus(
     quality_kwargs: dict | None = None,
     gopher: bool = False,
     redact_pii: bool = False,
+    line_dedup: bool = False,
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     domain_cap: int | None = None,
@@ -121,6 +122,13 @@ def curate_corpus(
     native Columns. ``redact_pii=True`` appends a PII-redaction transform
     to the kept text (row-preserving; audited with rows_in == rows_out so
     the "every drop is attributable" invariant stays intact).
+
+    ``line_dedup=True`` inserts the C4 global line dedup right after
+    exact dedup (the C4 order: span-level cleanup before the per-doc
+    gates): each repeated line survives only at its corpus-wide first
+    occurrence, texts are rewritten in place, and a doc stripped of every
+    line reassembles to '' — which the quality gate then drops, keeping
+    the drop attributable to a stage.
 
     Corpus-assembly stages (mixing.py), each opt-in, run after near-dup
     in pipeline order decontaminate -> domain_cap -> mix_sample:
@@ -156,6 +164,14 @@ def curate_corpus(
         .drop("_sha", "_rn")
     )
     exact = gate("exact_dedup", base, exact)
+
+    # 1b. optional C4 global line dedup: transform — rows pass through
+    # (a fully-stripped doc becomes '' and falls to the quality gate)
+    if line_dedup:
+        rewritten = dedup_lines(exact, id_col=id_col, text_col=text_col).select(
+            id_col, text_col
+        )
+        exact = gate("line_dedup", exact, rewritten)
 
     # 2. quality gate
     q = quality_gate(exact, text_col=text_col, **(quality_kwargs or {}))

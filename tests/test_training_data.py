@@ -552,6 +552,37 @@ def test_curate_corpus_mixing_stages(spark):
     assert report.total_out() == 2
 
 
+def test_curate_corpus_line_dedup_stage(spark):
+    """line_dedup=True rewrites texts in place after exact dedup; a doc
+    made of nothing but lines seen earlier reassembles to '' and is then
+    dropped by the quality gate (attributable, not silent)."""
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    a = ("the ingestion service reads batches from the queue and writes "
+         "them to the lake while the monitor tracks lag and alerts the "
+         "team whenever a partition falls behind the agreed freshness")
+    b = ("a nightly job rebuilds the search index from the cleaned pages "
+         "and publishes the new segments once the checks pass so that "
+         "queries always hit a consistent snapshot of the data")
+    boiler = "subscribe to our newsletter for updates and exclusive offers today"
+    docs = spark.createDataFrame(
+        [
+            (1, a + "\n" + boiler),
+            (2, b + "\n" + boiler),   # boilerplate line removed (doc 1 owns it)
+            (3, a + "\n" + b),        # both lines seen earlier -> '' -> quality-dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept, report = curate_corpus(docs, line_dedup=True)
+    rows = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == a + "\n" + boiler
+    assert rows[2] == b                 # boilerplate stripped
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["line_dedup"] == (3, 3)   # transform: no silent drops
+    assert by_stage["quality"] == (3, 2)      # the emptied doc 3 drops here
+
+
 def test_curate_corpus_is_idempotent(spark):
     """Curating an already-curated corpus drops nothing."""
     from search_engine_spark.training_data.pipeline import curate_corpus
