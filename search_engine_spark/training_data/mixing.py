@@ -26,10 +26,10 @@ Scale notes (100 TB shapes):
   the uniform document id (per-doc distinct + the hit count).
 - stratified_sample: pure map-side filter — zero shuffles, zero jobs at
   plan time; thresholds are compile-time string literals.
-- domain_top_k: two-phase top-k — a salted partial top-k bounds every
-  window partition at (salt_mod x k) rows before the per-domain final
-  ranking, so a domain holding 10% of the corpus costs the same as one
-  holding 0.001%.
+- domain_top_k: two-phase top-k — the salted first pass divides a hot
+  domain across salt_mod sort slices (size salt_mod to the skew), and
+  only then does the per-domain ranking run, over partitions hard-bounded
+  at salt_mod x k rows.
 """
 
 from __future__ import annotations
@@ -42,6 +42,21 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def _ngram_rows(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, ngram) rows WITHOUT dedup — one per n-gram position."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"CASE WHEN size(_w) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(_w) - {n - 1}), "
+        f"i -> array_join(slice(_w, i, {n}), ' ')) END"
+    )
+    return df.select(F.col(id_col), w.alias("_w")).select(
+        id_col, F.explode(grams).alias("ngram")
+    )
+
+
 def word_ngrams(
     df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -52,17 +67,7 @@ def word_ngrams(
     whitespace word split — the exact construction DuckDB replays with
     list slicing, so paired oracles match byte-for-byte.
     """
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.expr(
-        f"CASE WHEN size(_w) < {n} THEN array() "
-        f"ELSE transform(sequence(1, size(_w) - {n - 1}), "
-        f"i -> array_join(slice(_w, i, {n}), ' ')) END"
-    )
-    return (
-        df.select(F.col(id_col), w.alias("_w"))
-        .select(id_col, F.explode(grams).alias("ngram"))
-        .distinct()
-    )
+    return _ngram_rows(df, n, id_col, text_col).distinct()
 
 
 def decontaminate(
@@ -83,10 +88,10 @@ def decontaminate(
     assumption that benchmark suites are small relative to the corpus.
     """
     doc_grams = word_ngrams(docs, n, id_col=id_col, text_col=text_col)
+    # one distinct over the bare ngram — a per-(id, ngram) dedup first
+    # would be a second, redundant wide shuffle of the whole eval set
     eval_grams = (
-        word_ngrams(eval_docs, n, id_col=id_col, text_col=text_col)
-        .select("ngram")
-        .distinct()
+        _ngram_rows(eval_docs, n, id_col, text_col).select("ngram").distinct()
     )
     hits = (
         doc_grams.join(F.broadcast(eval_grams), "ngram", "inner")
@@ -111,13 +116,16 @@ def hex_threshold(rate: float) -> str:
     A key is kept iff the first 8 hex chars of its md5 are < the
     threshold, so P(keep) = floor(rate * 16^8) / 16^8 (exact for dyadic
     rates). rate >= 1 returns 'g', which is greater than every hex
-    string; rate <= 0 returns '00000000', which keeps nothing.
+    string; rate <= 0 returns '00000000', which keeps nothing. The
+    floored value is clamped to 16^8 - 1: a rate infinitesimally below
+    1.0 must still format as 8 hex digits (a 9-char '100000000' would
+    lexicographically drop every u8 starting with '1'-'f').
     """
     if rate >= 1.0:
         return "g"
     if rate <= 0.0:
         return "00000000"
-    return format(int(round(rate * 16**8)), "08x")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
 
 
 def sample_key(key_col: str, seed: str = "mix") -> F.Column:
@@ -125,9 +133,12 @@ def sample_key(key_col: str, seed: str = "mix") -> F.Column:
 
     md5 of an ASCII string is identical in Spark and DuckDB, so paired
     oracles replay the exact keep/drop decisions — no RNG, no state.
+    NULL keys propagate to a NULL u8 (null-propagating concat, matching
+    SQL's ``||``), so a NULL-key row is dropped by the threshold filter
+    in BOTH engines rather than silently sharing one hash.
     """
     return F.substring(
-        F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+        F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))), 1, 8
     )
 
 
@@ -165,18 +176,24 @@ def domain_top_k(
     domain_col: str = "source",
     order_col: str = "n_chars",
     id_col: str = "doc_id",
-    salt_mod: int = 16,
+    salt_mod: int = 64,
 ) -> DataFrame:
     """Keep the top k rows per domain by (order_col DESC, id ASC), with a
     ``rank`` column (1..k), identical to a single per-domain window but
-    skew-safe.
+    skew-divided.
 
     Phase 1 ranks within (domain, id % salt_mod) and keeps k per salted
     group — every true per-domain top-k row survives (it is top-k within
-    its own salt slice too), and each domain is now bounded at
-    salt_mod * k rows. Phase 2 ranks the survivors per domain. A domain
-    with a billion rows costs one bounded window pass per slice instead
-    of one reducer sorting a billion rows.
+    its own salt slice too). Phase 2 ranks the survivors per domain over
+    window partitions bounded at salt_mod * k rows.
+
+    Skew honesty: phase 1's window partitions are NOT k-bounded — a
+    domain with R rows still sorts ~R / salt_mod rows per slice (a
+    spillable external sort, but a real cost). The salt divides the hot
+    key by a constant; size ``salt_mod`` so the largest expected domain
+    divided by it fits a task's sort budget (e.g. 1e9-row domain,
+    salt_mod 4096 -> ~244k rows/slice). Only phase 2 has the hard
+    salt_mod * k bound.
     """
     ordering = [F.col(order_col).desc(), F.col(id_col).asc()]
     salted = Window.partitionBy(domain_col, "_salt").orderBy(*ordering)

@@ -111,6 +111,7 @@ def curate_corpus(
     mix_rates: dict | None = None,
     stratum_col: str = "lang",
     mix_seed: str = "mix",
+    mix_default_rate: float = 0.0,
 ) -> tuple[DataFrame, CurationReport]:
     """documents -> (kept documents, per-stage audit).
 
@@ -139,7 +140,9 @@ def curate_corpus(
       (ranked by text length desc, id asc — the cheap quality proxy),
       computed with the skew-safe two-phase top-k;
     - ``mix_rates``: per-``stratum_col`` deterministic Bernoulli sampling
-      (md5 hex-prefix threshold, reproducible across runs).
+      (md5 hex-prefix threshold, reproducible across runs). A stratum
+      absent from the dict samples at ``mix_default_rate`` — the default
+      0.0 DROPS unlisted strata; pass 1.0 to keep them untouched.
 
     ``domain_col`` / ``stratum_col`` are looked up on the INPUT frame and
     re-joined by id at their stage, so the core dedup/gate stages stay
@@ -246,6 +249,7 @@ def curate_corpus(
             stratum_col=stratum_col,
             key_col=id_col,
             seed=mix_seed,
+            default_rate=mix_default_rate,
         ).select(id_col, text_col)
         kept = gate("mix_sample", kept, sampled)
 

@@ -154,3 +154,18 @@ def test_domain_top_k_small_domain_keeps_all(spark):
     )
     out = {(r["doc_id"], r["rank"]) for r in M.domain_top_k(df, 5).collect()}
     assert out == {(2, 1), (1, 2)}
+
+
+def test_hex_threshold_near_one_stays_eight_chars():
+    # rates infinitesimally below 1.0 must not overflow to a 9-char
+    # threshold ('100000000' lexicographically drops u8s starting 1-f)
+    t = M.hex_threshold(0.9999999999)
+    assert len(t) == 8 and t == "ffffffff"
+
+
+def test_stratified_sample_null_key_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (3, "en")], "doc_id long, lang string"
+    )
+    kept = {r["doc_id"] for r in M.stratified_sample(df, {"en": 1.0}).collect()}
+    assert kept == {1, 3}  # NULL key hashes to NULL u8 -> dropped, as in SQL
