@@ -343,6 +343,40 @@ WHERE u8 < {_mix_threshold_case()}
 
 
 # ---------------------------------------------------------------------------
+# Exact-count quota sampling (mixing.py): exactly 5 docs per language in
+# deterministic hash order — the oracle replays the same md5 ranking.
+# ---------------------------------------------------------------------------
+QUOTA_K = 5
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return M.quota_sample(docs, QUOTA_K, seed=MIX_SEED).select(
+        "doc_id", "lang", "u8", "rank"
+    )
+
+
+SQL_QUOTA_SAMPLE = f"""
+SELECT doc_id, lang, u8, rank FROM (
+  SELECT doc_id, lang, u8,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY u8 DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM (
+    SELECT doc_id, lang,
+           substr(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+    FROM documents
+  )
+)
+WHERE rank <= {QUOTA_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skew-safe per-domain caps (mixing.py): top-3 docs per source by
 # (n_chars DESC, doc_id ASC). The oracle is the naive single window — the
 # two-phase salted plan must produce the identical relation.
@@ -380,6 +414,7 @@ QUERIES_CUR = {
     "line_dedup": q_line_dedup,
     "decontamination": q_decontamination,
     "stratified_sample": q_stratified_sample,
+    "quota_sample": q_quota_sample,
     "domain_top_k": q_domain_top_k,
 }
 
@@ -390,5 +425,6 @@ ORACLES_CUR = {
     "line_dedup": SQL_LINE_DEDUP,
     "decontamination": SQL_DECONTAMINATION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "quota_sample": SQL_QUOTA_SAMPLE,
     "domain_top_k": SQL_DOMAIN_TOP_K,
 }

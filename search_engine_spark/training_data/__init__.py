@@ -46,6 +46,7 @@ from .multimodal import (
 from .mixing import (
     decontaminate,
     domain_top_k,
+    quota_sample,
     stratified_sample,
     word_ngrams,
 )
@@ -84,6 +85,7 @@ __all__ = [
     "CurationReport",
     "decontaminate",
     "domain_top_k",
+    "quota_sample",
     "stratified_sample",
     "word_ngrams",
 ]

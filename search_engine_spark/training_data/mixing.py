@@ -14,6 +14,9 @@ training mix:
   engine-portable deterministic hash (md5 hex-prefix threshold, no RNG
   state): the "data mixing weights" step, reproducible bit-for-bit
   across runs, sessions and engines.
+- :func:`quota_sample` — the exact-count companion: exactly min(k, n)
+  rows per stratum in deterministic hash order (eval-set construction,
+  balanced calibration samples).
 - :func:`domain_top_k` — keep at most k documents per domain by a
   quality ordering, computed skew-safely (CLAUDE.md invariant 6): a
   Zipf-hot domain never funnels through a single reducer.
@@ -207,4 +210,37 @@ def domain_top_k(
     return (
         partial.withColumn("rank", F.row_number().over(final).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def quota_sample(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+    salt_mod: int = 64,
+) -> DataFrame:
+    """Exactly min(k, n) rows per stratum, chosen by deterministic hash
+    order — the exact-count companion to :func:`stratified_sample`
+    (which keeps a random-RATE subset). Used where a fixed quota per
+    stratum is the contract: eval-set construction, per-language
+    calibration samples, balanced audits.
+
+    Rows are ranked inside each stratum by (u8 DESC, key ASC), where u8
+    is the :func:`sample_key` hash — uniform, reproducible across
+    runs/partitionings/engines, and consistent with stratified_sample's
+    hashes (same seed -> same u8 per key). The ranking runs through the
+    skew-divided two-phase :func:`domain_top_k`. Output keeps the
+    ``u8`` and ``rank`` (1..k) columns for audit.
+    """
+    return domain_top_k(
+        docs.withColumn("u8", sample_key(key_col, seed)).filter(
+            F.col("u8").isNotNull()
+        ),
+        k,
+        domain_col=stratum_col,
+        order_col="u8",
+        id_col=key_col,
+        salt_mod=salt_mod,
     )

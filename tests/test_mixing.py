@@ -169,3 +169,39 @@ def test_stratified_sample_null_key_dropped(spark):
     )
     kept = {r["doc_id"] for r in M.stratified_sample(df, {"en": 1.0}).collect()}
     assert kept == {1, 3}  # NULL key hashes to NULL u8 -> dropped, as in SQL
+
+
+# ---------------------------------------------------------------------------
+# quota_sample
+# ---------------------------------------------------------------------------
+def test_quota_sample_exact_counts(spark, strata):
+    out = M.quota_sample(strata, 7).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["rank"])
+    assert set(by) == {"en", "de"}
+    for ranks in by.values():
+        assert sorted(ranks) == list(range(1, 8))
+
+
+def test_quota_sample_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "xx"), (2, "xx"), (3, "yy")], "doc_id long, lang string"
+    )
+    out = M.quota_sample(df, 10).collect()
+    assert {(r["lang"], r["rank"]) for r in out} == {
+        ("xx", 1), ("xx", 2), ("yy", 1)
+    }
+
+
+def test_quota_sample_partitioning_invariant(spark, strata):
+    a = sorted(r["doc_id"] for r in M.quota_sample(strata.repartition(9), 5).collect())
+    b = sorted(r["doc_id"] for r in M.quota_sample(strata.coalesce(1), 5).collect())
+    assert a == b and len(a) == 10
+
+
+def test_quota_sample_consistent_with_stratified_sample_hashes(spark, strata):
+    # same seed -> same u8 per key in both samplers
+    q = {r["doc_id"]: r["u8"] for r in M.quota_sample(strata, 250, seed="s1").collect()}
+    s = {r["doc_id"]: r["u8"] for r in M.stratified_sample(strata, {"en": 1.0, "de": 1.0}, seed="s1").collect()}
+    assert all(s[k] == v for k, v in q.items())

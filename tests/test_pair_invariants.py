@@ -93,6 +93,7 @@ CONSTRUCTION_JOBS = {
     "decontamination": 1,
     "stratified_sample": 1,
     "domain_top_k": 1,
+    "quota_sample": 1,
     "line_dedup": 1,
     "minhash_lsh_pairs": 1,
     "ngram_jaccard_pairs": 1,
@@ -313,6 +314,8 @@ DRIVERLIKE_QUERIES = [
     "domain_top_k",
     # global line dedup: struct-min first-occurrence + ordered reassembly
     "line_dedup",
+    # exact-count hash-order quota sampling
+    "quota_sample",
 ]
 
 
