@@ -407,6 +407,91 @@ WHERE rank <= {DOMAIN_CAP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (mixing.py): concat-then-chunk over whitespace token
+# counts in deterministic md5 order. Spark computes the global running
+# token total as a bucketed distributed prefix sum; the oracle is the
+# naive single window over the identical (hash, id) order — the two-phase
+# plan must produce the identical relation. Window-sum output is CAST to
+# BIGINT (HUGEINT serialization, invariant 1).
+# ---------------------------------------------------------------------------
+PACK_SEQ_LEN = 512
+_WS_TOKENS_SQL = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+    from .training_data import textstats as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = X.token_counts(docs).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    return M.pack_sequences(toks, PACK_SEQ_LEN)
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, {_WS_TOKENS_SQL} AS n_tokens,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       prev // {PACK_SEQ_LEN} AS chunk_id,
+       prev % {PACK_SEQ_LEN} AS chunk_offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus mix report (mixing.py): per-(lang, source) doc/token counts and
+# token shares — the mixture audit a training run is configured from. The
+# share is one exact-integer division rounded to 6 on both sides.
+# ---------------------------------------------------------------------------
+def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+    from .training_data import textstats as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    toks = X.token_counts(docs).select(
+        "lang", "source", F.col("ws_tokens").alias("n_tokens")
+    )
+    return M.mix_report(toks)
+
+
+SQL_CORPUS_MIX_REPORT = f"""
+WITH t AS (
+  SELECT lang, source, {_WS_TOKENS_SQL} AS n_tokens FROM documents
+),
+g AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM t GROUP BY lang, source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM g)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens / tot.tot, 6) AS token_share
+FROM g, tot
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -416,6 +501,8 @@ QUERIES_CUR = {
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,
     "domain_top_k": q_domain_top_k,
+    "sequence_packing": q_sequence_packing,
+    "corpus_mix_report": q_corpus_mix_report,
 }
 
 ORACLES_CUR = {
@@ -427,4 +514,6 @@ ORACLES_CUR = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "quota_sample": SQL_QUOTA_SAMPLE,
     "domain_top_k": SQL_DOMAIN_TOP_K,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
+    "corpus_mix_report": SQL_CORPUS_MIX_REPORT,
 }

@@ -327,6 +327,83 @@ WHERE {_COS_AB} >= 0.995
 """
 
 
+# ordered-fold cosine fragment shared by every embedding oracle (the
+# summation order matches Spark's zip_with/aggregate — invariant 4)
+_COS_LIST = """list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))
+  / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+     * sqrt(list_sum(list_transform({b}, x -> x * x))))"""
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023) over the mutated corpus:
+# assign every vector to its max-cosine coarse centroid (the deterministic
+# %50 sample, kept in-plan as a broadcast DataFrame — zero driver
+# collects), connect within-cluster pairs with cosine >= 0.995, keep the
+# min-id representative per duplicate group. The oracle replays the
+# identical assignment (row_number argmax, ties by cent_id) and closes the
+# pair graph with a recursive CTE.
+# --------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.995
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mut_emb(spark, sf_dir)
+    cents = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+    )
+    return S.semantic_dedup(corpus, cents, threshold=SEMDEDUP_THRESHOLD)
+
+
+_SD_PAIR_COS = _COS_LIST.format(a="a.v", b="b.v")
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE {_MUT_EMB_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_LIST.format(a="e.v", b="c.cv")} DESC, c.cent_id ASC
+           ) AS rn
+    FROM ecorpus e, cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a
+  JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE round({_SD_PAIR_COS}, 6) >= {SEMDEDUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS peer FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+),
+comp AS (
+  SELECT node, least(node, min(peer)) AS component FROM reach GROUP BY node
+)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS representative,
+       CAST(CASE WHEN COALESCE(c.component, e.vec_id) = e.vec_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM ecorpus e LEFT JOIN comp c ON c.node = e.vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # ANN: top-10 neighbors of vec 0 among SRP bucket collisions. The probe's
 # buckets are computed driver-side (no Spark job) and pushed into the scan
@@ -1029,10 +1106,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_LIST = """list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))
-  / (sqrt(list_sum(list_transform({a}, x -> x * x)))
-     * sqrt(list_sum(list_transform({b}, x -> x * x))))"""
-
 SQL_ANN_IVF_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
@@ -1411,6 +1484,7 @@ QUERIES_TD = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
@@ -1438,6 +1512,7 @@ ORACLES_TD = {
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "embedding_knn": SQL_EMBEDDING_KNN,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "language_id": SQL_LANGUAGE_ID,
     "token_counts": SQL_TOKEN_COUNTS,

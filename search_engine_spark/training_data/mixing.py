@@ -213,6 +213,102 @@ def domain_top_k(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seed: str = "pack",
+) -> DataFrame:
+    """(id, n_tokens, chunk_id, chunk_offset) — concat-then-chunk sequence
+    packing: documents are laid end to end in a deterministic
+    pseudo-random order (md5 of the id, ties by id) and the token stream
+    is cut into fixed ``seq_len`` chunks; each document records the chunk
+    it starts in and its token offset inside that chunk. This is the
+    GPT-style packing bookkeeping a tokenization pass materializes so
+    shards can be written independently (a doc may span chunks; its
+    successors' positions follow from n_tokens).
+
+    The global running token total is a DISTRIBUTED PREFIX SUM, not one
+    window over the whole corpus (which would sort everything on a single
+    reducer): rows are bucketed by the first two hex chars of their hash
+    (lexicographic bucket order == global hash order, since the bucket is
+    a prefix of the ordering key), phase 1 computes within-bucket running
+    sums (256 balanced window partitions), phase 2 computes the 256
+    bucket offsets with a window over the 256-row bucket-total relation
+    (bounded by construction — the one deliberate single-partition
+    window) and broadcast-joins them back. Scale the bucket width with
+    the corpus (3 hex chars = 4096 buckets) to keep per-bucket sorts in
+    task memory.
+
+    Rows with a NULL id are dropped (their hash — and hence their global
+    position — is undefined; the two engines order NULLs differently so a
+    paired oracle could never agree). NULL token counts pack as 0.
+    """
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    d = (
+        docs.filter(F.col(id_col).isNotNull())
+        .select(
+            id_col,
+            F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("_n"),
+        )
+        .withColumn("_h", h)
+        .withColumn("_b", F.substring("_h", 1, 2))
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = d.withColumn("_cum", F.sum("_n").over(w_in))
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("_b")
+        .agg(F.sum("_n").alias("_t"))
+        .withColumn("_off", F.coalesce(F.sum("_t").over(w_b), F.lit(0)))
+        .select("_b", "_off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "_b")
+        .withColumn("_prev", F.col("_off") + F.col("_cum") - F.col("_n"))
+        .select(
+            id_col,
+            F.col("_n").alias(tokens_col),
+            F.expr(f"_prev div {int(seq_len)}").alias("chunk_id"),
+            (F.col("_prev") % seq_len).alias("chunk_offset"),
+        )
+    )
+
+
+def mix_report(
+    docs: DataFrame,
+    strata: tuple[str, ...] = ("lang", "source"),
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(strata..., n_docs, n_tokens, token_share) — the mixture audit a
+    training run is configured from: document and token counts per
+    stratum plus each stratum's share of all tokens (one exact-integer
+    division per row, rounded to 6 — invariant 4).
+
+    One shuffle (the groupBy on the bounded strata key space); the grand
+    total is an in-plan 1-row aggregate broadcast back (scalar_count
+    pattern), never a driver-side ``.count()``.
+    """
+    g = docs.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))).alias(
+            "n_tokens"
+        ),
+    )
+    tot = g.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    return g.join(F.broadcast(tot)).select(
+        *strata,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+    )
+
+
 def quota_sample(
     docs: DataFrame,
     k: int,

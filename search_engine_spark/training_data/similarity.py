@@ -358,6 +358,78 @@ def ivf_assign(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame | list,
+    threshold: float = 0.995,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, representative, keep) — SemDeDup (Abbas et al. 2023): cluster
+    embeddings with the IVF coarse quantizer, find within-cluster pairs
+    with cosine >= ``threshold`` (rounded to 6 decimals first, so the
+    keep/drop decision sits on the same grid in every engine), connect
+    them transitively, and keep the min-id representative of each
+    duplicate group. Every input row comes back with its group
+    ``representative`` and a 0/1 ``keep`` flag (singletons keep
+    themselves).
+
+    ``centroids`` is either the list produced by
+    :func:`train_ivf_centroids` or a (cent_id, cvec) DataFrame (a paired
+    query keeps the quantizer in-plan that way — zero driver collects).
+
+    Scale notes: the only wide shuffle keys on ``cent_id``; each vector
+    crosses it exactly twice (once per join side), and candidate pairs
+    materialize *inside* the joined partition, never in the shuffle —
+    unlike banded LSH there is exactly one bucket per vector, so carrying
+    the vector payload through this join is strictly cheaper than an
+    ids-first/rejoin-later plan (which would add two more corpus-wide
+    joins; invariant 6's ids-first rule targets multi-band fan-out).
+    Per-task cost is O(c² · d) for a cluster of size c: SemDeDup
+    prescribes k ∝ corpus_size / target_cluster_size, which bounds c —
+    size k so the largest cluster's pair loop fits a task (e.g. 10⁹
+    vectors, k = 10⁶ → c ≈ 1000 → 5·10⁵ cosines/task). The transitive
+    closure is the O(log² n) star-contraction in
+    :func:`dedup.connected_components`.
+    """
+    from .dedup import connected_components
+
+    spark = corpus.sparkSession
+    if not isinstance(centroids, DataFrame):
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cent_id int, cvec array<double>",
+        )
+    expanded = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(centroids.select("cent_id", "cvec")))
+        .withColumn("_csim", cosine_similarity_col(F.col("_v"), F.col("cvec")))
+    )
+    assigned = argmax_centroid(expanded, "_id", ["cent_id", "_v"])
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cent_id")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cent_id")
+    edges = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, id_col=id_col)
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        corpus.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            rep.alias("representative"),
+            (rep == F.col(id_col)).cast("long").alias("keep"),
+        )
+    )
+
+
 def _cosine_py(a: list[float], b: list[float]) -> float:
     dot = sum(x * y for x, y in zip(a, b))
     na = sum(x * x for x in a) ** 0.5

@@ -205,3 +205,82 @@ def test_quota_sample_consistent_with_stratified_sample_hashes(spark, strata):
     q = {r["doc_id"]: r["u8"] for r in M.quota_sample(strata, 250, seed="s1").collect()}
     s = {r["doc_id"]: r["u8"] for r in M.stratified_sample(strata, {"en": 1.0, "de": 1.0}, seed="s1").collect()}
     assert all(s[k] == v for k, v in q.items())
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+import hashlib
+
+
+def _naive_pack(rows, seq_len, seed="pack"):
+    """Single-threaded oracle: sort by (md5, id), running cumsum."""
+    order = sorted(rows, key=lambda r: (hashlib.md5(f"{seed}:{r[0]}".encode()).hexdigest(), r[0]))
+    out, prev = {}, 0
+    for doc_id, n in order:
+        out[doc_id] = (n, prev // seq_len, prev % seq_len)
+        prev += n
+    return out
+
+
+@pytest.fixture()
+def token_rows():
+    return [(i, (i * 37) % 900 + 1) for i in range(400)] + [(1000, 0)]
+
+
+def test_pack_sequences_matches_naive_prefix_sum(spark, token_rows):
+    df = spark.createDataFrame(token_rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["chunk_id"], r["chunk_offset"])
+        for r in M.pack_sequences(df, 512).collect()
+    }
+    assert got == _naive_pack(token_rows, 512)
+
+
+def test_pack_sequences_partitioning_invariant(spark, token_rows):
+    df = spark.createDataFrame(token_rows, "doc_id long, n_tokens long")
+    a = sorted(map(tuple, M.pack_sequences(df.repartition(13), 256).collect()))
+    b = sorted(map(tuple, M.pack_sequences(df.coalesce(1), 256).collect()))
+    assert a == b
+
+
+def test_pack_sequences_offsets_in_range_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (None, 50), (3, 700)],
+        "doc_id long, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in M.pack_sequences(df, 512).collect()}
+    # NULL id dropped; NULL tokens packed as 0
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_tokens"] == 0
+    for r in out.values():
+        assert 0 <= r["chunk_offset"] < 512
+        assert r["chunk_id"] >= 0
+    # total stream length = sum of tokens: the last doc's start + its
+    # tokens spans exactly ceil(total/512) chunks
+    total = 100 + 0 + 700
+    last = max(out.values(), key=lambda r: r["chunk_id"] * 512 + r["chunk_offset"])
+    assert last["chunk_id"] * 512 + last["chunk_offset"] + last["n_tokens"] == total
+
+
+# ---------------------------------------------------------------------------
+# mix_report
+# ---------------------------------------------------------------------------
+def test_mix_report_counts_and_shares(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "web", 100), ("en", "web", 300), ("en", "news", 100),
+            ("de", "web", 500),
+        ],
+        "lang string, source string, n_tokens long",
+    )
+    out = {
+        (r["lang"], r["source"]): (r["n_docs"], r["n_tokens"], r["token_share"])
+        for r in M.mix_report(df).collect()
+    }
+    assert out == {
+        ("en", "web"): (2, 400, 0.4),
+        ("en", "news"): (1, 100, 0.1),
+        ("de", "web"): (1, 500, 0.5),
+    }
+    assert abs(sum(v[2] for v in out.values()) - 1.0) < 1e-9

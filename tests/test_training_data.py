@@ -593,3 +593,56 @@ def test_curate_corpus_is_idempotent(spark):
     kept, _ = curate_corpus(docs)
     again, report2 = curate_corpus(kept)
     assert report2.total_in() == report2.total_out()
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+def test_semantic_dedup_groups_and_representatives(spark):
+    from search_engine_spark.training_data import similarity as S
+
+    # two clusters along orthogonal axes; ids 1/2/3 are a near-identical
+    # chain in cluster x (1~2 and 2~3 both >= threshold), 10 is alone in
+    # cluster x but dissimilar, 20/21 are duplicates in cluster y
+    def vx(eps):
+        return [1.0, eps, 0.0, 0.0]
+
+    rows = [
+        (1, vx(0.00)),
+        (2, vx(0.01)),
+        (3, vx(0.02)),
+        (10, [1.0, 4.0, 0.0, 0.0]),   # same cluster, far from the chain
+        (20, [0.0, 0.0, 1.0, 0.0]),
+        (21, [0.0, 0.0, 1.0, 1e-4]),
+        (30, [0.0, 0.0, 0.0, 1.0]),   # singleton in its own right
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.5, 0.0, 0.0], [0.0, 0.0, 1.0, 0.1]]
+    out = {
+        r["vec_id"]: (r["representative"], r["keep"])
+        for r in S.semantic_dedup(corpus, cents, threshold=0.999).collect()
+    }
+    # the 1-2-3 chain collapses transitively to min id 1
+    assert out[1] == (1, 1) and out[2] == (1, 0) and out[3] == (1, 0)
+    # dissimilar cluster-mate and cross-cluster vectors keep themselves
+    assert out[10] == (10, 1)
+    assert out[20] == (20, 1) and out[21] == (20, 0)
+    assert out[30] == (30, 1)
+    assert len(out) == len(rows)
+
+
+def test_semantic_dedup_cross_cluster_pairs_not_compared(spark):
+    from search_engine_spark.training_data import similarity as S
+
+    # identical vectors forced into different clusters by construction:
+    # each one is exactly a centroid, so they never share a cluster and
+    # SemDeDup (by design) cannot pair them
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(
+            corpus, [[1.0, 0.0], [0.0, 1.0]], threshold=0.0
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1}
