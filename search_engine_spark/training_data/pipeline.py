@@ -16,8 +16,10 @@ and the expensive stages only ever see survivors):
 
 Opt-in stages: the full Gopher rule set after stage 2 (``gopher=True``),
 a PII-redaction transform at the end (``redact_pii=True``) — see
-``curation.py`` — and the corpus-assembly steps from ``mixing.py`` after
-stage 4: benchmark decontamination (``eval_docs=...``), per-domain caps
+``curation.py`` — plus, after stage 4: SemDeDup semantic dedup over an
+embedding table (``embeddings=...`` + ``semantic_centroids=...``,
+``similarity.py``) and the corpus-assembly steps from ``mixing.py``:
+benchmark decontamination (``eval_docs=...``), per-domain caps
 (``domain_cap=...``) and deterministic stratified sampling
 (``mix_rates=...``).
 
@@ -44,6 +46,7 @@ from pyspark.sql import functions as F
 from . import dedup as D
 from .curation import dedup_lines, gopher_quality, pii_stats
 from .mixing import decontaminate, domain_top_k, stratified_sample
+from .similarity import semantic_dedup
 from .textstats import language_id
 
 DEFAULT_MIN_CHARS = 80
@@ -112,6 +115,10 @@ def curate_corpus(
     stratum_col: str = "lang",
     mix_seed: str = "mix",
     mix_default_rate: float = 0.0,
+    embeddings: DataFrame | None = None,
+    semantic_centroids=None,
+    semantic_threshold: float = 0.995,
+    vec_col: str = "embedding",
 ) -> tuple[DataFrame, CurationReport]:
     """documents -> (kept documents, per-stage audit).
 
@@ -131,8 +138,13 @@ def curate_corpus(
     line reassembles to '' — which the quality gate then drops, keeping
     the drop attributable to a stage.
 
-    Corpus-assembly stages (mixing.py), each opt-in, run after near-dup
-    in pipeline order decontaminate -> domain_cap -> mix_sample:
+    ``embeddings`` (with ``semantic_centroids``) inserts SemDeDup right
+    after near-dup: documents whose embeddings form a within-cluster
+    cosine-duplicate group keep only the min-id representative; documents
+    with no embedding row pass through untouched.
+
+    Corpus-assembly stages (mixing.py), each opt-in, run after semantic
+    dedup in pipeline order decontaminate -> domain_cap -> mix_sample:
 
     - ``eval_docs``: drop documents sharing any ``decontam_n``-word-gram
       with the benchmark frame (its n-gram set is broadcast);
@@ -211,7 +223,31 @@ def curate_corpus(
     kept = lang.join(keep_ids, id_col, "inner")
     kept = gate("near_dup", lang, kept)
 
-    # 4b. optional benchmark decontamination: drop any doc sharing an
+    # 4b. optional semantic dedup (SemDeDup): drop non-representative
+    # members of embedding-cosine duplicate groups. Documents WITHOUT an
+    # embedding row pass through untouched (they cannot be semantically
+    # compared), so the stage is a left-anti join against the removed set
+    # — every drop stays attributable.
+    if embeddings is not None:
+        if semantic_centroids is None:
+            raise ValueError(
+                "curate_corpus: embeddings given without semantic_centroids "
+                "(pass train_ivf_centroids output or a (cent_id, cvec) frame)"
+            )
+        emb = kept.select(id_col).join(
+            embeddings.select(F.col(id_col), F.col(vec_col)), id_col, "inner"
+        )
+        decisions = semantic_dedup(
+            emb,
+            semantic_centroids,
+            threshold=semantic_threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        removed = decisions.filter(F.col("keep") == 0).select(id_col)
+        kept = gate("semantic_dedup", kept, kept.join(removed, id_col, "left_anti"))
+
+    # 4c. optional benchmark decontamination: drop any doc sharing an
     # n-gram with the eval frame (flags computed over survivors only)
     if eval_docs is not None:
         flags = decontaminate(
@@ -224,7 +260,7 @@ def curate_corpus(
         clean_ids = flags.filter(F.col("contaminated") == 0).select(id_col)
         kept = gate("decontaminate", kept, kept.join(clean_ids, id_col, "inner"))
 
-    # 4c. optional per-domain cap: re-join the domain column by id, rank
+    # 4d. optional per-domain cap: re-join the domain column by id, rank
     # by text length (quality proxy) with the skew-safe two-phase top-k
     if domain_cap is not None:
         with_dom = kept.join(docs.select(id_col, domain_col), id_col, "inner")
@@ -240,7 +276,7 @@ def curate_corpus(
         )
         kept = gate("domain_cap", kept, capped)
 
-    # 4d. optional mixing-rate sampling: deterministic per-stratum keep
+    # 4e. optional mixing-rate sampling: deterministic per-stratum keep
     if mix_rates is not None:
         with_stratum = kept.join(docs.select(id_col, stratum_col), id_col, "inner")
         sampled = stratified_sample(

@@ -646,3 +646,52 @@ def test_semantic_dedup_cross_cluster_pairs_not_compared(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1}
+
+
+def test_curate_corpus_semantic_dedup_stage(spark):
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "into the green forest where many other animals live quietly",
+        "completely different english text about distributed systems "
+        "and data processing with spark engines running large scale "
+        "jobs every day for many users around the world",
+        "a tale of two cities begins with the best of times and the "
+        "worst of times as the story moves between london and paris "
+        "during the years of the revolution",
+        "modern machine learning models are trained on curated corpora "
+        "that pass through many quality filters before a single token "
+        "reaches the optimizer in any large run",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts, start=1)), "doc_id long, text string"
+    )
+    # 1 and 2 are embedding near-duplicates; 4 has NO embedding row and
+    # must pass through untouched
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 1e-4, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    kept, report = curate_corpus(
+        docs,
+        embeddings=emb,
+        semantic_centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        semantic_threshold=0.999,
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["semantic_dedup"] == (4, 3)
+
+
+def test_curate_corpus_embeddings_without_centroids_raises(spark):
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    emb = spark.createDataFrame([(1, [1.0])], "doc_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="semantic_centroids"):
+        curate_corpus(docs, embeddings=emb)
