@@ -284,3 +284,24 @@ def test_mix_report_counts_and_shares(spark):
         ("de", "web"): (1, 500, 0.5),
     }
     assert abs(sum(v[2] for v in out.values()) - 1.0) < 1e-9
+
+
+def test_pack_sequences_plan_has_no_global_window_over_input(spark):
+    # the scale claim: the corpus-wide running sum must NOT be one
+    # unpartitioned window over the whole input. The full-input window
+    # partitions by the hash-prefix bucket; the only SinglePartition
+    # exchange feeds the 256-row bucket-totals window, and the offsets
+    # come back via broadcast.
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    plan = (
+        M.pack_sequences(df, 64)._jdf.queryExecution().executedPlan().toString()
+    )
+    cum_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "unboundedpreceding" in ln and "currentrow" in ln
+    ]
+    assert cum_windows and all("windowspecdefinition(_b" in ln for ln in cum_windows)
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastExchange" in plan
