@@ -245,6 +245,8 @@ def pack_sequences(
     position — is undefined; the two engines order NULLs differently so a
     paired oracle could never agree). NULL token counts pack as 0.
     """
+    if seq_len <= 0:
+        raise ValueError(f"pack_sequences: seq_len must be positive, got {seq_len}")
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     d = (
         docs.filter(F.col(id_col).isNotNull())

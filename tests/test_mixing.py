@@ -305,3 +305,9 @@ def test_pack_sequences_plan_has_no_global_window_over_input(spark):
     assert cum_windows and all("windowspecdefinition(_b" in ln for ln in cum_windows)
     assert plan.count("Exchange SinglePartition") == 1
     assert "BroadcastExchange" in plan
+
+
+def test_pack_sequences_rejects_nonpositive_seq_len(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="seq_len"):
+        M.pack_sequences(df, 0)
