@@ -316,6 +316,12 @@ DRIVERLIKE_QUERIES = [
     "line_dedup",
     # exact-count hash-order quota sampling
     "quota_sample",
+    # r03 late pairs: recursive closure vs star contraction (semantic
+    # dedup), distributed prefix sum vs naive window under 200 shuffle
+    # partitions + ANSI integer div (packing), in-plan grand total
+    "semantic_dedup",
+    "sequence_packing",
+    "corpus_mix_report",
 ]
 
 
