@@ -364,6 +364,14 @@ PRUNING_EXPECTATIONS = {
     "term_stats": (["doc_id", "text"], ["url", "source"]),
     "event_sessions": (["user_id", "ts", "value"], ["props"]),
     "events_hourly": (["event_type", "ts", "value"], ["props", "user_id"]),
+    "sequence_packing": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    # doc_id is selected then dropped before the aggregate — Catalyst
+    # must prune it out of the scan entirely
+    "corpus_mix_report": (["text", "lang", "source"], ["doc_id", "n_chars"]),
+    # the returned plan joins the corpus ids against the (checkpointed)
+    # component labels — the embedding scans live inside the CC stage's
+    # eager construction, so the final plan must read ONLY vec_id
+    "semantic_dedup": (["vec_id"], ["label", "embedding"]),
 }
 
 
