@@ -5,8 +5,9 @@ Large-scale curation primitives that the reference engine does not have but a
 detection (MinHash+LSH, SimHash banding, n-gram Jaccard), embedding
 similarity search (brute-force and SRP-LSH-bucketed ANN), text analysis
 (language ID, token counting, winnowing fingerprints), multimodal binary
-column plumbing, and corpus assembly (benchmark decontamination,
-deterministic stratified sampling, skew-safe per-domain caps).
+column plumbing, semantic dedup (SemDeDup), and corpus assembly (benchmark
+decontamination, deterministic stratified/quota sampling, skew-safe
+per-domain caps, concat-then-chunk sequence packing, mixture reports).
 
 Design rule shared by every operator here: all hashing is expressed with
 engine-portable primitives (md5 hex strings, integer bit arithmetic) so the
@@ -33,6 +34,7 @@ from .similarity import (
     srp_banded,
     srp_bucketed_pairs,
     srp_probe_buckets,
+    semantic_dedup,
     srp_signs,
     train_ivf_centroids,
 )
@@ -46,6 +48,8 @@ from .multimodal import (
 from .mixing import (
     decontaminate,
     domain_top_k,
+    mix_report,
+    pack_sequences,
     quota_sample,
     stratified_sample,
     word_ngrams,
@@ -69,6 +73,7 @@ __all__ = [
     "srp_probe_buckets",
     "srp_signs",
     "train_ivf_centroids",
+    "semantic_dedup",
     "ivf_assign",
     "ivf_probe_lists",
     "ivf_topk",
@@ -85,6 +90,8 @@ __all__ = [
     "CurationReport",
     "decontaminate",
     "domain_top_k",
+    "mix_report",
+    "pack_sequences",
     "quota_sample",
     "stratified_sample",
     "word_ngrams",
