@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .pair_helpers import SQL_WS_TOKENS
 from .training_data import curation as C
 
 # ---------------------------------------------------------------------------
@@ -413,13 +414,12 @@ WHERE rank <= {DOMAIN_CAP_K}
 # token total as a bucketed distributed prefix sum; the oracle is the
 # naive single window over the identical (hash, id) order — the two-phase
 # plan must produce the identical relation. Window-sum output is CAST to
-# BIGINT (HUGEINT serialization, invariant 1).
+# BIGINT (HUGEINT serialization, invariant 1), and the oracle mirrors the
+# operator's NULL contract (NULL ids dropped, NULL token counts packed as
+# 0) so the pair stays green if NULLs ever enter the corpus.
 # ---------------------------------------------------------------------------
 PACK_SEQ_LEN = 512
-_WS_TOKENS_SQL = (
-    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
-    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
-)
+_WS_TOKENS_SQL = SQL_WS_TOKENS.format(col="text")
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,9 +437,10 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SEQUENCE_PACKING = f"""
 WITH t AS (
-  SELECT doc_id, {_WS_TOKENS_SQL} AS n_tokens,
+  SELECT doc_id, COALESCE({_WS_TOKENS_SQL}, 0) AS n_tokens,
          md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
+  WHERE doc_id IS NOT NULL
 ),
 c AS (
   SELECT doc_id, n_tokens,
@@ -477,7 +478,8 @@ def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_MIX_REPORT = f"""
 WITH t AS (
-  SELECT lang, source, {_WS_TOKENS_SQL} AS n_tokens FROM documents
+  SELECT lang, source, COALESCE({_WS_TOKENS_SQL}, 0) AS n_tokens
+  FROM documents
 ),
 g AS (
   SELECT lang, source,

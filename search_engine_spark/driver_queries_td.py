@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .pair_helpers import (
     SQL_FIXED6_LONG,
+    SQL_WS_TOKENS,
     doc_frequencies,
     ntz_epoch_us,
     scalar_count,
@@ -381,7 +382,7 @@ pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM assigned a
   JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-  WHERE round({_SD_PAIR_COS}, 6) >= {SEMDEDUP_THRESHOLD}
+  WHERE round({_SD_PAIR_COS}, 6) >= CAST('{SEMDEDUP_THRESHOLD!r}' AS DOUBLE)
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -532,8 +533,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNTS = rf"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       {SQL_WS_TOKENS.format(col="text")} AS ws_tokens,
        len(regexp_extract_all(lower(text), '{X.BPE_RUN}')) AS bpe_tokens,
        length(text) AS n_chars
 FROM documents

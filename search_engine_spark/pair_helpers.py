@@ -80,6 +80,14 @@ def sum_fixed6(col, alias: str) -> F.Column:
 
 SQL_SUM_FIXED6 = "round(sum(CAST(round({col} * 1000000.0) AS BIGINT)) / 1000000.0, 6)"
 
+# DuckDB twin of textstats.token_counts' ws_tokens Column (split('')
+# yields [''], so blank text must count 0). Shared by every oracle that
+# tokenizes by whitespace — one spelling, never respelled per pair.
+SQL_WS_TOKENS = (
+    r"CASE WHEN length(trim({col})) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim({col}), '\s+')) END"
+)
+
 
 def doc_frequencies(
     occurrences: DataFrame,

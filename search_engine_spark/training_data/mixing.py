@@ -219,6 +219,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     seed: str = "pack",
+    bucket_hex_chars: int = 2,
 ) -> DataFrame:
     """(id, n_tokens, chunk_id, chunk_offset) — concat-then-chunk sequence
     packing: documents are laid end to end in a deterministic
@@ -237,9 +238,10 @@ def pack_sequences(
     sums (256 balanced window partitions), phase 2 computes the 256
     bucket offsets with a window over the 256-row bucket-total relation
     (bounded by construction — the one deliberate single-partition
-    window) and broadcast-joins them back. Scale the bucket width with
-    the corpus (3 hex chars = 4096 buckets) to keep per-bucket sorts in
-    task memory.
+    window) and broadcast-joins them back. Scale ``bucket_hex_chars``
+    with the corpus (3 hex chars = 4096 buckets) to keep per-bucket
+    sorts in task memory; any prefix width yields the identical result
+    (the bucket is always a prefix of the ordering key).
 
     Rows with a NULL id are dropped (their hash — and hence their global
     position — is undefined; the two engines order NULLs differently so a
@@ -247,6 +249,11 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"pack_sequences: seq_len must be positive, got {seq_len}")
+    if not 1 <= bucket_hex_chars <= 8:
+        raise ValueError(
+            f"pack_sequences: bucket_hex_chars must be in [1, 8], "
+            f"got {bucket_hex_chars}"
+        )
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     d = (
         docs.filter(F.col(id_col).isNotNull())
@@ -255,7 +262,7 @@ def pack_sequences(
             F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("_n"),
         )
         .withColumn("_h", h)
-        .withColumn("_b", F.substring("_h", 1, 2))
+        .withColumn("_b", F.substring("_h", 1, bucket_hex_chars))
     )
     w_in = (
         Window.partitionBy("_b")

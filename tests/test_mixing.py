@@ -311,3 +311,14 @@ def test_pack_sequences_rejects_nonpositive_seq_len(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="seq_len"):
         M.pack_sequences(df, 0)
+
+
+def test_pack_sequences_bucket_width_invariant(spark, token_rows):
+    # any hash-prefix width yields the identical packing (the bucket is
+    # always a prefix of the global ordering key)
+    df = spark.createDataFrame(token_rows, "doc_id long, n_tokens long")
+    a = sorted(map(tuple, M.pack_sequences(df, 128, bucket_hex_chars=1).collect()))
+    b = sorted(map(tuple, M.pack_sequences(df, 128, bucket_hex_chars=3).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="bucket_hex_chars"):
+        M.pack_sequences(df, 128, bucket_hex_chars=0)

@@ -101,11 +101,15 @@ CONSTRUCTION_JOBS = {
     "simhash_near_dup": 1,
     "token_counts": 1,
     "winnow_fingerprints": 1,
-    # NOT listed (deliberately): pagerank and dedup_components — iterative
-    # operators whose driver-side loop materializes each round during
-    # construction; under AQE every materialization is several jobs and the
-    # round count is data-dependent, so an exact count would be flaky. Their
-    # loop structure is covered by test_graph / test_training_data instead.
+    "sequence_packing": 1,
+    "corpus_mix_report": 1,
+    # NOT listed (deliberately): pagerank, dedup_components AND
+    # semantic_dedup — iterative operators (semantic_dedup runs the same
+    # star-contraction loop) whose driver-side loop materializes each
+    # round during construction; under AQE every materialization is
+    # several jobs and the round count is data-dependent, so an exact
+    # count would be flaky. Their loop structure is covered by
+    # test_graph / test_training_data instead.
 }
 
 
