@@ -494,6 +494,54 @@ FROM g, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# URL blocklist filter (curation.py): the documents corpus has no url
+# column, so the pair injects deterministic urls from doc_id (the shared-
+# expression pattern); ~1/11 of docs land on a subdomain of a blocked
+# domain and ~1/7 on another, exercising both the suffix-chain and exact
+# match paths. Spark joins the suffix explosion against a broadcast
+# blocklist; the oracle replays the identical suffix chain in SQL.
+# ---------------------------------------------------------------------------
+URL_EXPR = (
+    "'https://' || CASE WHEN doc_id % 11 = 0 THEN 'ads.tracker' "
+    "WHEN doc_id % 7 = 0 THEN 'www.spam' "
+    "ELSE 'site' || CAST(doc_id % 13 AS STRING) END "
+    "|| '.example.com/p/' || CAST(doc_id AS STRING)"
+)
+BLOCKED_DOMAINS = ("tracker.example.com", "spam.example.com")
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(URL_EXPR).alias("url")
+    )
+    bl = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], "domain string")
+    return C.url_blocklist_filter(docs, bl)
+
+
+_BL_LIST = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+
+SQL_URL_BLOCKLIST = f"""
+WITH u AS (SELECT doc_id, {URL_EXPR} AS url FROM documents),
+h AS (
+  SELECT doc_id,
+         lower(string_split(string_split(url, '/')[3], ':')[1]) AS host
+  FROM u
+),
+sfx AS (
+  SELECT doc_id, array_to_string(l[i:], '.') AS suffix
+  FROM (SELECT doc_id, string_split(host, '.') AS l FROM h),
+       unnest(range(1, len(l) + 1)) AS t(i)
+),
+bl AS (SELECT unnest([{_BL_LIST}]) AS suffix),
+hits AS (SELECT DISTINCT doc_id FROM sfx JOIN bl USING (suffix))
+SELECT h.doc_id, h.host,
+       CAST(CASE WHEN hits.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS blocked
+FROM h LEFT JOIN hits ON hits.doc_id = h.doc_id
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -505,6 +553,7 @@ QUERIES_CUR = {
     "domain_top_k": q_domain_top_k,
     "sequence_packing": q_sequence_packing,
     "corpus_mix_report": q_corpus_mix_report,
+    "url_blocklist": q_url_blocklist,
 }
 
 ORACLES_CUR = {
@@ -518,4 +567,5 @@ ORACLES_CUR = {
     "domain_top_k": SQL_DOMAIN_TOP_K,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "corpus_mix_report": SQL_CORPUS_MIX_REPORT,
+    "url_blocklist": SQL_URL_BLOCKLIST,
 }

@@ -16,7 +16,11 @@ curation rules a 100 TB pipeline applies before tokenization:
   2-gram;
 - :func:`dedup_lines` — C4-style GLOBAL line dedup (Raffel et al. 2020
   §2.2: every occurrence of a repeated span after the first is removed,
-  corpus-wide), skew-safe.
+  corpus-wide), skew-safe;
+- :func:`url_blocklist_filter` — UT1/RefinedWeb-style domain blocklist
+  (Penedo et al. 2023 §3.1): host suffix-chain equi-join against a
+  broadcast blocklist, so a parent-domain entry blocks every subdomain
+  without a regex scan.
 
 Everything except the top-bigram argmax is a per-row native Column
 expression (regex + higher-order array functions) — zero shuffles, zero
@@ -49,6 +53,62 @@ MAX_BULLET_LINE_FRAC = 0.1  # ">= 90% of lines do not start with a bullet"
 MAX_ELLIPSIS_LINE_FRAC = 0.3
 MIN_ALPHA_WORD_FRAC = 0.8
 MIN_STOPWORD_KINDS = 2
+
+
+def host_of(url_col) -> F.Column:
+    """Lowercased host of an http(s) url via pure string splits
+    (``split(url, '/')[2]``, port stripped) — no regex, so the DuckDB
+    twin (``string_split(url, '/')[3]``, 1-based) replays it exactly."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(F.split(F.split(col, "/").getItem(2), ":").getItem(0))
+
+
+def url_blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, host, blocked) — UT1/RefinedWeb-style domain blocklist check:
+    a document is blocked iff its url's host, or ANY parent domain of it,
+    appears in the blocklist (``ads.tracker.example.com`` is blocked by a
+    ``tracker.example.com`` entry). ``blocklist`` is a one-column
+    (``domain``) DataFrame of lowercase domains.
+
+    Scale shape: the host explodes into its suffix chain (≤ label-count
+    rows, ~5 for real hosts) and each suffix EQUI-joins a broadcast of
+    the blocklist — no regex LIKE scan over millions of patterns, no
+    shuffle of the corpus side. UT1-sized lists (a few million domains)
+    broadcast fine; beyond that, swap ``F.broadcast`` for a bucketed join
+    on the suffix without touching the suffix-chain logic. A NULL or
+    unparseable url yields a NULL host and is never blocked (flag it
+    upstream with a validity gate, not here).
+    """
+    suffixes = F.expr(
+        "transform(sequence(1, size(_labels)), "
+        "i -> array_join(slice(_labels, i, size(_labels) - i + 1), '.'))"
+    )
+    base = docs.select(
+        F.col(id_col), host_of(url_col).alias("host")
+    ).withColumn("_labels", F.split(F.col("host"), r"\."))
+    exploded = base.select(
+        id_col, "host", F.explode_outer(suffixes).alias("_suffix")
+    )
+    bl = blocklist.select(F.lower(F.col("domain")).alias("_suffix")).distinct()
+    hits = (
+        exploded.join(F.broadcast(bl), "_suffix", "inner")
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "host",
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("blocked"),
+        )
+    )
 
 
 def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

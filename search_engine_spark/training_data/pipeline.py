@@ -44,7 +44,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup as D
-from .curation import dedup_lines, gopher_quality, pii_stats
+from .curation import (
+    dedup_lines,
+    gopher_quality,
+    pii_stats,
+    url_blocklist_filter,
+)
 from .mixing import decontaminate, domain_top_k, stratified_sample
 from .similarity import semantic_dedup
 from .textstats import language_id
@@ -119,6 +124,8 @@ def curate_corpus(
     semantic_centroids=None,
     semantic_threshold: float = 0.995,
     vec_col: str = "embedding",
+    url_blocklist: DataFrame | None = None,
+    url_col: str = "url",
 ) -> tuple[DataFrame, CurationReport]:
     """documents -> (kept documents, per-stage audit).
 
@@ -137,6 +144,11 @@ def curate_corpus(
     occurrence, texts are rewritten in place, and a doc stripped of every
     line reassembles to '' — which the quality gate then drops, keeping
     the drop attributable to a stage.
+
+    ``url_blocklist`` (a one-column ``domain`` frame) prepends the
+    UT1-style domain gate as stage 0 — a document whose ``url_col`` host
+    sits on or under a listed domain is dropped before anything else
+    runs (the cheapest filter goes first).
 
     ``embeddings`` (with ``semantic_centroids``) inserts SemDeDup right
     after near-dup: documents whose embeddings form a within-cluster
@@ -169,6 +181,17 @@ def curate_corpus(
         return out
 
     base = docs.select(id_col, text_col)
+
+    # 0. optional URL blocklist (UT1/RefinedWeb order: the cheapest gate
+    # runs first, before any content hashing). Looks ``url_col`` up on
+    # the INPUT frame like the other re-joined extras.
+    if url_blocklist is not None:
+        flags = url_blocklist_filter(
+            docs.select(id_col, url_col), url_blocklist,
+            url_col=url_col, id_col=id_col,
+        )
+        ok_ids = flags.filter(F.col("blocked") == 0).select(id_col)
+        base = gate("url_blocklist", base, base.join(ok_ids, id_col, "inner"))
 
     # 1. exact dedup: keep min id per content hash
     w = Window.partitionBy("_sha").orderBy(F.asc(id_col))

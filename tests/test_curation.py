@@ -194,3 +194,59 @@ def test_dedup_lines_plan_has_no_window_over_line_key(spark):
     plan = buf.getvalue()
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# url_blocklist_filter
+# ---------------------------------------------------------------------------
+def test_url_blocklist_suffix_chain(spark):
+    from search_engine_spark.training_data.curation import url_blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.tracker.example.com/x"),   # subdomain of entry
+            (2, "https://tracker.example.com/y?q=1"),   # exact entry
+            (3, "https://TRACKER.example.com:8080/z"),  # case + port
+            (4, "https://example.com/clean"),           # parent of entry: NOT blocked
+            (5, "https://nottracker.example.com/a"),    # no label boundary match
+            (6, None),                                  # NULL url: never blocked
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("tracker.example.com",)], "domain string")
+    out = {r["doc_id"]: (r["host"], r["blocked"])
+           for r in url_blocklist_filter(docs, bl).collect()}
+    assert out[1] == ("ads.tracker.example.com", 1)
+    assert out[2] == ("tracker.example.com", 1)
+    assert out[3] == ("tracker.example.com", 1)
+    assert out[4] == ("example.com", 0)
+    assert out[5] == ("nottracker.example.com", 0)
+    assert out[6] == (None, 0)
+    assert len(out) == 6
+
+
+def test_curate_corpus_url_blocklist_stage(spark):
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "into the green forest where many other animals live quietly"
+    )
+    other = (
+        "completely different english text about distributed systems "
+        "and data processing with spark engines running large scale "
+        "jobs every day for many users around the world"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good, "https://site.example.com/a"),
+            (2, other, "https://bad.spam.example.com/b"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    bl = spark.createDataFrame([("spam.example.com",)], "domain string")
+    kept, report = curate_corpus(docs, url_blocklist=bl)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["url_blocklist"] == (2, 1)
+    assert report.stages[0][0] == "url_blocklist"  # runs first

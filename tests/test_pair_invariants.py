@@ -103,6 +103,7 @@ CONSTRUCTION_JOBS = {
     "winnow_fingerprints": 1,
     "sequence_packing": 1,
     "corpus_mix_report": 1,
+    "url_blocklist": 1,  # read; the 2-row blocklist is a local relation
     # NOT listed (deliberately): pagerank, dedup_components AND
     # semantic_dedup — iterative operators (semantic_dedup runs the same
     # star-contraction loop) whose driver-side loop materializes each
@@ -326,6 +327,8 @@ DRIVERLIKE_QUERIES = [
     "semantic_dedup",
     "sequence_packing",
     "corpus_mix_report",
+    # suffix-chain blocklist join: string splits under ANSI
+    "url_blocklist",
 ]
 
 
@@ -376,6 +379,8 @@ PRUNING_EXPECTATIONS = {
     # component labels — the embedding scans live inside the CC stage's
     # eager construction, so the final plan must read ONLY vec_id
     "semantic_dedup": (["vec_id"], ["label", "embedding"]),
+    # urls are injected from doc_id, so the scan must read doc_id alone
+    "url_blocklist": (["doc_id"], ["text", "lang", "source", "n_chars"]),
 }
 
 
