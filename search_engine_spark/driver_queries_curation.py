@@ -542,6 +542,209 @@ FROM h LEFT JOIN hits ON hits.doc_id = h.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# LM quality scoring (curation.py): mean log-likelihood under the corpus-
+# trained smoothed unigram LM (CCNet-style). Every probability is derived
+# from exact integer counts cast to DOUBLE; per-word ln is rounded to 6
+# once, per-doc accumulation is the fixed6 integer sum — both engines
+# replay the scores bit-for-bit.
+# ---------------------------------------------------------------------------
+LM_MIN_COUNT = 5
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return C.lm_quality(docs, min_count=LM_MIN_COUNT)
+
+
+_LM_FIXED6 = "CAST(round(t_lp * 1000000.0) AS BIGINT)"
+
+SQL_LM_QUALITY = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{C.LM_TOKEN_RUN}')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+voc AS (SELECT w, c FROM cnt WHERE c >= {LM_MIN_COUNT}),
+vs AS (SELECT count(*) AS v FROM voc),
+st AS (
+  SELECT CAST(tot.n + vs.v + 1 AS DOUBLE) AS den,
+         round(ln(CAST(1 AS DOUBLE)
+                  / CAST(tot.n + vs.v + 1 AS DOUBLE)), 6) AS unk_lp
+  FROM tot, vs
+),
+lp AS (
+  SELECT w, round(ln(CAST(c + 1 AS DOUBLE) / st.den), 6) AS lp FROM voc, st
+),
+sc AS (
+  SELECT t.doc_id,
+         CASE WHEN lp.lp IS NULL THEN 1 ELSE 0 END AS oov,
+         coalesce(lp.lp, st.unk_lp) AS t_lp
+  FROM toks t LEFT JOIN lp ON lp.w = t.w, st
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(oov) AS o,
+         round(sum({_LM_FIXED6}) / 1000000.0 / count(*), 6) AS m
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.o, 0) AS BIGINT) AS n_oov,
+       coalesce(agg.m, 0.0) AS mean_logprob
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-n-gram importance weights (mixing.py): target = the corpus's
+# English subset, raw = the whole corpus; 4096 md5-prefix buckets. The
+# oracle replays the identical bucket hashes, smoothed count ratios and
+# fixed6 per-doc sums.
+# ---------------------------------------------------------------------------
+DSIR_TGT_LANG = "en"
+DSIR_HEX = 3
+_DSIR_B = 16**DSIR_HEX
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = base.select("doc_id", "text")
+    target = base.filter(F.col("lang") == DSIR_TGT_LANG).select(
+        "doc_id", "text"
+    )
+    return M.dsir_weights(docs, target, bucket_hex_chars=DSIR_HEX)
+
+
+SQL_DSIR_WEIGHTS = rf"""
+WITH f AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(w, CASE WHEN len(w) < 2 THEN [] ELSE
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) END))
+           AS feat
+  FROM (SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS w
+        FROM documents)
+),
+b AS (
+  SELECT doc_id, lang, substr(md5('dsir:' || feat), 1, {DSIR_HEX}) AS b FROM f
+),
+raw AS (SELECT b, count(*) AS cr FROM b GROUP BY b),
+tgt AS (
+  SELECT b, count(*) AS ct FROM b WHERE lang = '{DSIR_TGT_LANG}' GROUP BY b
+),
+rt AS (SELECT count(*) AS crt FROM b),
+tt AS (SELECT count(*) AS ctt FROM b WHERE lang = '{DSIR_TGT_LANG}'),
+w AS (
+  SELECT raw.b,
+         round(ln((CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE)
+                   * (CAST(rt.crt AS DOUBLE) + {_DSIR_B}))
+                  / (CAST(raw.cr + 1 AS DOUBLE)
+                     * (CAST(tt.ctt AS DOUBLE) + {_DSIR_B}))), 6) AS lw
+  FROM raw LEFT JOIN tgt USING (b), rt, tt
+),
+sc AS (
+  SELECT b.doc_id, count(*) AS nf,
+         round(sum(CAST(round(lw * 1000000.0) AS BIGINT)) / 1000000.0, 6)
+           AS lwsum
+  FROM b JOIN w USING (b) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.nf, 0) AS BIGINT) AS n_feats,
+       coalesce(sc.lwsum, 0.0) AS log_weight
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixing (mixing.py): α = 0.5 stratum flattening with
+# the keep rates computed IN-PLAN from the language counts. sqrt/division
+# are IEEE-correctly-rounded and the *2^32 scaling is exact, so the
+# thresholds are bit-identical across engines.
+# ---------------------------------------------------------------------------
+TEMP_ALPHA = 0.5
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return M.temperature_sample(docs, alpha=TEMP_ALPHA, seed=MIX_SEED).select(
+        "doc_id", "lang", "u8i"
+    )
+
+
+SQL_TEMPERATURE_SAMPLE = f"""
+WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS cmin FROM c),
+dims AS (
+  SELECT lang,
+         CASE WHEN c = m.cmin THEN 4294967296
+              ELSE CAST(floor(sqrt(m.cmin / c) * 4294967296) AS BIGINT)
+         END AS thr
+  FROM c, m
+),
+u AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)),
+                             1, 8) AS BIGINT) AS u8i
+  FROM documents
+)
+SELECT u.doc_id, u.lang, u.u8i FROM u JOIN dims USING (lang) WHERE u8i < thr
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (mixing.py): md5 hash ranges carved in
+# fraction order. The oracle's CASE thresholds are generated by the SAME
+# python accumulation the operator runs, so float-sum drift in the
+# cumulative fractions can never split the two sides apart.
+# ---------------------------------------------------------------------------
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = "split"
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return M.hash_split(docs, SPLIT_FRACTIONS, seed=SPLIT_SEED).select(
+        "doc_id", "split"
+    )
+
+
+def _split_case() -> str:
+    from .training_data.mixing import hex_threshold
+
+    names = list(SPLIT_FRACTIONS)
+    arms, cum = [], 0.0
+    for name in names[:-1]:
+        cum += SPLIT_FRACTIONS[name]
+        arms.append(f"WHEN u8 < '{hex_threshold(cum)}' THEN '{name}'")
+    return (
+        "CASE WHEN doc_id IS NULL THEN NULL "
+        + " ".join(arms)
+        + f" ELSE '{names[-1]}' END"
+    )
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id, {_split_case()} AS split
+FROM (
+  SELECT doc_id,
+         substr(md5('{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+  FROM documents
+)
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -554,6 +757,10 @@ QUERIES_CUR = {
     "sequence_packing": q_sequence_packing,
     "corpus_mix_report": q_corpus_mix_report,
     "url_blocklist": q_url_blocklist,
+    "lm_quality": q_lm_quality,
+    "dsir_weights": q_dsir_weights,
+    "temperature_sample": q_temperature_sample,
+    "hash_split": q_hash_split,
 }
 
 ORACLES_CUR = {
@@ -568,4 +775,8 @@ ORACLES_CUR = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "corpus_mix_report": SQL_CORPUS_MIX_REPORT,
     "url_blocklist": SQL_URL_BLOCKLIST,
+    "lm_quality": SQL_LM_QUALITY,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "temperature_sample": SQL_TEMPERATURE_SAMPLE,
+    "hash_split": SQL_HASH_SPLIT,
 }

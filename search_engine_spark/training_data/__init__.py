@@ -4,10 +4,12 @@ Large-scale curation primitives that the reference engine does not have but a
 100 TB web-text pipeline needs alongside the inverted index: near-duplicate
 detection (MinHash+LSH, SimHash banding, n-gram Jaccard), embedding
 similarity search (brute-force and SRP-LSH-bucketed ANN), text analysis
-(language ID, token counting, winnowing fingerprints), multimodal binary
-column plumbing, semantic dedup (SemDeDup), and corpus assembly (benchmark
-decontamination, deterministic stratified/quota sampling, skew-safe
-per-domain caps, concat-then-chunk sequence packing, mixture reports).
+(language ID, token counting, winnowing fingerprints, corpus-LM quality
+scoring), multimodal binary column plumbing, semantic dedup (SemDeDup), and
+corpus assembly (benchmark decontamination, deterministic stratified/quota/
+temperature sampling, DSIR importance weights, train/val/test hash splits,
+skew-safe per-domain caps, concat-then-chunk sequence packing, mixture
+reports).
 
 Design rule shared by every operator here: all hashing is expressed with
 engine-portable primitives (md5 hex strings, integer bit arithmetic) so the
@@ -45,13 +47,17 @@ from .multimodal import (
     resize_images,
     sample_frames,
 )
+from .curation import lm_quality
 from .mixing import (
     decontaminate,
     domain_top_k,
+    dsir_weights,
+    hash_split,
     mix_report,
     pack_sequences,
     quota_sample,
     stratified_sample,
+    temperature_sample,
     word_ngrams,
 )
 from .pipeline import CurationReport, curate_corpus, quality_gate
@@ -90,9 +96,13 @@ __all__ = [
     "CurationReport",
     "decontaminate",
     "domain_top_k",
+    "dsir_weights",
+    "hash_split",
+    "lm_quality",
     "mix_report",
     "pack_sequences",
     "quota_sample",
     "stratified_sample",
+    "temperature_sample",
     "word_ngrams",
 ]

@@ -20,7 +20,12 @@ curation rules a 100 TB pipeline applies before tokenization:
 - :func:`url_blocklist_filter` — UT1/RefinedWeb-style domain blocklist
   (Penedo et al. 2023 §3.1): host suffix-chain equi-join against a
   broadcast blocklist, so a parent-domain entry blocks every subdomain
-  without a regex scan.
+  without a regex scan;
+- :func:`lm_quality` — CCNet-style language-model quality scoring
+  (Wenzek et al. 2020 §4.3): per-document mean log-likelihood under a
+  corpus-trained smoothed unigram LM (the engine-portable stand-in for
+  the KenLM 5-gram perplexity filter — same monotone ranking signal,
+  exact integer counts instead of an external model file).
 
 Everything except the top-bigram argmax is a per-row native Column
 expression (regex + higher-order array functions) — zero shuffles, zero
@@ -35,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..pair_helpers import fixed6_long
 
 # Portable ASCII regexes — identical semantics under Java (Spark) and RE2
 # (DuckDB): character classes, bounded repetition and \b / \d only.
@@ -261,6 +268,97 @@ def dedup_lines(
         id_col,
         F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
         F.coalesce(text_col, F.lit("")).alias(text_col),
+    )
+
+
+LM_TOKEN_RUN = "[a-z0-9]{2,}"
+
+
+def lm_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(id, n_tokens, n_oov, mean_logprob) — language-model quality
+    scoring in the CCNet mold (Wenzek et al. 2020 §4.3: documents are
+    ranked by LM perplexity and the tail is dropped). The model here is
+    trained ON THE CORPUS ITSELF in the same plan: a unigram LM with
+    add-one smoothing over the vocabulary {words with count >= min_count},
+
+        p(w ∈ vocab) = (c_w + 1) / (N + V + 1)
+        p(w ∉ vocab) = 1         / (N + V + 1)
+
+    where N is the total token count and V the vocabulary size. An OOV
+    token scores the add-one floor — the probability of a count-zero
+    type — NOT a pooled <unk> bucket: pooling would hand the combined
+    mass of every rare word to each gibberish token, which at small
+    corpus sizes scores nonsense ABOVE ordinary prose (the filter-style
+    choice is deliberately harsh on gibberish). ``mean_logprob`` is the
+    per-document mean ln p(token); a quality gate keeps documents above
+    a floor (low perplexity == high mean_logprob == ordinary, fluent
+    text; gibberish and boilerplate-symbol soup sink). This is the
+    engine-portable stand-in for an external KenLM: the same monotone
+    ranking signal, with every probability derived from exact integer
+    counts so a DuckDB oracle replays it bit-for-bit.
+
+    Float discipline (invariant 4): each vocab word's ln p is computed
+    ONCE from integers cast to DOUBLE and rounded to 6; per-document
+    accumulation is the integer-scaled fixed6 sum, so no aggregation
+    order can flip a rounded value. A ``min_count`` threshold (not a
+    top-V rank) defines the vocabulary — a map-side filter with no
+    global sort, and by Heaps' law the vocab stays tiny relative to the
+    corpus, so the per-token lookup joins against a BROADCAST table (at
+    extreme vocab sizes swap the broadcast for a shuffle join — the
+    semantics don't change). Documents with no tokens report 0 / 0 / 0.0.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{LM_TOKEN_RUN}', 0)")
+        ).alias("_w"),
+    )
+    counts = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = counts.filter(F.col("_c") >= min_count)
+    totals = counts.agg(F.sum("_c").alias("_n"))
+    vstats = vocab.agg(F.count(F.lit(1)).alias("_v"))
+    # one-row (denom, oov floor logprob) relation, broadcast everywhere
+    stats = (
+        totals.crossJoin(F.broadcast(vstats))
+        .withColumn("_den", (F.col("_n") + F.col("_v") + 1).cast("double"))
+        .select(
+            "_den",
+            F.round(F.log(F.lit(1.0) / F.col("_den")), 6).alias("_unk_lp"),
+        )
+    )
+    lp_table = vocab.crossJoin(F.broadcast(stats)).select(
+        "_w",
+        F.round(F.log((F.col("_c") + 1).cast("double") / F.col("_den")), 6).alias(
+            "_lp"
+        ),
+    )
+    scored = (
+        toks.join(F.broadcast(lp_table), "_w", "left")
+        .crossJoin(F.broadcast(stats.select("_unk_lp")))
+        .select(
+            id_col,
+            F.col("_lp").isNull().cast("long").alias("_oov"),
+            F.coalesce("_lp", "_unk_lp").alias("_t_lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_oov").alias("n_oov"),
+        F.round(
+            F.sum(fixed6_long("_t_lp")) / F.lit(1000000.0) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_logprob"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
     )
 
 

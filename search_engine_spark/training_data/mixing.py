@@ -20,6 +20,15 @@ training mix:
 - :func:`domain_top_k` — keep at most k documents per domain by a
   quality ordering, computed skew-safely (CLAUDE.md invariant 6): a
   Zipf-hot domain never funnels through a single reducer.
+- :func:`temperature_sample` — the rates computed, not given:
+  per-stratum keep rates from the temperature-scaling rule q_s ∝ p_s^α
+  (multilingual mixing; Conneau & Lample 2019, mT5), derived in-plan
+  from the stratum counts.
+- :func:`hash_split` — deterministic train/val/test assignment from the
+  same md5 hash family (disjoint by construction, reproducible).
+- :func:`dsir_weights` — hashed-n-gram importance weights for data
+  selection (DSIR; Xie et al. 2023): log p_target/p_raw of each
+  document under two bucket-hashed bag-of-n-grams models.
 
 Scale notes (100 TB shapes):
 
@@ -27,8 +36,15 @@ Scale notes (100 TB shapes):
   millions of n-grams, not billions) and is **broadcast**, so the huge
   corpus side never shuffles for the join; the only wide shuffle keys on
   the uniform document id (per-doc distinct + the hit count).
-- stratified_sample: pure map-side filter — zero shuffles, zero jobs at
-  plan time; thresholds are compile-time string literals.
+- stratified_sample / hash_split: pure map-side filters — zero shuffles,
+  zero jobs at plan time; thresholds are compile-time string literals.
+- temperature_sample: one bounded-key count aggregate (map-side partials
+  collapse every partition to one row per stratum) broadcast back — the
+  corpus side never shuffles.
+- dsir_weights: the two n-gram distributions aggregate onto a
+  16^bucket_hex_chars-key space (bounded, uniform — md5 buckets), the
+  per-bucket weight table broadcasts, and the only corpus-wide shuffle
+  keys on the uniform document id with map-side partial sums.
 - domain_top_k: two-phase top-k — the salted first pass divides a hot
   domain across salt_mod sort slices (size salt_mod to the skew), and
   only then does the per-domain ranking run, over partitions hard-bounded
@@ -39,6 +55,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..pair_helpers import fixed6_long
+
+TOKEN_RUN = "[a-z0-9]{2,}"
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
@@ -315,6 +335,215 @@ def mix_report(
         "n_docs",
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled stratum sampling with the rates computed
+    IN-PLAN from the stratum counts — the multilingual mixing rule
+    (Conneau & Lample 2019 §3.1; mT5's α-scaling): sampling probability
+    q_s ∝ p_s^α flattens the stratum distribution toward uniform as
+    α → 0. Downsampling-only (no replication), so the per-stratum keep
+    rate is normalized to give the SMALLEST stratum rate 1:
+
+        rate_s = (c_min / c_s) ^ (1 - α)
+
+    α = 1 keeps everything (no re-weighting), α = 0 equalizes expected
+    stratum sizes at c_min, α = 0.5 is the common softening.
+
+    The keep decision is ``u8i < floor(rate_s * 2^32)`` where u8i is the
+    integer value of the :func:`sample_key` md5 prefix — consistent with
+    :func:`stratified_sample` (same seed -> same hash per key), and a
+    stratum at rate 1 keeps ALL rows exactly (its threshold is 2^32, one
+    above the largest possible u8i).
+
+    Engine portability (CLAUDE.md invariant 4): at α = 0.5 the rate is
+    ``sqrt(c_min / c_s)`` — IEEE sqrt and division are correctly rounded,
+    and the *2^32 scaling is an exact exponent shift, so the thresholds
+    are bit-identical in Spark and DuckDB. Any other α routes through
+    ``pow``, which libms round differently in the last ulp — fine for
+    production sampling, but don't pair an oracle on it.
+
+    One bounded-key aggregate (stratum counts, map-side partials) joins
+    back as a broadcast; the corpus side never shuffles. NULL strata and
+    NULL keys are dropped (their rate/hash is undefined) — identically
+    in both engines.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c"))
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    ratio = F.col("_cmin") / F.col("_c")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    thr = F.when(F.col("_c") == F.col("_cmin"), F.lit(2**32)).otherwise(
+        F.floor(rate * F.lit(2**32))
+    ).cast("long")
+    dims = counts.crossJoin(F.broadcast(cmin)).select(
+        stratum_col, thr.alias("_thr")
+    )
+    u8i = F.conv(sample_key(key_col, seed), 16, 10).cast("long")
+    return (
+        docs.join(F.broadcast(dims), stratum_col)
+        .withColumn("u8i", u8i)
+        .filter(F.col("u8i") < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict,
+    key_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column assigning every row to one of the named
+    fractions (train/val/test and friends) by deterministic hash ranges —
+    disjoint by construction, reproducible across runs/partitionings/
+    engines, and consistent for the same key under the same seed (a
+    document can never leak between splits across reruns).
+
+    ``fractions`` maps split name -> fraction; they must sum to 1 (to
+    1e-9) so the assignment is exhaustive. Ranges are carved in the
+    dict's insertion order: {'train': .8, 'val': .1, 'test': .1} assigns
+    u8 < t(.8) -> train, < t(.9) -> val, rest -> test. Rows with a NULL
+    key get a NULL split (their hash is undefined). Pure map-side: zero
+    shuffles, zero jobs at plan time.
+    """
+    if not fractions:
+        raise ValueError("hash_split: fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"hash_split: fractions must sum to 1, got {total!r} "
+            f"(drop rows beforehand with stratified_sample instead)"
+        )
+    u8 = sample_key(key_col, seed)
+    names = list(fractions)
+    cum = 0.0
+    split: F.Column = F.when(u8.isNull(), F.lit(None).cast("string"))
+    for name in names[:-1]:
+        cum += fractions[name]
+        split = split.when(u8 < F.lit(hex_threshold(cum)), F.lit(name))
+    return docs.withColumn("split", split.otherwise(F.lit(names[-1])))
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-n-gram importance weights
+# ---------------------------------------------------------------------------
+
+
+def _hashed_feature_rows(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, feat) rows WITH multiplicity: the word unigrams and bigrams
+    of each document — DSIR's hashed bag-of-n-grams feature space."""
+    bigrams = (
+        "CASE WHEN size(_w) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(_w) - 2), "
+        "i -> concat(element_at(_w, i + 1), ' ', element_at(_w, i + 2))) END"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)").alias(
+            "_w"
+        ),
+    ).select(id_col, F.explode(F.expr(f"concat(_w, {bigrams})")).alias("feat"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir",
+    bucket_hex_chars: int = 3,
+) -> DataFrame:
+    """(id, n_feats, log_weight) — hashed-n-gram importance weights for
+    data selection (DSIR; Xie et al. 2023 "Data Selection for Language
+    Models via Importance Resampling"): estimate a target distribution
+    (``target`` — e.g. Wikipedia, or a high-quality subset) and the raw
+    distribution (``docs`` itself) over md5-bucket-hashed word unigram +
+    bigram features, then score every document by
+
+        log_weight(d) = Σ_{feature occurrences f ∈ d}
+                          ln( p_target(bucket(f)) / p_raw(bucket(f)) )
+
+    with add-one smoothing over the B = 16^bucket_hex_chars buckets.
+    Documents resembling the target score high; a selection pass keeps
+    the top fraction by ``log_weight`` (or samples ∝ exp(weight)).
+
+    Engine portability: buckets are md5 hex prefixes (string keys — no
+    integer conversion anywhere), and every per-bucket log-ratio is
+    computed once from exact integer counts cast to DOUBLE, rounded to
+    6, then integer-summed per document (the fixed6 pattern, CLAUDE.md
+    invariant 4) — so a DuckDB oracle replays the weights bit-for-bit.
+
+    Scale shape: both distributions aggregate onto the bounded uniform
+    bucket key (map-side partials); the B-row weight table broadcasts;
+    the only corpus-wide shuffle keys on the uniform document id. The
+    feature explode of ``docs`` appears twice in the plan (once counting
+    the raw distribution, once scoring) — at 100 TB materialize it once
+    to parquet between the two passes, exactly like pipeline/build.py
+    stages.
+
+    Documents with no features (empty/NULL text) report n_feats 0 and
+    log_weight 0.0.
+    """
+    if not 1 <= bucket_hex_chars <= 8:
+        raise ValueError(
+            f"dsir_weights: bucket_hex_chars must be in [1, 8], "
+            f"got {bucket_hex_chars}"
+        )
+    n_buckets = 16**bucket_hex_chars
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        feats = _hashed_feature_rows(df, id_col, text_col)
+        return feats.withColumn(
+            "_b",
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("feat"))),
+                1,
+                bucket_hex_chars,
+            ),
+        )
+
+    doc_feats = bucketed(docs)
+    tgt_feats = bucketed(target)
+    raw_counts = doc_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt_counts = tgt_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    raw_total = doc_feats.agg(F.count(F.lit(1)).alias("_crt"))
+    tgt_total = tgt_feats.agg(F.count(F.lit(1)).alias("_ctt"))
+
+    # lw(b) = ln( ((ct+1)/(CT+B)) / ((cr+1)/(CR+B)) ), all operands cast
+    # to DOUBLE from exact integers BEFORE multiplying (no 64-bit overflow
+    # at planetary counts, and IEEE *, / are correctly rounded so the
+    # value is engine-identical), rounded to the 6-decimal grid once.
+    num = (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double") * (
+        F.col("_crt").cast("double") + n_buckets
+    )
+    den = (F.col("_cr") + 1).cast("double") * (
+        F.col("_ctt").cast("double") + n_buckets
+    )
+    weights = (
+        raw_counts.join(tgt_counts, "_b", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select("_b", F.round(F.log(num / den), 6).alias("_lw"))
+    )
+    scored = doc_feats.join(F.broadcast(weights), "_b").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.sum(fixed6_long("_lw")) / F.lit(1000000.0), 6).alias(
+            "_log_weight"
+        ),
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("_log_weight", F.lit(0.0)).alias("log_weight"),
     )
 
 

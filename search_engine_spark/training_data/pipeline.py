@@ -15,11 +15,13 @@ and the expensive stages only ever see survivors):
    component's min-id representative.
 
 Opt-in stages: the full Gopher rule set after stage 2 (``gopher=True``),
-a PII-redaction transform at the end (``redact_pii=True``) — see
-``curation.py`` — plus, after stage 4: SemDeDup semantic dedup over an
-embedding table (``embeddings=...`` + ``semantic_centroids=...``,
-``similarity.py``) and the corpus-assembly steps from ``mixing.py``:
-benchmark decontamination (``eval_docs=...``), per-domain caps
+a CCNet-style corpus-LM quality gate after stage 3
+(``lm_logprob_floor=...``), a PII-redaction transform at the end
+(``redact_pii=True``) — see ``curation.py`` — plus, after stage 4:
+SemDeDup semantic dedup over an embedding table (``embeddings=...`` +
+``semantic_centroids=...``, ``similarity.py``) and the corpus-assembly
+steps from ``mixing.py``: benchmark decontamination (``eval_docs=...``),
+DSIR importance selection (``dsir_target=...``), per-domain caps
 (``domain_cap=...``) and deterministic stratified sampling
 (``mix_rates=...``).
 
@@ -47,10 +49,16 @@ from . import dedup as D
 from .curation import (
     dedup_lines,
     gopher_quality,
+    lm_quality,
     pii_stats,
     url_blocklist_filter,
 )
-from .mixing import decontaminate, domain_top_k, stratified_sample
+from .mixing import (
+    decontaminate,
+    domain_top_k,
+    dsir_weights,
+    stratified_sample,
+)
 from .similarity import semantic_dedup
 from .textstats import language_id
 
@@ -120,6 +128,11 @@ def curate_corpus(
     stratum_col: str = "lang",
     mix_seed: str = "mix",
     mix_default_rate: float = 0.0,
+    lm_logprob_floor: float | None = None,
+    lm_min_count: int = 5,
+    dsir_target: DataFrame | None = None,
+    dsir_floor: float = 0.0,
+    dsir_bucket_hex_chars: int = 3,
     embeddings: DataFrame | None = None,
     semantic_centroids=None,
     semantic_threshold: float = 0.995,
@@ -155,11 +168,20 @@ def curate_corpus(
     cosine-duplicate group keep only the min-id representative; documents
     with no embedding row pass through untouched.
 
+    ``lm_logprob_floor`` inserts the CCNet-style LM quality gate right
+    after the language gate: documents are scored by their mean
+    log-likelihood under the corpus-trained unigram LM (curation.py
+    ``lm_quality``, vocabulary threshold ``lm_min_count``) and those
+    below the floor drop.
+
     Corpus-assembly stages (mixing.py), each opt-in, run after semantic
-    dedup in pipeline order decontaminate -> domain_cap -> mix_sample:
+    dedup in pipeline order decontaminate -> dsir_select -> domain_cap
+    -> mix_sample:
 
     - ``eval_docs``: drop documents sharing any ``decontam_n``-word-gram
       with the benchmark frame (its n-gram set is broadcast);
+    - ``dsir_target``: keep documents whose DSIR hashed-n-gram importance
+      weight against the target frame is >= ``dsir_floor``;
     - ``domain_cap``: keep at most that many docs per ``domain_col``
       (ranked by text length desc, id asc — the cheap quality proxy),
       computed with the skew-safe two-phase top-k;
@@ -231,6 +253,21 @@ def curate_corpus(
     ).select(id_col, text_col)
     lang = gate("language", q, lang)
 
+    # 3b. optional CCNet-style LM quality gate (the CCNet order: LM
+    # perplexity ranking runs after language ID, per language bucket):
+    # keep documents whose mean log-likelihood under the corpus-trained
+    # unigram LM clears the floor. The LM is trained on THIS stage's
+    # input — the survivors of dedup + heuristic gates — so boilerplate
+    # removed earlier never pollutes the model.
+    if lm_logprob_floor is not None:
+        scored = lm_quality(
+            lang, id_col=id_col, text_col=text_col, min_count=lm_min_count
+        )
+        ok = scored.filter(
+            F.col("mean_logprob") >= lm_logprob_floor
+        ).select(id_col)
+        lang = gate("lm_quality", lang, lang.join(ok, id_col, "inner"))
+
     # 4. near-dup: LSH pairs -> components -> keep component min
     shingled = D.shingles(
         lang.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
@@ -282,6 +319,22 @@ def curate_corpus(
         )
         clean_ids = flags.filter(F.col("contaminated") == 0).select(id_col)
         kept = gate("decontaminate", kept, kept.join(clean_ids, id_col, "inner"))
+
+    # 4c2. optional DSIR importance selection: keep documents whose
+    # hashed-n-gram importance weight vs ``dsir_target`` clears the
+    # floor (0.0 = "more target-like than raw-like" under the smoothed
+    # bucket models). Runs on survivors so the raw distribution matches
+    # what selection actually chooses from.
+    if dsir_target is not None:
+        weighted = dsir_weights(
+            kept,
+            dsir_target.select(F.col(id_col), F.col(text_col)),
+            id_col=id_col,
+            text_col=text_col,
+            bucket_hex_chars=dsir_bucket_hex_chars,
+        )
+        ok = weighted.filter(F.col("log_weight") >= dsir_floor).select(id_col)
+        kept = gate("dsir_select", kept, kept.join(ok, id_col, "inner"))
 
     # 4d. optional per-domain cap: re-join the domain column by id, rank
     # by text length (quality proxy) with the skew-safe two-phase top-k

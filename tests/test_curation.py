@@ -250,3 +250,54 @@ def test_curate_corpus_url_blocklist_stage(spark):
     by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
     assert by_stage["url_blocklist"] == (2, 1)
     assert report.stages[0][0] == "url_blocklist"  # runs first
+
+
+# ---------------------------------------------------------------------------
+# lm_quality (corpus-LM quality scoring)
+# ---------------------------------------------------------------------------
+def test_lm_common_words_outscore_rare_words(spark):
+    # "the cat" repeats 10x (high-count vocab); the junk doc is all
+    # singletons (sub-min_count -> <unk>), whose smoothed probability is
+    # shared mass -> lower per-token logprob than the common words
+    rows = [(i, "the cat sat here") for i in range(10)]
+    rows.append((99, "qq7 zz9 xx1 vv3"))
+    df = _df(spark, rows)
+    out = {r["doc_id"]: r for r in C.lm_quality(df, min_count=5).collect()}
+    assert out[0]["mean_logprob"] > out[99]["mean_logprob"]
+    assert out[0]["n_oov"] == 0
+    assert out[99]["n_oov"] == 4  # every junk token is sub-threshold
+
+
+def test_lm_exact_unigram_probabilities(spark):
+    import math
+
+    # corpus: "aa aa aa bb" -> counts {aa:3, bb:1}; min_count=2 -> vocab
+    # {aa}, V=1, N=4; p(aa)=(3+1)/(4+1+1), OOV floor p=1/6
+    df = _df(spark, [(1, "aa aa aa bb")])
+    row = C.lm_quality(df, min_count=2).collect()[0]
+    lp_aa = round(math.log(4 / 6), 6)
+    lp_unk = round(math.log(1 / 6), 6)
+    want = round((3 * round(lp_aa, 6) + lp_unk) / 4, 6)
+    assert row["n_tokens"] == 4 and row["n_oov"] == 1
+    assert abs(row["mean_logprob"] - want) < 1e-9
+
+
+def test_lm_empty_doc_reports_zeros(spark):
+    df = _df(spark, [(1, "the the the the the"), (2, "")])
+    out = {r["doc_id"]: r for r in C.lm_quality(df).collect()}
+    assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["mean_logprob"]) == (
+        0, 0, 0.0
+    )
+
+
+def test_lm_partitioning_invariant(spark):
+    rows = [(i, f"the quick fox number{i % 7} runs") for i in range(60)]
+    a = sorted(
+        (r["doc_id"], r["mean_logprob"])
+        for r in C.lm_quality(_df(spark, rows).repartition(7)).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["mean_logprob"])
+        for r in C.lm_quality(_df(spark, rows).coalesce(1)).collect()
+    )
+    assert a == b

@@ -322,3 +322,180 @@ def test_pack_sequences_bucket_width_invariant(spark, token_rows):
     assert a == b
     with pytest.raises(ValueError, match="bucket_hex_chars"):
         M.pack_sequences(df, 128, bucket_hex_chars=0)
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def skewed_strata(spark):
+    # en is 4x the size of de: at alpha=0.5 de keeps everything and en
+    # keeps at rate sqrt(1/4) = 0.5 exactly (dyadic -> exact threshold)
+    rows = [(i, "en") for i in range(400)] + [(1000 + i, "de") for i in range(100)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_temperature_sample_min_stratum_keeps_all(spark, skewed_strata):
+    kept = M.temperature_sample(skewed_strata, alpha=0.5).collect()
+    de = [r for r in kept if r["lang"] == "de"]
+    assert len(de) == 100  # rate 1 for the smallest stratum, exactly
+
+
+def test_temperature_sample_rate_is_sqrt_of_count_ratio(spark, skewed_strata):
+    kept = M.temperature_sample(skewed_strata, alpha=0.5).collect()
+    en = [r for r in kept if r["lang"] == "en"]
+    # 400 Bernoulli(0.5) trials: 5 sigma ~ 50
+    assert 150 <= len(en) <= 250
+
+
+def test_temperature_sample_alpha_one_keeps_everything(spark, skewed_strata):
+    assert M.temperature_sample(skewed_strata, alpha=1.0).count() == 500
+
+
+def test_temperature_sample_partitioning_invariant(spark, skewed_strata):
+    a = sorted(
+        r["doc_id"]
+        for r in M.temperature_sample(skewed_strata.repartition(7)).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in M.temperature_sample(skewed_strata.coalesce(1)).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_temperature_sample_hashes_consistent_with_stratified(spark, skewed_strata):
+    # same seed -> the kept set is exactly the stratified_sample(0.5) set
+    # for the en stratum (u8i < 2^31 <=> u8 < '80000000')
+    temp = {
+        r["doc_id"]
+        for r in M.temperature_sample(skewed_strata, alpha=0.5).collect()
+        if r["lang"] == "en"
+    }
+    strat = {
+        r["doc_id"]
+        for r in M.stratified_sample(
+            skewed_strata, {"en": 0.5, "de": 0.0}
+        ).collect()
+    }
+    assert temp == strat
+
+
+def test_temperature_sample_null_stratum_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "en")], "doc_id long, lang string"
+    )
+    kept = M.temperature_sample(df).collect()
+    assert all(r["lang"] == "en" for r in kept)
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+def test_hash_split_exhaustive_and_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in M.hash_split(df, fr).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in M.hash_split(df.repartition(7), fr).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == 500
+    # 500 trials at 0.8: 5 sigma ~ 45
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 355 <= n_train <= 445
+
+
+def test_hash_split_fractions_must_sum_to_one(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        M.hash_split(df, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        M.hash_split(df, {})
+
+
+def test_hash_split_null_key_gets_null_split(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,)], "doc_id long"
+    )
+    out = {r["doc_id"]: r["split"] for r in M.hash_split(
+        df, {"train": 0.5, "test": 0.5}
+    ).collect()}
+    assert out[None] is None and out[1] in {"train", "test"}
+
+
+def test_hash_split_no_shuffle(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        M.hash_split(df, {"train": 0.9, "val": 0.1}).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    # target-like docs share the "clean prose" vocabulary; junk docs don't
+    rows = []
+    for i in range(40):
+        rows.append((i, "the quick brown fox jumps over the lazy dog again"))
+    for i in range(40, 80):
+        rows.append((i, "zz9 qq8 xx7 vv6 kk5 jj4 hh3 gg2 ff1 dd0"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_target_like_docs_score_higher(spark, dsir_corpus):
+    target = dsir_corpus.filter(F.col("doc_id") < 20)  # prose-only target
+    # 256 buckets: at this toy corpus size the default 4096-bucket
+    # smoothing mass (B >> CT) would push every weight negative — the
+    # RANKING still holds, but the sign check needs B ~ feature count
+    out = {r["doc_id"]: r["log_weight"] for r in M.dsir_weights(
+        dsir_corpus, target, bucket_hex_chars=2
+    ).collect()}
+    assert out[0] > out[50], "doc resembling the target must outscore junk"
+    assert out[0] > 0 > out[50]
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_feats"] for r in M.dsir_weights(df, df).collect()}
+    assert out == {1: 5, 2: 0, 3: 1}  # 3 unigrams + 2 bigrams; none; 1
+
+
+def test_dsir_empty_doc_scores_zero(spark, dsir_corpus):
+    df = dsir_corpus.union(
+        spark.createDataFrame([(999, "")], "doc_id long, text string")
+    )
+    row = [
+        r for r in M.dsir_weights(df, df.filter(F.col("doc_id") < 20)).collect()
+        if r["doc_id"] == 999
+    ][0]
+    assert (row["n_feats"], row["log_weight"]) == (0, 0.0)
+
+
+def test_dsir_partitioning_invariant(spark, dsir_corpus):
+    target = dsir_corpus.filter(F.col("doc_id") < 20)
+    a = sorted(
+        (r["doc_id"], r["log_weight"])
+        for r in M.dsir_weights(dsir_corpus.repartition(7), target).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["log_weight"])
+        for r in M.dsir_weights(dsir_corpus.coalesce(1), target).collect()
+    )
+    assert a == b
+
+
+def test_dsir_rejects_bad_bucket_width(spark, dsir_corpus):
+    with pytest.raises(ValueError, match="bucket_hex_chars"):
+        M.dsir_weights(dsir_corpus, dsir_corpus, bucket_hex_chars=0)

@@ -104,6 +104,10 @@ CONSTRUCTION_JOBS = {
     "sequence_packing": 1,
     "corpus_mix_report": 1,
     "url_blocklist": 1,  # read; the 2-row blocklist is a local relation
+    "lm_quality": 1,
+    "dsir_weights": 1,  # docs + target derive from ONE read
+    "temperature_sample": 1,  # rates are in-plan, never collected
+    "hash_split": 1,
     # NOT listed (deliberately): pagerank, dedup_components AND
     # semantic_dedup — iterative operators (semantic_dedup runs the same
     # star-contraction loop) whose driver-side loop materializes each
@@ -329,6 +333,13 @@ DRIVERLIKE_QUERIES = [
     "corpus_mix_report",
     # suffix-chain blocklist join: string splits under ANSI
     "url_blocklist",
+    # late-r03 pairs: ln/fixed6 sums under ANSI + 200 partitions (LM
+    # scoring, DSIR weights), in-plan sqrt thresholds + conv() hash ints
+    # (temperature), literal hash-range splits
+    "lm_quality",
+    "dsir_weights",
+    "temperature_sample",
+    "hash_split",
 ]
 
 
@@ -381,6 +392,10 @@ PRUNING_EXPECTATIONS = {
     "semantic_dedup": (["vec_id"], ["label", "embedding"]),
     # urls are injected from doc_id, so the scan must read doc_id alone
     "url_blocklist": (["doc_id"], ["text", "lang", "source", "n_chars"]),
+    "lm_quality": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),
+    "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
+    "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),
 }
 
 

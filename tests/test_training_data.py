@@ -695,3 +695,84 @@ def test_curate_corpus_embeddings_without_centroids_raises(spark):
     emb = spark.createDataFrame([(1, [1.0])], "doc_id long, embedding array<double>")
     with pytest.raises(ValueError, match="semantic_centroids"):
         curate_corpus(docs, embeddings=emb)
+
+
+def test_curate_corpus_lm_quality_stage(spark):
+    from search_engine_spark.training_data.curation import lm_quality
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    # three distinct English docs built from a shared high-count
+    # vocabulary, plus one English doc of singleton gibberish words; all
+    # pass the heuristic gates, so the LM gate is the deciding stage
+    common = [
+        "the data team runs the spark jobs and the cluster stays busy "
+        "while the workers finish tasks and the report lands on time "
+        "for the weekly review of the pipeline health and progress",
+        "the spark cluster runs many jobs and the data stays clean "
+        "while the team watches the report and the tasks finish on "
+        "time for the review of the weekly pipeline and its health",
+        "the report shows the pipeline runs clean jobs and the team "
+        "keeps the cluster busy while the data tasks finish on time "
+        "and the weekly review confirms the health and the progress",
+    ]
+    junk = (
+        "the zxqvu wkjhy pmbrt and qzlsd vfnrk xcgtw the hjklp bnmvc "
+        "wertk yuiop the asdfg zxcvb qwert plmnk the okijn uhbgy tfcvr "
+        "and rdxes wzaqy the mkolp njibu vgzty the crdxw zesaq ploik"
+    )
+    rows = [(i + 1, t) for i, t in enumerate(common)] + [(9, junk)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # derive a floor between the scores (the LM trains on the stage's
+    # input, which here is all four docs — they pass every earlier gate)
+    base_kept, base_report = curate_corpus(docs)
+    assert {r["doc_id"] for r in base_kept.collect()} == {1, 2, 3, 9}
+    scores = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in lm_quality(docs, min_count=2).collect()
+    }
+    assert max(scores[i] for i in (1, 2, 3)) > scores[9]
+    floor = (min(scores[i] for i in (1, 2, 3)) + scores[9]) / 2
+
+    kept, report = curate_corpus(
+        docs, lm_logprob_floor=floor, lm_min_count=2
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["lm_quality"] == (4, 3)
+
+
+def test_curate_corpus_dsir_select_stage(spark):
+    from search_engine_spark.training_data.mixing import dsir_weights
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    prose = [
+        "the data team runs the spark jobs and the cluster stays busy "
+        "while the workers finish tasks and the report lands on time "
+        "for the weekly review of the pipeline health and progress",
+        "the spark cluster runs many jobs and the data stays clean "
+        "while the team watches the report and the tasks finish on "
+        "time for the review of the weekly pipeline and its health",
+    ]
+    junk = (
+        "the zxqvu wkjhy pmbrt and qzlsd vfnrk xcgtw the hjklp bnmvc "
+        "wertk yuiop the asdfg zxcvb qwert plmnk the okijn uhbgy tfcvr "
+        "and rdxes wzaqy the mkolp njibu vgzty the crdxw zesaq ploik"
+    )
+    rows = [(i + 1, t) for i, t in enumerate(prose)] + [(9, junk)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") == 1)
+
+    scores = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(docs, target, bucket_hex_chars=2).collect()
+    }
+    assert scores[2] > scores[9], "prose must outscore junk vs a prose target"
+    floor = (scores[2] + scores[9]) / 2
+
+    kept, report = curate_corpus(
+        docs, dsir_target=target, dsir_floor=floor, dsir_bucket_hex_chars=2
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["dsir_select"] == (3, 2)
