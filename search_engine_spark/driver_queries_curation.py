@@ -543,6 +543,152 @@ FROM h LEFT JOIN hits ON hits.doc_id = h.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Full Gopher repetition rule set (curation.py): dup line/paragraph
+# (element + char) fractions, top-{2,3,4}-gram char fraction, dup-{5..10}-
+# gram char coverage (position union). The injection plants every path:
+# a repeated 10-gram (~1/3 of docs), a hot 2-gram run (~1/4), duplicate
+# \n\n-paragraphs (~1/5) and duplicate lines (~1/7), on top of the 'line'
+# -> newline rewrite the other curation pairs use.
+# ---------------------------------------------------------------------------
+REP_TEXT_EXPR = (
+    "replace("
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    " alpha beta gamma delta epsilon zeta eta theta iota kappa' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' spam spam spam spam spam spam'"
+    " ELSE '' END"
+    ", ' line ', chr(10))"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) ||"
+    " 'para block repeats' || chr(10) || chr(10) || 'para block repeats'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'same line twice'"
+    " || chr(10) || 'same line twice' ELSE '' END"
+)
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected(spark, sf_dir, REP_TEXT_EXPR)
+    return C.gopher_repetition(injected)
+
+
+def _rep_gate_sql() -> str:
+    return " AND ".join(
+        f"{name} <= {bound}" for name, bound in C.REPETITION_THRESHOLDS.items()
+    )
+
+
+SQL_GOPHER_REPETITION = rf"""
+WITH rep AS (SELECT doc_id, {REP_TEXT_EXPR} AS text FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras
+  FROM rep
+),
+lin AS (
+  SELECT doc_id, n_chars, w,
+         CAST(len(lines) AS BIGINT) AS nl,
+         CAST(len(paras) AS BIGINT) AS np,
+         CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dle,
+         CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+           d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d))), 0)
+           AS BIGINT) AS dlc,
+         CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS dpe,
+         CAST(coalesce(list_sum(list_transform(list_distinct(paras),
+           d -> (len(list_filter(paras, x -> x = d)) - 1) * length(d))), 0)
+           AS BIGINT) AS dpc
+  FROM base
+),
+grams AS (
+  SELECT doc_id, n, i - 1 AS pos, array_to_string(w[i:i + n - 1], ' ') AS gram
+  FROM base, unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS tn(n),
+       unnest(range(1, len(w) - n + 2)) AS t(i)
+  WHERE len(w) >= n
+),
+firsts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt, min(pos) AS mp
+  FROM grams GROUP BY doc_id, n, gram
+),
+tops AS (
+  SELECT doc_id, n, cnt * length(gram) AS tc
+  FROM (SELECT doc_id, n, gram, cnt,
+          row_number() OVER (PARTITION BY doc_id, n
+                             ORDER BY cnt DESC, gram ASC) AS rn
+        FROM firsts WHERE n <= 4)
+  WHERE rn = 1
+),
+tp AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN tc END) AS t2,
+         max(CASE WHEN n = 3 THEN tc END) AS t3,
+         max(CASE WHEN n = 4 THEN tc END) AS t4
+  FROM tops GROUP BY doc_id
+),
+dup_occ AS (
+  SELECT g.doc_id, g.n, g.pos
+  FROM grams g JOIN firsts f USING (doc_id, n, gram)
+  WHERE g.n >= 5 AND f.cnt > 1 AND g.pos > f.mp
+),
+cov AS (
+  SELECT DISTINCT doc_id, n, u AS idx
+  FROM dup_occ, unnest(range(pos, pos + n)) AS tu(u)
+),
+dch AS (
+  SELECT c.doc_id, c.n, CAST(sum(length(b.w[c.idx + 1])) AS BIGINT) AS dc
+  FROM cov c JOIN base b USING (doc_id)
+  GROUP BY c.doc_id, c.n
+),
+dp AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 5 THEN dc END) AS d5,
+         max(CASE WHEN n = 6 THEN dc END) AS d6,
+         max(CASE WHEN n = 7 THEN dc END) AS d7,
+         max(CASE WHEN n = 8 THEN dc END) AS d8,
+         max(CASE WHEN n = 9 THEN dc END) AS d9,
+         max(CASE WHEN n = 10 THEN dc END) AS d10
+  FROM dch GROUP BY doc_id
+),
+m AS (
+  SELECT l.doc_id, l.n_chars,
+    CASE WHEN nl > 0 THEN round(coalesce(dle, 0) / nl, 6) ELSE 0.0 END
+      AS dup_line_frac,
+    CASE WHEN np > 0 THEN round(coalesce(dpe, 0) / np, 6) ELSE 0.0 END
+      AS dup_para_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(dlc, 0) / n_chars, 6)
+      ELSE 0.0 END AS dup_line_char_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(dpc, 0) / n_chars, 6)
+      ELSE 0.0 END AS dup_para_char_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(t2, 0) / n_chars, 6)
+      ELSE 0.0 END AS top_2_gram_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(t3, 0) / n_chars, 6)
+      ELSE 0.0 END AS top_3_gram_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(t4, 0) / n_chars, 6)
+      ELSE 0.0 END AS top_4_gram_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(d5, 0) / n_chars, 6)
+      ELSE 0.0 END AS dup_5_gram_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(d6, 0) / n_chars, 6)
+      ELSE 0.0 END AS dup_6_gram_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(d7, 0) / n_chars, 6)
+      ELSE 0.0 END AS dup_7_gram_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(d8, 0) / n_chars, 6)
+      ELSE 0.0 END AS dup_8_gram_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(d9, 0) / n_chars, 6)
+      ELSE 0.0 END AS dup_9_gram_frac,
+    CASE WHEN n_chars > 0 THEN round(coalesce(d10, 0) / n_chars, 6)
+      ELSE 0.0 END AS dup_10_gram_frac
+  FROM lin l LEFT JOIN tp USING (doc_id) LEFT JOIN dp USING (doc_id)
+)
+SELECT *,
+       CAST(CASE WHEN {_rep_gate_sql()} THEN 1 ELSE 0 END AS BIGINT)
+         AS passes_repetition
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # LM quality scoring (curation.py): mean log-likelihood under the corpus-
 # trained smoothed unigram LM (CCNet-style). Every probability is derived
 # from exact integer counts cast to DOUBLE; per-word ln is rounded to 6
@@ -757,6 +903,7 @@ QUERIES_CUR = {
     "sequence_packing": q_sequence_packing,
     "corpus_mix_report": q_corpus_mix_report,
     "url_blocklist": q_url_blocklist,
+    "gopher_repetition": q_gopher_repetition,
     "lm_quality": q_lm_quality,
     "dsir_weights": q_dsir_weights,
     "temperature_sample": q_temperature_sample,
@@ -775,6 +922,7 @@ ORACLES_CUR = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "corpus_mix_report": SQL_CORPUS_MIX_REPORT,
     "url_blocklist": SQL_URL_BLOCKLIST,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
     "lm_quality": SQL_LM_QUALITY,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,

@@ -47,7 +47,7 @@ from .multimodal import (
     resize_images,
     sample_frames,
 )
-from .curation import lm_quality
+from .curation import gopher_repetition, lm_quality
 from .mixing import (
     decontaminate,
     domain_top_k,
@@ -97,6 +97,7 @@ __all__ = [
     "decontaminate",
     "domain_top_k",
     "dsir_weights",
+    "gopher_repetition",
     "hash_split",
     "lm_quality",
     "mix_report",

@@ -271,6 +271,181 @@ def dedup_lines(
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, Table A1): a document
+# passes iff EVERY metric is at or below its bound.
+REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2_gram_frac": 0.20,
+    "top_3_gram_frac": 0.18,
+    "top_4_gram_frac": 0.16,
+    "dup_5_gram_frac": 0.15,
+    "dup_6_gram_frac": 0.14,
+    "dup_7_gram_frac": 0.13,
+    "dup_8_gram_frac": 0.12,
+    "dup_9_gram_frac": 0.11,
+    "dup_10_gram_frac": 0.10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The FULL Gopher repetition rule set (Rae et al. 2021, Appendix
+    A1.2) per document, plus a 0/1 ``passes_repetition`` gate — the
+    companion to :func:`gopher_quality` (A1.1) and the superset of
+    :func:`repetition_stats`:
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+      ``\\n\\n``-paragraphs that are repeats of an earlier one;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters in
+      those repeated occurrences / total text characters;
+    - ``top_{2,3,4}_gram_frac`` — characters covered by the most frequent
+      word n-gram (count x gram string length, spaces included; ties
+      break on count DESC, gram ASC) / total text characters;
+    - ``dup_{5..10}_gram_frac`` — characters of words covered by ANY
+      non-first occurrence of a repeated n-gram / total text characters,
+      overlapping occurrences counted ONCE (the word-position union, as
+      the paper specifies).
+
+    Definitional choices the paper leaves open are fixed here exactly as
+    in the public DataTrove implementation of this filter (duplicate
+    elements = occurrences after the first; denominators = text length)
+    and documented so the DuckDB twin replays them.
+
+    Scale shape: lines/paragraph metrics are per-row array folds (the
+    distinct x occurrences scan is O(lines²) per row — lines per web doc
+    are bounded); n-gram metrics explode to one row per (doc, n, position)
+    — a constant 9x of the token stream, map-side — and every shuffle
+    (gram counts, position union, pivots) keys on the uniform doc id.
+    All ratios are single divisions of exact integers rounded to 6
+    (invariant 4); the gate compares the ROUNDED values.
+    """
+    dup_elems = "(size({c}) - size(array_distinct({c})))"
+    dup_chars = (
+        "aggregate(array_distinct({c}), 0L, "
+        "(acc, d) -> acc + (size(filter({c}, x -> x = d)) - 1) * length(d))"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.length(text_col), F.lit(0)).cast("long").alias("n_chars"),
+        _words(text_col).alias("w"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+        F.split(F.col(text_col), "\n\n").alias("paras"),
+    ).select(
+        id_col,
+        "n_chars",
+        "w",
+        F.expr(dup_elems.format(c="lines")).cast("long").alias("_dle"),
+        F.expr(dup_chars.format(c="lines")).alias("_dlc"),
+        F.expr(dup_elems.format(c="paras")).cast("long").alias("_dpe"),
+        F.expr(dup_chars.format(c="paras")).alias("_dpc"),
+        F.size("lines").cast("long").alias("_nl"),
+        F.size("paras").cast("long").alias("_np"),
+    )
+    words = df.select(F.col(id_col), _words(text_col).alias("w"))
+
+    grams = words.select(
+        id_col, "w", F.explode(F.expr("sequence(2, 10)")).alias("n")
+    ).select(
+        id_col,
+        "n",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(w) < n THEN array() "
+                "ELSE transform(sequence(1, size(w) - n + 1), "
+                "i -> array_join(slice(w, i, n), ' ')) END"
+            )
+        ).alias("pos", "gram"),
+    )
+    firsts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("pos").alias("mp")
+    )
+
+    topw = Window.partitionBy(id_col, "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    tops = (
+        firsts.filter(F.col("n") <= 4)
+        .withColumn("rn", F.row_number().over(topw))
+        .filter(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("n") == n, F.col("cnt") * F.length("gram"))
+                ).alias(f"_t{n}")
+                for n in (2, 3, 4)
+            ]
+        )
+    )
+
+    dup_occ = (
+        grams.filter(F.col("n") >= 5)
+        .join(
+            firsts.filter((F.col("n") >= 5) & (F.col("cnt") > 1)).select(
+                id_col, "n", "gram", "mp"
+            ),
+            [id_col, "n", "gram"],
+        )
+        .filter(F.col("pos") > F.col("mp"))
+    )
+    cov = dup_occ.select(
+        id_col, "n", F.explode(F.expr("sequence(pos, pos + n - 1)")).alias("idx")
+    ).distinct()
+    dchars = (
+        cov.groupBy(id_col, "n")
+        .agg(F.collect_list("idx").alias("_idxs"))
+        .join(words, id_col)
+        .select(
+            id_col,
+            "n",
+            F.expr(
+                "aggregate(_idxs, 0L, (a, i) -> a + length(element_at(w, i + 1)))"
+            ).alias("dc"),
+        )
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, F.col("dc"))).alias(f"_d{n}")
+                for n in range(5, 11)
+            ]
+        )
+    )
+
+    out = base.join(tops, id_col, "left").join(dchars, id_col, "left")
+
+    def frac(num, den) -> F.Column:
+        return F.when(
+            den > 0, F.round(F.coalesce(num, F.lit(0)) / den, 6)
+        ).otherwise(F.lit(0.0))
+
+    nc = F.col("n_chars")
+    metrics = {
+        "dup_line_frac": frac(F.col("_dle"), F.col("_nl")),
+        "dup_para_frac": frac(F.col("_dpe"), F.col("_np")),
+        "dup_line_char_frac": frac(F.col("_dlc"), nc),
+        "dup_para_char_frac": frac(F.col("_dpc"), nc),
+        "top_2_gram_frac": frac(F.col("_t2"), nc),
+        "top_3_gram_frac": frac(F.col("_t3"), nc),
+        "top_4_gram_frac": frac(F.col("_t4"), nc),
+        **{
+            f"dup_{n}_gram_frac": frac(F.col(f"_d{n}"), nc)
+            for n in range(5, 11)
+        },
+    }
+    cols = [F.col(id_col), F.col("n_chars")]
+    cols += [expr.alias(name) for name, expr in metrics.items()]
+    result = out.select(*cols)
+    gate = None
+    for name, bound in REPETITION_THRESHOLDS.items():
+        cond = F.col(name) <= bound
+        gate = cond if gate is None else (gate & cond)
+    return result.withColumn("passes_repetition", gate.cast("long"))
+
+
 LM_TOKEN_RUN = "[a-z0-9]{2,}"
 
 

@@ -49,6 +49,7 @@ from . import dedup as D
 from .curation import (
     dedup_lines,
     gopher_quality,
+    gopher_repetition,
     lm_quality,
     pii_stats,
     url_blocklist_filter,
@@ -118,6 +119,7 @@ def curate_corpus(
     rows_per_band: int = 3,
     quality_kwargs: dict | None = None,
     gopher: bool = False,
+    gopher_repetition_gate: bool = False,
     redact_pii: bool = False,
     line_dedup: bool = False,
     eval_docs: DataFrame | None = None,
@@ -147,7 +149,9 @@ def curate_corpus(
 
     ``gopher=True`` inserts the full Gopher rule set (curation.py,
     Rae et al. 2021 A1.1) after the cheap quality gate — still one scan,
-    native Columns. ``redact_pii=True`` appends a PII-redaction transform
+    native Columns. ``gopher_repetition_gate=True`` adds the A1.2
+    repetition thresholds right after (dup line/paragraph fractions,
+    top-n-gram and dup-n-gram character coverage). ``redact_pii=True`` appends a PII-redaction transform
     to the kept text (row-preserving; audited with rows_in == rows_out so
     the "every drop is attributable" invariant stays intact).
 
@@ -246,6 +250,17 @@ def curate_corpus(
             .select(id_col, text_col)
         )
         q = gate("gopher", q, g)
+
+    # 2c. optional Gopher repetition rule set (A1.2: dup line/paragraph
+    # fractions, top-n-gram and dup-n-gram char coverage) — drop documents
+    # failing any repetition threshold
+    if gopher_repetition_gate:
+        ok = (
+            gopher_repetition(q, id_col=id_col, text_col=text_col)
+            .filter(F.col("passes_repetition") == 1)
+            .select(id_col)
+        )
+        q = gate("gopher_repetition", q, q.join(ok, id_col, "inner"))
 
     # 3. language gate
     lang = language_id(q, text_col=text_col).filter(

@@ -301,3 +301,69 @@ def test_lm_partitioning_invariant(spark):
         for r in C.lm_quality(_df(spark, rows).coalesce(1)).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition (full A1.2 rule set)
+# ---------------------------------------------------------------------------
+def test_repetition_suite_dup_lines_and_chars(spark):
+    # lines [aa bb, aa bb, cc]: 1/3 dup lines; dup chars 5 of 14 text chars
+    df = _df(spark, [(1, "aa bb\naa bb\ncc")])
+    row = C.gopher_repetition(df).collect()[0]
+    assert row["dup_line_frac"] == round(1 / 3, 6)
+    assert row["dup_line_char_frac"] == round(5 / 14, 6)
+    assert row["dup_para_frac"] == 0.0
+
+
+def test_repetition_suite_dup_paragraphs(spark):
+    df = _df(spark, [(1, "p q\n\np q\n\nr s")])
+    row = C.gopher_repetition(df).collect()[0]
+    assert row["dup_para_frac"] == round(1 / 3, 6)
+    assert row["dup_para_char_frac"] == round(3 / 13, 6)
+
+
+def test_repetition_suite_top_ngram_char_coverage(spark):
+    # "x y" appears 4x, gram length 3 (spaces included), text length 15
+    df = _df(spark, [(1, "x y x y x y x y")])
+    row = C.gopher_repetition(df).collect()[0]
+    assert row["top_2_gram_frac"] == round(4 * 3 / 15, 6)
+
+
+def test_repetition_suite_dup_ngram_position_union(spark):
+    # repeated 6-gram: the second occurrence covers word positions 6..11
+    # (6 single-char words) of the 23-char text; overlapping duplicated
+    # 5-grams inside it must not double-count characters
+    df = _df(spark, [(1, "a b c d e f a b c d e f")])
+    row = C.gopher_repetition(df).collect()[0]
+    assert row["dup_6_gram_frac"] == round(6 / 23, 6)
+    assert row["dup_5_gram_frac"] == round(6 / 23, 6)
+    assert row["dup_7_gram_frac"] == 0.0
+
+
+def test_repetition_suite_gate_and_empty_doc(spark):
+    clean = " ".join(f"w{i}" for i in range(60))
+    df = _df(spark, [(1, clean), (2, ""), (3, "z z z z z z z z z z")])
+    out = {r["doc_id"]: r for r in C.gopher_repetition(df).collect()}
+    assert out[1]["passes_repetition"] == 1
+    assert out[2]["passes_repetition"] == 1 and out[2]["n_chars"] == 0
+    assert out[3]["passes_repetition"] == 0  # hot n-grams blow thresholds
+
+
+def test_curate_corpus_gopher_repetition_stage(spark):
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    clean = (
+        "the big data cluster runs heavy jobs with many workers and every "
+        "task finishes before the deadline because the scheduler balances "
+        "load across racks while operators watch dashboards and the team "
+        "rotates oncall duty each week without much trouble at all"
+    )
+    # passes A1.1-style gates but repeats one sentence: dup n-grams blow up
+    loop = ("the pipeline retries the stage and then " * 12) + "it stops"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, loop)], "doc_id long, text string"
+    )
+    kept, report = curate_corpus(docs, gopher_repetition_gate=True)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["gopher_repetition"] == (2, 1)

@@ -105,6 +105,7 @@ CONSTRUCTION_JOBS = {
     "corpus_mix_report": 1,
     "url_blocklist": 1,  # read; the 2-row blocklist is a local relation
     "lm_quality": 1,
+    "gopher_repetition": 1,
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
@@ -340,6 +341,9 @@ DRIVERLIKE_QUERIES = [
     "dsir_weights",
     "temperature_sample",
     "hash_split",
+    # full Gopher repetition suite: position-union char coverage, per-doc
+    # windows + pivots under 200 shuffle partitions and ANSI arithmetic
+    "gopher_repetition",
 ]
 
 
@@ -393,6 +397,7 @@ PRUNING_EXPECTATIONS = {
     # urls are injected from doc_id, so the scan must read doc_id alone
     "url_blocklist": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "lm_quality": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "gopher_repetition": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
     "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),
