@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pair_helpers import SQL_WS_TOKENS
+from .pair_helpers import SQL_FIXED6_LONG, SQL_WS_TOKENS
 from .training_data import curation as C
 
 # ---------------------------------------------------------------------------
@@ -573,8 +573,12 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rep_gate_sql() -> str:
+    # thresholds cross into DuckDB as strings CAST to DOUBLE (CLAUDE.md
+    # invariant 1: a bare numeric literal routes through DECIMAL and can
+    # perturb the last bits)
     return " AND ".join(
-        f"{name} <= {bound}" for name, bound in C.REPETITION_THRESHOLDS.items()
+        f"{name} <= CAST('{bound!r}' AS DOUBLE)"
+        for name, bound in C.REPETITION_THRESHOLDS.items()
     )
 
 
@@ -705,8 +709,6 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.lm_quality(docs, min_count=LM_MIN_COUNT)
 
 
-_LM_FIXED6 = "CAST(round(t_lp * 1000000.0) AS BIGINT)"
-
 SQL_LM_QUALITY = rf"""
 WITH toks AS (
   SELECT doc_id,
@@ -714,7 +716,7 @@ WITH toks AS (
   FROM documents
 ),
 cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cnt),
 voc AS (SELECT w, c FROM cnt WHERE c >= {LM_MIN_COUNT}),
 vs AS (SELECT count(*) AS v FROM voc),
 st AS (
@@ -734,13 +736,14 @@ sc AS (
 ),
 agg AS (
   SELECT doc_id, count(*) AS n, sum(oov) AS o,
-         round(sum({_LM_FIXED6}) / 1000000.0 / count(*), 6) AS m
+         round(sum({SQL_FIXED6_LONG.format(col="t_lp")})
+               / 1000000.0 / count(*), 6) AS m
   FROM sc GROUP BY doc_id
 )
 SELECT d.doc_id,
        CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(agg.o, 0) AS BIGINT) AS n_oov,
-       coalesce(agg.m, 0.0) AS mean_logprob
+       coalesce(agg.m, (SELECT unk_lp FROM st)) AS mean_logprob
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
@@ -774,7 +777,7 @@ WITH f AS (
            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) END))
            AS feat
   FROM (SELECT doc_id, lang,
-               regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS w
+               regexp_extract_all(lower(text), '{C.LM_TOKEN_RUN}') AS w
         FROM documents)
 ),
 b AS (
@@ -796,7 +799,7 @@ w AS (
 ),
 sc AS (
   SELECT b.doc_id, count(*) AS nf,
-         round(sum(CAST(round(lw * 1000000.0) AS BIGINT)) / 1000000.0, 6)
+         round(sum({SQL_FIXED6_LONG.format(col="lw")}) / 1000000.0, 6)
            AS lwsum
   FROM b JOIN w USING (b) GROUP BY b.doc_id
 )
@@ -828,7 +831,8 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TEMPERATURE_SAMPLE = f"""
-WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+WITH c AS (SELECT lang, count(*) AS c FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
 m AS (SELECT min(c) AS cmin FROM c),
 dims AS (
   SELECT lang,

@@ -5,11 +5,12 @@ Large-scale curation primitives that the reference engine does not have but a
 detection (MinHash+LSH, SimHash banding, n-gram Jaccard), embedding
 similarity search (brute-force and SRP-LSH-bucketed ANN), text analysis
 (language ID, token counting, winnowing fingerprints, corpus-LM quality
-scoring), multimodal binary column plumbing, semantic dedup (SemDeDup), and
-corpus assembly (benchmark decontamination, deterministic stratified/quota/
-temperature sampling, DSIR importance weights, train/val/test hash splits,
-skew-safe per-domain caps, concat-then-chunk sequence packing, mixture
-reports).
+scoring), curation gates (URL/domain blocklist, PII stats, Gopher quality +
+repetition rules, C4 line dedup), multimodal binary column plumbing,
+semantic dedup (SemDeDup), and corpus assembly (benchmark decontamination,
+deterministic stratified/quota/temperature sampling, DSIR importance
+weights, train/val/test hash splits, skew-safe per-domain caps,
+concat-then-chunk sequence packing, mixture reports).
 
 Design rule shared by every operator here: all hashing is expressed with
 engine-portable primitives (md5 hex strings, integer bit arithmetic) so the
@@ -47,7 +48,15 @@ from .multimodal import (
     resize_images,
     sample_frames,
 )
-from .curation import gopher_repetition, lm_quality
+from .curation import (
+    dedup_lines,
+    gopher_quality,
+    gopher_repetition,
+    lm_quality,
+    pii_stats,
+    repetition_stats,
+    url_blocklist_filter,
+)
 from .mixing import (
     decontaminate,
     domain_top_k,
@@ -95,11 +104,16 @@ __all__ = [
     "quality_gate",
     "CurationReport",
     "decontaminate",
+    "dedup_lines",
     "domain_top_k",
     "dsir_weights",
+    "gopher_quality",
     "gopher_repetition",
     "hash_split",
     "lm_quality",
+    "pii_stats",
+    "repetition_stats",
+    "url_blocklist_filter",
     "mix_report",
     "pack_sequences",
     "quota_sample",

@@ -485,7 +485,18 @@ def lm_quality(
     global sort, and by Heaps' law the vocab stays tiny relative to the
     corpus, so the per-token lookup joins against a BROADCAST table (at
     extreme vocab sizes swap the broadcast for a shuffle join — the
-    semantics don't change). Documents with no tokens report 0 / 0 / 0.0.
+    semantics don't change). Documents with no tokens report
+    0 / 0 / the OOV floor: a token-less document carries the same
+    (absent) fluency evidence as all-OOV gibberish, so it scores
+    ``unk_lp`` — strictly below every document containing a vocab word —
+    and can never outrank prose or pass a gate floor that fluent text
+    clears (0.0 here would be the MAXIMUM possible score).
+
+    Scale note: ``toks`` feeds two independent lineages (the count/vocab
+    pass and the scoring join), so each action re-tokenizes the corpus
+    twice — at 100 TB materialize the token rows once to parquet between
+    the passes, exactly like dsir_weights documents for its feature
+    explode.
     """
     toks = df.select(
         F.col(id_col),
@@ -495,7 +506,7 @@ def lm_quality(
     )
     counts = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     vocab = counts.filter(F.col("_c") >= min_count)
-    totals = counts.agg(F.sum("_c").alias("_n"))
+    totals = counts.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"))
     vstats = vocab.agg(F.count(F.lit(1)).alias("_v"))
     # one-row (denom, oov floor logprob) relation, broadcast everywhere
     stats = (
@@ -529,11 +540,16 @@ def lm_quality(
             6,
         ).alias("mean_logprob"),
     )
-    return df.select(id_col).join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
-        F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .crossJoin(F.broadcast(stats.select("_unk_lp")))
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("mean_logprob", "_unk_lp").alias("mean_logprob"),
+        )
     )
 
 

@@ -56,9 +56,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..pair_helpers import fixed6_long
-
-TOKEN_RUN = "[a-z0-9]{2,}"
+from ..pair_helpers import sum_fixed6
+# the one tokenization regex shared with curation.lm_quality (and both
+# oracles) — a single spelling, so an edit can never split a pair apart
+from .curation import LM_TOKEN_RUN as TOKEN_RUN
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
@@ -373,9 +374,15 @@ def temperature_sample(
     One bounded-key aggregate (stratum counts, map-side partials) joins
     back as a broadcast; the corpus side never shuffles. NULL strata and
     NULL keys are dropped (their rate/hash is undefined) — identically
-    in both engines.
+    in both engines — and NULL strata are excluded from the counts too,
+    so a stray NULL group can never become c_min and crush every real
+    stratum's keep rate.
     """
-    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c"))
+    counts = (
+        docs.filter(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     cmin = counts.agg(F.min("_c").alias("_cmin"))
     ratio = F.col("_cmin") / F.col("_c")
     rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
@@ -536,9 +543,7 @@ def dsir_weights(
     )
     scored = doc_feats.join(F.broadcast(weights), "_b").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_feats"),
-        F.round(F.sum(fixed6_long("_lw")) / F.lit(1000000.0), 6).alias(
-            "_log_weight"
-        ),
+        sum_fixed6("_lw", "_log_weight"),
     )
     return docs.select(id_col).join(scored, id_col, "left").select(
         id_col,

@@ -268,12 +268,17 @@ def curate_corpus(
     ).select(id_col, text_col)
     lang = gate("language", q, lang)
 
-    # 3b. optional CCNet-style LM quality gate (the CCNet order: LM
-    # perplexity ranking runs after language ID, per language bucket):
-    # keep documents whose mean log-likelihood under the corpus-trained
-    # unigram LM clears the floor. The LM is trained on THIS stage's
-    # input — the survivors of dedup + heuristic gates — so boilerplate
-    # removed earlier never pollutes the model.
+    # 3b. optional CCNet-style LM quality gate, run after language ID as
+    # in CCNet: keep documents whose mean log-likelihood under the
+    # corpus-trained unigram LM clears the floor. The LM is trained on
+    # THIS stage's input — the survivors of dedup + heuristic gates — so
+    # boilerplate removed earlier never pollutes the model. NOTE: ONE
+    # pooled LM over all surviving languages, not CCNet §4.3's
+    # per-language models — with multiple `languages`, minority-language
+    # tokens are rarer in the pooled counts and those documents score
+    # systematically lower, so either pick the floor per the smallest
+    # language or run curate_corpus per language (the default
+    # languages=('en',) makes pooled == per-language).
     if lm_logprob_floor is not None:
         scored = lm_quality(
             lang, id_col=id_col, text_col=text_col, min_count=lm_min_count

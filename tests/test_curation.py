@@ -282,12 +282,21 @@ def test_lm_exact_unigram_probabilities(spark):
     assert abs(row["mean_logprob"] - want) < 1e-9
 
 
-def test_lm_empty_doc_reports_zeros(spark):
-    df = _df(spark, [(1, "the the the the the"), (2, "")])
+def test_lm_empty_doc_scores_the_oov_floor(spark):
+    import math
+
+    # a token-less document (empty text OR pure symbol soup with no
+    # [a-z0-9]{2,} run) must score the OOV floor — NOT 0.0, which would
+    # be the maximum possible score and would sail through any gate.
+    # corpus: 5x "the" -> vocab {the}, N=5, V=1, floor = ln(1/7)
+    df = _df(spark, [(1, "the the the the the"), (2, ""), (3, "!!! ?? .")])
     out = {r["doc_id"]: r for r in C.lm_quality(df).collect()}
-    assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["mean_logprob"]) == (
-        0, 0, 0.0
-    )
+    floor = round(math.log(1 / 7), 6)
+    for d in (2, 3):
+        assert (out[d]["n_tokens"], out[d]["n_oov"]) == (0, 0)
+        assert abs(out[d]["mean_logprob"] - floor) < 1e-9
+    # fluent doc strictly outranks the token-less ones
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
 
 
 def test_lm_partitioning_invariant(spark):

@@ -389,6 +389,21 @@ def test_temperature_sample_null_stratum_dropped(spark):
     assert all(r["lang"] == "en" for r in kept)
 
 
+def test_temperature_sample_null_stratum_excluded_from_counts(spark):
+    # a tiny NULL group must not become c_min and crush the real strata's
+    # keep rates: with NULLs present the kept set must equal the kept set
+    # of the NULL-free corpus (en is then the single/minimum stratum ->
+    # rate 1 -> ALL en rows kept)
+    base = [(i, "en") for i in range(50)]
+    with_null = base + [(1000 + i, None) for i in range(3)]
+    df_clean = spark.createDataFrame(base, "doc_id long, lang string")
+    df_null = spark.createDataFrame(with_null, "doc_id long, lang string")
+    kept_clean = sorted(r["doc_id"] for r in M.temperature_sample(df_clean).collect())
+    kept_null = sorted(r["doc_id"] for r in M.temperature_sample(df_null).collect())
+    assert kept_clean == [i for i, _ in base]  # rate 1 keeps every row
+    assert kept_null == kept_clean
+
+
 # ---------------------------------------------------------------------------
 # hash_split
 # ---------------------------------------------------------------------------
