@@ -749,6 +749,67 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Per-language LM quality (CCNet §4.3 proper): one independent unigram LM
+# per documents.lang — the same math as lm_quality with the stratum joined
+# into every key. The oracle replays each language's own counts, floor and
+# vocab lookups bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q_lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return C.lm_quality(docs, min_count=LM_MIN_COUNT, stratum_col="lang")
+
+
+SQL_LM_QUALITY_BY_LANG = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '{C.LM_TOKEN_RUN}')) AS w
+  FROM documents
+),
+cnt AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY lang, w),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY lang),
+voc AS (SELECT lang, w, c FROM cnt WHERE c >= {LM_MIN_COUNT}),
+vs AS (SELECT lang, count(*) AS v FROM voc GROUP BY lang),
+st AS (
+  SELECT t.lang,
+         CAST(t.n + coalesce(vs.v, 0) + 1 AS DOUBLE) AS den,
+         round(ln(CAST(1 AS DOUBLE)
+                  / CAST(t.n + coalesce(vs.v, 0) + 1 AS DOUBLE)), 6) AS unk_lp
+  FROM tot t LEFT JOIN vs USING (lang)
+),
+lp AS (
+  SELECT voc.lang, voc.w,
+         round(ln(CAST(c + 1 AS DOUBLE) / st.den), 6) AS lp
+  FROM voc JOIN st USING (lang)
+),
+sc AS (
+  SELECT t.doc_id,
+         CASE WHEN lp.lp IS NULL THEN 1 ELSE 0 END AS oov,
+         coalesce(lp.lp, st.unk_lp) AS t_lp
+  FROM toks t
+  LEFT JOIN lp ON lp.lang = t.lang AND lp.w = t.w
+  JOIN st ON st.lang = t.lang
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(oov) AS o,
+         round(sum({SQL_FIXED6_LONG.format(col="t_lp")})
+               / 1000000.0 / count(*), 6) AS m
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.o, 0) AS BIGINT) AS n_oov,
+       coalesce(agg.m, st.unk_lp) AS mean_logprob
+FROM documents d
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN st ON st.lang = d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR hashed-n-gram importance weights (mixing.py): target = the corpus's
 # English subset, raw = the whole corpus; 4096 md5-prefix buckets. The
 # oracle replays the identical bucket hashes, smoothed count ratios and
@@ -909,6 +970,7 @@ QUERIES_CUR = {
     "url_blocklist": q_url_blocklist,
     "gopher_repetition": q_gopher_repetition,
     "lm_quality": q_lm_quality,
+    "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
     "temperature_sample": q_temperature_sample,
     "hash_split": q_hash_split,
@@ -928,6 +990,7 @@ ORACLES_CUR = {
     "url_blocklist": SQL_URL_BLOCKLIST,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "lm_quality": SQL_LM_QUALITY,
+    "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,

@@ -315,13 +315,20 @@ def gopher_repetition(
     elements = occurrences after the first; denominators = text length)
     and documented so the DuckDB twin replays them.
 
-    Scale shape: lines/paragraph metrics are per-row array folds (the
-    distinct x occurrences scan is O(lines²) per row — lines per web doc
-    are bounded); n-gram metrics explode to one row per (doc, n, position)
-    — a constant 9x of the token stream, map-side — and every shuffle
-    (gram counts, position union, pivots) keys on the uniform doc id.
-    All ratios are single divisions of exact integers rounded to 6
-    (invariant 4); the gate compares the ROUNDED values.
+    Scale shape: the whole operator is a SINGLE map-side projection —
+    zero shuffles, zero joins. Every metric is per-document, so instead
+    of exploding a 9x token stream into corpus-wide gram/count/position
+    shuffles, each row sorts its own gram array (``array_sort`` — equal
+    grams become adjacent) and folds it once with ``aggregate``:
+    run-length max for the top-n-gram (count DESC, gram ASC tie-break),
+    previous-equal detection for non-first occurrences, and an
+    ascending-position sweep for the overlap-once character union.
+    O(w log w) per row per n; lines/paragraph metrics are per-row array
+    folds (O(lines²), lines per web doc are bounded). At 100 TB this is
+    the difference between a pure scan and shuffling ~9x the corpus
+    through seven exchanges. All ratios are single divisions of exact
+    integers rounded to 6 (invariant 4); the gate compares the ROUNDED
+    values.
     """
     dup_elems = "(size({c}) - size(array_distinct({c})))"
     dup_chars = (
@@ -345,77 +352,69 @@ def gopher_repetition(
         F.size("lines").cast("long").alias("_nl"),
         F.size("paras").cast("long").alias("_np"),
     )
-    words = df.select(F.col(id_col), _words(text_col).alias("w"))
+    def top_gram_chars(n: int) -> F.Column:
+        # sorted grams make equal grams adjacent; one fold tracks the
+        # current run length and keeps the best (count, gram). Strictly-
+        # greater updates on an ascending walk = count DESC, gram ASC
+        # tie-break, exactly the oracle's row_number ordering.
+        run = "IF(g <=> a.prev, a.run + 1L, 1L)"
+        return F.expr(
+            f"CASE WHEN size(w) >= {n} THEN aggregate("
+            f"array_sort(transform(sequence(1, size(w) - {n} + 1), "
+            f"i -> array_join(slice(w, i, {n}), ' '))), "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+            "'bestc', 0L, 'bestg', CAST(NULL AS STRING)), "
+            f"(a, g) -> named_struct("
+            f"'prev', g, "
+            f"'run', {run}, "
+            f"'bestc', IF({run} > a.bestc, {run}, a.bestc), "
+            f"'bestg', IF({run} > a.bestc, g, a.bestg)), "
+            "a -> a.bestc * length(a.bestg)) "
+            "ELSE CAST(NULL AS BIGINT) END"
+        )
 
-    grams = words.select(
-        id_col, "w", F.explode(F.expr("sequence(2, 10)")).alias("n")
-    ).select(
+    def dup_gram_chars(n: int) -> F.Column:
+        # (gram, pos) structs sorted by (g ASC, p ASC): an element whose
+        # predecessor carries the same gram is a non-first occurrence
+        # (p > min p of its gram). The inner fold collects those
+        # positions; sorted ascending they admit a single left-to-right
+        # coverage sweep — each position covers [p, p+n-1], characters
+        # already counted (<= running end) are skipped, so overlapping
+        # occurrences count once, exactly the oracle's DISTINCT idx union.
+        last = f"p + {n - 1}L"
+        return F.expr(
+            f"CASE WHEN size(w) >= {n} THEN aggregate("
+            "array_sort(aggregate("
+            f"array_sort(transform(sequence(1, size(w) - {n} + 1), "
+            f"i -> named_struct('g', array_join(slice(w, i, {n}), ' '), "
+            "'p', CAST(i - 1 AS BIGINT)))), "
+            "named_struct('prev', CAST(NULL AS STRING), "
+            "'ps', CAST(array() AS ARRAY<BIGINT>)), "
+            "(a, x) -> named_struct('prev', x.g, "
+            "'ps', IF(x.g <=> a.prev, array_append(a.ps, x.p), a.ps)), "
+            "a -> a.ps)), "
+            "named_struct('c', 0L, 'e', CAST(-1 AS BIGINT)), "
+            "(a, p) -> named_struct("
+            f"'c', a.c + IF(greatest(p, a.e + 1L) > {last}, 0L, "
+            f"aggregate(sequence(greatest(p, a.e + 1L), {last}), 0L, "
+            "(s, i) -> s + length(element_at(w, CAST(i + 1 AS INT))))), "
+            f"'e', {last}), "
+            "a -> a.c) "
+            "ELSE CAST(NULL AS BIGINT) END"
+        )
+
+    out = base.select(
         id_col,
-        "n",
-        F.posexplode(
-            F.expr(
-                "CASE WHEN size(w) < n THEN array() "
-                "ELSE transform(sequence(1, size(w) - n + 1), "
-                "i -> array_join(slice(w, i, n), ' ')) END"
-            )
-        ).alias("pos", "gram"),
+        "n_chars",
+        "_dle",
+        "_dlc",
+        "_dpe",
+        "_dpc",
+        "_nl",
+        "_np",
+        *[top_gram_chars(n).alias(f"_t{n}") for n in (2, 3, 4)],
+        *[dup_gram_chars(n).alias(f"_d{n}") for n in range(5, 11)],
     )
-    firsts = grams.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("pos").alias("mp")
-    )
-
-    topw = Window.partitionBy(id_col, "n").orderBy(
-        F.col("cnt").desc(), F.col("gram").asc()
-    )
-    tops = (
-        firsts.filter(F.col("n") <= 4)
-        .withColumn("rn", F.row_number().over(topw))
-        .filter(F.col("rn") == 1)
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("n") == n, F.col("cnt") * F.length("gram"))
-                ).alias(f"_t{n}")
-                for n in (2, 3, 4)
-            ]
-        )
-    )
-
-    dup_occ = (
-        grams.filter(F.col("n") >= 5)
-        .join(
-            firsts.filter((F.col("n") >= 5) & (F.col("cnt") > 1)).select(
-                id_col, "n", "gram", "mp"
-            ),
-            [id_col, "n", "gram"],
-        )
-        .filter(F.col("pos") > F.col("mp"))
-    )
-    cov = dup_occ.select(
-        id_col, "n", F.explode(F.expr("sequence(pos, pos + n - 1)")).alias("idx")
-    ).distinct()
-    dchars = (
-        cov.groupBy(id_col, "n")
-        .agg(F.collect_list("idx").alias("_idxs"))
-        .join(words, id_col)
-        .select(
-            id_col,
-            "n",
-            F.expr(
-                "aggregate(_idxs, 0L, (a, i) -> a + length(element_at(w, i + 1)))"
-            ).alias("dc"),
-        )
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("n") == n, F.col("dc"))).alias(f"_d{n}")
-                for n in range(5, 11)
-            ]
-        )
-    )
-
-    out = base.join(tops, id_col, "left").join(dchars, id_col, "left")
 
     def frac(num, den) -> F.Column:
         return F.when(
@@ -454,6 +453,7 @@ def lm_quality(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 5,
+    stratum_col: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, n_oov, mean_logprob) — language-model quality
     scoring in the CCNet mold (Wenzek et al. 2020 §4.3: documents are
@@ -497,7 +497,20 @@ def lm_quality(
     twice — at 100 TB materialize the token rows once to parquet between
     the passes, exactly like dsir_weights documents for its feature
     explode.
+
+    ``stratum_col`` selects CCNet §4.3's actual shape: one INDEPENDENT
+    LM per stratum (normally the predicted language), so minority-
+    language documents are scored against their own token statistics
+    instead of sinking under a pooled majority-language model. Every
+    aggregate and lookup just gains the stratum as a key: counts on
+    (stratum, word), a per-stratum (den, floor) table (bounded by the
+    stratum count — broadcast), vocab lookups on (stratum, word). Rows
+    with a NULL stratum — or in a stratum containing no tokens at all —
+    cannot be scored under any model and report 0 / 0 / NULL. Default
+    None = one pooled LM (identical to a single-stratum corpus).
     """
+    if stratum_col is not None:
+        return _lm_quality_by(df, id_col, text_col, min_count, stratum_col)
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -544,6 +557,80 @@ def lm_quality(
         df.select(id_col)
         .join(agg, id_col, "left")
         .crossJoin(F.broadcast(stats.select("_unk_lp")))
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("mean_logprob", "_unk_lp").alias("mean_logprob"),
+        )
+    )
+
+
+def _lm_quality_by(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int,
+    stratum_col: str,
+) -> DataFrame:
+    """Per-stratum branch of :func:`lm_quality` — identical math with the
+    stratum joined into every key, so each stratum trains and scores its
+    own independent unigram LM (see lm_quality's docstring)."""
+    s = stratum_col
+    toks = df.select(
+        F.col(id_col),
+        F.col(s),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{LM_TOKEN_RUN}', 0)")
+        ).alias("_w"),
+    )
+    counts = toks.groupBy(s, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = counts.filter(F.col("_c") >= min_count)
+    totals = counts.groupBy(s).agg(F.sum("_c").alias("_n"))
+    vstats = vocab.groupBy(s).agg(F.count(F.lit(1)).alias("_v"))
+    # per-stratum (den, OOV floor) — one row per stratum, broadcast
+    stats = (
+        totals.join(vstats, s, "left")
+        .withColumn(
+            "_den",
+            (F.col("_n") + F.coalesce(F.col("_v"), F.lit(0)) + 1).cast(
+                "double"
+            ),
+        )
+        .select(
+            s,
+            "_den",
+            F.round(F.log(F.lit(1.0) / F.col("_den")), 6).alias("_unk_lp"),
+        )
+    )
+    lp_table = vocab.join(F.broadcast(stats), s).select(
+        s,
+        "_w",
+        F.round(F.log((F.col("_c") + 1).cast("double") / F.col("_den")), 6).alias(
+            "_lp"
+        ),
+    )
+    scored = (
+        toks.join(F.broadcast(lp_table), [s, "_w"], "left")
+        .join(F.broadcast(stats.select(s, "_unk_lp")), s)
+        .select(
+            id_col,
+            F.col("_lp").isNull().cast("long").alias("_oov"),
+            F.coalesce("_lp", "_unk_lp").alias("_t_lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_oov").alias("n_oov"),
+        F.round(
+            F.sum(fixed6_long("_t_lp")) / F.lit(1000000.0) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_logprob"),
+    )
+    return (
+        df.select(id_col, s)
+        .join(agg, id_col, "left")
+        .join(F.broadcast(stats.select(s, "_unk_lp")), s, "left")
         .select(
             id_col,
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),

@@ -272,16 +272,24 @@ def curate_corpus(
     # in CCNet: keep documents whose mean log-likelihood under the
     # corpus-trained unigram LM clears the floor. The LM is trained on
     # THIS stage's input — the survivors of dedup + heuristic gates — so
-    # boilerplate removed earlier never pollutes the model. NOTE: ONE
-    # pooled LM over all surviving languages, not CCNet §4.3's
-    # per-language models — with multiple `languages`, minority-language
-    # tokens are rarer in the pooled counts and those documents score
-    # systematically lower, so either pick the floor per the smallest
-    # language or run curate_corpus per language (the default
-    # languages=('en',) makes pooled == per-language).
+    # boilerplate removed earlier never pollutes the model. With multiple
+    # `languages` this is CCNet §4.3 proper: pred_lang is re-derived
+    # per-row (map-side, no shuffle) and each language bucket is scored
+    # under its OWN LM, so minority languages don't sink under pooled
+    # majority-language counts and one floor is fair across languages.
     if lm_logprob_floor is not None:
+        lm_input, stratum = lang, None
+        if len(languages) > 1:
+            lm_input = language_id(lang, text_col=text_col).select(
+                id_col, text_col, "pred_lang"
+            )
+            stratum = "pred_lang"
         scored = lm_quality(
-            lang, id_col=id_col, text_col=text_col, min_count=lm_min_count
+            lm_input,
+            id_col=id_col,
+            text_col=text_col,
+            min_count=lm_min_count,
+            stratum_col=stratum,
         )
         ok = scored.filter(
             F.col("mean_logprob") >= lm_logprob_floor

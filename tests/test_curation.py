@@ -299,6 +299,71 @@ def test_lm_empty_doc_scores_the_oov_floor(spark):
     assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
 
 
+def test_lm_per_stratum_models_are_independent(spark):
+    import math
+
+    # stratum A replays the pooled exact-probability fixture; stratum B
+    # holds one "aa" doc whose count (1) is below min_count IN B, so it
+    # must score B's own OOV floor ln(1/2) — NOT A's vocab probability
+    # for "aa" (a pooled model would lend it A's counts).
+    df = spark.createDataFrame(
+        [(1, "A", "aa aa aa bb"), (2, "B", "aa")],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.lm_quality(df, min_count=2, stratum_col="lang").collect()
+    }
+    lp_aa = round(math.log(4 / 6), 6)
+    lp_unk_a = round(math.log(1 / 6), 6)
+    want_a = round((3 * lp_aa + lp_unk_a) / 4, 6)
+    assert abs(out[1]["mean_logprob"] - want_a) < 1e-9
+    assert out[1]["n_oov"] == 1
+    # B: N=1, V=0 -> den=2; its single token is OOV under its own LM
+    assert abs(out[2]["mean_logprob"] - round(math.log(1 / 2), 6)) < 1e-9
+    assert out[2]["n_oov"] == 1
+
+
+def test_lm_stratum_scores_minority_language_fairly(spark):
+    # 9:1 en/de mix: under the pooled LM the fluent German doc sinks
+    # (its tokens are rare in the pooled counts); under per-stratum
+    # scoring it is judged against German counts alone and scores higher
+    rows = [(i, "en", "the cat runs fast today") for i in range(9)]
+    rows += [(100 + j, "de", "der hund läuft schnell heute") for j in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    pooled = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in C.lm_quality(df, min_count=2).collect()
+    }
+    strat = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in C.lm_quality(df, min_count=2, stratum_col="lang").collect()
+    }
+    assert strat[100] > pooled[100]
+    # and the per-stratum gap between en and de is smaller than pooled's
+    assert abs(strat[0] - strat[100]) < abs(pooled[0] - pooled[100])
+
+
+def test_lm_stratum_null_and_tokenless_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "the the the the the"), (2, "en", ""), (3, None, "the")],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.lm_quality(df, stratum_col="lang").collect()
+    }
+    # token-less doc in a modeled stratum: the stratum's own OOV floor
+    import math
+
+    floor_en = round(math.log(1 / 7), 6)
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (0, 0)
+    assert abs(out[2]["mean_logprob"] - floor_en) < 1e-9
+    # NULL stratum: no model exists -> NULL score
+    assert (out[3]["n_tokens"], out[3]["n_oov"]) == (0, 0)
+    assert out[3]["mean_logprob"] is None
+
+
 def test_lm_partitioning_invariant(spark):
     rows = [(i, f"the quick fox number{i % 7} runs") for i in range(60)]
     a = sorted(

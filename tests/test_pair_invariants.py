@@ -105,6 +105,7 @@ CONSTRUCTION_JOBS = {
     "corpus_mix_report": 1,
     "url_blocklist": 1,  # read; the 2-row blocklist is a local relation
     "lm_quality": 1,
+    "lm_quality_by_lang": 1,
     "gopher_repetition": 1,
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
@@ -338,6 +339,7 @@ DRIVERLIKE_QUERIES = [
     # scoring, DSIR weights), in-plan sqrt thresholds + conv() hash ints
     # (temperature), literal hash-range splits
     "lm_quality",
+    "lm_quality_by_lang",
     "dsir_weights",
     "temperature_sample",
     "hash_split",
@@ -397,6 +399,7 @@ PRUNING_EXPECTATIONS = {
     # urls are injected from doc_id, so the scan must read doc_id alone
     "url_blocklist": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "lm_quality": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "lm_quality_by_lang": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "gopher_repetition": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
@@ -421,6 +424,17 @@ def test_pair_scans_prune_columns(spark, name):
         assert f"{col}:" not in joined, (
             f"{name}: scan reads unneeded column {col}\n{joined}"
         )
+
+
+def test_gopher_repetition_plan_is_shuffle_free(spark):
+    """All thirteen A1.2 metrics are per-document sorted-array folds —
+    the plan must be a pure scan+project chain: no Exchange, no Join,
+    no explode-to-shuffle of the 9x gram stream."""
+    plan = _formatted_plan(
+        entry_mod.queries()["gopher_repetition"](spark, SF_DIR)
+    )
+    for node in ("Exchange", "Join", "Generate"):
+        assert node not in plan, f"gopher_repetition: {node} in plan\n{plan}"
 
 
 def test_in_plan_scalar_count_reads_zero_columns(spark):

@@ -742,6 +742,62 @@ def test_curate_corpus_lm_quality_stage(spark):
     assert by_stage["lm_quality"] == (4, 3)
 
 
+def test_curate_corpus_lm_gate_is_per_language_for_multilang(spark):
+    from search_engine_spark.training_data.curation import lm_quality
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    # a 3:1 en/de mix where every doc is fluent in its own language plus
+    # one English gibberish doc. Scored per language (CCNet §4.3), one
+    # floor keeps ALL fluent docs of BOTH languages and drops the junk;
+    # a pooled LM would push the German doc toward the junk's score.
+    en = [
+        "the data team runs the spark jobs and the cluster stays busy "
+        "while the workers finish tasks and the report lands on time "
+        "for the weekly review of the pipeline health and progress",
+        "the spark cluster runs many jobs and the data stays clean "
+        "while the team watches the report and the tasks finish on "
+        "time for the review of the weekly pipeline and its health",
+        "the report shows the pipeline runs clean jobs and the team "
+        "keeps the cluster busy while the data tasks finish on time "
+        "and the weekly review confirms the health and the progress",
+    ]
+    de = [
+        "der cluster ist schnell und die daten sind sauber und der "
+        "bericht ist fertig und die arbeit ist gut und der plan ist "
+        "klar und die woche ist lang und der test ist gruen und gut",
+    ]
+    junk = (
+        "the zxqvu wkjhy pmbrt and qzlsd vfnrk xcgtw the hjklp bnmvc "
+        "wertk yuiop the asdfg zxcvb qwert plmnk the okijn uhbgy tfcvr "
+        "and rdxes wzaqy the mkolp njibu vgzty the crdxw zesaq ploik"
+    )
+    rows = [(i + 1, t) for i, t in enumerate(en + de)] + [(9, junk)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # derive a floor between every fluent doc's PER-LANGUAGE score and
+    # the junk's (the gate recomputes pred_lang per-row internally)
+    from search_engine_spark.training_data.textstats import language_id
+
+    scored = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in lm_quality(
+            language_id(docs).select("doc_id", "text", "pred_lang"),
+            min_count=2,
+            stratum_col="pred_lang",
+        ).collect()
+    }
+    fluent = [scored[i] for i in (1, 2, 3, 4)]
+    assert min(fluent) > scored[9]
+    floor = (min(fluent) + scored[9]) / 2
+
+    kept, report = curate_corpus(
+        docs, languages=("en", "de"), lm_logprob_floor=floor, lm_min_count=2
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 4}
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["lm_quality"] == (5, 4)
+
+
 def test_curate_corpus_dsir_select_stage(spark):
     from search_engine_spark.training_data.mixing import dsir_weights
     from search_engine_spark.training_data.pipeline import curate_corpus
