@@ -956,6 +956,86 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (curation.py c4_rules, Raffel et al. 2020 §2.2): the
+# injection turns the word soup into punctuated/unpunctuated lines keyed on
+# doc_id and plants javascript / short / lorem-ipsum / curly-bracket /
+# unterminated lines, exercising every line and page rule on both sides.
+# ---------------------------------------------------------------------------
+C4_TEXT_EXPR = (
+    "replace(text, ' line ', "
+    "CASE WHEN doc_id % 3 = 0 THEN '.' || chr(10) "
+    "WHEN doc_id % 3 = 1 THEN '?' || chr(10) ELSE chr(10) END)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '.'"
+    " WHEN doc_id % 3 = 1 THEN '!' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||"
+    " 'this page uses javascript heavily today.' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ok fine.' ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN chr(10) ||"
+    " 'is this a question line with no mark' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||"
+    " 'classic lorem ipsum filler text here.' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||"
+    " 'code sample with { braces } inside it.' ELSE '' END"
+)
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected(spark, sf_dir, C4_TEXT_EXPR)
+    return C.c4_rules(injected).select(
+        "doc_id",
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        F.md5("cleaned").alias("cleaned_md5"),
+        "passes",
+    )
+
+
+SQL_C4_RULES = f"""
+WITH c4 AS (SELECT doc_id, {C4_TEXT_EXPR} AS text FROM documents),
+base AS (
+  SELECT doc_id,
+         string_split(coalesce(text, ''), chr(10)) AS lines,
+         lower(coalesce(text, '')) AS lt,
+         coalesce(text, '') AS t
+  FROM c4
+),
+k AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         coalesce(array_to_string(list_filter(lines, l ->
+           right(l, 1) IN ({C.C4_TERMINAL_MARKS_SQL})
+           AND len(regexp_extract_all(l, '\\S+')) >= {C.C4_MIN_WORDS_PER_LINE}
+           AND NOT contains(lower(l), 'javascript')), chr(10)), '')
+           AS cleaned,
+         CAST(len(list_filter(lines, l ->
+           right(l, 1) IN ({C.C4_TERMINAL_MARKS_SQL})
+           AND len(regexp_extract_all(l, '\\S+')) >= {C.C4_MIN_WORDS_PER_LINE}
+           AND NOT contains(lower(l), 'javascript'))) AS BIGINT)
+           AS n_lines_kept,
+         CAST(contains(lt, 'lorem ipsum') AS BIGINT) AS has_lorem,
+         CAST(contains(t, '{{') AS BIGINT) AS has_brace
+  FROM base
+),
+m AS (
+  SELECT doc_id, n_lines, n_lines_kept,
+         CAST(len(regexp_extract_all(cleaned, '{C.C4_SENTENCE_RE}'))
+              AS BIGINT) AS n_sentences,
+         has_lorem, has_brace, md5(cleaned) AS cleaned_md5
+  FROM k
+)
+SELECT doc_id, n_lines, n_lines_kept, n_sentences, has_lorem, has_brace,
+       cleaned_md5,
+       CAST(CASE WHEN n_sentences >= {C.C4_MIN_SENTENCES}
+                  AND has_lorem = 0 AND has_brace = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM m
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -969,6 +1049,7 @@ QUERIES_CUR = {
     "corpus_mix_report": q_corpus_mix_report,
     "url_blocklist": q_url_blocklist,
     "gopher_repetition": q_gopher_repetition,
+    "c4_rules": q_c4_rules,
     "lm_quality": q_lm_quality,
     "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
@@ -989,6 +1070,7 @@ ORACLES_CUR = {
     "corpus_mix_report": SQL_CORPUS_MIX_REPORT,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "gopher_repetition": SQL_GOPHER_REPETITION,
+    "c4_rules": SQL_C4_RULES,
     "lm_quality": SQL_LM_QUALITY,
     "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,

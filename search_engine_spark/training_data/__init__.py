@@ -6,7 +6,7 @@ detection (MinHash+LSH, SimHash banding, n-gram Jaccard), embedding
 similarity search (brute-force and SRP-LSH-bucketed ANN), text analysis
 (language ID, token counting, winnowing fingerprints, corpus-LM quality
 scoring), curation gates (URL/domain blocklist, PII stats, Gopher quality +
-repetition rules, C4 line dedup), multimodal binary column plumbing,
+repetition rules, C4 line dedup and C4 line/page cleaning), multimodal binary column plumbing,
 semantic dedup (SemDeDup), and corpus assembly (benchmark decontamination,
 deterministic stratified/quota/temperature sampling, DSIR importance
 weights, train/val/test hash splits, skew-safe per-domain caps,
@@ -49,6 +49,7 @@ from .multimodal import (
     sample_frames,
 )
 from .curation import (
+    c4_rules,
     dedup_lines,
     gopher_quality,
     gopher_repetition,
@@ -103,6 +104,7 @@ __all__ = [
     "curate_corpus",
     "quality_gate",
     "CurationReport",
+    "c4_rules",
     "decontaminate",
     "dedup_lines",
     "domain_top_k",

@@ -271,6 +271,85 @@ def dedup_lines(
     )
 
 
+# C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the PAPER's values:
+# keep only lines ending in a terminal punctuation mark, with >= 3 words,
+# not mentioning javascript; drop pages with < 5 sentences, any page
+# containing 'lorem ipsum' or a curly bracket. (The TF reference
+# implementation differs in two documented ways: 5 words/line and an NLTK
+# sentence tokenizer — here sentences are counted as terminal-punctuation
+# marks in the RETAINED lines, the engine-portable approximation.)
+C4_TERMINAL_MARKS = (".", "!", "?", '"')
+C4_TERMINAL_MARKS_SQL = ", ".join(f"'{m}'" for m in C4_TERMINAL_MARKS)
+C4_SENTENCE_RE = '[.!?"]'
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+
+
+def c4_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_lines, n_lines_kept, n_sentences, has_lorem, has_brace,
+    cleaned, passes) — the C4 line/page cleaning rules (Raffel et al.
+    2020 §2.2), the canonical filter family alongside Gopher (A1.1/A1.2),
+    UT1 blocklisting and the CCNet LM gate:
+
+    - LINE rules (applied per line, survivors reassembled in order into
+      ``cleaned``): ends in terminal punctuation (``. ! ? "``), contains
+      >= 3 words, does not mention "javascript" (case-insensitive);
+    - PAGE rules (``passes`` = 1 iff all hold): >= 5 sentences in the
+      retained text (sentences ~ terminal punctuation marks — the
+      engine-portable stand-in for C4's NLTK tokenizer, documented
+      above), no "lorem ipsum" (case-insensitive) and no ``{`` anywhere
+      on the ORIGINAL page.
+
+    Scale shape: one map-side projection — per-row array filter + folds,
+    zero shuffles (same plan class as :func:`gopher_repetition`).
+    Row-preserving: the caller's gate decides what to drop. NULL text
+    behaves like '' (0 lines kept, fails the sentence floor).
+    """
+    # right(l, 1) IN (...) instead of a $-anchored regex: Java's $ also
+    # matches before a final \r, RE2's does not — right() is identical
+    # in both engines.
+    kept = (
+        "filter(split(coalesce({t}, ''), '\\n'), l -> "
+        f"right(l, 1) IN ({C4_TERMINAL_MARKS_SQL}) "
+        f"AND size(regexp_extract_all(l, '\\\\S+', 0)) >= {C4_MIN_WORDS_PER_LINE} "
+        "AND NOT contains(lower(l), 'javascript'))"
+    ).format(t=text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .cast("long")
+        .alias("n_lines"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).contains("lorem ipsum")
+        .cast("long")
+        .alias("has_lorem"),
+        F.coalesce(F.col(text_col), F.lit("")).contains("{")
+        .cast("long")
+        .alias("has_brace"),
+        F.expr(kept).alias("_kept"),
+    ).select(
+        id_col,
+        "n_lines",
+        F.size("_kept").cast("long").alias("n_lines_kept"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(array_join(_kept, '\\n'), "
+            f"'{C4_SENTENCE_RE}', 0)) AS BIGINT)"
+        ).alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        F.array_join("_kept", "\n").alias("cleaned"),
+    )
+    return base.withColumn(
+        "passes",
+        (
+            (F.col("n_sentences") >= C4_MIN_SENTENCES)
+            & (F.col("has_lorem") == 0)
+            & (F.col("has_brace") == 0)
+        ).cast("long"),
+    )
+
+
 # Gopher repetition thresholds (Rae et al. 2021, Table A1): a document
 # passes iff EVERY metric is at or below its bound.
 REPETITION_THRESHOLDS = {

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as D
 from .curation import (
+    c4_rules,
     dedup_lines,
     gopher_quality,
     gopher_repetition,
@@ -122,6 +123,7 @@ def curate_corpus(
     gopher_repetition_gate: bool = False,
     redact_pii: bool = False,
     line_dedup: bool = False,
+    c4: bool = False,
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     domain_cap: int | None = None,
@@ -160,7 +162,11 @@ def curate_corpus(
     gates): each repeated line survives only at its corpus-wide first
     occurrence, texts are rewritten in place, and a doc stripped of every
     line reassembles to '' — which the quality gate then drops, keeping
-    the drop attributable to a stage.
+    the drop attributable to a stage. ``c4=True`` adds the rest of C4
+    §2.2 as stage 1c (after line dedup): terminal-punctuation /
+    3-word / no-javascript line filtering with in-place rewrite, plus
+    the page drops (< 5 retained sentences, 'lorem ipsum', curly
+    bracket).
 
     ``url_blocklist`` (a one-column ``domain`` frame) prepends the
     UT1-style domain gate as stage 0 — a document whose ``url_col`` host
@@ -236,6 +242,18 @@ def curate_corpus(
             id_col, text_col
         )
         exact = gate("line_dedup", exact, rewritten)
+
+    # 1c. optional C4 line/page rules (Raffel et al. 2020 §2.2): lines
+    # not ending in terminal punctuation / under 3 words / mentioning
+    # javascript are stripped (texts rewritten in place), and pages with
+    # < 5 retained sentences, 'lorem ipsum' or a curly bracket drop —
+    # both the transform and the drop attributed to one stage.
+    if c4:
+        r = c4_rules(exact, id_col=id_col, text_col=text_col)
+        rewritten = r.filter(F.col("passes") == 1).select(
+            F.col(id_col), F.col("cleaned").alias(text_col)
+        )
+        exact = gate("c4_rules", exact, rewritten)
 
     # 2. quality gate
     q = quality_gate(exact, text_col=text_col, **(quality_kwargs or {}))

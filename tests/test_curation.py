@@ -441,3 +441,89 @@ def test_curate_corpus_gopher_repetition_stage(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1}
     by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
     assert by_stage["gopher_repetition"] == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# c4_rules (Raffel et al. 2020 §2.2 line/page cleaning)
+# ---------------------------------------------------------------------------
+def test_c4_line_rules(spark):
+    text = "\n".join(
+        [
+            "this line ends with a period.",     # kept
+            "does this line end with a mark",    # dropped: no terminal punct
+            "short one.",                        # dropped: < 3 words
+            "we enable javascript on this page.",  # dropped: javascript
+            'he said "stop right there."',       # kept (ends in .)
+            "is this a real question?",          # kept
+            'ok "',                              # dropped: < 3 words (the quote token counts)
+            'the answer was a quoted "yes"',     # kept (ends in ")
+        ]
+    )
+    df = _df(spark, [(1, text)])
+    row = C.c4_rules(df).collect()[0]
+    assert row["n_lines"] == 8
+    assert row["n_lines_kept"] == 4
+    assert row["cleaned"].splitlines() == [
+        "this line ends with a period.",
+        'he said "stop right there."',
+        "is this a real question?",
+        'the answer was a quoted "yes"',
+    ]
+    # sentences = terminal marks in the retained text: 1 + 3 + 1 + 2
+    assert row["n_sentences"] == 7
+    assert (row["has_lorem"], row["has_brace"]) == (0, 0)
+    assert row["passes"] == 1
+
+
+def test_c4_page_rules(spark):
+    five = "\n".join(f"sentence number {i} stands here." for i in range(5))
+    four = "\n".join(f"sentence number {i} stands here." for i in range(4))
+    df = _df(
+        spark,
+        [
+            (1, five),                                  # passes
+            (2, four),                                  # < 5 sentences
+            (3, five + "\nsee the lorem ipsum block."),  # lorem ipsum
+            (4, five + "\nuses a { brace } here."),      # curly bracket
+            (5, None),                                   # NULL text ~ ''
+        ],
+    )
+    out = {r["doc_id"]: r for r in C.c4_rules(df).collect()}
+    assert [out[i]["passes"] for i in (1, 2, 3, 4, 5)] == [1, 0, 0, 0, 0]
+    assert out[3]["has_lorem"] == 1 and out[4]["has_brace"] == 1
+    assert out[5]["n_lines_kept"] == 0 and out[5]["cleaned"] == ""
+
+
+def test_c4_partitioning_invariant(spark):
+    rows = [
+        (i, f"line number {i % 7} is here.\nno mark on this one\nok fine.")
+        for i in range(40)
+    ]
+    a = sorted(map(tuple, C.c4_rules(_df(spark, rows).repartition(5)).collect()))
+    b = sorted(map(tuple, C.c4_rules(_df(spark, rows).coalesce(1)).collect()))
+    assert a == b
+
+
+def test_curate_corpus_c4_stage(spark):
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    good = "\n".join(
+        f"the data pipeline finished stage number {i} on time today."
+        for i in range(6)
+    )
+    good2 = "\n".join(
+        f"the review board approved request number {i} for the team there."
+        for i in range(6)
+    )
+    noisy = good2 + "\nclick here to enable javascript now."
+    braces = good + "\nconfig block { retries: 3 } follows."
+    docs = spark.createDataFrame(
+        [(1, good), (2, noisy), (3, braces)], "doc_id long, text string"
+    )
+    kept, report = curate_corpus(docs, c4=True)
+    kept_rows = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # doc 2 survives with the javascript line stripped; doc 3 drops (brace)
+    assert set(kept_rows) == {1, 2}
+    assert kept_rows[2] == good2
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["c4_rules"] == (3, 2)

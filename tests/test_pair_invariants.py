@@ -107,6 +107,7 @@ CONSTRUCTION_JOBS = {
     "lm_quality": 1,
     "lm_quality_by_lang": 1,
     "gopher_repetition": 1,
+    "c4_rules": 1,
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
@@ -346,6 +347,8 @@ DRIVERLIKE_QUERIES = [
     # full Gopher repetition suite: position-union char coverage, per-doc
     # windows + pivots under 200 shuffle partitions and ANSI arithmetic
     "gopher_repetition",
+    # C4 line/page rules: per-row array filters + regexp counts under ANSI
+    "c4_rules",
 ]
 
 
@@ -401,6 +404,7 @@ PRUNING_EXPECTATIONS = {
     "lm_quality": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "lm_quality_by_lang": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "gopher_repetition": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "c4_rules": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
     "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),
@@ -426,15 +430,14 @@ def test_pair_scans_prune_columns(spark, name):
         )
 
 
-def test_gopher_repetition_plan_is_shuffle_free(spark):
-    """All thirteen A1.2 metrics are per-document sorted-array folds —
-    the plan must be a pure scan+project chain: no Exchange, no Join,
-    no explode-to-shuffle of the 9x gram stream."""
-    plan = _formatted_plan(
-        entry_mod.queries()["gopher_repetition"](spark, SF_DIR)
-    )
+@pytest.mark.parametrize("name", ["gopher_repetition", "c4_rules"])
+def test_per_document_pairs_plan_shuffle_free(spark, name):
+    """Per-document metric suites (Gopher A1.2 sorted-array folds, C4
+    line/page rules) must plan as a pure scan+project chain: no Exchange,
+    no Join, no explode-to-shuffle of a gram/line stream."""
+    plan = _formatted_plan(entry_mod.queries()[name](spark, SF_DIR))
     for node in ("Exchange", "Join", "Generate"):
-        assert node not in plan, f"gopher_repetition: {node} in plan\n{plan}"
+        assert node not in plan, f"{name}: {node} in plan\n{plan}"
 
 
 def test_in_plan_scalar_count_reads_zero_columns(spark):
