@@ -1036,6 +1036,83 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# ExactSubstr span dedup (curation.py dedup_spans, Lee et al. 2021): the
+# injection appends a shared boilerplate run to every 4th doc (cross-doc
+# duplicate windows; the global first occurrence keeps) and a self-repeating
+# run to every 6th (within-doc windows + overlap union). n=8 tokens so the
+# soup-sized docs carry plenty of windows.
+# ---------------------------------------------------------------------------
+SPAN_N = 8
+SPAN_TEXT_EXPR = (
+    "text"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " ' the shared boilerplate footer sentence repeats across many pages here'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN"
+    " ' alpha beta gamma delta epsilon zeta eta theta"
+    " alpha beta gamma delta epsilon zeta eta theta' ELSE '' END"
+)
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected(spark, sf_dir, SPAN_TEXT_EXPR)
+    out = C.dedup_spans(injected, n=SPAN_N)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SQL_DEDUP_SPANS = f"""
+WITH sp AS (SELECT doc_id, {SPAN_TEXT_EXPR} AS text FROM documents),
+warr AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+  FROM sp
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+  FROM warr, unnest(range(1, len(w) + 1)) AS t(i)
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(w[i:i + {SPAN_N} - 1], ' ')) AS h
+  FROM warr, unnest(range(1, len(w) - {SPAN_N} + 2)) AS t(i)
+  WHERE len(w) >= {SPAN_N}
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM wins
+  ) WHERE rn > 1
+),
+covered AS (
+  SELECT DISTINCT doc_id, u AS pos
+  FROM dup, unnest(range(pos, pos + {SPAN_N})) AS t(u)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tot.nt, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(tot.nt, 0) - coalesce(rebuilt.nk, 0) AS BIGINT)
+         AS n_tokens_removed,
+       md5(coalesce(rebuilt.txt, '')) AS text_md5
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1050,6 +1127,7 @@ QUERIES_CUR = {
     "url_blocklist": q_url_blocklist,
     "gopher_repetition": q_gopher_repetition,
     "c4_rules": q_c4_rules,
+    "dedup_spans": q_dedup_spans,
     "lm_quality": q_lm_quality,
     "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
@@ -1071,6 +1149,7 @@ ORACLES_CUR = {
     "url_blocklist": SQL_URL_BLOCKLIST,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "c4_rules": SQL_C4_RULES,
+    "dedup_spans": SQL_DEDUP_SPANS,
     "lm_quality": SQL_LM_QUALITY,
     "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,

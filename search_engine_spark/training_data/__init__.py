@@ -6,7 +6,7 @@ detection (MinHash+LSH, SimHash banding, n-gram Jaccard), embedding
 similarity search (brute-force and SRP-LSH-bucketed ANN), text analysis
 (language ID, token counting, winnowing fingerprints, corpus-LM quality
 scoring), curation gates (URL/domain blocklist, PII stats, Gopher quality +
-repetition rules, C4 line dedup and C4 line/page cleaning), multimodal binary column plumbing,
+repetition rules, C4 line dedup, C4 line/page cleaning and ExactSubstr span dedup), multimodal binary column plumbing,
 semantic dedup (SemDeDup), and corpus assembly (benchmark decontamination,
 deterministic stratified/quota/temperature sampling, DSIR importance
 weights, train/val/test hash splits, skew-safe per-domain caps,
@@ -51,6 +51,7 @@ from .multimodal import (
 from .curation import (
     c4_rules,
     dedup_lines,
+    dedup_spans,
     gopher_quality,
     gopher_repetition,
     lm_quality,
@@ -107,6 +108,7 @@ __all__ = [
     "c4_rules",
     "decontaminate",
     "dedup_lines",
+    "dedup_spans",
     "domain_top_k",
     "dsir_weights",
     "gopher_quality",

@@ -271,6 +271,93 @@ def dedup_lines(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_tokens_removed, text) — ExactSubstr-style span
+    dedup (Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better"): any ``n``-token window whose content appears
+    earlier in the corpus (earlier = smaller (doc, position), the
+    deterministic global order) is removed from the LATER occurrence,
+    and documents are rebuilt from their surviving tokens in order.
+    Overlapping duplicate windows are removed once (position union —
+    the same ascending coverage sweep as gopher_repetition). The paper
+    operates on suffix arrays over a byte concatenation; the
+    distributed equivalent here fingerprints every sliding window with
+    md5 over the joined tokens — exact (not probabilistic) up to md5
+    collisions, and engine-portable so the DuckDB oracle replays it.
+
+    Tokens are whitespace runs; reassembly joins surviving tokens with
+    single spaces (span removal normalizes whitespace — documented
+    divergence from the byte-exact paper, inherent to token-window
+    granularity). Documents shorter than ``n`` tokens carry no window
+    and pass through untouched (their text still re-joins on spaces).
+
+    Skew discipline (invariant 6): the hot key is the window hash
+    (boilerplate repeats millions of times at crawl scale). The
+    first-occurrence owner is groupBy(hash).min(struct(doc, pos)) —
+    map-side partials, one surviving row per distinct hash — and the
+    keep decision joins back on the UNIQUE composite (hash, doc, pos),
+    so no reducer sees a hot-key fan-out (the dedup_lines pattern).
+    Every other shuffle keys on the uniform doc id.
+    """
+    warr = df.select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN length(trim(coalesce({text_col}, ''))) = 0 "
+            f"THEN array() ELSE split(trim({text_col}), '\\\\s+') END"
+        ).alias("_w"),
+    )
+    toks = warr.select(id_col, F.posexplode("_w").alias("pos", "tok"))
+    wins = warr.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(_w) < {n} THEN array() "
+                f"ELSE transform(sequence(1, size(_w) - {n} + 1), "
+                f"i -> md5(array_join(slice(_w, i, {n}), ' '))) END"
+            )
+        ).alias("pos", "h"),
+    )
+    first = wins.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("m")
+    ).select(
+        "h", F.col(f"m.{id_col}").alias(id_col), F.col("m.pos").alias("pos")
+    )
+    dup_wins = wins.join(first, ["h", id_col, "pos"], "left_anti")
+    removed = dup_wins.select(
+        id_col, F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("pos")
+    ).distinct()
+    kept = toks.join(removed, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_text"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_nt", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce("_nt", F.lit(0)) - F.coalesce("_nk", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+        )
+    )
+
+
 # C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the PAPER's values:
 # keep only lines ending in a terminal punctuation mark, with >= 3 words,
 # not mentioning javascript; drop pages with < 5 sentences, any page

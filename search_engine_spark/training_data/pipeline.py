@@ -49,6 +49,7 @@ from . import dedup as D
 from .curation import (
     c4_rules,
     dedup_lines,
+    dedup_spans,
     gopher_quality,
     gopher_repetition,
     lm_quality,
@@ -124,6 +125,7 @@ def curate_corpus(
     redact_pii: bool = False,
     line_dedup: bool = False,
     c4: bool = False,
+    span_dedup_n: int | None = None,
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     domain_cap: int | None = None,
@@ -166,7 +168,10 @@ def curate_corpus(
     §2.2 as stage 1c (after line dedup): terminal-punctuation /
     3-word / no-javascript line filtering with in-place rewrite, plus
     the page drops (< 5 retained sentences, 'lorem ipsum', curly
-    bracket).
+    bracket). ``span_dedup_n`` adds ExactSubstr span dedup as stage 1d:
+    every n-token window seen earlier in the corpus is stripped from
+    the later occurrence (first occurrence = min (doc, position)),
+    overlaps removed once.
 
     ``url_blocklist`` (a one-column ``domain`` frame) prepends the
     UT1-style domain gate as stage 0 — a document whose ``url_col`` host
@@ -254,6 +259,17 @@ def curate_corpus(
             F.col(id_col), F.col("cleaned").alias(text_col)
         )
         exact = gate("c4_rules", exact, rewritten)
+
+    # 1d. optional ExactSubstr span dedup (Lee et al. 2021): any
+    # span_dedup_n-token window whose content appeared earlier in the
+    # corpus is removed from the later occurrence; texts are rewritten
+    # in place (transform — rows pass through; a fully-stripped doc
+    # reassembles to '' and falls to the quality gate).
+    if span_dedup_n is not None:
+        rewritten = dedup_spans(
+            exact, n=span_dedup_n, id_col=id_col, text_col=text_col
+        ).select(id_col, text_col)
+        exact = gate("span_dedup", exact, rewritten)
 
     # 2. quality gate
     q = quality_gate(exact, text_col=text_col, **(quality_kwargs or {}))

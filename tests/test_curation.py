@@ -527,3 +527,81 @@ def test_curate_corpus_c4_stage(spark):
     assert kept_rows[2] == good2
     by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
     assert by_stage["c4_rules"] == (3, 2)
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans (ExactSubstr-style token-window span dedup)
+# ---------------------------------------------------------------------------
+def _ds(spark, rows, n):
+    return {
+        r["doc_id"]: (r["n_tokens"], r["n_tokens_removed"], r["text"])
+        for r in C.dedup_spans(_df(spark, rows), n=n).collect()
+    }
+
+
+def test_dedup_spans_cross_doc_first_occurrence_wins(spark):
+    out = _ds(
+        spark,
+        [(1, "a b c d x"), (2, "p q a b c d y")],
+        n=4,
+    )
+    # doc 1 owns the first (min (doc, pos)) occurrence of 'a b c d'
+    assert out[1] == (5, 0, "a b c d x")
+    assert out[2] == (7, 4, "p q y")
+
+
+def test_dedup_spans_within_doc_overlap_union(spark):
+    # 'x y z w' * 3: every window from pos 4 on duplicates an earlier
+    # one; their ranges overlap and must be removed ONCE (positions
+    # 4..11), leaving exactly the first period
+    out = _ds(spark, [(1, "x y z w x y z w x y z w")], n=4)
+    assert out[1] == (12, 8, "x y z w")
+
+
+def test_dedup_spans_short_docs_untouched(spark):
+    out = _ds(spark, [(1, "just three words"), (2, "")], n=4)
+    assert out[1] == (3, 0, "just three words")
+    assert out[2] == (0, 0, "")
+
+
+def test_dedup_spans_partitioning_invariant(spark):
+    rows = [(i, f"alpha beta gamma delta epsilon zeta tail{i % 3}") for i in range(30)]
+    a = sorted(map(tuple, C.dedup_spans(_df(spark, rows).repartition(7), n=5).collect()))
+    b = sorted(map(tuple, C.dedup_spans(_df(spark, rows).coalesce(1), n=5).collect()))
+    assert a == b
+
+
+def test_dedup_spans_plan_has_no_window_over_hash_key(spark):
+    """Invariant 6: the hot window-hash key must be handled by
+    partial-agg groupBy + unique-composite-key anti join, never a
+    window sort over the hash."""
+    import contextlib
+    import io
+
+    df = _df(spark, [(1, "a b c d e")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        C.dedup_spans(df, n=3).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+
+
+def test_curate_corpus_span_dedup_stage(spark):
+    from search_engine_spark.training_data.pipeline import curate_corpus
+
+    boiler = "all rights reserved contact the webmaster for further details"
+    a = "the first article body has plenty of original words here " + boiler
+    b = "a second article that keeps the most distinct opening text " + boiler
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    # the boilerplate run is 9 tokens; n=9 makes it exactly one window
+    kept, report = curate_corpus(
+        docs, span_dedup_n=9, quality_kwargs={"min_chars": 20}
+    )
+    rows = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(rows) == {1, 2}
+    assert boiler in rows[1]
+    assert boiler not in rows[2]
+    by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
+    assert by_stage["span_dedup"] == (2, 2)  # transform: rows pass through

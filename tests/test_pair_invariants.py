@@ -108,6 +108,7 @@ CONSTRUCTION_JOBS = {
     "lm_quality_by_lang": 1,
     "gopher_repetition": 1,
     "c4_rules": 1,
+    "dedup_spans": 1,
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
@@ -349,6 +350,9 @@ DRIVERLIKE_QUERIES = [
     "gopher_repetition",
     # C4 line/page rules: per-row array filters + regexp counts under ANSI
     "c4_rules",
+    # ExactSubstr span dedup: global min-(doc,pos) vs oracle window under
+    # 200 shuffle partitions, overlap-union reassembly
+    "dedup_spans",
 ]
 
 
@@ -405,6 +409,7 @@ PRUNING_EXPECTATIONS = {
     "lm_quality_by_lang": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "gopher_repetition": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "c4_rules": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "dedup_spans": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
     "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),
