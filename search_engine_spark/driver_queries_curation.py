@@ -1003,22 +1003,23 @@ base AS (
          coalesce(text, '') AS t
   FROM c4
 ),
-k AS (
+kf AS (
   SELECT doc_id,
          CAST(len(lines) AS BIGINT) AS n_lines,
-         coalesce(array_to_string(list_filter(lines, l ->
+         list_filter(lines, l ->
            right(l, 1) IN ({C.C4_TERMINAL_MARKS_SQL})
            AND len(regexp_extract_all(l, '\\S+')) >= {C.C4_MIN_WORDS_PER_LINE}
-           AND NOT contains(lower(l), 'javascript')), chr(10)), '')
-           AS cleaned,
-         CAST(len(list_filter(lines, l ->
-           right(l, 1) IN ({C.C4_TERMINAL_MARKS_SQL})
-           AND len(regexp_extract_all(l, '\\S+')) >= {C.C4_MIN_WORDS_PER_LINE}
-           AND NOT contains(lower(l), 'javascript'))) AS BIGINT)
-           AS n_lines_kept,
+           AND NOT contains(lower(l), 'javascript')) AS kept,
          CAST(contains(lt, 'lorem ipsum') AS BIGINT) AS has_lorem,
          CAST(contains(t, '{{') AS BIGINT) AS has_brace
   FROM base
+),
+k AS (
+  SELECT doc_id, n_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+         CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         has_lorem, has_brace
+  FROM kf
 ),
 m AS (
   SELECT doc_id, n_lines, n_lines_kept,
@@ -1070,8 +1071,8 @@ SQL_DEDUP_SPANS = f"""
 WITH sp AS (SELECT doc_id, {SPAN_TEXT_EXPR} AS text FROM documents),
 warr AS (
   SELECT doc_id,
-         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
   FROM sp
 ),
 toks AS (

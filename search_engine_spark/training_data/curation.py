@@ -290,11 +290,14 @@ def dedup_spans(
     md5 over the joined tokens — exact (not probabilistic) up to md5
     collisions, and engine-portable so the DuckDB oracle replays it.
 
-    Tokens are whitespace runs; reassembly joins surviving tokens with
-    single spaces (span removal normalizes whitespace — documented
-    divergence from the byte-exact paper, inherent to token-window
-    granularity). Documents shorter than ``n`` tokens carry no window
-    and pass through untouched (their text still re-joins on spaces).
+    Tokens are the NON-EMPTY runs between whitespace (leading/trailing
+    tabs and newlines produce no phantom empty tokens); reassembly joins
+    surviving tokens with single spaces (span removal normalizes
+    whitespace — documented divergence from the byte-exact paper,
+    inherent to token-window granularity; in a pipeline this stage must
+    therefore run AFTER any line-structure gate, see curate_corpus
+    stage 3c). Documents shorter than ``n`` tokens carry no window and
+    pass through untouched (their text still re-joins on spaces).
 
     Skew discipline (invariant 6): the hot key is the window hash
     (boilerplate repeats millions of times at crawl scale). The
@@ -307,8 +310,8 @@ def dedup_spans(
     warr = df.select(
         F.col(id_col),
         F.expr(
-            f"CASE WHEN length(trim(coalesce({text_col}, ''))) = 0 "
-            f"THEN array() ELSE split(trim({text_col}), '\\\\s+') END"
+            f"filter(split(coalesce({text_col}, ''), '\\\\s+'), "
+            "x -> x != '')"
         ).alias("_w"),
     )
     toks = warr.select(id_col, F.posexplode("_w").alias("pos", "tok"))

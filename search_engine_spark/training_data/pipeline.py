@@ -168,7 +168,9 @@ def curate_corpus(
     §2.2 as stage 1c (after line dedup): terminal-punctuation /
     3-word / no-javascript line filtering with in-place rewrite, plus
     the page drops (< 5 retained sentences, 'lorem ipsum', curly
-    bracket). ``span_dedup_n`` adds ExactSubstr span dedup as stage 1d:
+    bracket). ``span_dedup_n`` adds ExactSubstr span dedup as stage 3c
+    — after the line-structure gates, before near-dup (the RefinedWeb
+    order, and required: its token rejoin flattens line structure):
     every n-token window seen earlier in the corpus is stripped from
     the later occurrence (first occurrence = min (doc, position)),
     overlaps removed once.
@@ -260,17 +262,6 @@ def curate_corpus(
         )
         exact = gate("c4_rules", exact, rewritten)
 
-    # 1d. optional ExactSubstr span dedup (Lee et al. 2021): any
-    # span_dedup_n-token window whose content appeared earlier in the
-    # corpus is removed from the later occurrence; texts are rewritten
-    # in place (transform — rows pass through; a fully-stripped doc
-    # reassembles to '' and falls to the quality gate).
-    if span_dedup_n is not None:
-        rewritten = dedup_spans(
-            exact, n=span_dedup_n, id_col=id_col, text_col=text_col
-        ).select(id_col, text_col)
-        exact = gate("span_dedup", exact, rewritten)
-
     # 2. quality gate
     q = quality_gate(exact, text_col=text_col, **(quality_kwargs or {}))
     q = gate("quality", exact, q)
@@ -329,6 +320,21 @@ def curate_corpus(
             F.col("mean_logprob") >= lm_logprob_floor
         ).select(id_col)
         lang = gate("lm_quality", lang, lang.join(ok, id_col, "inner"))
+
+    # 3c. optional ExactSubstr span dedup (Lee et al. 2021): any
+    # span_dedup_n-token window whose content appeared earlier in the
+    # corpus is removed from the later occurrence; texts are rewritten
+    # in place (transform — rows pass through; a fully-stripped doc
+    # reassembles to ''). Runs AFTER every line/paragraph-structure gate
+    # (quality, Gopher A1.1/A1.2, C4 §2.2) — the RefinedWeb order
+    # (heuristic filtering first, dedup second) — because token-window
+    # removal rejoins text with single spaces, which would blind those
+    # gates' line-based metrics if it ran earlier.
+    if span_dedup_n is not None:
+        rewritten = dedup_spans(
+            lang, n=span_dedup_n, id_col=id_col, text_col=text_col
+        ).select(id_col, text_col)
+        lang = gate("span_dedup", lang, rewritten)
 
     # 4. near-dup: LSH pairs -> components -> keep component min
     shingled = D.shingles(

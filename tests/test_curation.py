@@ -559,9 +559,16 @@ def test_dedup_spans_within_doc_overlap_union(spark):
 
 
 def test_dedup_spans_short_docs_untouched(spark):
-    out = _ds(spark, [(1, "just three words"), (2, "")], n=4)
+    out = _ds(
+        spark,
+        [(1, "just three words"), (2, ""), (3, "\t \n "), (4, "\n padded \t")],
+        n=4,
+    )
     assert out[1] == (3, 0, "just three words")
+    # whitespace-only and whitespace-padded docs: no phantom empty tokens
     assert out[2] == (0, 0, "")
+    assert out[3] == (0, 0, "")
+    assert out[4] == (1, 0, "padded")
 
 
 def test_dedup_spans_partitioning_invariant(spark):
