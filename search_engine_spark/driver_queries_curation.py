@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .pair_helpers import SQL_FIXED6_LONG, SQL_WS_TOKENS
 from .training_data import curation as C
+from .training_data.textstats import TOKEN_RUN
 
 # ---------------------------------------------------------------------------
 # Shared injection fragments (valid in BOTH Spark SQL and DuckDB SQL).
@@ -1114,6 +1115,139 @@ FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# BFF-style Bloom-filter paragraph dedup (curation.py bloom_dedup, Dolma /
+# allenai/bff): the injection gives every doc newline paragraph structure,
+# plants a shared boilerplate paragraph on every 3rd doc (cross-doc dups —
+# global first occurrence keeps) and a twice-repeated footer on every 7th
+# (within-doc dup). m/k are the pair's fixed filter geometry; md5-salted
+# positions replay bit-for-bit in DuckDB (invariant 2). At sf<=0.1 the
+# filter is sparse enough that drops are (almost) all true duplicates; the
+# false-positive path exercises the same expressions and is unit-tested
+# with a deliberately tiny m in test_curation.py.
+# ---------------------------------------------------------------------------
+BLOOM_M = 1 << 20
+BLOOM_K = 4
+BLOOM_SEED = "bff"
+BLOOM_TEXT_EXPR = (
+    "replace(text, ' line ', chr(10))"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||"
+    " 'subscribe to our newsletter for the latest updates' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||"
+    " 'all rights reserved legal footer' || chr(10) ||"
+    " 'all rights reserved legal footer' ELSE '' END"
+)
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _injected(spark, sf_dir, BLOOM_TEXT_EXPR)
+    out = C.bloom_dedup(injected, m_bits=BLOOM_M, k=BLOOM_K, seed=BLOOM_SEED)
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SQL_BLOOM_DEDUP = f"""
+WITH bl AS (SELECT doc_id, {BLOOM_TEXT_EXPR} AS text FROM documents),
+parr AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                    x -> trim(x, ' ' || chr(9) || chr(13))),
+                     x -> x <> '') AS p
+  FROM bl
+),
+paras AS (
+  SELECT doc_id, i - 1 AS pidx, p[i] AS para
+  FROM parr, unnest(range(1, len(p) + 1)) AS t(i)
+),
+bits AS (
+  SELECT doc_id, pidx,
+         CAST('0x' || substr(md5('{BLOOM_SEED}:' || CAST(s AS VARCHAR)
+                                 || ':' || para), 1, 8) AS BIGINT)
+           % {BLOOM_M} AS bit
+  FROM paras, unnest(range(0, {BLOOM_K})) AS t(s)
+),
+setter AS (
+  SELECT bit, doc_id AS sd, pidx AS sp FROM (
+    SELECT bit, doc_id, pidx,
+           row_number() OVER (PARTITION BY bit ORDER BY doc_id, pidx) AS rn
+    FROM bits
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT b.doc_id, b.pidx
+  FROM bits b JOIN setter s USING (bit)
+  GROUP BY b.doc_id, b.pidx
+  HAVING min(CASE WHEN s.sd < b.doc_id
+                    OR (s.sd = b.doc_id AND s.sp < b.pidx)
+                  THEN 1 ELSE 0 END) = 1
+),
+kept AS (
+  SELECT p.doc_id, p.pidx, p.para
+  FROM paras p ANTI JOIN dup d ON d.doc_id = p.doc_id AND d.pidx = p.pidx
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(para, chr(10) ORDER BY pidx) AS txt
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS np FROM paras GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tot.np, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(tot.np, 0) - coalesce(rebuilt.nk, 0) AS BIGINT)
+         AS n_dup_paras,
+       md5(coalesce(rebuilt.txt, '')) AS text_md5
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (textstats.py tfidf_keywords): per-doc top-5
+# terms by tf * ln(N/df) over the raw corpus (no injection needed — the
+# word soup has real df variation). Ranking orders by the ROUNDED score
+# with term-asc tiebreak, so a sub-1e-6 ln() discrepancy can never flip a
+# rank (the term_stats idf precedent); every count is CAST to BIGINT.
+# ---------------------------------------------------------------------------
+TFIDF_K = 5
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return T.tfidf_keywords(docs, k=TFIDF_K)
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM t GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.dfreq,
+         round(tf.tf * ln(n.n / dfq.dfreq), 6) AS score
+  FROM tf JOIN dfq USING (term), n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+       CAST(tf AS BIGINT) AS tf, CAST(dfreq AS BIGINT) AS dfreq, score
+FROM r WHERE rnk <= {TFIDF_K}
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1129,6 +1263,8 @@ QUERIES_CUR = {
     "gopher_repetition": q_gopher_repetition,
     "c4_rules": q_c4_rules,
     "dedup_spans": q_dedup_spans,
+    "bloom_dedup": q_bloom_dedup,
+    "tfidf_keywords": q_tfidf_keywords,
     "lm_quality": q_lm_quality,
     "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
@@ -1151,6 +1287,8 @@ ORACLES_CUR = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "c4_rules": SQL_C4_RULES,
     "dedup_spans": SQL_DEDUP_SPANS,
+    "bloom_dedup": SQL_BLOOM_DEDUP,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "lm_quality": SQL_LM_QUALITY,
     "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,

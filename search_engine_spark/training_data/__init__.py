@@ -49,6 +49,7 @@ from .multimodal import (
     sample_frames,
 )
 from .curation import (
+    bloom_dedup,
     c4_rules,
     dedup_lines,
     dedup_spans,
@@ -72,7 +73,12 @@ from .mixing import (
     word_ngrams,
 )
 from .pipeline import CurationReport, curate_corpus, quality_gate
-from .textstats import language_id, token_counts, winnowing_fingerprints
+from .textstats import (
+    language_id,
+    tfidf_keywords,
+    token_counts,
+    winnowing_fingerprints,
+)
 
 __all__ = [
     "connected_components",
@@ -95,6 +101,7 @@ __all__ = [
     "ivf_probe_lists",
     "ivf_topk",
     "language_id",
+    "tfidf_keywords",
     "token_counts",
     "winnowing_fingerprints",
     "binary_metadata",
@@ -107,6 +114,7 @@ __all__ = [
     "CurationReport",
     "c4_rules",
     "decontaminate",
+    "bloom_dedup",
     "dedup_lines",
     "dedup_spans",
     "domain_top_k",

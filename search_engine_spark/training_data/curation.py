@@ -361,6 +361,118 @@ def dedup_spans(
     )
 
 
+def bloom_dedup(
+    df: DataFrame,
+    m_bits: int = 1 << 26,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "bff",
+) -> DataFrame:
+    """(id, n_paras, n_dup_paras, text) — Bloom-filter paragraph dedup
+    (the Dolma toolkit's BFF pass, Soldaini et al. 2024 "Dolma" §4 /
+    allenai/bff): paragraphs stream through an ``m_bits``-bit Bloom
+    filter with ``k`` salted hash functions in global (doc, paragraph)
+    order; a paragraph whose ``k`` bit positions were ALL set by
+    earlier paragraphs is dropped (exact duplicates always, plus the
+    filter's false-positive rate ``(1 - e^(-k*n/m))^k`` of distinct
+    paragraphs — the deliberate memory/recall trade that lets BFF
+    dedup a 100 TB crawl with a fixed-RAM filter).
+
+    The sequential semantics has an exact order-free batch
+    formulation, which is what runs here: test-then-add and
+    add-iff-kept coincide (a true duplicate's bits equal its first
+    occurrence's; a false positive's bits are all set either way), so
+    bit ``p`` is "set before paragraph q" iff ``min`` over the corpus
+    of the (doc, idx) of paragraphs hashing to ``p`` is < q's own
+    (doc, idx). That min is a groupBy(bit).min(struct) — map-side
+    partial combine collapses hot boilerplate before the shuffle, one
+    surviving row per distinct bit (<= m_bits total), and the verdict
+    join carries ids only (invariant 6). No driver-side bitmap, no
+    Python: the "filter" is a relation, so m_bits can exceed RAM.
+
+    Paragraphs are newline splits, trimmed, empties dropped (the BFF
+    normalization). Positions are ``md5(seed:salt:para)`` first-8-hex
+    mod m_bits — engine-portable (invariant 2), replayed bit-for-bit
+    by the DuckDB oracle. Kept paragraphs are reassembled in order
+    with single newlines; paragraph-free docs pass through empty.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"filter(transform(split(coalesce({text_col}, ''), '\\n'), "
+                "x -> trim(BOTH ' \t\r' FROM x)), x -> x != '')"
+            )
+        ).alias("pidx", "para"),
+    )
+    bits = paras.select(
+        id_col,
+        "pidx",
+        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("s"),
+        "para",
+    ).select(
+        id_col,
+        "pidx",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(seed), F.col("s"), F.col("para"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m_bits)
+        ).alias("bit"),
+    )
+    setter = (
+        bits.groupBy("bit")
+        .agg(F.min(F.struct(id_col, "pidx")).alias("m"))
+        .select(
+            "bit",
+            F.col(f"m.{id_col}").alias("_sd"),
+            F.col("m.pidx").alias("_sp"),
+        )
+    )
+    earlier = (F.col("_sd") < F.col(id_col)) | (
+        (F.col("_sd") == F.col(id_col)) & (F.col("_sp") < F.col("pidx"))
+    )
+    dup = (
+        bits.join(setter, "bit")
+        .groupBy(id_col, "pidx")
+        .agg(F.min(earlier.cast("int")).alias("_all_earlier"))
+        .filter(F.col("_all_earlier") == 1)
+        .select(id_col, "pidx")
+    )
+    kept = paras.join(dup, [id_col, "pidx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("_text"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("_np"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_np", F.lit(0)).cast("long").alias("n_paras"),
+            (F.coalesce("_np", F.lit(0)) - F.coalesce("_nk", F.lit(0)))
+            .cast("long")
+            .alias("n_dup_paras"),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+        )
+    )
+
+
 # C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the PAPER's values:
 # keep only lines ending in a terminal punctuation mark, with >= 3 words,
 # not mentioning javascript; drop pages with < 5 sentences, any page

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as D
 from .curation import (
+    bloom_dedup,
     c4_rules,
     dedup_lines,
     dedup_spans,
@@ -124,6 +125,8 @@ def curate_corpus(
     gopher_repetition_gate: bool = False,
     redact_pii: bool = False,
     line_dedup: bool = False,
+    bloom_m: int | None = None,
+    bloom_k: int = 4,
     c4: bool = False,
     span_dedup_n: int | None = None,
     eval_docs: DataFrame | None = None,
@@ -249,6 +252,19 @@ def curate_corpus(
             id_col, text_col
         )
         exact = gate("line_dedup", exact, rewritten)
+
+    # 1b2. optional BFF-style Bloom paragraph dedup (Dolma, Soldaini et
+    # al. 2024): a paragraph whose k bloom bits were all set by earlier
+    # paragraphs is removed (exact repeats always, plus the filter's
+    # documented false-positive rate at the chosen m). Kept paragraphs
+    # re-join on newlines, so line structure survives for the line-based
+    # gates downstream (unlike span_dedup, which therefore runs LAST).
+    if bloom_m is not None:
+        rewritten = bloom_dedup(
+            exact, m_bits=bloom_m, k=bloom_k, id_col=id_col,
+            text_col=text_col,
+        ).select(id_col, text_col)
+        exact = gate("bloom_dedup", exact, rewritten)
 
     # 1c. optional C4 line/page rules (Raffel et al. 2020 §2.2): lines
     # not ending in terminal punctuation / under 3 words / mentioning

@@ -137,3 +137,67 @@ def winnowing_fingerprints(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("sel").alias("min_fingerprint"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, rnk, term, tf, dfreq, score) — per-document top-``k`` keyword
+    extraction by TF-IDF, the classic corpus-analysis / index-enrichment
+    operator (Salton & Buckley 1988; the keyword signal behind the
+    reference's per-field term weighting, SURVEY.md E10/A2, repurposed
+    for corpus reporting). ``score = tf * ln(N / df)`` with N the corpus
+    document count and df the term's document frequency.
+
+    Scale shape: term frequencies group on the uniform (doc, term) pair;
+    document frequencies use the two-phase skew-free
+    :func:`~search_engine_spark.pair_helpers.doc_frequencies` (invariant
+    6 — no countDistinct on the Zipf-skewed term); N is an in-plan 1-row
+    aggregate cross-joined (broadcast), never a driver ``.count()``; the
+    final top-k windows on the uniform doc id.
+
+    Float discipline (invariant 4): the score is ONE multiply of an
+    exact integer tf by one ln of one exact division — no accumulation —
+    rounded to 6; ranking orders by the ROUNDED score (ties broken by
+    term asc), so both engines rank identically (the term_stats idf
+    precedent).
+    """
+    from ..pair_helpers import doc_frequencies, scalar_count
+
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = doc_frequencies(toks, key="term", doc=id_col).select(
+        "term", F.col("doc_frequency").cast("long").alias("dfreq")
+    )
+    n = scalar_count(df.select(id_col), "_n")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("dfreq")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "term", "tf", "dfreq", "score")
+    )

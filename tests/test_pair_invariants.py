@@ -109,6 +109,8 @@ CONSTRUCTION_JOBS = {
     "gopher_repetition": 1,
     "c4_rules": 1,
     "dedup_spans": 1,
+    "bloom_dedup": 1,
+    "tfidf_keywords": 1,  # N is an in-plan scalar, never a .count()
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
@@ -353,6 +355,10 @@ DRIVERLIKE_QUERIES = [
     # ExactSubstr span dedup: global min-(doc,pos) vs oracle window under
     # 200 shuffle partitions, overlap-union reassembly
     "dedup_spans",
+    # BFF bloom dedup: conv() hash ints + global min-setter under 200
+    # partitions; TF-IDF: ln under ANSI + two-phase df + in-plan N scalar
+    "bloom_dedup",
+    "tfidf_keywords",
 ]
 
 
@@ -410,6 +416,8 @@ PRUNING_EXPECTATIONS = {
     "gopher_repetition": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "c4_rules": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "dedup_spans": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "bloom_dedup": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "tfidf_keywords": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
     "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),

@@ -233,6 +233,51 @@ def test_token_counts(spark):
     assert r["n_chars"] == 24
 
 
+def test_tfidf_keywords_matches_python_oracle(spark):
+    import math
+    import re
+
+    texts = {
+        1: "apple banana apple cherry apple",
+        2: "banana cherry cherry durian",
+        3: "durian elderberry fig fig fig grape",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    tok = {d: re.findall(r"[a-z0-9]{2,}", t.lower()) for d, t in texts.items()}
+    dfreq: dict[str, int] = {}
+    for words in tok.values():
+        for w in set(words):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    n = len(texts)
+    expected = {}
+    for d, words in tok.items():
+        tf: dict[str, int] = {}
+        for w in words:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            (
+                (round(c * math.log(n / dfreq[w]), 6), w, c)
+                for w, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        expected[d] = [
+            (i + 1, w, c, dfreq[w], s) for i, (s, w, c) in enumerate(scored)
+        ]
+    got: dict[int, list] = {d: [] for d in texts}
+    for r in textstats.tfidf_keywords(df, k=2).collect():
+        got[r["doc_id"]].append(
+            (r["rnk"], r["term"], r["tf"], r["dfreq"], r["score"])
+        )
+    for d in texts:
+        assert sorted(got[d]) == expected[d], d
+    # corpus-wide term ("cherry"-free doc 3): a term in every doc would
+    # score 0; fig (df=1) must out-rank durian (df=2) despite both present
+    assert got[3][0][1] == "fig"
+
+
 def _winnow_oracle(text: str, k: int = 4, window: int = 5) -> set[str]:
     import hashlib
     import re
