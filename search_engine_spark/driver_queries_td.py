@@ -575,6 +575,161 @@ FROM selected GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog distinct-token estimate per language (sketches.py): md5-only
+# register arithmetic, so the oracle replays the ESTIMATE bit-for-bit —
+# not approximately. Exercises both HLL branches across SFs (linear
+# counting while registers are sparse at sf0.001, raw harmonic mean once
+# the per-lang vocabulary saturates m=4096 at sf0.01+).
+# --------------------------------------------------------------------------
+HLL_B = 12
+HLL_SEED = "hll"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import sketches as SK
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    return SK.hll_distinct(
+        toks, "term", stratum_col="lang", b=HLL_B, seed=HLL_SEED
+    )
+
+
+def _hll_sql() -> str:
+    from .training_data.sketches import RHO_CAP, SQL_NIBBLE_LZ, hll_alpha
+
+    m = 1 << HLL_B
+    hexc = HLL_B // 4
+    lz = SQL_NIBBLE_LZ.format(nib="nib")
+    alpha = repr(hll_alpha(m))
+    big = m * m * (1 << RHO_CAP)
+    return f"""
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+h AS (
+  SELECT lang, md5('{HLL_SEED}:' || term) AS h FROM t WHERE term IS NOT NULL
+),
+pre AS (
+  SELECT lang,
+         CAST('0x' || substr(h, 1, {hexc}) AS BIGINT) AS reg,
+         length(regexp_extract(substr(h, {hexc + 1}, 15), '^0*', 0)) AS z,
+         substr(h, {hexc + 1}, 15) AS w
+  FROM h
+),
+rho AS (
+  SELECT lang, reg,
+         least(CASE WHEN z = 15 THEN 61 ELSE z * 4 + ({lz}) + 1 END,
+               {RHO_CAP}) AS rho
+  FROM (SELECT lang, reg, z, substr(w, z + 1, 1) AS nib FROM pre)
+),
+regs AS (SELECT lang, reg, max(rho) AS rho FROM rho GROUP BY lang, reg),
+per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS nset,
+         CAST(sum(CAST(power(2.0, {RHO_CAP} - rho) AS BIGINT)) AS BIGINT) AS s
+  FROM regs GROUP BY lang
+),
+est AS (
+  SELECT lang, nset, {m} - nset AS v,
+         (CAST('{alpha}' AS DOUBLE) * {big}) / (s + ({m} - nset) * {1 << RHO_CAP}) AS raw
+  FROM per
+)
+SELECT lang, nset AS n_registers_set,
+       round(CASE WHEN raw <= {int(2.5 * m)} AND v > 0
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+                  ELSE raw END, 6) AS est_distinct
+FROM est
+"""
+
+
+SQL_HLL_DISTINCT = _hll_sql()
+
+
+# --------------------------------------------------------------------------
+# Exact length quantiles per language (textstats.py length_quantiles):
+# type-1 percentiles of the whitespace-token count via the bounded
+# (stratum, length) distribution — pure integer arithmetic end to end.
+# --------------------------------------------------------------------------
+LQ_PERCENTS = (25, 50, 75, 90)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return X.length_quantiles(docs, percents=LQ_PERCENTS, stratum_col="lang")
+
+
+SQL_LENGTH_QUANTILES = f"""
+WITH d AS (
+  SELECT lang AS stratum, {SQL_WS_TOKENS.format(col="text")} AS n
+  FROM documents
+),
+dist AS (SELECT stratum, n, count(*) AS cnt FROM d GROUP BY stratum, n),
+cum AS (
+  SELECT stratum, n,
+         sum(cnt) OVER (PARTITION BY stratum) AS total,
+         sum(cnt) OVER (PARTITION BY stratum ORDER BY n
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM dist
+),
+p AS (SELECT unnest([{", ".join(str(p) for p in LQ_PERCENTS)}]) AS pct)
+SELECT stratum, CAST(pct AS BIGINT) AS pct,
+       CAST(max(total) AS BIGINT) AS n_docs,
+       CAST(min(n) AS BIGINT) AS value
+FROM cum, p
+WHERE cum >= (total * pct + 99) // 100
+GROUP BY stratum, pct
+"""
+
+
+# --------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sample (mixing.py weighted_sample): global
+# top-50 by ln(u)/w with w = whitespace-token count — the token-budget-
+# proportional subset. Ranking is over the ROUNDED key (doc_id tiebreak),
+# so both engines rank identically.
+# --------------------------------------------------------------------------
+ES_K = 50
+ES_SEED = "es"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import mixing as M
+
+    docs = _read(spark, sf_dir, "documents")
+    weighted = X.token_counts(docs).select("doc_id", "ws_tokens")
+    return M.weighted_sample(
+        weighted, k=ES_K, weight_col="ws_tokens", seed=ES_SEED
+    ).select("doc_id", F.col("weight").cast("long").alias("weight"),
+             "es_key", "rank")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, CAST({SQL_WS_TOKENS.format(col="text")} AS BIGINT) AS weight
+  FROM documents
+),
+s AS (
+  SELECT doc_id, weight,
+         round(ln((CAST('0x' || substr(md5('{ES_SEED}:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
+                  / CAST(4503599627370496 AS DOUBLE)) / weight, 6) AS es_key
+  FROM w WHERE doc_id IS NOT NULL AND weight > 0
+)
+SELECT doc_id, weight, es_key,
+       CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
+         AS rank
+FROM s
+ORDER BY es_key DESC, doc_id LIMIT {ES_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal binary metadata scan (payload = utf-8 bytes of text)
 # --------------------------------------------------------------------------
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1489,6 +1644,9 @@ QUERIES_TD = {
     "language_id": q_language_id,
     "token_counts": q_token_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "hll_distinct": q_hll_distinct,
+    "length_quantiles": q_length_quantiles,
+    "weighted_sample": q_weighted_sample,
     "binary_meta": q_binary_meta,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
@@ -1517,6 +1675,9 @@ ORACLES_TD = {
     "language_id": SQL_LANGUAGE_ID,
     "token_counts": SQL_TOKEN_COUNTS,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "hll_distinct": SQL_HLL_DISTINCT,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "binary_meta": SQL_BINARY_META,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,

@@ -68,13 +68,16 @@ from .mixing import (
     mix_report,
     pack_sequences,
     quota_sample,
+    weighted_sample,
     stratified_sample,
     temperature_sample,
     word_ngrams,
 )
 from .pipeline import CurationReport, curate_corpus, quality_gate
+from .sketches import hll_distinct
 from .textstats import (
     language_id,
+    length_quantiles,
     tfidf_keywords,
     token_counts,
     winnowing_fingerprints,
@@ -101,6 +104,8 @@ __all__ = [
     "ivf_probe_lists",
     "ivf_topk",
     "language_id",
+    "length_quantiles",
+    "hll_distinct",
     "tfidf_keywords",
     "token_counts",
     "winnowing_fingerprints",
@@ -129,6 +134,7 @@ __all__ = [
     "mix_report",
     "pack_sequences",
     "quota_sample",
+    "weighted_sample",
     "stratified_sample",
     "temperature_sample",
     "word_ngrams",

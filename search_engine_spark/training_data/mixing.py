@@ -583,3 +583,73 @@ def quota_sample(
         id_col=key_col,
         salt_mod=salt_mod,
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+# u = (first-52-md5-bits + 1) / 2^52: a deterministic uniform in
+# (0, 1] — +1 keeps ln(u) finite; 52 bits so the integer is exact in a
+# double. Shared numerology with the oracle SQL.
+ES_U_BITS = 52
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "es",
+) -> DataFrame:
+    """(key, weight, es_key, rank) — the global top-``k`` of a weighted
+    sample WITHOUT replacement (Efraimidis & Spirakis 2006): each row
+    draws a deterministic uniform ``u`` from its key's md5 and is ranked
+    by ``u^(1/w)`` — equivalently (monotone, and numerically safer) by
+    ``ln(u)/w`` — so row i's inclusion probability tracks ``w_i``. The
+    canonical "sample a token-budget-proportional subset" primitive:
+    pass token counts as the weight and the expected share of each doc
+    is proportional to its length, with NO replacement bookkeeping and
+    bit-reproducibility across runs, partitionings and engines (md5 hash
+    family shared with :func:`stratified_sample`).
+
+    Rows with NULL keys or non-positive/NULL weights are excluded (ES
+    requires w > 0). ``es_key`` is rounded to 6 before ranking with a
+    key-asc tiebreak, so a sub-1e-6 ``ln`` discrepancy between engines
+    can never flip a rank (the term_stats idf precedent); at very large
+    weights the rounding coarsens the ES order among near-ties, which
+    the deterministic tiebreak resolves identically everywhere.
+
+    Scale shape: the score is map-side; the global top-k plans as
+    TakeOrderedAndProject (per-partition top-k, merge of
+    ``partitions x k`` rows) — k is a sample budget (bounded), never a
+    corpus fraction. For per-stratum quotas compose with
+    :func:`domain_top_k` instead.
+    """
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
+            1,
+            ES_U_BITS // 4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.col(weight_col).cast("double")
+    scored = (
+        docs.filter(F.col(key_col).isNotNull())
+        .filter(w.isNotNull() & (w > 0))
+        .select(
+            key_col,
+            F.col(weight_col).alias("weight"),
+            F.round(
+                F.log((u_int + 1) / F.lit(float(1 << ES_U_BITS))) / w, 6
+            ).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    w_rank = Window.orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+    return scored.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    )

@@ -139,6 +139,65 @@ def winnowing_fingerprints(
     )
 
 
+def length_quantiles(
+    df: DataFrame,
+    percents: tuple = (25, 50, 75, 90),
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stratum, pct, n_docs, value) — EXACT per-stratum percentiles of
+    document length (whitespace tokens), the length-distribution report a
+    mixing/packing decision is based on (sequence-length budgeting, truncation
+    policy, Gopher's min/max-word gates).
+
+    Exactness at 100 TB without a global sort: lengths are integers with
+    bounded distinct cardinality (a length value, not a document), so the
+    distribution ``(stratum, length) -> doc count`` is a bounded relation.
+    One shuffle builds it (map-side partial counts collapse each input
+    partition to the bound first); the cumulative window then runs per
+    stratum over AT MOST ``max_length`` rows — cost independent of corpus
+    size, unlike ``percentile_approx`` (approximate, engine-private merge
+    order) or ``orderBy().rank()`` (corpus-wide sort). The quantile is
+    type-1 (smallest value whose cumulative count reaches ``ceil(pct *
+    n/100)``) in PURE INTEGER arithmetic — no floats anywhere, so every
+    engine agrees bit-for-bit (invariant 4 by omission).
+    """
+    n_expr = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    )
+    dist = (
+        df.select(F.col(stratum_col).alias("stratum"), n_expr.alias("n"))
+        .groupBy("stratum", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_all = Window.partitionBy("stratum")
+    w_cum = (
+        Window.partitionBy("stratum")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.select(
+        "stratum",
+        "n",
+        F.sum("cnt").over(w_all).cast("long").alias("total"),
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)).cast("long") for p in percents])
+    ).alias("pct")
+    return (
+        cum.select("stratum", "n", "total", "cum", pcts)
+        .filter(
+            F.col("cum") >= F.expr("(total * pct + 99) DIV 100")
+        )
+        .groupBy("stratum", "pct")
+        .agg(
+            F.max("total").alias("n_docs"),
+            F.min("n").cast("long").alias("value"),
+        )
+    )
+
+
 def tfidf_keywords(
     df: DataFrame,
     k: int = 5,

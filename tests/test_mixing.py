@@ -514,3 +514,69 @@ def test_dsir_partitioning_invariant(spark, dsir_corpus):
 def test_dsir_rejects_bad_bucket_width(spark, dsir_corpus):
     with pytest.raises(ValueError, match="bucket_hex_chars"):
         M.dsir_weights(dsir_corpus, dsir_corpus, bucket_hex_chars=0)
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling
+# ---------------------------------------------------------------------------
+def _es_sim(rows, k, seed="es"):
+    """Python replay: key = round(ln(u)/w, 6), u from the first 52 md5
+    bits, top-k by (key desc, id asc)."""
+    import hashlib
+    import math
+
+    scored = []
+    for doc_id, w in rows:
+        if doc_id is None or w is None or w <= 0:
+            continue
+        u_int = int(
+            hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:13], 16
+        )
+        scored.append(
+            (round(math.log((u_int + 1) / 2.0**52) / w, 6), doc_id, w)
+        )
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [
+        (doc_id, w, key, i + 1)
+        for i, (key, doc_id, w) in enumerate(scored[:k])
+    ]
+
+
+def test_weighted_sample_matches_simulator(spark):
+    rows = [(i, (i * 37) % 91 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["weight"], r["es_key"], r["rank"])
+        for r in M.weighted_sample(df, k=20, weight_col="w")
+        .orderBy("rank")
+        .collect()
+    ]
+    exp = _es_sim(rows, 20)
+    assert [(g[0], g[1], g[3]) for g in got] == [(e[0], e[1], e[3]) for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[2] - e[2]) < 2e-6  # one ln ulp across libms at most
+
+
+def test_weighted_sample_excludes_bad_rows_and_bounds_k(spark):
+    rows = [(1, 10), (2, 0), (3, -5), (4, None), (None, 7), (5, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = M.weighted_sample(df, k=10, weight_col="w").collect()
+    assert {r["doc_id"] for r in got} == {1, 5}
+    assert sorted(r["rank"] for r in got) == [1, 2]
+
+
+def test_weighted_sample_weight_bias(spark):
+    # one doc carries 10^9 x the weight of 999 others: u^(1/w) ~ 1 for the
+    # heavy doc, so it must appear in a tiny sample (p_miss < 1e-6)
+    rows = [(0, 10**9)] + [(i, 1) for i in range(1, 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in M.weighted_sample(df, k=5, weight_col="w").collect()}
+    assert 0 in got
+
+
+def test_weighted_sample_partition_invariant(spark):
+    rows = [(i, i % 13 + 1) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [tuple(r) for r in M.weighted_sample(df.repartition(9), 15, "w").orderBy("rank").collect()]
+    b = [tuple(r) for r in M.weighted_sample(df.coalesce(1), 15, "w").orderBy("rank").collect()]
+    assert a == b

@@ -111,6 +111,9 @@ CONSTRUCTION_JOBS = {
     "dedup_spans": 1,
     "bloom_dedup": 1,
     "tfidf_keywords": 1,  # N is an in-plan scalar, never a .count()
+    "hll_distinct": 1,
+    "length_quantiles": 1,
+    "weighted_sample": 1,
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
@@ -359,6 +362,11 @@ DRIVERLIKE_QUERIES = [
     # partitions; TF-IDF: ln under ANSI + two-phase df + in-plan N scalar
     "bloom_dedup",
     "tfidf_keywords",
+    # HLL: integer register folds + one double division/ln; quantiles:
+    # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
+    "hll_distinct",
+    "length_quantiles",
+    "weighted_sample",
 ]
 
 
@@ -418,6 +426,9 @@ PRUNING_EXPECTATIONS = {
     "dedup_spans": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "bloom_dedup": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "tfidf_keywords": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
+    "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),
+    "weighted_sample": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
     "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),

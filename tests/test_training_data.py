@@ -877,3 +877,128 @@ def test_curate_corpus_dsir_select_stage(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1, 2}
     by_stage = {s: (rin, rout) for s, rin, rout in report.stages}
     assert by_stage["dsir_select"] == (3, 2)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+def _hll_sim(values, b=12, seed="hll", rho_cap=33):
+    """Python replay of the md5-register arithmetic — the estimate must
+    match BIT-FOR-BIT (modulo one ln's last ulp), not just approximately."""
+    import hashlib
+    import math
+
+    m = 1 << b
+    hexc = b // 4
+    regs: dict[int, int] = {}
+    for v in values:
+        h = hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+        reg = int(h[:hexc], 16)
+        w = h[hexc : hexc + 15]
+        stripped = w.lstrip("0")
+        z = 15 - len(stripped)
+        if z == 15:
+            rho = 61
+        else:
+            nib = stripped[0]
+            lz = 3 if nib == "1" else 2 if nib in "23" else 1 if nib in "4567" else 0
+            rho = 4 * z + lz + 1
+        rho = min(rho, rho_cap)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(2 ** (rho_cap - r) for r in regs.values())
+    s += (m - len(regs)) * 2**rho_cap
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = (alpha * (m * m * 2**rho_cap)) / s
+    v0 = m - len(regs)
+    est = m * math.log(m / v0) if raw <= 2.5 * m and v0 > 0 else raw
+    return len(regs), round(est, 6)
+
+
+def test_hll_distinct_matches_simulator_and_truth(spark):
+    from search_engine_spark.training_data import sketches
+
+    keys = [f"key-{i}" for i in range(5000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    r = sketches.hll_distinct(df, "k").first()
+    nset, est = _hll_sim(keys)
+    assert r["n_registers_set"] == nset
+    assert abs(r["est_distinct"] - est) < 1e-6
+    # accuracy: sigma ~ 1.04/sqrt(4096) = 1.6%; 5% is > 3 sigma
+    assert abs(r["est_distinct"] - 5000) / 5000 < 0.05
+
+
+def test_hll_distinct_duplicates_and_nulls_ignored(spark):
+    from search_engine_spark.training_data import sketches
+
+    uniq = [f"u{i}" for i in range(400)]
+    rows = [(k,) for k in uniq] * 3 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    r = sketches.hll_distinct(df, "k").first()
+    nset, est = _hll_sim(uniq)
+    assert (r["n_registers_set"], r["est_distinct"]) == (nset, est)
+    # 400 << 2.5 * 4096, so this exercised the linear-counting branch
+    assert abs(r["est_distinct"] - 400) / 400 < 0.05
+
+
+def test_hll_distinct_strata_independent_and_partition_invariant(spark):
+    from search_engine_spark.training_data import sketches
+
+    rows = [("en", f"e{i}") for i in range(300)] + [
+        ("de", f"d{i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "lang string, k string")
+    a = {
+        r["lang"]: (r["n_registers_set"], r["est_distinct"])
+        for r in sketches.hll_distinct(
+            df.repartition(7), "k", stratum_col="lang"
+        ).collect()
+    }
+    b = {
+        r["lang"]: (r["n_registers_set"], r["est_distinct"])
+        for r in sketches.hll_distinct(
+            df.coalesce(1), "k", stratum_col="lang"
+        ).collect()
+    }
+    assert a == b
+    assert a["en"] == _hll_sim([f"e{i}" for i in range(300)])
+    assert a["de"] == _hll_sim([f"d{i}" for i in range(50)])
+
+
+# ---------------------------------------------------------------------------
+# Exact length quantiles
+# ---------------------------------------------------------------------------
+def test_length_quantiles_type1_exact(spark):
+    rows = [(i, "en", " ".join(["w"] * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["pct"]: (r["n_docs"], r["value"])
+        for r in textstats.length_quantiles(df).collect()
+    }
+    # type-1: smallest n with cum >= ceil(pct * 10 / 100)
+    assert got == {25: (10, 3), 50: (10, 5), 75: (10, 8), 90: (10, 9)}
+
+
+def test_length_quantiles_duplicates_empty_and_strata(spark):
+    rows = (
+        [(i, "en", "a b c") for i in range(9)]
+        + [(9, "en", "")]
+        + [(10 + i, "de", " ".join(["x"] * (10 + i))) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["stratum"], r["pct"]): r["value"]
+        for r in textstats.length_quantiles(df, percents=(50, 100)).collect()
+    }
+    # en: lengths [0] + [3]*9 -> p50 threshold 5 -> 3; p100 -> 3
+    assert got[("en", 50)] == 3 and got[("en", 100)] == 3
+    # de: lengths 10..13 -> p50 threshold 2 -> 11; p100 -> 13
+    assert got[("de", 50)] == 11 and got[("de", 100)] == 13
+
+
+def test_length_quantiles_partition_invariant(spark):
+    rows = [(i, "en" if i % 3 else "de", " ".join(["w"] * (i % 17 + 1)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = sorted(map(tuple, textstats.length_quantiles(df.repartition(11)).collect()))
+    b = sorted(map(tuple, textstats.length_quantiles(df.coalesce(1)).collect()))
+    assert a == b
