@@ -652,6 +652,100 @@ SQL_HLL_DISTINCT = _hll_sql()
 
 
 # --------------------------------------------------------------------------
+# Count-Min heavy hitters (sketches.py cms_*): the frequent-token report
+# (boilerplate/nav-chrome detection) in fixed memory — candidates from a
+# deterministic 1/16 doc sample, estimates from the full-stream sketch,
+# support threshold in pure BIGINT arithmetic. No floats anywhere, so the
+# oracle replays every estimate bit-for-bit.
+# --------------------------------------------------------------------------
+CMS_D = 4
+CMS_B = 12
+CMS_SEED = "cms"
+CMS_SAMPLE_SEED = "cmss"
+CMS_SUPPORT = (1, 200)  # keep candidates at >= 0.5% of the token stream
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import sketches as SK
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    cand = (
+        toks.filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(CMS_SAMPLE_SEED + ":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            == "0"
+        )
+        .select("term")
+        .distinct()
+    )
+    return SK.cms_heavy_hitters(
+        toks,
+        "term",
+        cand,
+        d=CMS_D,
+        b=CMS_B,
+        seed=CMS_SEED,
+        support_num=CMS_SUPPORT[0],
+        support_den=CMS_SUPPORT[1],
+    )
+
+
+def _cms_sql() -> str:
+    hexc = CMS_B // 4
+    rows = ", ".join(str(j) for j in range(CMS_D))
+    col = (
+        f"CAST('0x' || substr(md5('{CMS_SEED}:' || CAST(r.row AS VARCHAR)"
+        f" || ':' || {{term}}), 1, {hexc}) AS BIGINT)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+rows AS (SELECT unnest([{rows}]) AS row),
+sk AS (
+  SELECT r.row, {col.format(term="t.term")} AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM t, rows r WHERE t.term IS NOT NULL
+  GROUP BY 1, 2
+),
+n AS (SELECT CAST(sum(cnt) // {CMS_D} AS BIGINT) AS n_total FROM sk),
+cand AS (
+  SELECT DISTINCT term FROM t
+  WHERE substr(md5('{CMS_SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        = '0' AND term IS NOT NULL
+),
+est AS (
+  SELECT p.term, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+  FROM (SELECT c.term, r.row, {col.format(term="c.term")} AS col
+        FROM cand c, rows r) p
+  LEFT JOIN sk s ON s.row = p.row AND s.col = p.col
+  GROUP BY p.term
+)
+SELECT e.term, e.est_count, n.n_total
+FROM est e, n
+WHERE e.est_count * {CMS_SUPPORT[1]} >= n.n_total * {CMS_SUPPORT[0]}
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _cms_sql()
+
+
+# --------------------------------------------------------------------------
 # Exact length quantiles per language (textstats.py length_quantiles):
 # type-1 percentiles of the whitespace-token count via the bounded
 # (stratum, length) distribution — pure integer arithmetic end to end.
@@ -1645,6 +1739,7 @@ QUERIES_TD = {
     "token_counts": q_token_counts,
     "winnow_fingerprints": q_winnow_fingerprints,
     "hll_distinct": q_hll_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "length_quantiles": q_length_quantiles,
     "weighted_sample": q_weighted_sample,
     "binary_meta": q_binary_meta,
@@ -1676,6 +1771,7 @@ ORACLES_TD = {
     "token_counts": SQL_TOKEN_COUNTS,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "binary_meta": SQL_BINARY_META,

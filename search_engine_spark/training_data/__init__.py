@@ -74,7 +74,7 @@ from .mixing import (
     word_ngrams,
 )
 from .pipeline import CurationReport, curate_corpus, quality_gate
-from .sketches import hll_distinct
+from .sketches import cms_estimate, cms_heavy_hitters, cms_sketch, hll_distinct
 from .textstats import (
     language_id,
     length_quantiles,
@@ -106,6 +106,9 @@ __all__ = [
     "language_id",
     "length_quantiles",
     "hll_distinct",
+    "cms_sketch",
+    "cms_estimate",
+    "cms_heavy_hitters",
     "tfidf_keywords",
     "token_counts",
     "winnowing_fingerprints",

@@ -1,4 +1,4 @@
-"""Fixed-memory cardinality sketches for corpus-scale reporting.
+"""Fixed-memory sketches for corpus-scale reporting.
 
 At 100 TB, "how many distinct urls / tokens / hosts are in this crawl?"
 cannot afford an exact distinct (a corpus-wide shuffle whose reduce side
@@ -7,6 +7,17 @@ is proportional to the answer). :func:`hll_distinct` is HyperLogLog
 "filter" state is a ``(stratum, register)`` table hard-bounded at
 ``strata x 2^b`` rows, so one fixed-size aggregation pass replaces the
 distinct regardless of corpus size.
+
+The frequency twin is :func:`cms_sketch` / :func:`cms_estimate` /
+:func:`cms_heavy_hitters` — Count-Min (Cormode & Muthukrishnan 2005):
+"which n-grams / domains / tokens dominate this crawl?" without the
+(key -> count) shuffle whose reduce side is the full vocabulary. The
+sketch is a ``(stratum, row, col)`` relation hard-bounded at
+``strata x d x 2^b`` rows; estimates are pure-integer (count-sum +
+min over d counters), so the heavy-hitter report — boilerplate-phrase
+detection, nav-chrome tokens, hot domains — replays bit-for-bit in any
+engine with md5 (invariant 2), with NO floats anywhere (invariant 4 by
+omission).
 
 Engine portability (CLAUDE.md invariant 2): the hash is md5-only and the
 register arithmetic is integer-exact, so the DuckDB oracle — and a plain
@@ -129,3 +140,168 @@ def hll_distinct(
     return per.select(
         *strat, "n_registers_set", est.alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def _cms_col(seed: str, row, key, hexc: int):
+    """Column index of ``key`` in sketch row ``row``: the first ``hexc``
+    hex chars of ``md5(seed:row:key)`` — one md5 per (key, row), shared
+    numerology with the DuckDB oracle.
+
+    The ``coalesce`` is a nullability annotation, not a fallback: md5 of
+    a non-null string always yields valid hex, but Catalyst types
+    ``conv`` as nullable and would infer an ``isnotnull`` filter on the
+    join-key side of :func:`cms_estimate` — forking the sketch subtree
+    away from the totals branch and defeating the exchange reuse that
+    keeps :func:`cms_heavy_hitters` at ONE corpus scan."""
+    h = F.md5(
+        F.concat(
+            F.lit(seed + ":"),
+            row.cast("string"),
+            F.lit(":"),
+            key.cast("string"),
+        )
+    )
+    return F.coalesce(
+        F.conv(F.substring(h, 1, hexc), 16, 10).cast("long"), F.lit(-1)
+    )
+
+
+def _cms_params(d: int, b: int) -> int:
+    if b % 4 != 0 or not 8 <= b <= 16:
+        raise ValueError("b must be a multiple of 4 in [8, 16]")
+    if not 1 <= d <= 8:
+        raise ValueError("d must be in [1, 8]")
+    return b // 4
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str | None = None,
+    d: int = 4,
+    b: int = 12,
+    seed: str = "cms",
+) -> DataFrame:
+    """(stratum?, row, col, cnt) — a Count-Min sketch of the ``key_col``
+    stream as a relation: ``d`` hash rows of ``2^b`` counters; every
+    occurrence of a key increments one counter per row.
+
+    Because counters are ADDITIVE, the sequential-update sketch has an
+    exact order-free formulation — a ``groupBy(row, col).count()`` — so
+    the "sketch" needs no mutable state and no merge protocol: map-side
+    partial sums collapse each input partition to at most ``d * 2^b``
+    rows before the only shuffle, whose reduce side is hard-bounded at
+    ``strata x d x 2^b`` regardless of corpus size or vocabulary. NULL
+    keys are ignored.
+    """
+    hexc = _cms_params(d, b)
+    strat = [stratum_col] if stratum_col else []
+    probes = df.filter(F.col(key_col).isNotNull()).select(
+        *strat,
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("row"),
+    )
+    return (
+        probes.select(
+            *strat,
+            "row",
+            _cms_col(seed, F.col("row"), F.col("__k"), hexc).alias("col"),
+        )
+        .groupBy(*strat, "row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    stratum_col: str | None = None,
+    d: int = 4,
+    b: int = 12,
+    seed: str = "cms",
+) -> DataFrame:
+    """(stratum?, key, est_count) — the Count-Min frequency estimate of
+    each candidate in ``items`` against a :func:`cms_sketch` built with
+    the SAME (d, b, seed): ``min`` over the key's ``d`` counters.
+
+    Guarantees (Cormode & Muthukrishnan 2005 thm. 1): never an
+    underestimate; overshoot ``<= e/2^b * N`` with probability
+    ``1 - e^-d``. The sketch is bounded (``d * 2^b`` rows per stratum)
+    so it broadcasts — the candidate stream never shuffles; a probe
+    that hits no counter row coalesces to 0 (an absent counter was
+    never incremented).
+    """
+    hexc = _cms_params(d, b)
+    strat = [stratum_col] if stratum_col else []
+    probes = items.filter(F.col(key_col).isNotNull()).select(
+        *strat,
+        F.col(key_col).alias(key_col),
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("row"),
+    )
+    probes = probes.withColumn(
+        "col", _cms_col(seed, F.col("row"), F.col(key_col), hexc)
+    )
+    joined = probes.join(
+        F.broadcast(sketch), on=[*strat, "row", "col"], how="left"
+    )
+    return joined.groupBy(*strat, key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+            "est_count"
+        )
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    candidates: DataFrame,
+    stratum_col: str | None = None,
+    d: int = 4,
+    b: int = 12,
+    seed: str = "cms",
+    support_num: int = 1,
+    support_den: int = 200,
+) -> DataFrame:
+    """(stratum?, key, est_count, n_total) — candidates whose Count-Min
+    estimate reaches support ``support_num/support_den`` of the stream:
+    ``est_count * support_den >= n_total * support_num``, ALL in BIGINT
+    arithmetic (no float threshold can disagree between engines).
+
+    ``candidates`` supplies the identities a sketch alone cannot (the
+    standard two-pass idiom: candidates from a cheap deterministic
+    sample — any true heavy hitter appears in every non-trivial sample
+    — estimates from the full-stream sketch). ``n_total`` is recovered
+    from the sketch itself: every hash row's counters sum to exactly
+    the stream length, so ``sum(cnt) DIV d`` over the WHOLE sketch is
+    N with no rounding — in-plan, never a driver ``.count()``, and
+    deliberately NOT a ``row = 0`` slice: a filter would push below
+    the sketch aggregation and fork the plan into a second corpus
+    scan, while the whole-sketch sum keeps the totals branch's
+    exchange byte-identical to the estimate branch's, so Spark's
+    exchange reuse materializes the sketch (and reads the corpus)
+    exactly once.
+    """
+    if support_num < 0 or support_den <= 0:
+        raise ValueError("support must be a ratio with positive denominator")
+    strat = [stratum_col] if stratum_col else []
+    sketch = cms_sketch(df, key_col, stratum_col, d=d, b=b, seed=seed)
+    est = cms_estimate(
+        sketch, candidates, key_col, stratum_col, d=d, b=b, seed=seed
+    )
+    totals = sketch.groupBy(*strat).agg(
+        F.expr(f"sum(cnt) DIV {d}").cast("long").alias("n_total")
+    )
+    if strat:
+        withn = est.join(F.broadcast(totals), on=strat, how="inner")
+    else:
+        withn = est.crossJoin(F.broadcast(totals))
+    return withn.filter(
+        F.col("est_count") * F.lit(support_den)
+        >= F.col("n_total") * F.lit(support_num)
+    ).select(*strat, key_col, "est_count", "n_total")

@@ -112,6 +112,7 @@ CONSTRUCTION_JOBS = {
     "bloom_dedup": 1,
     "tfidf_keywords": 1,  # N is an in-plan scalar, never a .count()
     "hll_distinct": 1,
+    "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
     "dsir_weights": 1,  # docs + target derive from ONE read
@@ -367,6 +368,8 @@ DRIVERLIKE_QUERIES = [
     "hll_distinct",
     "length_quantiles",
     "weighted_sample",
+    # CMS: pure-BIGINT counters, min-fold estimates, integer threshold
+    "cms_heavy_hitters",
 ]
 
 
@@ -427,6 +430,7 @@ PRUNING_EXPECTATIONS = {
     "bloom_dedup": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "tfidf_keywords": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
+    "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "weighted_sample": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),

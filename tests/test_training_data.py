@@ -965,6 +965,144 @@ def test_hll_distinct_strata_independent_and_partition_invariant(spark):
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+def _cms_sim(values, d=4, b=12, seed="cms"):
+    """Python replay of the (row, col) -> count relation."""
+    import hashlib
+
+    hexc = b // 4
+    sk: dict[tuple[int, int], int] = {}
+    for v in values:
+        for j in range(d):
+            h = hashlib.md5(f"{seed}:{j}:{v}".encode()).hexdigest()
+            key = (j, int(h[:hexc], 16))
+            sk[key] = sk.get(key, 0) + 1
+    return sk
+
+
+def _cms_sim_estimate(sk, item, d=4, b=12, seed="cms"):
+    import hashlib
+
+    hexc = b // 4
+    return min(
+        sk.get(
+            (j, int(hashlib.md5(f"{seed}:{j}:{item}".encode()).hexdigest()[:hexc], 16)),
+            0,
+        )
+        for j in range(d)
+    )
+
+
+def test_cms_sketch_matches_simulator_bit_exact(spark):
+    from search_engine_spark.training_data import sketches
+
+    values = [f"v{i % 37}" for i in range(1500)]
+    df = spark.createDataFrame([(v,) for v in values], "k string")
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketches.cms_sketch(df, "k").collect()
+    }
+    assert got == _cms_sim(values)
+
+
+def test_cms_estimate_never_underestimates_and_matches_simulator(spark):
+    from collections import Counter
+
+    from search_engine_spark.training_data import sketches
+
+    values = [f"w{(i * i) % 211}" for i in range(3000)]
+    truth = Counter(values)
+    df = spark.createDataFrame([(v,) for v in values], "k string")
+    sk = sketches.cms_sketch(df, "k")
+    cand = spark.createDataFrame(
+        [(k,) for k in truth] + [("never-seen",)], "k string"
+    )
+    got = {
+        r["k"]: r["est_count"]
+        for r in sketches.cms_estimate(sk, cand, "k").collect()
+    }
+    sim = _cms_sim(values)
+    for k, true_cnt in truth.items():
+        assert got[k] >= true_cnt
+        assert got[k] == _cms_sim_estimate(sim, k)
+    assert got["never-seen"] == _cms_sim_estimate(sim, "never-seen")
+
+
+def test_cms_heavy_hitters_threshold_and_nulls(spark):
+    from search_engine_spark.training_data import sketches
+
+    # 'hot' is 30% of the stream, everything else < 1%
+    values = ["hot"] * 300 + [f"cold{i}" for i in range(700)]
+    rows = [(v,) for v in values] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    cand = df.filter("k IS NOT NULL").distinct()
+    got = sketches.cms_heavy_hitters(
+        df, "k", cand, support_num=1, support_den=10
+    ).collect()
+    assert {r["k"] for r in got} == {"hot"}
+    assert got[0]["n_total"] == 1000
+    assert got[0]["est_count"] >= 300
+
+
+def test_cms_strata_and_partitioning_invariant(spark):
+    from search_engine_spark.training_data import sketches
+
+    rows = [("en", f"e{i % 11}") for i in range(400)] + [
+        ("de", f"d{i % 5}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "lang string, k string")
+    a = sorted(
+        map(tuple, sketches.cms_sketch(df.repartition(7), "k", "lang").collect())
+    )
+    b = sorted(
+        map(tuple, sketches.cms_sketch(df.coalesce(1), "k", "lang").collect())
+    )
+    assert a == b
+    en = {
+        (r[1], r[2]): r[3] for r in a if r[0] == "en"
+    }
+    assert en == _cms_sim([f"e{i % 11}" for i in range(400)])
+
+
+def test_cms_heavy_hitters_plan_reuses_sketch_exchange(spark):
+    # the sketch feeds both the estimate join and the n_total aggregate;
+    # the plan must materialize it ONCE (ReusedExchange), i.e. exactly
+    # two corpus scans total: sketch + candidates — never three
+    import re
+
+    from search_engine_spark.training_data import sketches
+
+    values = [(f"v{i % 9}",) for i in range(100)]
+    df = spark.createDataFrame(values, "k string")
+    cand = df.distinct()
+    out = sketches.cms_heavy_hitters(df, "k", cand, support_den=10)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert plan.count("ReusedExchange") >= 1
+    assert (
+        len(re.findall(r"Scan ExistingRDD|Scan parquet|LocalTableScan", plan))
+        == 2
+    )
+
+
+def test_cms_rejects_bad_params(spark):
+    from search_engine_spark.training_data import sketches
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError, match="multiple of 4"):
+        sketches.cms_sketch(df, "k", b=10)
+    with pytest.raises(ValueError, match="d must be"):
+        sketches.cms_sketch(df, "k", d=0)
+    with pytest.raises(ValueError, match="support"):
+        sketches.cms_heavy_hitters(df, "k", df, support_den=0)
+
+
+# ---------------------------------------------------------------------------
 # Exact length quantiles
 # ---------------------------------------------------------------------------
 def test_length_quantiles_type1_exact(spark):
