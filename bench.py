@@ -265,6 +265,62 @@ def main() -> None:
     postings_w.unpersist()
     stats_w.unpersist()
 
+    # --- end-to-end curation pipeline (training-data headline) --------------
+    # The composed pipeline the per-pair sections exercise piecewise:
+    # url blocklist -> exact dedup -> C4 line dedup -> quality gate ->
+    # Gopher repetition gate -> language gate -> ExactSubstr span dedup ->
+    # MinHash-LSH near-dup + CC -> benchmark decontamination -> domain cap
+    # -> PII redaction, with a per-stage audit (every drop attributable).
+    # The full Gopher A1.1 gate and C4 page rules are excluded HERE only
+    # because the synthetic word-soup corpus fails their English-specific
+    # rules (stop-word kinds, terminal punctuation) outright — both are
+    # pair-benched on their own. Single pass (the pair sections above
+    # already warmed the same operator codegen); ~22 stage-count actions
+    # + 11 localCheckpoint barriers dominate at toy scale, so this
+    # measures orchestration overhead more than data throughput — the
+    # per-stage operators' own scaling is what the pair sections measure.
+    from search_engine_spark.training_data.pipeline import curate_corpus  # noqa: PLC0415
+
+    spark._jvm.System.gc()
+    docs_c = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    cur_langs = tuple(
+        r["lang"] for r in docs_c.select("lang").distinct().collect()
+    )
+    blocklist = spark.createDataFrame(
+        [("src19.example.com",), ("ads.example.net",)], "domain string"
+    )
+    eval_docs = docs_c.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("ev:"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        == "00"
+    ).select("doc_id", "text")
+    n_cur_in = docs_c.count()
+    t0 = time.perf_counter()
+    kept_c, cur_report = curate_corpus(
+        docs_c,
+        languages=cur_langs,
+        url_blocklist=blocklist,
+        line_dedup=True,
+        gopher_repetition_gate=True,
+        redact_pii=True,
+        span_dedup_n=20,
+        eval_docs=eval_docs,
+        domain_cap=200,
+    )
+    n_cur_kept = kept_c.count()
+    cur_wall = time.perf_counter() - t0
+    queries["curation_pipeline"] = round(cur_wall, 4)
+    total += cur_wall
+
     out = {
         "metric": "headline operator suite + index build + search (wall sec)",
         "value": round(total, 4),
@@ -295,6 +351,15 @@ def main() -> None:
                 if deep_stats["decoded_fraction"] is not None
                 else None
             ),
+            "curation_docs_in": n_cur_in,
+            "curation_docs_kept": n_cur_kept,
+            "curation_kept_fraction": round(n_cur_kept / n_cur_in, 4)
+            if n_cur_in
+            else None,
+            "curation_stages": len(cur_report.stages),
+            "curation_docs_per_sec": round(n_cur_in / cur_wall, 2)
+            if cur_wall > 0
+            else None,
         },
     }
     spark.stop()
