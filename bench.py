@@ -275,7 +275,7 @@ def main() -> None:
     # because the synthetic word-soup corpus fails their English-specific
     # rules (stop-word kinds, terminal punctuation) outright — both are
     # pair-benched on their own. Single pass (the pair sections above
-    # already warmed the same operator codegen); ~22 stage-count actions
+    # already warmed the same operator codegen); ~12 stage-count actions
     # + 11 localCheckpoint barriers dominate at toy scale, so this
     # measures orchestration overhead more than data throughput — the
     # per-stage operators' own scaling is what the pair sections measure.

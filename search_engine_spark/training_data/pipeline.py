@@ -216,10 +216,22 @@ def curate_corpus(
     """
     stages: list = []
 
+    # Each stage's input IS the previous stage's checkpointed output, so
+    # its row count is already known — thread it through instead of
+    # re-counting (halves the audit's job count: one action per stage
+    # boundary, literally). Only the first gate counts its input frame.
+    prev_out_count: list = [None]
+
     def gate(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
-        rin = before.count()
+        rin = (
+            prev_out_count[0]
+            if prev_out_count[0] is not None
+            else before.count()
+        )
         out = after.localCheckpoint(eager=True)
-        stages.append((name, rin, out.count()))
+        rout = out.count()
+        stages.append((name, rin, rout))
+        prev_out_count[0] = rout
         return out
 
     base = docs.select(id_col, text_col)
