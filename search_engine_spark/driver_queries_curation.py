@@ -1248,6 +1248,55 @@ FROM r WHERE rnk <= {TFIDF_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations (textstats.py collocations): corpus-wide top-k
+# adjacent-bigram collocations by pointwise mutual information (Church &
+# Hanks 1990) with a min-count noise floor. One ln of one exact
+# double expression (two left-assoc products, one divide — no
+# accumulation), rounded to 6; ranking orders by the ROUNDED pmi with
+# (w1, w2)-asc tiebreak (unique per bigram), so both engines rank
+# identically; every count CAST to BIGINT (the DuckDB sum()->HUGEINT
+# trap).
+# ---------------------------------------------------------------------------
+BIGRAM_K = 100
+BIGRAM_MIN = 3
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return T.collocations(docs, k=BIGRAM_K, min_count=BIGRAM_MIN)
+
+
+SQL_BIGRAM_PMI = f"""
+WITH wds AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w FROM documents
+),
+bi AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM wds, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+n AS (SELECT CAST(sum(c12) AS BIGINT) AS nbi FROM c12),
+s AS (
+  SELECT c12.w1, c12.w2, c12.c12, c1.c1, c2.c2,
+         round(ln((CAST(c12.c12 AS DOUBLE) * n.nbi)
+                  / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) AS pmi
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+  WHERE c12.c12 >= {BIGRAM_MIN}
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM s
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, c12, c1, c2, pmi
+FROM r WHERE rnk <= {BIGRAM_K}
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1265,6 +1314,7 @@ QUERIES_CUR = {
     "dedup_spans": q_dedup_spans,
     "bloom_dedup": q_bloom_dedup,
     "tfidf_keywords": q_tfidf_keywords,
+    "bigram_pmi": q_bigram_pmi,
     "lm_quality": q_lm_quality,
     "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
@@ -1289,6 +1339,7 @@ ORACLES_CUR = {
     "dedup_spans": SQL_DEDUP_SPANS,
     "bloom_dedup": SQL_BLOOM_DEDUP,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     "lm_quality": SQL_LM_QUALITY,
     "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,

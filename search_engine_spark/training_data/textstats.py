@@ -198,6 +198,85 @@ def length_quantiles(
     )
 
 
+def collocations(
+    df: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rnk, w1, w2, c12, c1, c2, pmi) — corpus-wide top-``k`` bigram
+    collocations by pointwise mutual information (Church & Hanks 1990),
+    the classic collocation-mining pass a corpus report runs to surface
+    multi-word expressions and boilerplate phrases.
+
+    ``pmi = ln(c12 * N / (c1 * c2))`` over the adjacent-bigram stream:
+    ``c12`` the bigram's occurrence count, ``c1``/``c2`` the marginal
+    counts of its left/right word over all bigrams, ``N`` the corpus
+    bigram total. Bigrams under ``min_count`` are dropped before scoring
+    (the standard noise floor — PMI over-rewards hapax pairs).
+
+    Scale shape: bigrams are built map-side from each doc's token array
+    (one ``transform`` over positions — no window, no per-doc shuffle);
+    ONE shuffle groups the corpus bigram stream on the (w1, w2) pair
+    with map-side partial counts collapsing hot phrases; the marginals
+    and the bigram total derive from the AGGREGATED c12 relation
+    (vocab-bounded, far smaller than the token stream), the total
+    cross-joined in-plan as a broadcast 1-row aggregate — never a
+    driver scalar. The final top-k is orderBy+limit
+    (TakeOrderedAndProject); the rank window then runs on <= k rows.
+
+    Float discipline (invariant 4): one ln of one exact expression
+    ``(c12_d * N) / (c1_d * c2)`` (two left-assoc double products, one
+    divide — no accumulation), rounded to 6; the total order is
+    (rounded pmi desc, w1 asc, w2 asc), unique per bigram, so both
+    engines rank identically. Counts stay BIGINT end-to-end; the
+    products run in doubles so a 10^14-bigram corpus cannot overflow.
+    """
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)")
+    bi = (
+        df.withColumn("_w", words)
+        .filter(F.size("_w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_w) - 2),"
+                    " i -> struct(_w[i] AS w1, _w[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    nbi = c12.agg(F.sum("c12").cast("long").alias("_nbi"))
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nbi))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("_nbi"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "rnk", "w1", "w2", "c12", "c1", "c2", "pmi"
+    )
+
+
 def tfidf_keywords(
     df: DataFrame,
     k: int = 5,

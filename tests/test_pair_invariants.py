@@ -111,6 +111,7 @@ CONSTRUCTION_JOBS = {
     "dedup_spans": 1,
     "bloom_dedup": 1,
     "tfidf_keywords": 1,  # N is an in-plan scalar, never a .count()
+    "bigram_pmi": 1,    # bigram total is an in-plan broadcast scalar
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -363,6 +364,7 @@ DRIVERLIKE_QUERIES = [
     # partitions; TF-IDF: ln under ANSI + two-phase df + in-plan N scalar
     "bloom_dedup",
     "tfidf_keywords",
+    "bigram_pmi",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -429,6 +431,7 @@ PRUNING_EXPECTATIONS = {
     "dedup_spans": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "bloom_dedup": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "tfidf_keywords": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "bigram_pmi": (["text"], ["doc_id", "lang", "source", "n_chars"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

@@ -278,6 +278,83 @@ def test_tfidf_keywords_matches_python_oracle(spark):
     assert got[3][0][1] == "fig"
 
 
+def _collocations_oracle(texts, k, min_count):
+    import math
+    import re
+
+    c12: dict[tuple, int] = {}
+    for t in texts:
+        w = re.findall(r"[a-z0-9]{2,}", t.lower())
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        c2[b] = c2.get(b, 0) + c
+    n = sum(c12.values())
+    rows = sorted(
+        (
+            (round(math.log((c * n) / (c1[a] * c2[b])), 6), a, b, c)
+            for (a, b), c in c12.items()
+            if c >= min_count
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:k]
+    return [
+        (i + 1, a, b, c, c1[a], c2[b], s)
+        for i, (s, a, b, c) in enumerate(rows)
+    ]
+
+
+def test_collocations_matches_python_oracle(spark):
+    # "new york" always adjacent (high PMI); "the cat/dog/car" disperses
+    # "the"'s marginal; "rare pair" appears twice — under the floor of 3
+    texts = [
+        "visit new york and the cat sat on the mat in new york today",
+        "the dog and the car left new york while rare pair words repeat",
+        "new york is where the cat and the dog met a rare pair once more",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    expected = _collocations_oracle(texts, k=5, min_count=3)
+    got = [
+        (r["rnk"], r["w1"], r["w2"], r["c12"], r["c1"], r["c2"], r["pmi"])
+        for r in textstats.collocations(df, k=5, min_count=3).collect()
+    ]
+    got = sorted(got)
+    assert got == expected
+    # the always-adjacent phrase must out-rank the dispersed stopword pairs
+    assert got and (got[0][1], got[0][2]) == ("new", "york")
+    # the under-floor bigram is absent
+    assert all((w1, w2) != ("rare", "pair") for _, w1, w2, *_ in got)
+
+
+def test_collocations_partitioning_invariance(spark):
+    texts = [
+        f"alpha beta gamma delta {w} alpha beta epsilon"
+        for w in ("one", "two", "three", "four", "five", "six")
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    a = sorted(map(tuple, textstats.collocations(df, k=10, min_count=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            textstats.collocations(
+                df.repartition(7), k=10, min_count=2
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert a, "expected non-empty collocations"
+
+
+def test_collocations_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [("",), ("solo",), ("  ",)], "text string"
+    )
+    assert textstats.collocations(df, k=5, min_count=1).collect() == []
+
+
 def _winnow_oracle(text: str, k: int = 4, window: int = 5) -> set[str]:
     import hashlib
     import re
