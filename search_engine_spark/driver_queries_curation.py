@@ -1297,6 +1297,71 @@ FROM r WHERE rnk <= {BIGRAM_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency stats (textstats.py zipf_stats): per-language vocab,
+# token total, and the log-log Zipf slope + R² over the top-R terms — the
+# distributional-anomaly report (Zipf 1949; Piantadosi 2014). Each
+# (ln rank, ln count) point is quantized ONCE to integer micros
+# (round(·1e6, 0) yields an integer-valued double — cast exact in both
+# engines, unlike a raw double→bigint cast which truncates in Spark but
+# rounds in DuckDB); the OLS sums are then pure BIGINT arithmetic
+# (order-independent, invariant 4); slope/R² are single double
+# expressions of those exact integers, rounded 6. Every count CAST to
+# BIGINT (the DuckDB sum()->HUGEINT trap).
+# ---------------------------------------------------------------------------
+ZIPF_R = 200
+
+
+def q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text")
+    return T.zipf_stats(docs, r=ZIPF_R)
+
+
+SQL_ZIPF_STATS = f"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY lang, term),
+tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(cnt) AS BIGINT) AS total_tokens
+  FROM tc GROUP BY lang
+),
+rk AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rnk
+  FROM tc
+),
+pts AS (
+  SELECT lang,
+         CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x6,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y6
+  FROM rk WHERE rnk <= {ZIPF_R}
+),
+sums AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         CAST(sum(y6 * y6) AS BIGINT) AS syy
+  FROM pts GROUP BY lang HAVING count(*) >= 2
+)
+SELECT t.lang, t.vocab, t.total_tokens, s.n AS top_n,
+       round((CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+             / (CAST(s.n AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx), 6)
+         AS zipf_slope,
+       round(((CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+              * (CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy))
+             / ((CAST(s.n AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
+                * (CAST(s.n AS DOUBLE) * s.syy - CAST(s.sy AS DOUBLE) * s.sy)), 6)
+         AS r2
+FROM tot t JOIN sums s USING (lang)
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1315,6 +1380,7 @@ QUERIES_CUR = {
     "bloom_dedup": q_bloom_dedup,
     "tfidf_keywords": q_tfidf_keywords,
     "bigram_pmi": q_bigram_pmi,
+    "zipf_stats": q_zipf_stats,
     "lm_quality": q_lm_quality,
     "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
@@ -1340,6 +1406,7 @@ ORACLES_CUR = {
     "bloom_dedup": SQL_BLOOM_DEDUP,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "bigram_pmi": SQL_BIGRAM_PMI,
+    "zipf_stats": SQL_ZIPF_STATS,
     "lm_quality": SQL_LM_QUALITY,
     "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,

@@ -277,6 +277,93 @@ def collocations(
     )
 
 
+def zipf_stats(
+    df: DataFrame,
+    r: int = 200,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, vocab, total_tokens, top_n, zipf_slope, r2) — per-language
+    rank-frequency statistics: vocabulary size, token total, and the
+    log-log Zipf slope with its fit quality over the top-``r`` terms.
+    The corpus-QA report a curation pipeline runs to spot distributional
+    anomalies (machine-generated or template-heavy text flattens the
+    head; a slope far from a natural corpus's is a red flag — Zipf 1949,
+    Piantadosi 2014's review of rank-frequency diagnostics).
+
+    Slope/R² come from the ordinary least-squares closed form over the
+    points (ln rank, ln count), rank 1..r by (count desc, term asc).
+
+    Scale shape: the token stream collapses to the (lang, term)->count
+    relation in ONE shuffle with map-side partials; everything after
+    runs on that AGGREGATED vocab-bounded relation (rows ∝ vocabulary,
+    not corpus) — a per-lang rank window, then a per-lang fold to six
+    integers. No driver scalars, no corpus-wide sort.
+
+    Float discipline (invariant 4): each point is quantized ONCE
+    (``round(ln(v)·1e6, 0)`` — an integer-valued double, cast exact in
+    both engines); the OLS sums are then PURE BIGINT arithmetic —
+    order-independent, so partitioning can never perturb them (the
+    ``sum_fixed6`` pattern). Slope and R² are single double expressions
+    of those exact integers, rounded to 6. Magnitudes: x6 ≤ ln(r)·1e6,
+    y6 ≤ ln(count)·1e6 ≈ 3.5e7 even at 10^15 tokens, so the BIGINT
+    x6·y6 sums stay < 2^63 for any realistic ``r``.
+    """
+    tok = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    tc = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = tc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    pts = (
+        tc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= r)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rnk").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("x6"),
+            F.round(F.log(F.col("cnt").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("y6"),
+        )
+    )
+    sums = (
+        pts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x6").cast("long").alias("sx"),
+            F.sum("y6").cast("long").alias("sy"),
+            F.sum(F.col("x6") * F.col("x6")).cast("long").alias("sxx"),
+            F.sum(F.col("x6") * F.col("y6")).cast("long").alias("sxy"),
+            F.sum(F.col("y6") * F.col("y6")).cast("long").alias("syy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    den = n_d * F.col("sxx") - sx_d * F.col("sx")
+    den2 = n_d * F.col("syy") - sy_d * F.col("sy")
+    return tot.join(sums, "lang").select(
+        "lang",
+        "vocab",
+        "total_tokens",
+        F.col("n").alias("top_n"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round((num * num) / (den * den2), 6).alias("r2"),
+    )
+
+
 def tfidf_keywords(
     df: DataFrame,
     k: int = 5,

@@ -112,6 +112,7 @@ CONSTRUCTION_JOBS = {
     "bloom_dedup": 1,
     "tfidf_keywords": 1,  # N is an in-plan scalar, never a .count()
     "bigram_pmi": 1,    # bigram total is an in-plan broadcast scalar
+    "zipf_stats": 1,    # OLS sums are in-plan BIGINT folds, no driver scalars
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -365,6 +366,8 @@ DRIVERLIKE_QUERIES = [
     "bloom_dedup",
     "tfidf_keywords",
     "bigram_pmi",
+    # Zipf OLS: pure-BIGINT sums of once-quantized ln points under ANSI
+    "zipf_stats",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -432,6 +435,7 @@ PRUNING_EXPECTATIONS = {
     "bloom_dedup": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "tfidf_keywords": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "bigram_pmi": (["text"], ["doc_id", "lang", "source", "n_chars"]),
+    "zipf_stats": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

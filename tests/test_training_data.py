@@ -355,6 +355,90 @@ def test_collocations_empty_and_short_docs(spark):
     assert textstats.collocations(df, k=5, min_count=1).collect() == []
 
 
+def _zipf_oracle(rows, r):
+    import math
+    import re
+    from collections import Counter
+
+    # half-up quantization (floor(x + 0.5)) — what Spark round(x, 0) and
+    # DuckDB round() both do for positive doubles; python round() banks
+    def q6(v):
+        return math.floor(math.log(v) * 1e6 + 0.5)
+
+    by: dict[str, Counter] = {}
+    for lang, text in rows:
+        by.setdefault(lang, Counter()).update(
+            re.findall(r"[a-z0-9]{2,}", text.lower())
+        )
+    out = []
+    for lang in sorted(by):
+        c = by[lang]
+        if not c:
+            continue
+        vocab, tot = len(c), sum(c.values())
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:r]
+        pts = [(q6(i + 1), q6(cnt)) for i, (_, cnt) in enumerate(ranked)]
+        n = len(pts)
+        if n < 2:
+            continue
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        num = float(n) * sxy - float(sx) * sy
+        den = float(n) * sxx - float(sx) * sx
+        den2 = float(n) * syy - float(sy) * sy
+        out.append(
+            (lang, vocab, tot, n, round(num / den, 6), round(num * num / (den * den2), 6))
+        )
+    return out
+
+
+def test_zipf_stats_matches_python_oracle(spark):
+    rows = [
+        ("en", "the the the the cat cat sat on on the mat"),
+        ("en", "the cat and the dog and the bird"),
+        ("de", "der der die das der die und"),
+        ("solo", "einziges"),  # 1 distinct term -> excluded (n < 2)
+        ("empty", "   "),  # no tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    expected = _zipf_oracle(rows, r=200)
+    got = sorted(tuple(r) for r in textstats.zipf_stats(df, r=200).collect())
+    assert got == expected
+    langs = [g[0] for g in got]
+    assert langs == ["de", "en"]
+    # natural text: slope negative, fit meaningful
+    assert all(g[4] < 0 for g in got)
+
+
+def test_zipf_stats_perfect_zipf_slope(spark):
+    # counts exactly proportional to 1/rank -> slope -1, r2 1
+    words = []
+    for i, w in enumerate(["aa", "bb", "cc", "dd", "ee", "ff"]):
+        words += [w] * (60 // (i + 1))
+    df = spark.createDataFrame([("en", " ".join(words))], "lang string, text string")
+    [row] = textstats.zipf_stats(df, r=10).collect()
+    assert row["vocab"] == 6 and row["top_n"] == 6
+    assert abs(row["zipf_slope"] + 1.0) < 1e-3
+    assert row["r2"] > 0.999999
+
+
+def test_zipf_stats_partitioning_invariance(spark):
+    rows = [
+        ("en", f"alpha beta beta gamma {w} delta alpha")
+        for w in ("one", "two", "three", "four", "five", "six", "seven")
+    ] + [("fr", "le le la les des le la")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    a = sorted(tuple(r) for r in textstats.zipf_stats(df, r=5).collect())
+    b = sorted(
+        tuple(r) for r in textstats.zipf_stats(df.repartition(7), r=5).collect()
+    )
+    assert a == b
+    assert len(a) == 2
+
+
 def _winnow_oracle(text: str, k: int = 4, window: int = 5) -> set[str]:
     import hashlib
     import re
