@@ -1362,6 +1362,49 @@ FROM tot t JOIN sums s USING (lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# n-gram duplication profile (textstats.py gram_dup_profile): per-language
+# fraction of word 5-gram instances (and distinct 5-grams) occurring more
+# than once — Lee et al. 2022's corpus duplication report. Grams are md5-
+# hashed map-side (engine-portable, invariant 2; fixed-width shuffle key);
+# the only floats are two single divides of exact BIGINTs, rounded 6.
+# ---------------------------------------------------------------------------
+DUP_N = 5
+_DUP_GRAM = " || ' ' || ".join(f"w[i + {j}]" for j in range(DUP_N))
+
+
+def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text")
+    return T.gram_dup_profile(docs, n=DUP_N)
+
+
+SQL_DUP_PROFILE = f"""
+WITH wds AS (
+  SELECT lang, regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w FROM documents
+),
+grams AS (
+  SELECT lang, md5({_DUP_GRAM}) AS h
+  FROM wds, unnest(range(1, len(w) - {DUP_N - 2})) AS t(i)
+  WHERE len(w) >= {DUP_N}
+),
+tc AS (SELECT lang, h, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY lang, h),
+agg AS (
+  SELECT lang,
+         CAST(sum(c) AS BIGINT) AS total_grams,
+         CAST(count(*) AS BIGINT) AS distinct_grams,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_instances,
+         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_distinct
+  FROM tc GROUP BY lang
+)
+SELECT lang, total_grams, distinct_grams, dup_instances, dup_distinct,
+       round(CAST(dup_instances AS DOUBLE) / total_grams, 6) AS dup_instance_frac,
+       round(CAST(dup_distinct AS DOUBLE) / distinct_grams, 6) AS dup_distinct_frac
+FROM agg
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1381,6 +1424,7 @@ QUERIES_CUR = {
     "tfidf_keywords": q_tfidf_keywords,
     "bigram_pmi": q_bigram_pmi,
     "zipf_stats": q_zipf_stats,
+    "dup_profile": q_dup_profile,
     "lm_quality": q_lm_quality,
     "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
@@ -1407,6 +1451,7 @@ ORACLES_CUR = {
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "zipf_stats": SQL_ZIPF_STATS,
+    "dup_profile": SQL_DUP_PROFILE,
     "lm_quality": SQL_LM_QUALITY,
     "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,

@@ -1726,8 +1726,71 @@ GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding diversity (similarity.py embedding_diversity): per-label member
+# count, mean norm, and the EXACT mean pairwise cosine via the Gram
+# identity sum_{i!=j} ui.uj = |sum u|^2 - sum |ui|^2 — linear, no self-join.
+# Unit vectors quantized ONCE to integer 1e-4 components (round(...*q, 0)
+# is an integer-valued double — cast exact in both engines); all sums pure
+# BIGINT (invariant 4); final ratios single double expressions, rounded 6.
+# ---------------------------------------------------------------------------
+DIVERSITY_Q = 10_000
+
+
+def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label", "embedding"
+    )
+    return S.embedding_diversity(emb, q=DIVERSITY_Q)
+
+
+SQL_EMBEDDING_DIVERSITY = f"""
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+u AS (
+  SELECT label,
+         CAST(round(nrm * 1e6, 0) AS BIGINT) AS norm6,
+         list_transform(v, x -> CAST(round(x / nrm * {DIVERSITY_Q}, 0) AS BIGINT)) AS uq
+  FROM e WHERE nrm > 0
+),
+per_vec AS (
+  SELECT label, norm6,
+         CAST(list_sum(list_transform(uq, x -> x * x)) AS BIGINT) AS ssq
+  FROM u
+),
+sums AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(norm6) AS BIGINT) AS sum_norm6,
+         CAST(sum(ssq) AS BIGINT) AS sum_ssq
+  FROM per_vec GROUP BY label
+),
+dims AS (
+  SELECT label, i AS dim, CAST(sum(uq[i]) AS BIGINT) AS s
+  FROM u, unnest(range(1, len(uq) + 1)) AS t(i)
+  GROUP BY label, i
+),
+g AS (
+  SELECT label, sum(CAST(s AS DOUBLE) * s) AS ssum_sq
+  FROM dims GROUP BY label
+)
+SELECT s.label, s.n,
+       round(CAST(s.sum_norm6 AS DOUBLE) / (s.n * 1e6), 6) AS avg_norm,
+       CASE WHEN s.n >= 2 THEN
+         round((g.ssum_sq - s.sum_ssq)
+               / (CAST(s.n AS DOUBLE) * (s.n - 1) * {DIVERSITY_Q * DIVERSITY_Q}), 6)
+       END AS avg_cos
+FROM sums s JOIN g USING (label)
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "embedding_diversity": q_embedding_diversity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1760,6 +1823,7 @@ QUERIES_TD = {
 
 ORACLES_TD = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "embedding_diversity": SQL_EMBEDDING_DIVERSITY,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,

@@ -430,6 +430,93 @@ def semantic_dedup(
     )
 
 
+def embedding_diversity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    q: int = 10_000,
+) -> DataFrame:
+    """(label, n, avg_norm, avg_cos) — per-cluster embedding diversity:
+    member count, mean vector norm, and the EXACT mean pairwise cosine
+    of the (quantized) unit vectors — the coherence/mode-collapse
+    diagnostic an embedding-space curation pass reports per cluster
+    (near-1 ⇒ collapsed/duplicate cluster, near-0 ⇒ isotropic noise).
+
+    The n² pairwise mean collapses to one linear pass via the Gram
+    identity ``Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖uᵢ‖²`` — no self-join, no
+    pair materialization. Per label, the shuffle carries (a) three
+    integer sums and (b) one row per (label, dim) for the vector sum:
+    cost ∝ corpus·dim map-side, ≤ labels·dim after the partial
+    aggregate. Zero-norm vectors are excluded (undefined direction).
+
+    Float discipline (invariant 4): each unit vector is quantized ONCE
+    to integer 1e-4 components (``round(x/‖v‖·q, 0)`` — an
+    integer-valued double, cast exact in both engines); everything
+    summed is then PURE BIGINT (order-independent). ‖Σu‖² and the final
+    ratios are single double expressions of those exact integers,
+    rounded 6. The statistic is *defined* on the quantized vectors, so
+    both engines agree bit-for-bit; accuracy vs the unquantized mean
+    cosine is ~1e-4 — far inside any curation threshold. Headroom: Σ‖û‖²
+    ≈ n·dim·q² keeps BIGINT safe to ~10⁹ vectors at dim 64.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = (
+        df.select(F.col(label_col).alias("label"), v.alias("_v"), nrm.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "label",
+            F.round(F.col("_n") * 1e6, 0).cast("long").alias("norm6"),
+            # the division is guarded by a lazy CaseWhen, not just the
+            # filter: under ANSI, CollapseProject can evaluate this
+            # projection as a subexpression of the _n > 0 predicate
+            # itself, so a bare x / _n would raise DIVIDE_BY_ZERO on the
+            # very rows the filter is about to drop
+            F.transform(
+                "_v",
+                lambda x: F.round(
+                    F.when(F.col("_n") > 0, x / F.col("_n") * q), 0
+                ).cast("long"),
+            ).alias("uq"),
+        )
+    )
+    per = base.withColumn(
+        "ssq",
+        F.aggregate(
+            "uq", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ),
+    )
+    sums = per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("norm6").cast("long").alias("sum_norm6"),
+        F.sum("ssq").cast("long").alias("sum_ssq"),
+    )
+    dims = (
+        base.select("label", F.posexplode("uq").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    g = dims.groupBy("label").agg(
+        F.sum(F.col("s").cast("double") * F.col("s")).alias("ssum_sq")
+    )
+    n_d = F.col("n").cast("double")
+    return sums.join(g, "label").select(
+        "label",
+        "n",
+        F.round(F.col("sum_norm6").cast("double") / (n_d * 1e6), 6).alias(
+            "avg_norm"
+        ),
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                (F.col("ssum_sq") - F.col("sum_ssq"))
+                / (n_d * (n_d - 1) * float(q) * float(q)),
+                6,
+            ),
+        ).alias("avg_cos"),
+    )
+
+
 def _cosine_py(a: list[float], b: list[float]) -> float:
     dot = sum(x * y for x, y in zip(a, b))
     na = sum(x * x for x in a) ** 0.5

@@ -277,6 +277,71 @@ def collocations(
     )
 
 
+def gram_dup_profile(
+    df: DataFrame,
+    n: int = 5,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, total_grams, distinct_grams, dup_instances, dup_distinct,
+    dup_instance_frac, dup_distinct_frac) — the per-language n-gram
+    duplication profile: what fraction of word ``n``-gram instances (and
+    of distinct n-grams) occur more than once in the corpus slice. The
+    corpus-level duplication report of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") — run BEFORE dedup to
+    size the problem and AFTER to prove the reduction.
+
+    Scale shape: grams are built map-side from each doc's token array
+    (one ``transform`` over positions) and hashed to md5 immediately, so
+    the shuffle carries a fixed-width key, never the text; ONE shuffle
+    groups the gram stream on (lang, hash) with map-side partials
+    collapsing hot grams; the profile then folds the AGGREGATED
+    gram-count relation per language. No windows, no joins.
+
+    Floats: only the two final fractions — each one divide of two exact
+    BIGINTs, rounded 6 (invariant 4 by construction).
+    """
+    terms = " || ' ' || ".join(f"_w[i + {j}]" for j in range(n))
+    grams = (
+        df.withColumn(
+            "_w",
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)"),
+        )
+        .filter(F.size("_w") >= n)
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.expr(f"transform(sequence(0, size(_w) - {n}), i -> md5({terms}))")
+            ).alias("h"),
+        )
+    )
+    tc = grams.groupBy("lang", "h").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dup = F.col("c") >= 2
+    agg = tc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("total_grams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+        F.sum(F.when(dup, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_instances"),
+        F.sum(F.when(dup, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_distinct"),
+    )
+    return agg.select(
+        "lang",
+        "total_grams",
+        "distinct_grams",
+        "dup_instances",
+        "dup_distinct",
+        F.round(
+            F.col("dup_instances").cast("double") / F.col("total_grams"), 6
+        ).alias("dup_instance_frac"),
+        F.round(
+            F.col("dup_distinct").cast("double") / F.col("distinct_grams"), 6
+        ).alias("dup_distinct_frac"),
+    )
+
+
 def zipf_stats(
     df: DataFrame,
     r: int = 200,

@@ -113,6 +113,8 @@ CONSTRUCTION_JOBS = {
     "tfidf_keywords": 1,  # N is an in-plan scalar, never a .count()
     "bigram_pmi": 1,    # bigram total is an in-plan broadcast scalar
     "zipf_stats": 1,    # OLS sums are in-plan BIGINT folds, no driver scalars
+    "embedding_diversity": 1,  # Gram-identity sums all in-plan, no driver math
+    "dup_profile": 1,   # duplication fractions fold in-plan, no driver scalars
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -368,6 +370,10 @@ DRIVERLIKE_QUERIES = [
     "bigram_pmi",
     # Zipf OLS: pure-BIGINT sums of once-quantized ln points under ANSI
     "zipf_stats",
+    # Gram-identity mean cosine: once-quantized unit vectors, BIGINT sums
+    "embedding_diversity",
+    # duplication profile: md5 grams + two exact-BIGINT divides
+    "dup_profile",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -436,6 +442,8 @@ PRUNING_EXPECTATIONS = {
     "tfidf_keywords": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "bigram_pmi": (["text"], ["doc_id", "lang", "source", "n_chars"]),
     "zipf_stats": (["lang", "text"], ["doc_id", "source", "n_chars"]),
+    "embedding_diversity": (["label", "embedding"], ["vec_id"]),
+    "dup_profile": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

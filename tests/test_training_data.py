@@ -439,6 +439,146 @@ def test_zipf_stats_partitioning_invariance(spark):
     assert len(a) == 2
 
 
+def _dup_profile_oracle(rows, n):
+    import re
+    from collections import Counter
+
+    by: dict = {}
+    for lang, text in rows:
+        w = re.findall(r"[a-z0-9]{2,}", text.lower())
+        by.setdefault(lang, Counter()).update(
+            " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+        )
+    out = []
+    for lang in sorted(by):
+        c = by[lang]
+        if not c:
+            continue
+        tot, dis = sum(c.values()), len(c)
+        di = sum(v for v in c.values() if v >= 2)
+        dd = sum(1 for v in c.values() if v >= 2)
+        out.append((lang, tot, dis, di, dd, round(di / tot, 6), round(dd / dis, 6)))
+    return out
+
+
+def test_gram_dup_profile_matches_python_oracle(spark):
+    rows = [
+        ("en", "one two three four five six one two three four five"),
+        ("en", "one two three four five and something entirely different here"),
+        ("de", "kurz"),  # < n tokens: contributes nothing
+        ("de", "alle meine entchen schwimmen auf dem see"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    expected = _dup_profile_oracle(rows, n=5)
+    got = sorted(tuple(r) for r in textstats.gram_dup_profile(df, n=5).collect())
+    assert got == expected
+    by_lang = {g[0]: g for g in got}
+    # "one two three four five" occurs 3x across the two en docs
+    assert by_lang["en"][3] == 3 and by_lang["en"][4] == 1
+    # de has one doc over the gram floor, nothing repeated
+    assert by_lang["de"][3] == 0 and by_lang["de"][5] == 0.0
+
+
+def test_gram_dup_profile_partitioning_invariance(spark):
+    rows = [
+        ("en", f"alpha beta gamma delta epsilon {w} alpha beta gamma delta epsilon")
+        for w in ("one", "two", "three", "four")
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    a = sorted(tuple(r) for r in textstats.gram_dup_profile(df, n=5).collect())
+    b = sorted(
+        tuple(r)
+        for r in textstats.gram_dup_profile(df.repartition(7), n=5).collect()
+    )
+    assert a == b and len(a) == 1
+
+
+def _diversity_oracle(rows, q=10_000):
+    import math
+
+    def half_up(v):
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    by: dict = {}
+    for label, v in rows:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in v))
+        if nrm <= 0:
+            continue
+        by.setdefault(label, []).append(
+            (half_up(nrm * 1e6), [half_up(float(x) / nrm * q) for x in v])
+        )
+    out = []
+    for label in sorted(by):
+        vs = by[label]
+        n = len(vs)
+        sum_norm6 = sum(a for a, _ in vs)
+        sum_ssq = sum(sum(c * c for c in u) for _, u in vs)
+        dimsums = [sum(u[d] for _, u in vs) for d in range(len(vs[0][1]))]
+        ssum_sq = sum(float(s) * s for s in dimsums)
+        avg_cos = (
+            round((ssum_sq - sum_ssq) / (float(n) * (n - 1) * q * q), 6)
+            if n >= 2
+            else None
+        )
+        out.append((label, n, round(sum_norm6 / (n * 1e6), 6), avg_cos))
+    return out
+
+
+def test_embedding_diversity_matches_python_oracle(spark):
+    rng = np.random.default_rng(11)
+    rows = [(int(i % 3), [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    rows.append((7, [0.0] * 8))  # zero vector: excluded entirely
+    rows.append((9, [1.0] * 8))  # singleton label: avg_cos null
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    # the fixture went through float32 storage — recompute oracle from
+    # the values Spark actually holds
+    stored = [
+        (r["label"], list(r["embedding"]))
+        for r in df.select("label", "embedding").collect()
+    ]
+    expected = _diversity_oracle(stored)
+    got = sorted(
+        (r["label"], r["n"], r["avg_norm"], r["avg_cos"])
+        for r in similarity.embedding_diversity(df).collect()
+    )
+    assert got == expected
+    by_label = {g[0]: g for g in got}
+    assert 7 not in by_label
+    assert by_label[9][1] == 1 and by_label[9][3] is None
+
+
+def test_embedding_diversity_collapsed_vs_orthogonal(spark):
+    # label 0: 4 copies of one direction -> mean pairwise cosine ~1
+    # label 1: the 4 axis vectors -> all pairs orthogonal -> ~0
+    rows = [(0, [3.0, 4.0, 0.0, 0.0])] * 4 + [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 1.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        r["label"]: r
+        for r in similarity.embedding_diversity(df).collect()
+    }
+    assert abs(got[0]["avg_cos"] - 1.0) < 1e-6
+    assert abs(got[1]["avg_cos"]) < 1e-6
+    assert abs(got[0]["avg_norm"] - 5.0) < 1e-6
+    assert abs(got[1]["avg_norm"] - 1.0) < 1e-6
+
+
+def test_embedding_diversity_partitioning_invariance(spark):
+    rng = np.random.default_rng(13)
+    rows = [(int(i % 2), [float(x) for x in rng.normal(size=6)]) for i in range(25)]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    a = sorted(tuple(r) for r in similarity.embedding_diversity(df).collect())
+    b = sorted(
+        tuple(r)
+        for r in similarity.embedding_diversity(df.repartition(9)).collect()
+    )
+    assert a == b and len(a) == 2
+
+
 def _winnow_oracle(text: str, k: int = 4, window: int = 5) -> set[str]:
     import hashlib
     import re
