@@ -362,8 +362,15 @@ def zipf_stats(
     Scale shape: the token stream collapses to the (lang, term)->count
     relation in ONE shuffle with map-side partials; everything after
     runs on that AGGREGATED vocab-bounded relation (rows ∝ vocabulary,
-    not corpus) — a per-lang rank window, then a per-lang fold to six
-    integers. No driver scalars, no corpus-wide sort.
+    not corpus). The top-``r`` selection is a salted TWO-PHASE rank —
+    local top-r per (lang, md5-salt) shard, then the real rank over the
+    ≤ salts·r survivors — because ``lang`` has ~10 values: a single
+    per-lang window would funnel each language's whole vocabulary
+    through one task at 100 TB (the same hot-key funnel invariant 6
+    bans for countDistinct). Exact by the standard union-of-local-top-r
+    ⊇ global-top-r argument, so the result is unchanged. Then a
+    per-lang fold to six integers. No driver scalars, no corpus-wide
+    sort.
 
     Float discipline (invariant 4): each point is quantized ONCE
     (``round(ln(v)·1e6, 0)`` — an integer-valued double, cast exact in
@@ -387,9 +394,23 @@ def zipf_stats(
         F.count(F.lit(1)).cast("long").alias("vocab"),
         F.sum("cnt").cast("long").alias("total_tokens"),
     )
+    # phase 1: local top-r inside each of 32 md5(term) salt shards —
+    # the salt routes only Spark-internal parallelism, never the result
+    w_local = Window.partitionBy("lang", "_salt").orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    cand = (
+        tc.withColumn(
+            "_salt", F.pmod(F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long"), F.lit(32))
+        )
+        .withColumn("_lrnk", F.row_number().over(w_local))
+        .filter(F.col("_lrnk") <= r)
+        .drop("_salt", "_lrnk")
+    )
+    # phase 2: the real rank, now over at most 32*r rows per language
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
     pts = (
-        tc.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= r)
         .select(
             "lang",
