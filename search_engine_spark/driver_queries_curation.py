@@ -1337,8 +1337,8 @@ rk AS (
 ),
 pts AS (
   SELECT lang,
-         CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x6,
-         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y6
+         {SQL_FIXED6_LONG.format(col="ln(CAST(rnk AS DOUBLE))")} AS x6,
+         {SQL_FIXED6_LONG.format(col="ln(CAST(cnt AS DOUBLE))")} AS y6
   FROM rk WHERE rnk <= {ZIPF_R}
 ),
 sums AS (

@@ -1754,7 +1754,7 @@ WITH e AS (
 ),
 u AS (
   SELECT label,
-         CAST(round(nrm * 1e6, 0) AS BIGINT) AS norm6,
+         {SQL_FIXED6_LONG.format(col="nrm")} AS norm6,
          list_transform(v, x -> CAST(round(x / nrm * {DIVERSITY_Q}, 0) AS BIGINT)) AS uq
   FROM e WHERE nrm > 0
 ),
@@ -1775,7 +1775,9 @@ dims AS (
   GROUP BY label, i
 ),
 g AS (
-  SELECT label, sum(CAST(s AS DOUBLE) * s) AS ssum_sq
+  SELECT label,
+         list_sum(list_transform(list(s ORDER BY dim),
+                                 v -> CAST(v AS DOUBLE) * v)) AS ssum_sq
   FROM dims GROUP BY label
 )
 SELECT s.label, s.n,

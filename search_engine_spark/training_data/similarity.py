@@ -451,10 +451,12 @@ def embedding_diversity(
 
     Float discipline (invariant 4): each unit vector is quantized ONCE
     to integer 1e-4 components (``round(x/‖v‖·q, 0)`` — an
-    integer-valued double, cast exact in both engines); everything
-    summed is then PURE BIGINT (order-independent). ‖Σu‖² and the final
-    ratios are single double expressions of those exact integers,
-    rounded 6. The statistic is *defined* on the quantized vectors, so
+    integer-valued double, cast exact in both engines); every
+    corpus-sized sum is then PURE BIGINT (order-independent). ‖Σu‖²
+    folds the per-dim squares in EXPLICIT dim order (one row per
+    dimension — bounded) because s² can pass 2^53 for big clusters,
+    where an order-unspecified double SUM would vary with partitioning;
+    the final ratios are single double expressions, rounded 6. The statistic is *defined* on the quantized vectors, so
     both engines agree bit-for-bit; accuracy vs the unquantized mean
     cosine is ~1e-4 — far inside any curation threshold. Headroom: Σ‖û‖²
     ≈ n·dim·q² keeps BIGINT safe to ~10⁹ vectors at dim 64.
@@ -466,7 +468,7 @@ def embedding_diversity(
         .filter(F.col("_n") > 0)
         .select(
             "label",
-            F.round(F.col("_n") * 1e6, 0).cast("long").alias("norm6"),
+            fixed6_long(F.col("_n")).alias("norm6"),
             # the division is guarded by a lazy CaseWhen, not just the
             # filter: under ANSI, CollapseProject can evaluate this
             # projection as a subexpression of the _n > 0 predicate
@@ -496,8 +498,16 @@ def embedding_diversity(
         .groupBy("label", "dim")
         .agg(F.sum("x").cast("long").alias("s"))
     )
+    # ordered fold over the dim-sorted (bounded: one row per dimension)
+    # list: s^2 can pass 2^53 for big clusters, where an order-unspecified
+    # double SUM would vary with partitioning (invariant 4) — the DuckDB
+    # twin folds the same list(s ORDER BY dim)
     g = dims.groupBy("label").agg(
-        F.sum(F.col("s").cast("double") * F.col("s")).alias("ssum_sq")
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"].cast("double") * x["s"],
+        ).alias("ssum_sq")
     )
     n_d = F.col("n").cast("double")
     return sums.join(g, "label").select(
@@ -510,7 +520,7 @@ def embedding_diversity(
             F.col("n") >= 2,
             F.round(
                 (F.col("ssum_sq") - F.col("sum_ssq"))
-                / (n_d * (n_d - 1) * float(q) * float(q)),
+                / (n_d * (n_d - 1) * float(q * q)),
                 6,
             ),
         ).alias("avg_cos"),

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..pair_helpers import fixed6_long
+
 TOKEN_RUN = "[a-z0-9]{2,}"
 
 # Marker stopwords per language, by descending corpus frequency in each
@@ -414,12 +416,8 @@ def zipf_stats(
         .filter(F.col("rnk") <= r)
         .select(
             "lang",
-            F.round(F.log(F.col("rnk").cast("double")) * 1e6, 0)
-            .cast("long")
-            .alias("x6"),
-            F.round(F.log(F.col("cnt").cast("double")) * 1e6, 0)
-            .cast("long")
-            .alias("y6"),
+            fixed6_long(F.log(F.col("rnk").cast("double"))).alias("x6"),
+            fixed6_long(F.log(F.col("cnt").cast("double"))).alias("y6"),
         )
     )
     sums = (
