@@ -1405,6 +1405,51 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Flesch reading-ease report (textstats.py readability): per-language mean
+# FRE + counts in the standard 90/60/30 bands. Each doc's fre is one
+# double expression of exact regex-count integers and three decimal
+# literals (emitted as CAST('x' AS DOUBLE) strings — never bare float
+# literals, which DuckDB would route through DECIMAL), rounded 6; the mean
+# sums fixed6-quantized values in BIGINT; bands compare the ROUNDED fre.
+# ---------------------------------------------------------------------------
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text")
+    return T.readability(docs)
+
+
+SQL_READABILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS BIGINT) AS w,
+         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
+         CAST(list_sum(list_transform(regexp_extract_all(lower(text), '{TOKEN_RUN}'),
+                t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))) AS BIGINT)
+           AS sy
+  FROM documents
+),
+scored AS (
+  SELECT lang,
+         round(CAST('206.835' AS DOUBLE)
+               - CAST('1.015' AS DOUBLE) * (CAST(w AS DOUBLE) / s)
+               - CAST('84.6' AS DOUBLE) * (CAST(sy AS DOUBLE) / w), 6) AS fre
+  FROM per_doc WHERE w > 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum({SQL_FIXED6_LONG.format(col="fre")}) AS DOUBLE)
+             / (count(*) * 1e6), 6) AS avg_fre,
+       CAST(sum(CASE WHEN fre >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_very_easy,
+       CAST(sum(CASE WHEN fre >= 60 AND fre < 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_standard,
+       CAST(sum(CASE WHEN fre >= 30 AND fre < 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_difficult,
+       CAST(sum(CASE WHEN fre < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_very_hard
+FROM scored GROUP BY lang
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1425,6 +1470,7 @@ QUERIES_CUR = {
     "bigram_pmi": q_bigram_pmi,
     "zipf_stats": q_zipf_stats,
     "dup_profile": q_dup_profile,
+    "readability": q_readability,
     "lm_quality": q_lm_quality,
     "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
@@ -1452,6 +1498,7 @@ ORACLES_CUR = {
     "bigram_pmi": SQL_BIGRAM_PMI,
     "zipf_stats": SQL_ZIPF_STATS,
     "dup_profile": SQL_DUP_PROFILE,
+    "readability": SQL_READABILITY,
     "lm_quality": SQL_LM_QUALITY,
     "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,

@@ -344,6 +344,88 @@ def gram_dup_profile(
     )
 
 
+def readability(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, n_docs, avg_fre, n_very_easy, n_standard, n_difficult,
+    n_very_hard) — per-language Flesch reading-ease report (Flesch 1948;
+    the classic readability quality signal — Kincaid et al. 1975's
+    recalibration kept the same structure), banded at the standard
+    90/60/30 cut points.
+
+    ``fre = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    with the repo's token definition (TOKEN_RUN — single-letter words
+    fall below the 2-char floor, documented divergence from prose
+    Flesch), sentences = ``[.!?]+`` runs floored at 1, syllables
+    approximated as vowel-group ([aeiouy]+) runs per token floored at 1
+    — all regex counts, deterministic in both engines.
+
+    Scale shape: everything per-doc is map-side native-Column work; ONE
+    shuffle aggregates per language with map-side partials. Floats
+    (invariant 4): each doc's fre is a single double expression of
+    exact integers and three decimal literals, rounded 6; the per-lang
+    mean sums fixed6-quantized fre values in BIGINT (order-independent)
+    and divides once; band counts compare the ROUNDED fre to integer
+    thresholds, so a sub-1e-6 divergence can never flip a band.
+    """
+    w_arr = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    sylls = F.aggregate(
+        F.col("_w"),
+        F.lit(0).cast("long"),
+        lambda a, t: a
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))),
+        ).cast("long"),
+    )
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        w_arr.alias("_w"),
+        sents.alias("s"),
+    ).select(
+        "lang",
+        F.size("_w").cast("long").alias("w"),
+        "s",
+        sylls.alias("sy"),
+    )
+    # lazy CaseWhen guard: under ANSI, CollapseProject can evaluate this
+    # projection inside the w > 0 predicate (see embedding_diversity)
+    fre = F.when(
+        F.col("w") > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+            - F.lit(84.6) * (F.col("sy").cast("double") / F.col("w")),
+            6,
+        ),
+    )
+    scored = per_doc.filter(F.col("w") > 0).select("lang", fre.alias("fre"))
+
+    def band(cond):
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(fixed6_long(F.col("fre"))).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6)),
+            6,
+        ).alias("avg_fre"),
+        band(F.col("fre") >= 90).alias("n_very_easy"),
+        band((F.col("fre") >= 60) & (F.col("fre") < 90)).alias("n_standard"),
+        band((F.col("fre") >= 30) & (F.col("fre") < 60)).alias("n_difficult"),
+        band(F.col("fre") < 30).alias("n_very_hard"),
+    )
+
+
 def zipf_stats(
     df: DataFrame,
     r: int = 200,

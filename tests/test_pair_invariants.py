@@ -115,6 +115,7 @@ CONSTRUCTION_JOBS = {
     "zipf_stats": 1,    # OLS sums are in-plan BIGINT folds, no driver scalars
     "embedding_diversity": 1,  # Gram-identity sums all in-plan, no driver math
     "dup_profile": 1,   # duplication fractions fold in-plan, no driver scalars
+    "readability": 1,   # per-doc fre + band counts fold in-plan
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -374,6 +375,8 @@ DRIVERLIKE_QUERIES = [
     "embedding_diversity",
     # duplication profile: md5 grams + two exact-BIGINT divides
     "dup_profile",
+    # Flesch: decimal literals + fixed6 mean + rounded-band counts
+    "readability",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -444,6 +447,7 @@ PRUNING_EXPECTATIONS = {
     "zipf_stats": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "embedding_diversity": (["label", "embedding"], ["vec_id"]),
     "dup_profile": (["lang", "text"], ["doc_id", "source", "n_chars"]),
+    "readability": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

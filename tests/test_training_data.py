@@ -439,6 +439,74 @@ def test_zipf_stats_partitioning_invariance(spark):
     assert len(a) == 2
 
 
+def _readability_oracle(rows):
+    import math
+    import re
+
+    def half_up(v):
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    by: dict = {}
+    for lang, text in rows:
+        w = re.findall(r"[a-z0-9]{2,}", text.lower())
+        if not w:
+            continue
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        sy = sum(max(1, len(re.findall(r"[aeiouy]+", t))) for t in w)
+        fre = round(206.835 - 1.015 * (len(w) / s) - 84.6 * (sy / len(w)), 6)
+        by.setdefault(lang, []).append(fre)
+    out = []
+    for lang in sorted(by):
+        fs = by[lang]
+        n = len(fs)
+        out.append(
+            (
+                lang,
+                n,
+                round(sum(half_up(f * 1e6) for f in fs) / (n * 1e6), 6),
+                sum(1 for f in fs if f >= 90),
+                sum(1 for f in fs if 60 <= f < 90),
+                sum(1 for f in fs if 30 <= f < 60),
+                sum(1 for f in fs if f < 30),
+            )
+        )
+    return out
+
+
+def test_readability_matches_python_oracle(spark):
+    rows = [
+        # short monosyllabic sentences: very easy (fre > 90)
+        ("en", "the cat sat. the dog ran. we go up. it is fun."),
+        # one long latinate sentence: very hard (fre < 30)
+        (
+            "en",
+            "organizational internationalization necessitates systematically "
+            "coordinated administrative prioritization methodologies",
+        ),
+        ("de", "der hund lief. das war gut. wir sind da."),
+        ("empty", "   "),  # no tokens: excluded
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    expected = _readability_oracle(rows)
+    got = sorted(tuple(r) for r in textstats.readability(df).collect())
+    assert got == expected
+    by_lang = {g[0]: g for g in got}
+    assert "empty" not in by_lang
+    # band sanity: en has one very-easy and one very-hard doc
+    assert by_lang["en"][3] == 1 and by_lang["en"][6] == 1
+
+
+def test_readability_partitioning_invariance(spark):
+    rows = [
+        ("en", f"some plain words here. more text follows {w}. done now.")
+        for w in ("one", "two", "three", "four", "five")
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    a = sorted(tuple(r) for r in textstats.readability(df).collect())
+    b = sorted(tuple(r) for r in textstats.readability(df.repartition(7)).collect())
+    assert a == b and len(a) == 1 and a[0][1] == 5
+
+
 def _dup_profile_oracle(rows, n):
     import re
     from collections import Counter
