@@ -1680,6 +1680,79 @@ GROUP BY ROLLUP (ts_day, event_type)
 
 
 # --------------------------------------------------------------------------
+# Cohort retention over events (beyond-reference analytics): users bucketed
+# by first-active day, distinct-user counts at each day offset — the
+# classic retention triangle. Invariant 3: the day index is pure integer
+# arithmetic on ntz_epoch_us (DIV truncation = DuckDB // floor for the
+# always-positive epoch). Invariant 6: the distinct-user count per
+# (cohort, offset) is two-phase — the (user, day) relation is made
+# distinct FIRST (uniform keys), after which each row maps to exactly one
+# (cohort, offset, user), so a plain count is exact and no countDistinct
+# ever groups by the skewed cohort key. Invariant 4: the only float is
+# one divide of two exact BIGINTs, rounded 6.
+# --------------------------------------------------------------------------
+US_PER_DAY_DIV = 86_400_000_000
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    days = (
+        events.select("user_id", ntz_epoch_us(F.col("ts")).alias("_us"))
+        .select("user_id", F.expr(f"_us DIV {US_PER_DAY_DIV}").alias("day_idx"))
+        .distinct()
+    )
+    cohorts = days.groupBy("user_id").agg(
+        F.min("day_idx").cast("long").alias("cohort_day")
+    )
+    pairs = days.join(cohorts, "user_id").select(
+        "cohort_day",
+        (F.col("day_idx") - F.col("cohort_day")).cast("long").alias("offset_days"),
+    )
+    active = pairs.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    return active.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "offset_days",
+        "active_users",
+        "cohort_users",
+        F.round(
+            F.col("active_users").cast("double") / F.col("cohort_users"), 6
+        ).alias("retained_frac"),
+    )
+
+
+SQL_COHORT_RETENTION = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY_DIV} AS day_idx
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, CAST(min(day_idx) AS BIGINT) AS cohort_day
+  FROM days GROUP BY user_id
+),
+pairs AS (
+  SELECT c.cohort_day, CAST(d.day_idx - c.cohort_day AS BIGINT) AS offset_days
+  FROM days d JOIN cohorts c USING (user_id)
+),
+active AS (
+  SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS active_users
+  FROM pairs GROUP BY cohort_day, offset_days
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM cohorts GROUP BY cohort_day
+)
+SELECT a.cohort_day, a.offset_days, a.active_users, s.cohort_users,
+       round(CAST(a.active_users AS DOUBLE) / s.cohort_users, 6) AS retained_frac
+FROM active a JOIN sizes s USING (cohort_day)
+"""
+
+
+# --------------------------------------------------------------------------
 # Connected components over the MinHash-LSH near-dup graph: pairs -> dup
 # GROUPS with a canonical (min-id) representative — the step after pairwise
 # detection in a dedup pipeline. Spark: iterative min-label propagation;
@@ -1819,6 +1892,7 @@ QUERIES_TD = {
     "ann_ivf_trained": q_ann_ivf_trained,
     "event_sessions": q_event_sessions,
     "events_rollup": q_events_rollup,
+    "cohort_retention": q_cohort_retention,
     "bm25_topk": q_bm25_topk,
     "dedup_components": q_dedup_components,
 }
@@ -1852,6 +1926,7 @@ ORACLES_TD = {
     "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
     "event_sessions": SQL_EVENT_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "bm25_topk": SQL_BM25_TOPK,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

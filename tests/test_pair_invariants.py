@@ -116,6 +116,7 @@ CONSTRUCTION_JOBS = {
     "embedding_diversity": 1,  # Gram-identity sums all in-plan, no driver math
     "dup_profile": 1,   # duplication fractions fold in-plan, no driver scalars
     "readability": 1,   # per-doc fre + band counts fold in-plan
+    "cohort_retention": 1,  # two-phase distinct, all counts in-plan
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -377,6 +378,8 @@ DRIVERLIKE_QUERIES = [
     "dup_profile",
     # Flesch: decimal literals + fixed6 mean + rounded-band counts
     "readability",
+    # retention: tz-invariant integer day index from ntz_epoch_us
+    "cohort_retention",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -448,6 +451,7 @@ PRUNING_EXPECTATIONS = {
     "embedding_diversity": (["label", "embedding"], ["vec_id"]),
     "dup_profile": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "readability": (["lang", "text"], ["doc_id", "source", "n_chars"]),
+    "cohort_retention": (["user_id", "ts"], ["props", "value", "event_type"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

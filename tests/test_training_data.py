@@ -439,6 +439,43 @@ def test_zipf_stats_partitioning_invariance(spark):
     assert len(a) == 2
 
 
+def test_cohort_retention_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_cohort_retention
+
+    # cohort A (day 0): users 1,2,3 — user 1 returns d1+d2, user 2 d2 only
+    # cohort B (day 1): user 4 — returns d1 (absolute day 2)
+    ev = [
+        (1, datetime(2024, 1, 1, 9), 1), (2, datetime(2024, 1, 1, 23, 59), 1),
+        (3, datetime(2024, 1, 1, 12), 1),
+        (1, datetime(2024, 1, 2, 0, 0), 1),  # midnight boundary: day 1
+        (4, datetime(2024, 1, 2, 8), 1),
+        (1, datetime(2024, 1, 3, 9), 1), (2, datetime(2024, 1, 3, 9), 1),
+        (4, datetime(2024, 1, 3, 9), 1),
+        (1, datetime(2024, 1, 3, 10), 1),  # same user+day twice: one active row
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "t", 0.0, "{}") for i, (u, ts, _) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    got = sorted(
+        (r["cohort_day"] - 19723, r["offset_days"], r["active_users"],
+         r["cohort_users"], r["retained_frac"])
+        for r in q_cohort_retention(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (0, 0, 3, 3, 1.0),
+        (0, 1, 1, 3, 0.333333),
+        (0, 2, 2, 3, 0.666667),
+        (1, 0, 1, 1, 1.0),
+        (1, 1, 1, 1, 1.0),
+    ]
+
+
 def _readability_oracle(rows):
     import math
     import re
