@@ -1680,6 +1680,93 @@ GROUP BY ROLLUP (ts_day, event_type)
 
 
 # --------------------------------------------------------------------------
+# Per-node triangle counts + local clustering coefficient over the link
+# graph (operators/pagerank.py triangle_counts — degree-ordered
+# "compact-forward" orientation, O(m^1.5) wedge work regardless of skew;
+# the web-spam density signal of Becchetti et al. KDD'08). The edge set
+# adds a third deterministic generator (x -> 49x+104 = the two-hop
+# composition of the 7x+13 generator) so the synthetic graph actually
+# closes wedges — the base two-generator graph is triangle-free at every
+# sf. All counts BIGINT; clustering is the one rounded divide.
+# --------------------------------------------------------------------------
+def _tri_edges(spark: SparkSession, sf_dir: str):
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_df = scalar_count(docs, as_double=False)
+    src = docs.filter(F.col("doc_id") % 13 != 0).crossJoin(F.broadcast(n_df))
+    gens = [(7, 13), (5, 2), (49, 104)]
+    parts = [
+        src.select(
+            F.col("doc_id").alias("source_doc_id"),
+            ((F.col("doc_id") * m + c) % F.col("_n")).alias("target_doc_id"),
+        )
+        for m, c in gens
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return (
+        e.filter(F.col("source_doc_id") != F.col("target_doc_id")).distinct()
+    )
+
+
+_TRI_EDGES_CTE = """
+nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT source_doc_id, target_doc_id FROM (
+    SELECT doc_id AS source_doc_id, (doc_id * 7 + 13) % nn.n AS target_doc_id
+    FROM documents, nn WHERE doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 5 + 2) % nn.n FROM documents, nn WHERE doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 49 + 104) % nn.n FROM documents, nn WHERE doc_id % 13 <> 0
+  ) WHERE source_doc_id <> target_doc_id
+)
+"""
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagerank import triangle_counts
+
+    return triangle_counts(_tri_edges(spark, sf_dir))
+
+
+SQL_TRIANGLE_COUNTS = f"""
+WITH {_TRI_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS a,
+                  greatest(source_doc_id, target_doc_id) AS b
+  FROM edges
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY v
+),
+o AS (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS src,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS dst,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dd
+  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+),
+tri AS (
+  SELECT x.src AS u, x.dst AS v, y.dst AS w
+  FROM o x JOIN o y ON y.src = x.src AND ((x.dd, x.dst) < (y.dd, y.dst))
+  JOIN o z ON z.src = x.dst AND z.dst = y.dst
+),
+corners AS (
+  SELECT u AS v FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+),
+tcnt AS (SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY v)
+SELECT d.v AS doc_id, d.d AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.d >= 2 THEN
+         round(CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE) / (d.d * (d.d - 1)), 6)
+       ELSE CAST(0 AS DOUBLE) END AS clustering
+FROM deg d LEFT JOIN tcnt t ON t.v = d.v
+"""
+
+
+# --------------------------------------------------------------------------
 # Cohort retention over events (beyond-reference analytics): users bucketed
 # by first-active day, distinct-user counts at each day offset — the
 # classic retention triangle. Invariant 3: the day index is pure integer
@@ -1893,6 +1980,7 @@ QUERIES_TD = {
     "event_sessions": q_event_sessions,
     "events_rollup": q_events_rollup,
     "cohort_retention": q_cohort_retention,
+    "triangle_counts": q_triangle_counts,
     "bm25_topk": q_bm25_topk,
     "dedup_components": q_dedup_components,
 }
@@ -1927,6 +2015,7 @@ ORACLES_TD = {
     "event_sessions": SQL_EVENT_SESSIONS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "triangle_counts": SQL_TRIANGLE_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -141,3 +141,96 @@ def build_document_authority(
     edges_deg.unpersist()
     nodes.unpersist()
     return result
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "source_doc_id",
+    dst: str = "target_doc_id",
+) -> DataFrame:
+    """(doc_id, degree, triangles, clustering) — exact per-node triangle
+    counts and local clustering coefficient over the UNDIRECTED link
+    graph (direction dropped, parallel/self edges removed). The third
+    classic graph statistic next to PageRank and degree counts — spam
+    farms and boilerplate nav blocks show up as abnormally dense local
+    clustering (Becchetti et al., KDD'08 use semi-streaming triangle
+    counts for exactly this web-spam signal).
+
+    Algorithm: degree-ordered orientation ("compact-forward"; the
+    MapReduce formulation is Suri & Vassilvitskii, WWW'11): every
+    undirected edge is oriented from the lexicographically smaller
+    (degree, id) endpoint to the larger, which makes every oriented
+    out-neighborhood O(sqrt(m)) — the wedge self-join that enumerates
+    candidate (v, w) pairs per source u is then bounded by
+    sum_u outdeg(u)^2 = O(m^1.5) TOTAL, the optimal bound, regardless
+    of how skewed the raw degree distribution is (a hub of degree d
+    contributes d wedges, not d^2, because high-rank endpoints never
+    fan out). Each triangle is produced exactly once (its corners are
+    rank-ordered), then exploded to its 3 corners for per-node counts.
+
+    Every count is BIGINT; the clustering coefficient
+    ``2T / (deg*(deg-1))`` is the single rounded divide (invariant 4),
+    0.0 for degree-1 nodes.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+    )
+    x = o.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dd").alias("dv")
+    )
+    y = o.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("dd").alias("dw")
+    )
+    wedges = x.join(y, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closer = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closer, ["v", "w"]).select("u", "v", "w")
+    corners = (
+        tri.select(F.col("u").alias("v"))
+        .unionAll(tri.select("v"))
+        .unionAll(tri.select("w"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return deg.join(corners, "v", "left").select(
+        F.col("v").alias("doc_id"),
+        F.col("d").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("d") >= 2,
+            F.round(
+                (F.lit(2) * F.coalesce("triangles", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -50,3 +50,47 @@ def test_pagerank_convergent_mode(docs):
     # tol-mode must land on the same fixed point (early stop, same answer)
     for k, v in fixed.items():
         assert abs(tolstop[k] - v) < 1e-6
+
+
+def test_triangle_counts_hand_built(spark):
+    from search_engine_spark.operators.pagerank import triangle_counts
+
+    # triangle {1,2,3} + pendant 3-4 + triangle-free square 5-6-7-8;
+    # input carries a duplicate, a reversed duplicate, and a self edge
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),
+            (3, 4), (4, 3),          # reversed duplicate
+            (1, 2),                  # duplicate
+            (5, 6), (6, 7), (7, 8), (8, 5),
+            (6, 6),                  # self edge: dropped
+        ],
+        "source_doc_id long, target_doc_id long",
+    )
+    got = {
+        r["doc_id"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(edges).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, 0.333333),
+        4: (1, 0, 0.0),
+        5: (2, 0, 0.0),
+        6: (2, 0, 0.0),
+        7: (2, 0, 0.0),
+        8: (2, 0, 0.0),
+    }
+
+
+def test_triangle_counts_k4_and_partitioning(spark):
+    from search_engine_spark.operators.pagerank import triangle_counts
+
+    # K4: 4 triangles, every node in 3 of them, clustering 1.0 everywhere
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4, "source_doc_id long, target_doc_id long")
+    rows = triangle_counts(edges).collect()
+    assert all((r["degree"], r["triangles"], r["clustering"]) == (3, 3, 1.0) for r in rows)
+    assert len(rows) == 4
+    b = sorted(tuple(r) for r in triangle_counts(edges.repartition(5)).collect())
+    assert b == sorted(tuple(r) for r in rows)

@@ -117,6 +117,7 @@ CONSTRUCTION_JOBS = {
     "dup_profile": 1,   # duplication fractions fold in-plan, no driver scalars
     "readability": 1,   # per-doc fre + band counts fold in-plan
     "cohort_retention": 1,  # two-phase distinct, all counts in-plan
+    "triangle_counts": 1,   # N in-plan via scalar_count, no driver graph state
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -380,6 +381,8 @@ DRIVERLIKE_QUERIES = [
     "readability",
     # retention: tz-invariant integer day index from ntz_epoch_us
     "cohort_retention",
+    # triangles: pure-integer rank orientation + one rounded divide
+    "triangle_counts",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -452,6 +455,7 @@ PRUNING_EXPECTATIONS = {
     "dup_profile": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "readability": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "cohort_retention": (["user_id", "ts"], ["props", "value", "event_type"]),
+    "triangle_counts": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),
