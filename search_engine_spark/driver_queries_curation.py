@@ -1450,6 +1450,45 @@ FROM scored GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source shingle overlap (textstats.py source_overlap): exact 5-gram
+# Jaccard between source pairs sharing >= 1 shingle (Broder 1997 exact
+# resemblance; the syndication/redundancy matrix). md5 grams (invariant
+# 2), distinct-first uniform keys, fan-out bounded by source-taxonomy²;
+# the one float is a single divide of exact BIGINTs rounded 6.
+# ---------------------------------------------------------------------------
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text")
+    return T.source_overlap(docs, n=DUP_N)
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH wds AS (
+  SELECT source, regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w FROM documents
+),
+st AS (
+  SELECT DISTINCT source, md5({_DUP_GRAM}) AS h
+  FROM wds, unnest(range(1, len(w) - {DUP_N - 2})) AS t(i)
+  WHERE len(w) >= {DUP_N}
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM st a JOIN st b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+       CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1471,6 +1510,7 @@ QUERIES_CUR = {
     "zipf_stats": q_zipf_stats,
     "dup_profile": q_dup_profile,
     "readability": q_readability,
+    "source_overlap": q_source_overlap,
     "lm_quality": q_lm_quality,
     "lm_quality_by_lang": q_lm_quality_by_lang,
     "dsir_weights": q_dsir_weights,
@@ -1499,6 +1539,7 @@ ORACLES_CUR = {
     "zipf_stats": SQL_ZIPF_STATS,
     "dup_profile": SQL_DUP_PROFILE,
     "readability": SQL_READABILITY,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "lm_quality": SQL_LM_QUALITY,
     "lm_quality_by_lang": SQL_LM_QUALITY_BY_LANG,
     "dsir_weights": SQL_DSIR_WEIGHTS,

@@ -426,6 +426,76 @@ def readability(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    n: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source_a, source_b, n_a, n_b, n_inter, n_union, jaccard) — exact
+    word-``n``-gram-set Jaccard between every pair of sources that share
+    at least one shingle: the cross-source redundancy matrix a mixing
+    decision consults (two feeds syndicating the same wire copy show up
+    as a high-Jaccard pair; Broder 1997's resemblance, computed exactly
+    over the shingle sets rather than MinHash-estimated — the estimator
+    variant is the `minhash_lsh_pairs` operator).
+
+    Scale shape: shingles are md5-hashed map-side (fixed-width key) and
+    the (source, shingle) relation is made DISTINCT first (uniform
+    keys); the intersection self-join fans out per shingle by at most
+    (sources sharing it choose 2) — bounded by the SOURCE TAXONOMY
+    squared, never the corpus (a boilerplate shingle present in all S
+    sources yields S² rows, with S in the tens-to-hundreds). Disjoint
+    pairs are absent from the output (their Jaccard is 0 by
+    definition); the only float is one divide of exact BIGINTs,
+    rounded 6 (invariant 4).
+    """
+    terms = " || ' ' || ".join(f"_w[i + {j}]" for j in range(n))
+    st = (
+        df.withColumn(
+            "_w",
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)"),
+        )
+        .filter(F.size("_w") >= n)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.expr(f"transform(sequence(0, size(_w) - {n}), i -> md5({terms}))")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "h")
+    b = st.select(F.col("source").alias("source_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    uni = (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long")
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            uni.alias("n_union"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def zipf_stats(
     df: DataFrame,
     r: int = 200,

@@ -118,6 +118,7 @@ CONSTRUCTION_JOBS = {
     "readability": 1,   # per-doc fre + band counts fold in-plan
     "cohort_retention": 1,  # two-phase distinct, all counts in-plan
     "triangle_counts": 1,   # N in-plan via scalar_count, no driver graph state
+    "source_overlap": 1,    # distinct-first sets, all counts in-plan
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -383,6 +384,8 @@ DRIVERLIKE_QUERIES = [
     "cohort_retention",
     # triangles: pure-integer rank orientation + one rounded divide
     "triangle_counts",
+    # shingle overlap: md5 sets + one exact-BIGINT divide
+    "source_overlap",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -456,6 +459,7 @@ PRUNING_EXPECTATIONS = {
     "readability": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "cohort_retention": (["user_id", "ts"], ["props", "value", "event_type"]),
     "triangle_counts": (["doc_id"], ["text", "lang", "source", "n_chars"]),
+    "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

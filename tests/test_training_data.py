@@ -476,6 +476,39 @@ def test_cohort_retention_hand_computed(spark, tmp_path):
     ]
 
 
+def test_source_overlap_hand_computed(spark):
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    rows = [
+        ("a", f"{shared} unique first tail words here"),
+        ("b", f"{shared} different second ending tokens now"),
+        ("b", f"{shared} different second ending tokens now"),  # dup doc: set semantics
+        ("c", "entirely disjoint text with no common shingles at all"),
+        ("d", "tiny"),  # < n tokens: no shingles, absent from output
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"], r["n_b"], r["n_inter"], r["n_union"], r["jaccard"]
+        )
+        for r in textstats.source_overlap(df, n=5).collect()
+    }
+    # a and b: 10 tokens -> 6 shingles each; exactly the prefix one shared
+    assert got == {("a", "b"): (6, 6, 1, 11, 0.090909)}
+
+
+def test_source_overlap_partitioning_invariance(spark):
+    rows = [
+        (f"s{i % 3}", f"common run of five words plus {w} extra padding tokens")
+        for i, w in enumerate(["one", "two", "three", "four", "five", "six"])
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    x = sorted(tuple(r) for r in textstats.source_overlap(df, n=5).collect())
+    y = sorted(
+        tuple(r) for r in textstats.source_overlap(df.repartition(7), n=5).collect()
+    )
+    assert x == y and len(x) == 3  # all 3 source pairs share the common prefix
+
+
 def _readability_oracle(rows):
     import math
     import re
