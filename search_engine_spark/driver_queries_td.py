@@ -1680,6 +1680,101 @@ GROUP BY ROLLUP (ts_day, event_type)
 
 
 # --------------------------------------------------------------------------
+# Event funnel (beyond-reference analytics): view -> click -> purchase,
+# each step strictly after the previous AND inside a 24 h conversion
+# window (without the window every dense synthetic stream converts and
+# the funnel is degenerate; 24 h yields real attrition at every sf).
+# Invariant 3: all time math on ntz_epoch_us BIGINTs. The four counts are
+# in-plan 1-row aggregates cross-joined (scalar_count pattern — zero
+# driver actions); rates are single divides of exact BIGINTs, rounded 6.
+# --------------------------------------------------------------------------
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", ntz_epoch_us(F.col("ts")).alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t2") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    c = (
+        scalar_count(ev.select("user_id").distinct(), "n_users", as_double=False)
+        .crossJoin(scalar_count(s1, "n_view", as_double=False))
+        .crossJoin(scalar_count(s2, "n_click", as_double=False))
+        .crossJoin(scalar_count(s3, "n_purchase", as_double=False))
+    )
+
+    def rate(num, den):
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num).cast("double") / F.col(den), 6)
+        )
+
+    return c.select(
+        "n_users",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        rate("n_view", "n_users").alias("view_rate"),
+        rate("n_click", "n_view").alias("click_rate"),
+        rate("n_purchase", "n_click").alias("purchase_rate"),
+    )
+
+
+SQL_EVENT_FUNNEL = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+       WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+         AND e.us > s1.t1 AND e.us <= s1.t1 + {FUNNEL_WINDOW_US}
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+         AND e.us > s2.t2 AND e.us <= s2.t2 + {FUNNEL_WINDOW_US}
+       GROUP BY e.user_id),
+c AS (
+  SELECT CAST((SELECT count(*) FROM (SELECT DISTINCT user_id FROM ev)) AS BIGINT)
+           AS n_users,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+         CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click,
+         CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase
+)
+SELECT n_users, n_view, n_click, n_purchase,
+       CASE WHEN n_users > 0
+         THEN round(CAST(n_view AS DOUBLE) / n_users, 6) END AS view_rate,
+       CASE WHEN n_view > 0
+         THEN round(CAST(n_click AS DOUBLE) / n_view, 6) END AS click_rate,
+       CASE WHEN n_click > 0
+         THEN round(CAST(n_purchase AS DOUBLE) / n_click, 6) END AS purchase_rate
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-node triangle counts + local clustering coefficient over the link
 # graph (operators/pagerank.py triangle_counts — degree-ordered
 # "compact-forward" orientation, O(m^1.5) wedge work regardless of skew;
@@ -1981,6 +2076,7 @@ QUERIES_TD = {
     "events_rollup": q_events_rollup,
     "cohort_retention": q_cohort_retention,
     "triangle_counts": q_triangle_counts,
+    "event_funnel": q_event_funnel,
     "bm25_topk": q_bm25_topk,
     "dedup_components": q_dedup_components,
 }
@@ -2016,6 +2112,7 @@ ORACLES_TD = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "cohort_retention": SQL_COHORT_RETENTION,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
+    "event_funnel": SQL_EVENT_FUNNEL,
     "bm25_topk": SQL_BM25_TOPK,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

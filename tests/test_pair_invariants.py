@@ -119,6 +119,7 @@ CONSTRUCTION_JOBS = {
     "cohort_retention": 1,  # two-phase distinct, all counts in-plan
     "triangle_counts": 1,   # N in-plan via scalar_count, no driver graph state
     "source_overlap": 1,    # distinct-first sets, all counts in-plan
+    "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -386,6 +387,8 @@ DRIVERLIKE_QUERIES = [
     "triangle_counts",
     # shingle overlap: md5 sets + one exact-BIGINT divide
     "source_overlap",
+    # funnel: tz-invariant epoch windows + exact-BIGINT rate divides
+    "event_funnel",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -460,6 +463,7 @@ PRUNING_EXPECTATIONS = {
     "cohort_retention": (["user_id", "ts"], ["props", "value", "event_type"]),
     "triangle_counts": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
+    "event_funnel": (["user_id", "ts", "event_type"], ["props", "value"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

@@ -439,6 +439,38 @@ def test_zipf_stats_partitioning_invariance(spark):
     assert len(a) == 2
 
 
+def test_event_funnel_hand_computed(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.driver_queries_td import q_event_funnel
+
+    t0 = datetime(2024, 3, 1, 10)
+    h = timedelta(hours=1)
+    ev = [
+        # user 1: full funnel inside the 24 h windows
+        (1, "view", t0), (1, "click", t0 + h), (1, "purchase", t0 + 2 * h),
+        # user 2: click 25 h after first view -> outside window, drops at click
+        (2, "view", t0), (2, "click", t0 + 25 * h),
+        # user 3: purchase BEFORE click -> strict ordering drops it at purchase
+        (3, "view", t0), (3, "purchase", t0 + h), (3, "click", t0 + 2 * h),
+        # user 4: never views -> counted in n_users only
+        (4, "click", t0), (4, "purchase", t0 + h),
+        # user 5: click at the same microsecond as view -> strict > excludes it
+        (5, "view", t0), (5, "click", t0),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, (u, t, ts) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    [r] = q_event_funnel(spark, str(tmp_path)).collect()
+    assert (r["n_users"], r["n_view"], r["n_click"], r["n_purchase"]) == (5, 4, 2, 1)
+    assert r["view_rate"] == 0.8
+    assert r["click_rate"] == 0.5
+    assert r["purchase_rate"] == 0.5
+
+
 def test_cohort_retention_hand_computed(spark, tmp_path):
     from datetime import datetime
 
