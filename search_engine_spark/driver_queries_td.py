@@ -1680,6 +1680,103 @@ GROUP BY ROLLUP (ts_day, event_type)
 
 
 # --------------------------------------------------------------------------
+# Hourly anomaly detection over events (beyond-reference analytics): per
+# (event_type, hour) counts z-scored against the type's own hourly
+# distribution, flagged at |z| >= 3 — the volume-spike/drop monitor a
+# pipeline runs over ingest telemetry. Hours with zero events are absent
+# by definition (the statistic is over observed hours). Invariant 3:
+# hour index is integer DIV on ntz_epoch_us. Invariant 4: counts and the
+# (N, Sx, Sxx) moments are exact BIGINTs; each z is one double expression
+# of those integers, rounded 6; the flag compares the ROUNDED z so a
+# sub-1e-6 divergence can never flip it. Types with <2 observed hours or
+# zero variance emit NULL z (never a divide-by-zero).
+# --------------------------------------------------------------------------
+US_PER_HOUR_DIV = 3_600_000_000
+ANOMALY_Z = 3
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", ntz_epoch_us(F.col("ts")).alias("_us")
+    )
+    hc = (
+        ev.select("event_type", F.expr(f"_us DIV {US_PER_HOUR_DIV}").alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    st = (
+        hc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nh"),
+            F.sum("n").cast("long").alias("sx"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("nh") >= 2)
+    )
+    nh_d = F.col("nh").cast("double")
+    sx_d = F.col("sx").cast("double")
+    den = nh_d * F.col("sxx") - sx_d * F.col("sx")
+    z = F.when(
+        den > 0,
+        F.round(
+            (F.col("n") - sx_d / F.col("nh"))
+            / F.sqrt(den / (nh_d * (F.col("nh") - 1))),
+            6,
+        ),
+    )
+    return (
+        hc.join(st, "event_type")
+        .select(
+            "event_type",
+            F.col("hour_idx").cast("long").alias("hour_idx"),
+            "n",
+            z.alias("z"),
+        )
+        .select(
+            "event_type",
+            "hour_idx",
+            "n",
+            "z",
+            F.when(
+                F.col("z").isNotNull() & (F.abs("z") >= ANOMALY_Z), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+SQL_EVENTS_ANOMALY = f"""
+WITH hc AS (
+  SELECT event_type, epoch_us(ts) // {US_PER_HOUR_DIV} AS hour_idx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour_idx
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(n) AS BIGINT) AS sx,
+         CAST(sum(n * n) AS BIGINT) AS sxx
+  FROM hc GROUP BY event_type HAVING count(*) >= 2
+),
+z AS (
+  SELECT hc.event_type, CAST(hc.hour_idx AS BIGINT) AS hour_idx, hc.n,
+         CASE WHEN (CAST(st.nh AS DOUBLE) * st.sxx - CAST(st.sx AS DOUBLE) * st.sx) > 0
+           THEN round((hc.n - CAST(st.sx AS DOUBLE) / st.nh)
+                      / sqrt((CAST(st.nh AS DOUBLE) * st.sxx
+                              - CAST(st.sx AS DOUBLE) * st.sx)
+                             / (CAST(st.nh AS DOUBLE) * (st.nh - 1))), 6)
+         END AS z
+  FROM hc JOIN st USING (event_type)
+)
+SELECT event_type, hour_idx, n, z,
+       CASE WHEN z IS NOT NULL AND abs(z) >= {ANOMALY_Z}
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_anomaly
+FROM z
+"""
+
+
+# --------------------------------------------------------------------------
 # Event funnel (beyond-reference analytics): view -> click -> purchase,
 # each step strictly after the previous AND inside a 24 h conversion
 # window (without the window every dense synthetic stream converts and
@@ -2077,6 +2174,7 @@ QUERIES_TD = {
     "cohort_retention": q_cohort_retention,
     "triangle_counts": q_triangle_counts,
     "event_funnel": q_event_funnel,
+    "events_anomaly": q_events_anomaly,
     "bm25_topk": q_bm25_topk,
     "dedup_components": q_dedup_components,
 }
@@ -2113,6 +2211,7 @@ ORACLES_TD = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
     "bm25_topk": SQL_BM25_TOPK,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

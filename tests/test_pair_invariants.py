@@ -120,6 +120,7 @@ CONSTRUCTION_JOBS = {
     "triangle_counts": 1,   # N in-plan via scalar_count, no driver graph state
     "source_overlap": 1,    # distinct-first sets, all counts in-plan
     "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
+    "events_anomaly": 1,    # moment sums fold in-plan per type
     "hll_distinct": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
@@ -389,6 +390,8 @@ DRIVERLIKE_QUERIES = [
     "source_overlap",
     # funnel: tz-invariant epoch windows + exact-BIGINT rate divides
     "event_funnel",
+    # anomaly: integer moments, one z expression, rounded-z flag
+    "events_anomaly",
     # HLL: integer register folds + one double division/ln; quantiles:
     # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
     "hll_distinct",
@@ -464,6 +467,7 @@ PRUNING_EXPECTATIONS = {
     "triangle_counts": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
     "event_funnel": (["user_id", "ts", "event_type"], ["props", "value"]),
+    "events_anomaly": (["ts", "event_type"], ["props", "value", "user_id"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

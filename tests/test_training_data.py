@@ -439,6 +439,49 @@ def test_zipf_stats_partitioning_invariance(spark):
     assert len(a) == 2
 
 
+def test_events_anomaly_planted_spike(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.driver_queries_td import q_events_anomaly
+
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # 'click': 1 event/hour for 30 hours, then a 40-event spike hour
+    for h in range(30):
+        rows.append((eid, t0 + timedelta(hours=h), 1, "click", 0.0, "{}")); eid += 1
+    for _ in range(40):
+        rows.append((eid, t0 + timedelta(hours=30, minutes=1), 1, "click", 0.0, "{}")); eid += 1
+    # 'view': constant 2/hour -> zero variance -> z NULL everywhere
+    for h in range(5):
+        for _ in range(2):
+            rows.append((eid, t0 + timedelta(hours=h), 2, "view", 0.0, "{}")); eid += 1
+    # 'error': a single observed hour -> excluded (nh < 2)
+    rows.append((eid, t0, 3, "error", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = q_events_anomaly(spark, str(tmp_path)).collect()
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert "error" not in by_type
+    assert all(r["z"] is None and r["is_anomaly"] == 0 for r in by_type["view"])
+    clicks = sorted(by_type["click"], key=lambda r: r["hour_idx"])
+    assert len(clicks) == 31
+    # only the spike hour is anomalous, with a large positive z
+    assert [r["is_anomaly"] for r in clicks] == [0] * 30 + [1]
+    assert clicks[-1]["n"] == 40 and clicks[-1]["z"] > 5
+    # python oracle for one z: n=1 rows, mean=(30+40)/31, exact moments
+    import math
+    nh, sx, sxx = 31, 70, 30 + 1600
+    z0 = round((1 - sx / nh) / math.sqrt((nh * sxx - sx * sx) / (nh * (nh - 1))), 6)
+    assert clicks[0]["z"] == z0
+
+
 def test_event_funnel_hand_computed(spark, tmp_path):
     from datetime import datetime, timedelta
 
