@@ -1113,38 +1113,55 @@ doc_id % 13 == 0 are dangling (no out-edges) -> their rank mass is dropped,
 per the reference (pagerank.py:29-38)."""
 
 
-def _edges(spark: SparkSession, sf_dir: str):
+# the synthetic link graph: affine generators doc_id -> (m*doc_id + c) % N,
+# docs with doc_id % 13 == 0 dangling. ONE spelling feeds both the Python
+# side and the SQL CTE — a generator change cannot diverge them.
+_BASE_GENS = ((7, 13), (5, 2))
+# the triangle pair adds the two-hop composition of 7x+13 so the graph
+# actually closes wedges — the base two-generator graph is triangle-free
+_TRI_GENS = _BASE_GENS + ((49, 104),)
+
+
+def _edges(spark: SparkSession, sf_dir: str, gens=_BASE_GENS):
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     # N in-plan as a broadcast scalar — no driver-side pre-count pass
     n_df = scalar_count(docs, as_double=False)
     src = docs.filter(F.col("doc_id") % 13 != 0).crossJoin(F.broadcast(n_df))
-    e1 = src.select(
-        F.col("doc_id").alias("source_doc_id"),
-        ((F.col("doc_id") * 7 + 13) % F.col("_n")).alias("target_doc_id"),
-    )
-    e2 = src.select(
-        F.col("doc_id").alias("source_doc_id"),
-        ((F.col("doc_id") * 5 + 2) % F.col("_n")).alias("target_doc_id"),
-    )
-    edges = (
-        e1.unionByName(e2)
-        .filter(F.col("source_doc_id") != F.col("target_doc_id"))
-        .distinct()
-    )
+    parts = [
+        src.select(
+            F.col("doc_id").alias("source_doc_id"),
+            ((F.col("doc_id") * m + c) % F.col("_n")).alias("target_doc_id"),
+        )
+        for m, c in gens
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.filter(
+        F.col("source_doc_id") != F.col("target_doc_id")
+    ).distinct()
     return docs, edges
 
 
-_EDGES_CTE = """
+def _edges_cte(gens=_BASE_GENS) -> str:
+    branches = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id{' AS source_doc_id' if i == 0 else ''},"
+        f" (doc_id * {m} + {c}) % nn.n"
+        f"{' AS target_doc_id' if i == 0 else ''}"
+        " FROM documents, nn WHERE doc_id % 13 <> 0"
+        for i, (m, c) in enumerate(gens)
+    )
+    return f"""
 nn AS (SELECT count(*) AS n FROM documents),
 edges AS (
   SELECT DISTINCT source_doc_id, target_doc_id FROM (
-    SELECT doc_id AS source_doc_id, (doc_id * 7 + 13) % nn.n AS target_doc_id
-    FROM documents, nn WHERE doc_id % 13 <> 0
-    UNION ALL
-    SELECT doc_id, (doc_id * 5 + 2) % nn.n FROM documents, nn WHERE doc_id % 13 <> 0
+{branches}
   ) WHERE source_doc_id <> target_doc_id
 )
 """
+
+
+_EDGES_CTE = _edges_cte()
 
 
 def q_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1881,45 +1898,14 @@ FROM c
 # closes wedges — the base two-generator graph is triangle-free at every
 # sf. All counts BIGINT; clustering is the one rounded divide.
 # --------------------------------------------------------------------------
-def _tri_edges(spark: SparkSession, sf_dir: str):
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
-    n_df = scalar_count(docs, as_double=False)
-    src = docs.filter(F.col("doc_id") % 13 != 0).crossJoin(F.broadcast(n_df))
-    gens = [(7, 13), (5, 2), (49, 104)]
-    parts = [
-        src.select(
-            F.col("doc_id").alias("source_doc_id"),
-            ((F.col("doc_id") * m + c) % F.col("_n")).alias("target_doc_id"),
-        )
-        for m, c in gens
-    ]
-    e = parts[0]
-    for p in parts[1:]:
-        e = e.unionByName(p)
-    return (
-        e.filter(F.col("source_doc_id") != F.col("target_doc_id")).distinct()
-    )
-
-
-_TRI_EDGES_CTE = """
-nn AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT source_doc_id, target_doc_id FROM (
-    SELECT doc_id AS source_doc_id, (doc_id * 7 + 13) % nn.n AS target_doc_id
-    FROM documents, nn WHERE doc_id % 13 <> 0
-    UNION ALL
-    SELECT doc_id, (doc_id * 5 + 2) % nn.n FROM documents, nn WHERE doc_id % 13 <> 0
-    UNION ALL
-    SELECT doc_id, (doc_id * 49 + 104) % nn.n FROM documents, nn WHERE doc_id % 13 <> 0
-  ) WHERE source_doc_id <> target_doc_id
-)
-"""
+_TRI_EDGES_CTE = _edges_cte(_TRI_GENS)
 
 
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pagerank import triangle_counts
 
-    return triangle_counts(_tri_edges(spark, sf_dir))
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    return triangle_counts(edges)
 
 
 SQL_TRIANGLE_COUNTS = f"""

@@ -279,6 +279,32 @@ def collocations(
     )
 
 
+def _gram_hashes(
+    df: DataFrame, n: int, key_col: str, key_alias: str, text_col: str
+) -> DataFrame:
+    """(key, h) — md5 word-``n``-gram stream, built map-side from each
+    doc's token array (one ``transform`` over positions) and hashed
+    immediately so downstream shuffles carry a fixed-width key, never
+    the text. The ONE spelling of the shingle space that
+    ``gram_dup_profile`` and ``source_overlap`` both measure — a change
+    here changes both consistently (their DuckDB twins share the
+    interpolated gram expression the same way)."""
+    terms = " || ' ' || ".join(f"_w[i + {j}]" for j in range(n))
+    return (
+        df.withColumn(
+            "_w",
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)"),
+        )
+        .filter(F.size("_w") >= n)
+        .select(
+            F.col(key_col).alias(key_alias),
+            F.explode(
+                F.expr(f"transform(sequence(0, size(_w) - {n}), i -> md5({terms}))")
+            ).alias("h"),
+        )
+    )
+
+
 def gram_dup_profile(
     df: DataFrame,
     n: int = 5,
@@ -303,20 +329,7 @@ def gram_dup_profile(
     Floats: only the two final fractions — each one divide of two exact
     BIGINTs, rounded 6 (invariant 4 by construction).
     """
-    terms = " || ' ' || ".join(f"_w[i + {j}]" for j in range(n))
-    grams = (
-        df.withColumn(
-            "_w",
-            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)"),
-        )
-        .filter(F.size("_w") >= n)
-        .select(
-            F.col(lang_col).alias("lang"),
-            F.explode(
-                F.expr(f"transform(sequence(0, size(_w) - {n}), i -> md5({terms}))")
-            ).alias("h"),
-        )
-    )
+    grams = _gram_hashes(df, n, lang_col, "lang", text_col)
     tc = grams.groupBy("lang", "h").agg(F.count(F.lit(1)).cast("long").alias("c"))
     dup = F.col("c") >= 2
     agg = tc.groupBy("lang").agg(
@@ -450,21 +463,7 @@ def source_overlap(
     definition); the only float is one divide of exact BIGINTs,
     rounded 6 (invariant 4).
     """
-    terms = " || ' ' || ".join(f"_w[i + {j}]" for j in range(n))
-    st = (
-        df.withColumn(
-            "_w",
-            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)"),
-        )
-        .filter(F.size("_w") >= n)
-        .select(
-            F.col(source_col).alias("source"),
-            F.explode(
-                F.expr(f"transform(sequence(0, size(_w) - {n}), i -> md5({terms}))")
-            ).alias("h"),
-        )
-        .distinct()
-    )
+    st = _gram_hashes(df, n, source_col, "source", text_col).distinct()
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = st.select(F.col("source").alias("source_a"), "h")
     b = st.select(F.col("source").alias("source_b"), "h")
