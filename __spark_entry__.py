@@ -4,9 +4,10 @@
 ``oracle_sql`` expose one (Spark, DuckDB-SQL) pair per SQL-expressible
 operator from SURVEY.md §2 — definitions live in
 ``search_engine_spark/driver_queries.py`` so both sides stay in sync.
-Non-SQL-expressible operators (Porter-stemmed scoring, varint postings,
-WAND, PageRank iteration) are verified in pytest against the pure-Python
-oracle instead (FIXTURES.md §4).
+Non-SQL-expressible operators (Porter-stemmed scoring, WAND block decode)
+are verified in pytest against the pure-Python oracle instead
+(FIXTURES.md §4); the varint postings framing and PageRank are paired
+(``postings_bytes``, ``pagerank``).
 """
 
 from __future__ import annotations

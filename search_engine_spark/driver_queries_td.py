@@ -1662,6 +1662,124 @@ SQL_BM25_TOPK = _bm25_sql()
 
 
 # --------------------------------------------------------------------------
+# Postings-codec framing parity (north_rule: "per-term docID-delta +
+# varint-compressed posting lists"). The Spark side runs the REAL
+# ``codec.encode_postings`` over each term's posting list (grouped-map
+# Arrow stage, exactly how ``operators/postings.py`` builds the index) and
+# reports per-term framing stats: blob byte length, block count, and
+# checksums of both skip arrays. The oracle recomputes every number from
+# first principles — an exact integer varint-length ladder over the
+# docID-delta stream, 128-posting block restarts (absolute first docid is
+# written order-preserving-unsigned, i.e. +2^63, hence the HUGEINT
+# intermediates — cast away before output per invariant 1), and the three
+# per-posting tf varints (title/desc = 0 here: the documents table is
+# body-only). Agreement proves the compression framing itself, not just
+# decoded query results, without shipping bytes across engines.
+# --------------------------------------------------------------------------
+def q_postings_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .codec import encode_postings
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = [int(d) for d in pdf["doc_id"]]
+        tfs = [int(t) for t in pdf["tf"]]
+        zeros = [0] * len(ids)
+        blob, block_max, block_last, block_offset = encode_postings(
+            ids, zeros, zeros, tfs
+        )
+        return pd.DataFrame(
+            {
+                "term": [str(pdf["term"].iloc[0])],
+                "df": [len(ids)],
+                "n_blocks": [len(block_offset)],
+                "blob_bytes": [len(blob)],
+                # body-only postings: block_max = 1.0 * max tf, an exact
+                # whole double — the int sum is lossless
+                "sum_block_max_tf": [int(sum(int(w) for w in block_max))],
+                "sum_block_last": [sum(block_last)],
+            }
+        )
+
+    out_schema = (
+        "term string, df long, n_blocks long, blob_bytes long, "
+        "sum_block_max_tf long, sum_block_last long"
+    )
+    return (
+        tf.groupBy("term")
+        .applyInPandas(encode_group, out_schema)
+        .orderBy("term")
+    )
+
+
+def _varint_len_sql(expr: str) -> str:
+    """Exact varint byte length of a non-negative HUGEINT expression:
+    max(1, ceil(bit_length/7)) as a pure integer threshold ladder (no
+    float log2 — exact at every 2^(7k) boundary)."""
+    cases = " ".join(
+        f"WHEN {expr} < {1 << (7 * k)} THEN {k}" for k in range(1, 10)
+    )
+    return f"(CASE {cases} ELSE 10 END)"
+
+
+def _postings_bytes_sql() -> str:
+    u63 = 1 << 63
+    first_len = _varint_len_sql(f"(CAST(doc_id AS HUGEINT) + {u63})")
+    delta_len = _varint_len_sql("CAST(doc_id - prev AS HUGEINT)")
+    tf_len = _varint_len_sql("CAST(tf AS HUGEINT)")
+    header_len = _varint_len_sql("CAST(sum(n_in_block) AS HUGEINT)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+seq AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS i,
+         lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+  FROM tf
+),
+per AS (
+  SELECT term, doc_id, tf, i // 128 AS blk,
+         (CASE WHEN i % 128 = 0 THEN {first_len} ELSE {delta_len} END)
+         + 2 + {tf_len} AS nbytes
+  FROM seq
+),
+blk AS (
+  SELECT term, blk,
+         count(*) AS n_in_block,
+         max(tf) AS block_max_tf,
+         max(doc_id) AS block_last,
+         sum(nbytes) AS block_bytes
+  FROM per GROUP BY term, blk
+)
+SELECT term,
+       CAST(sum(n_in_block) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST({header_len} + sum(block_bytes) AS BIGINT) AS blob_bytes,
+       CAST(sum(block_max_tf) AS BIGINT) AS sum_block_max_tf,
+       CAST(sum(block_last) AS BIGINT) AS sum_block_last
+FROM blk
+GROUP BY term
+ORDER BY term
+"""
+
+
+SQL_POSTINGS_BYTES = _postings_bytes_sql()
+
+
+# --------------------------------------------------------------------------
 # ROLLUP over events: multi-level aggregation in one pass (beyond-reference
 # analytics; grouping_id distinguishes the levels deterministically)
 # --------------------------------------------------------------------------
@@ -2162,6 +2280,7 @@ QUERIES_TD = {
     "event_funnel": q_event_funnel,
     "events_anomaly": q_events_anomaly,
     "bm25_topk": q_bm25_topk,
+    "postings_bytes": q_postings_bytes,
     "dedup_components": q_dedup_components,
 }
 
@@ -2199,5 +2318,6 @@ ORACLES_TD = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "bm25_topk": SQL_BM25_TOPK,
+    "postings_bytes": SQL_POSTINGS_BYTES,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

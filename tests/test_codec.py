@@ -72,3 +72,55 @@ def test_compression_is_real():
     one = [1] * len(ids)
     blob, _, _, _ = encode_postings(ids, one, one, one)
     assert len(blob) < len(ids) * 8
+
+
+# ---------------------------------------------------------------------------
+# Byte-length formula parity: the postings_bytes pair's DuckDB oracle
+# recomputes blob sizes from an integer varint-length ladder. Prove (a) the
+# framing formula matches the real encoder for arbitrary signed ids and tf
+# streams, and (b) the SQL ladder text itself is exact at every 2^(7k)
+# boundary, including the HUGEINT range used for block-restart ids.
+# ---------------------------------------------------------------------------
+def _vlen(v: int) -> int:
+    assert v >= 0
+    return max(1, -(-v.bit_length() // 7))
+
+
+def _formula_bytes(doc_ids, f1, f2, f4):
+    total = _vlen(len(doc_ids))
+    prev_u = 0
+    for i, d in enumerate(doc_ids):
+        u = d + 2**63
+        total += _vlen(u) if i % BLOCK_SIZE == 0 else _vlen(u - prev_u)
+        prev_u = u
+        total += _vlen(f1[i]) + _vlen(f2[i]) + _vlen(f4[i])
+    return total
+
+
+@given(st.integers(min_value=0, max_value=100_000), st.integers(min_value=0, max_value=600))
+@settings(max_examples=60, deadline=None)
+def test_blob_length_matches_varint_formula(seed, n):
+    rng = random.Random(seed)
+    doc_ids, f1, f2, f4 = _random_case(rng, n)
+    blob, _, _, _ = encode_postings(doc_ids, f1, f2, f4)
+    assert len(blob) == _formula_bytes(doc_ids, f1, f2, f4)
+
+
+def test_sql_varint_ladder_is_exact():
+    import duckdb
+
+    from search_engine_spark.driver_queries_td import _varint_len_sql
+
+    vals = [0, 1]
+    for k in range(1, 10):
+        b = 1 << (7 * k)
+        vals += [b - 1, b]
+    vals += [2**63 - 1, 2**63, 2**64 - 1]  # block-restart unsigned range
+    rows = ", ".join(f"(CAST('{v}' AS HUGEINT))" for v in vals)
+    got = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {_varint_len_sql('v')} FROM (VALUES {rows}) t(v)"
+        ).fetchall()
+    ]
+    assert got == [_vlen(v) for v in vals]

@@ -122,6 +122,7 @@ CONSTRUCTION_JOBS = {
     "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
     "events_anomaly": 1,    # moment sums fold in-plan per type
     "hll_distinct": 1,
+    "postings_bytes": 1,  # read; the codec runs inside the grouped-map stage
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -399,6 +400,10 @@ DRIVERLIKE_QUERIES = [
     "weighted_sample",
     # CMS: pure-BIGINT counters, min-fold estimates, integer threshold
     "cms_heavy_hitters",
+    # codec framing: real encode_postings in an Arrow grouped-map stage vs
+    # the oracle's integer varint ladder — pure-integer, but the Arrow
+    # round trip must hold under ANSI + 200 shuffle partitions
+    "postings_bytes",
 ]
 
 
@@ -475,6 +480,7 @@ PRUNING_EXPECTATIONS = {
     "dsir_weights": (["doc_id", "text", "lang"], ["source", "n_chars"]),
     "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
     "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),
+    "postings_bytes": (["doc_id", "text"], ["lang", "source", "n_chars"]),
 }
 
 
