@@ -1780,6 +1780,184 @@ SQL_POSTINGS_BYTES = _postings_bytes_sql()
 
 
 # --------------------------------------------------------------------------
+# Reciprocal-rank fusion: fuse the BM25 top-20 (text relevance) with the
+# in-link top-20 (link authority) — the classic two-signal web re-rank
+# (the reference's intent score combines relevance with document-quality
+# signals the same way; RRF is the rank-space variant). rrf(d) =
+# sum over lists containing d of 1/(60 + rank_d). Ranks are computed on
+# the ROUNDED bm25 score (engine-stable ordering; ES-sample recipe) with
+# doc_id as the total tie-break; absent-from-list ranks are emitted as 0
+# sentinels (NULL ints would serialize as float64 through pandas).
+# --------------------------------------------------------------------------
+RRF_K = 60
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_b = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    bm25 = (
+        q_bm25_topk(spark, sf_dir)
+        .select("doc_id", "bm25_score")
+        .withColumn("bm25_rank", F.row_number().over(w_b))
+    )
+    docs, edges = _edges(spark, sf_dir)
+    ind = edges.groupBy(F.col("target_doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("in_links")
+    )
+    w_a = Window.orderBy(F.desc("in_links"), F.asc("doc_id"))
+    auth = (
+        ind.orderBy(F.desc("in_links"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("authority_rank", F.row_number().over(w_a))
+    )
+    contrib_b = 1.0 / (F.lit(RRF_K) + F.col("bm25_rank"))
+    contrib_a = 1.0 / (F.lit(RRF_K) + F.col("authority_rank"))
+    return (
+        bm25.join(auth, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(contrib_b, F.lit(0.0))
+                + F.coalesce(contrib_a, F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+            F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("authority_rank", F.lit(0)).alias("authority_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    )
+
+
+SQL_RANK_FUSION = f"""
+WITH {{edges_cte}},
+bm AS ({{bm25_sql}}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS bm25_rank
+  FROM bm
+),
+ind AS (SELECT target_doc_id AS doc_id, count(*) AS in_links
+        FROM edges GROUP BY target_doc_id),
+auth AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY in_links DESC, doc_id ASC) AS authority_rank
+  FROM ind
+  ORDER BY in_links DESC, doc_id ASC
+  LIMIT 20
+)
+SELECT COALESCE(bmr.doc_id, auth.doc_id) AS doc_id,
+       round(COALESCE(1.0 / ({RRF_K} + bmr.bm25_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + auth.authority_rank), 0.0), 6) AS rrf_score,
+       CAST(COALESCE(bmr.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+       CAST(COALESCE(auth.authority_rank, 0) AS BIGINT) AS authority_rank
+FROM bmr FULL OUTER JOIN auth ON auth.doc_id = bmr.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+"""
+
+SQL_RANK_FUSION = SQL_RANK_FUSION.format(
+    edges_cte=_EDGES_CTE.strip(), bm25_sql=SQL_BM25_TOPK.strip()
+)
+
+
+# --------------------------------------------------------------------------
+# Query-snippet extraction (result presentation — the reference serves a
+# title/description per hit; this is the generalization over body text):
+# for every document hit by the fixed query, a 120-char window opening 30
+# chars before the EARLIEST query-term occurrence, plus which query terms
+# survive inside the window. Whole-word positions via space-padded
+# matching; a term cut by the window edge loses its padding and does not
+# count — identically in both engines (pure 1-based substring/locate
+# arithmetic, shared semantics).
+# --------------------------------------------------------------------------
+SNIPPET_BEFORE = 30
+SNIPPET_LEN = 120
+_SNIPPET_ABSENT = 1 << 31
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pos = {t: F.locate(f" {t} ", padded) for t in NEWS_QUERY_TERMS}
+    first_pos = F.least(
+        *[
+            F.when(pos[t] > 0, pos[t]).otherwise(F.lit(_SNIPPET_ABSENT))
+            for t in NEWS_QUERY_TERMS
+        ]
+    )
+    first_term = F.coalesce(
+        *[F.when(pos[t] == first_pos, F.lit(t)) for t in NEWS_QUERY_TERMS]
+    )
+    snippet = F.trim(
+        padded.substr(
+            F.greatest(F.lit(1), first_pos - SNIPPET_BEFORE),
+            F.lit(SNIPPET_LEN),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        first_pos.alias("first_pos"),
+        first_term.alias("first_term"),
+        snippet.alias("snippet"),
+    ).filter(F.col("first_pos") < _SNIPPET_ABSENT)
+    repad = F.concat(F.lit(" "), F.col("snippet"), F.lit(" "))
+    hits = None
+    for t in NEWS_QUERY_TERMS:
+        h = (F.locate(f" {t} ", repad) > 0).cast("int")
+        hits = h if hits is None else hits + h
+    return out.select(
+        "doc_id",
+        F.col("first_pos").cast("int").alias("first_pos"),
+        "first_term",
+        "snippet",
+        hits.alias("snippet_hits"),
+    ).orderBy("doc_id")
+
+
+def _search_snippets_sql() -> str:
+    pos_cols = ",\n         ".join(
+        f"strpos(padded, ' {t} ') AS p_{t}" for t in NEWS_QUERY_TERMS
+    )
+    least_args = ", ".join(
+        f"CASE WHEN p_{t} > 0 THEN p_{t} ELSE {_SNIPPET_ABSENT} END"
+        for t in NEWS_QUERY_TERMS
+    )
+    term_case = " ".join(
+        f"WHEN p_{t} = first_pos THEN '{t}'" for t in NEWS_QUERY_TERMS
+    )
+    hit_sum = " + ".join(
+        f"(CASE WHEN strpos(' ' || snippet || ' ', ' {t} ') > 0 THEN 1 ELSE 0 END)"
+        for t in NEWS_QUERY_TERMS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, ' ' || text || ' ' AS padded FROM documents
+),
+pos AS (
+  SELECT doc_id, padded,
+         {pos_cols}
+  FROM base
+),
+firstp AS (
+  SELECT *, least({least_args}) AS first_pos FROM pos
+),
+snip AS (
+  SELECT doc_id,
+         CAST(first_pos AS INTEGER) AS first_pos,
+         CASE {term_case} END AS first_term,
+         trim(substring(padded, greatest(1, first_pos - {SNIPPET_BEFORE}), {SNIPPET_LEN})) AS snippet
+  FROM firstp
+  WHERE first_pos < {_SNIPPET_ABSENT}
+)
+SELECT doc_id, first_pos, first_term, snippet,
+       CAST({hit_sum} AS INTEGER) AS snippet_hits
+FROM snip
+ORDER BY doc_id
+"""
+
+
+SQL_SEARCH_SNIPPETS = _search_snippets_sql()
+
+
+# --------------------------------------------------------------------------
 # ROLLUP over events: multi-level aggregation in one pass (beyond-reference
 # analytics; grouping_id distinguishes the levels deterministically)
 # --------------------------------------------------------------------------
@@ -2281,6 +2459,8 @@ QUERIES_TD = {
     "events_anomaly": q_events_anomaly,
     "bm25_topk": q_bm25_topk,
     "postings_bytes": q_postings_bytes,
+    "rank_fusion": q_rank_fusion,
+    "search_snippets": q_search_snippets,
     "dedup_components": q_dedup_components,
 }
 
@@ -2319,5 +2499,7 @@ ORACLES_TD = {
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "bm25_topk": SQL_BM25_TOPK,
     "postings_bytes": SQL_POSTINGS_BYTES,
+    "rank_fusion": SQL_RANK_FUSION,
+    "search_snippets": SQL_SEARCH_SNIPPETS,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

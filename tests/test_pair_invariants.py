@@ -123,6 +123,8 @@ CONSTRUCTION_JOBS = {
     "events_anomaly": 1,    # moment sums fold in-plan per type
     "hll_distinct": 1,
     "postings_bytes": 1,  # read; the codec runs inside the grouped-map stage
+    "rank_fusion": 2,  # bm25 leg + edge leg each read documents
+    "search_snippets": 1,  # single scan, pure string arithmetic
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -404,6 +406,10 @@ DRIVERLIKE_QUERIES = [
     # the oracle's integer varint ladder — pure-integer, but the Arrow
     # round trip must hold under ANSI + 200 shuffle partitions
     "postings_bytes",
+    # RRF: rounded-score ranking + 1/(60+r) doubles under ANSI
+    "rank_fusion",
+    # snippets: 1-based substring/locate arithmetic under ANSI
+    "search_snippets",
 ]
 
 
@@ -481,6 +487,7 @@ PRUNING_EXPECTATIONS = {
     "temperature_sample": (["doc_id", "lang"], ["text", "source", "n_chars"]),
     "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "postings_bytes": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "search_snippets": (["doc_id", "text"], ["lang", "source", "n_chars"]),
 }
 
 
