@@ -1363,6 +1363,97 @@ FROM tot t JOIN sums s USING (lang)
 
 
 # ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (textstats.py heaps_law): cumulative
+# distinct word-3-gram count across 10 doc-id slices plus the log-log
+# growth exponent — the index-size forecast (how does the postings
+# dictionary grow when the corpus does 10x?). The unit is the md5 3-gram
+# shingle (the shared _gram_hashes/_DUP_GRAM spelling) because the
+# synthetic unigram vocabulary saturates in slice 1 (degenerate fit,
+# memory-note trap); 3-grams show real sublinear growth at every SF.
+# Same fixed6-integer OLS recipe as zipf_stats; window sums CAST to
+# BIGINT (the DuckDB HUGEINT trap); zero-denominator guards spelled as
+# CASE WHEN in the same expression on both sides.
+# ---------------------------------------------------------------------------
+HEAPS_N = 3
+HEAPS_BUCKETS = 10
+_HEAPS_GRAM = " || ' ' || ".join(f"w[i + {j}]" for j in range(HEAPS_N))
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return T.heaps_law(docs, n=HEAPS_N, buckets=HEAPS_BUCKETS)
+
+
+_HEAPS_DEN = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+_HEAPS_DEN2 = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+_HEAPS_NUM = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+
+SQL_HEAPS_LAW = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w
+  FROM documents
+),
+mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+dd AS (
+  SELECT w,
+         CAST(((doc_id - mm.lo) * {HEAPS_BUCKETS}) // (mm.hi - mm.lo + 1) + 1
+              AS INTEGER) AS dc
+  FROM d, mm
+),
+g AS (
+  SELECT dc, md5({_HEAPS_GRAM}) AS h
+  FROM dd, unnest(range(1, len(w) - {HEAPS_N - 2})) AS t(i)
+  WHERE len(w) >= {HEAPS_N}
+),
+nv AS (
+  SELECT dc, CAST(count(*) AS BIGINT) AS nv
+  FROM (SELECT h, min(dc) AS dc FROM g GROUP BY h) GROUP BY dc
+),
+per AS (
+  SELECT dc, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(greatest(len(w) - {HEAPS_N - 1}, 0)) AS BIGINT) AS grams
+  FROM dd GROUP BY dc
+),
+cum AS (
+  SELECT per.dc AS decile,
+         CAST(sum(per.docs) OVER win AS BIGINT) AS n_docs,
+         CAST(sum(per.grams) OVER win AS BIGINT) AS n_grams,
+         CAST(sum(coalesce(nv.nv, 0)) OVER win AS BIGINT) AS vocab
+  FROM per LEFT JOIN nv USING (dc)
+  WINDOW win AS (ORDER BY per.dc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT {SQL_FIXED6_LONG.format(col="ln(CAST(n_grams AS DOUBLE))")} AS x6,
+         {SQL_FIXED6_LONG.format(col="ln(CAST(vocab AS DOUBLE))")} AS y6
+  FROM cum WHERE n_grams > 0 AND vocab > 0
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         CAST(sum(y6 * y6) AS BIGINT) AS syy
+  FROM pts HAVING count(*) >= 2
+),
+fit AS (
+  SELECT CASE WHEN {_HEAPS_DEN} <> 0
+              THEN round({_HEAPS_NUM} / {_HEAPS_DEN}, 6) END AS heaps_beta,
+         CASE WHEN {_HEAPS_DEN} <> 0 AND {_HEAPS_DEN2} <> 0
+              THEN round(({_HEAPS_NUM} * {_HEAPS_NUM})
+                         / ({_HEAPS_DEN} * {_HEAPS_DEN2}), 6) END AS heaps_r2
+  FROM sums
+)
+SELECT decile, n_docs, n_grams, vocab, fit.heaps_beta, fit.heaps_r2
+FROM cum, fit
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram duplication profile (textstats.py gram_dup_profile): per-language
 # fraction of word 5-gram instances (and distinct 5-grams) occurring more
 # than once — Lee et al. 2022's corpus duplication report. Grams are md5-
@@ -1508,6 +1599,7 @@ QUERIES_CUR = {
     "tfidf_keywords": q_tfidf_keywords,
     "bigram_pmi": q_bigram_pmi,
     "zipf_stats": q_zipf_stats,
+    "heaps_law": q_heaps_law,
     "dup_profile": q_dup_profile,
     "readability": q_readability,
     "source_overlap": q_source_overlap,
@@ -1537,6 +1629,7 @@ ORACLES_CUR = {
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "zipf_stats": SQL_ZIPF_STATS,
+    "heaps_law": SQL_HEAPS_LAW,
     "dup_profile": SQL_DUP_PROFILE,
     "readability": SQL_READABILITY,
     "source_overlap": SQL_SOURCE_OVERLAP,

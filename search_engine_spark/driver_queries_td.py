@@ -1958,6 +1958,113 @@ SQL_SEARCH_SNIPPETS = _search_snippets_sql()
 
 
 # --------------------------------------------------------------------------
+# Term-bucket balance audit: the layout report an indexing pipeline runs
+# before committing to a term_bucket modulus (operators/postings.py keys
+# storage partitions on pmod(hash(term), n_buckets); invariant 7 makes the
+# modulus load-bearing). Per bucket: dictionary terms, postings (sum of
+# df), occurrences (sum of ctf); plus the two balance statistics —
+# max-over-avg postings and the coefficient of variation — as constant
+# columns. The pair uses the md5-prefix bucket (engine-portable, invariant
+# 2; the production layout uses xxhash64, same uniformity class) and a
+# modulus of 8 scaled to the synthetic 30-term vocabulary (a 64-bucket
+# audit of 30 terms is all-empty-or-singleton — the degenerate-fixture
+# trap). df comes from the two-phase doc_frequencies helper (invariant 6:
+# never countDistinct on the Zipf-skewed term key). The variance numerator
+# nb*spp - tp^2 stays in exact BIGINT; cv/max_over_avg are single double
+# expressions of exact integers, rounded 6, with CASE-guarded divisions.
+# --------------------------------------------------------------------------
+SHARD_BUCKETS = 8
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    per_term = doc_frequencies(toks, with_ctf=True)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long"),
+        F.lit(SHARD_BUCKETS),
+    ).cast("int")
+    per_bucket = (
+        per_term.select(
+            bucket.alias("bucket"), "doc_frequency", "ctf"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("doc_frequency").cast("long").alias("n_postings"),
+            F.sum("ctf").cast("long").alias("n_occurrences"),
+        )
+    )
+    tot = per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("n_postings").cast("long").alias("tp"),
+        F.max("n_postings").cast("long").alias("mx"),
+        F.sum(F.col("n_postings") * F.col("n_postings")).cast("long").alias("spp"),
+    )
+    nb_d = F.col("nb").cast("double")
+    tp_d = F.col("tp").cast("double")
+    mx_d = F.col("mx").cast("double")
+    vnum = F.greatest(
+        F.col("nb") * F.col("spp") - F.col("tp") * F.col("tp"), F.lit(0)
+    )
+    fit = tot.select(
+        F.when(F.col("tp") != 0, F.round(mx_d * nb_d / tp_d, 6)).alias(
+            "max_over_avg"
+        ),
+        F.when(
+            F.col("tp") != 0, F.round(F.sqrt(vnum.cast("double")) / tp_d, 6)
+        ).alias("cv"),
+    )
+    return per_bucket.crossJoin(F.broadcast(fit)).orderBy("bucket")
+
+
+SQL_SHARD_BALANCE = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+pt AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq,
+         CAST(count(*) AS BIGINT) AS ctf
+  FROM t GROUP BY term
+),
+pb AS (
+  SELECT CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)
+              % {SHARD_BUCKETS} AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(dfreq) AS BIGINT) AS n_postings,
+         CAST(sum(ctf) AS BIGINT) AS n_occurrences
+  FROM pt GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(n_postings) AS BIGINT) AS tp,
+         CAST(max(n_postings) AS BIGINT) AS mx,
+         CAST(sum(n_postings * n_postings) AS BIGINT) AS spp
+  FROM pb
+),
+fit AS (
+  SELECT CASE WHEN tp <> 0
+              THEN round(CAST(mx AS DOUBLE) * CAST(nb AS DOUBLE)
+                         / CAST(tp AS DOUBLE), 6) END AS max_over_avg,
+         CASE WHEN tp <> 0
+              THEN round(sqrt(CAST(greatest(nb * spp - tp * tp, 0) AS DOUBLE))
+                         / CAST(tp AS DOUBLE), 6) END AS cv
+  FROM tot
+)
+SELECT pb.bucket, pb.n_terms, pb.n_postings, pb.n_occurrences,
+       fit.max_over_avg, fit.cv
+FROM pb, fit
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # ROLLUP over events: multi-level aggregation in one pass (beyond-reference
 # analytics; grouping_id distinguishes the levels deterministically)
 # --------------------------------------------------------------------------
@@ -2461,6 +2568,7 @@ QUERIES_TD = {
     "postings_bytes": q_postings_bytes,
     "rank_fusion": q_rank_fusion,
     "search_snippets": q_search_snippets,
+    "shard_balance": q_shard_balance,
     "dedup_components": q_dedup_components,
 }
 
@@ -2501,5 +2609,6 @@ ORACLES_TD = {
     "postings_bytes": SQL_POSTINGS_BYTES,
     "rank_fusion": SQL_RANK_FUSION,
     "search_snippets": SQL_SEARCH_SNIPPETS,
+    "shard_balance": SQL_SHARD_BALANCE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -280,22 +280,32 @@ def collocations(
 
 
 def _gram_hashes(
-    df: DataFrame, n: int, key_col: str, key_alias: str, text_col: str
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    key_alias: str,
+    text_col: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(key, h) — md5 word-``n``-gram stream, built map-side from each
     doc's token array (one ``transform`` over positions) and hashed
     immediately so downstream shuffles carry a fixed-width key, never
     the text. The ONE spelling of the shingle space that
-    ``gram_dup_profile`` and ``source_overlap`` both measure — a change
-    here changes both consistently (their DuckDB twins share the
-    interpolated gram expression the same way)."""
+    ``gram_dup_profile``, ``source_overlap`` and ``heaps_law`` all
+    measure — a change here changes all of them consistently (their
+    DuckDB twins share the interpolated gram expression the same way).
+    Pass ``tokens_col`` when the caller already materialized the token
+    array (avoids a second regex pass over the corpus text)."""
     terms = " || ' ' || ".join(f"_w[i + {j}]" for j in range(n))
-    return (
-        df.withColumn(
+    if tokens_col is None:
+        df = df.withColumn(
             "_w",
             F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)"),
         )
-        .filter(F.size("_w") >= n)
+    elif tokens_col != "_w":
+        df = df.withColumn("_w", F.col(tokens_col))
+    return (
+        df.filter(F.size("_w") >= n)
         .select(
             F.col(key_col).alias(key_alias),
             F.explode(
@@ -597,6 +607,102 @@ def zipf_stats(
         F.round(num / den, 6).alias("zipf_slope"),
         F.round((num * num) / (den * den2), 6).alias("r2"),
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    n: int = 3,
+    buckets: int = 10,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(decile, n_docs, n_grams, vocab, heaps_beta, heaps_r2) — vocabulary
+    growth across the corpus in ``buckets`` doc-id slices, plus the
+    Heaps'-law exponent: distinct word-``n``-gram count V as a function of
+    gram instances N, fit as ln V = ln K + beta·ln N (Heaps 1978; the
+    index-size forecast an indexing pipeline runs before committing to a
+    term-partition count — beta tells you how the postings dictionary
+    grows when the corpus does 10x). The unit is the md5 ``n``-gram
+    shingle (the ``_gram_hashes`` spelling), not the unigram, because a
+    bounded template vocabulary saturates in the first slice and the fit
+    degenerates; gram novelty keeps growing.
+
+    Scale shape: doc-id min/max arrive as a broadcast 1-row cross join
+    (no driver collect); each gram hash collapses to its FIRST slice via
+    one shuffle on the uniform md5 key with map-side partials; everything
+    after runs on relations bounded by ``buckets`` rows (the cumulative
+    window is a single-partition WindowExec over <= ``buckets`` rows by
+    construction — same bounded-input argument as the top-k re-ranks).
+
+    Float discipline (invariant 4): the OLS points quantize ln(N), ln(V)
+    ONCE to integer micros (``fixed6_long``); the regression sums are
+    pure BIGINT; beta/R² are single double expressions of those exact
+    integers, rounded 6, with lazy ``F.when`` zero-denominator guards in
+    the SAME expression (the ANSI CollapseProject gotcha — a filter-only
+    guard can still evaluate the division on filtered rows).
+    """
+    d = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)").alias(
+            "_w"
+        ),
+    )
+    mm = d.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+    dd = d.crossJoin(F.broadcast(mm)).select(
+        "_w",
+        (
+            F.expr(f"((doc_id - _lo) * {buckets}) div (_hi - _lo + 1)") + 1
+        )
+        .cast("int")
+        .alias("dc"),
+    )
+    grams = _gram_hashes(dd, n, "dc", "dc", text_col, tokens_col="_w")
+    nv = (
+        grams.groupBy("h")
+        .agg(F.min("dc").alias("dc"))
+        .groupBy("dc")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nv"))
+    )
+    per = dd.groupBy("dc").agg(
+        F.count(F.lit(1)).cast("long").alias("_docs"),
+        F.sum(F.greatest(F.size("_w") - (n - 1), F.lit(0)))
+        .cast("long")
+        .alias("_grams"),
+    )
+    w_cum = Window.orderBy("dc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.join(nv, "dc", "left").select(
+        F.col("dc").alias("decile"),
+        F.sum("_docs").over(w_cum).cast("long").alias("n_docs"),
+        F.sum("_grams").over(w_cum).cast("long").alias("n_grams"),
+        F.sum(F.coalesce("_nv", F.lit(0))).over(w_cum).cast("long").alias("vocab"),
+    )
+    pts = cum.filter((F.col("n_grams") > 0) & (F.col("vocab") > 0)).select(
+        fixed6_long(F.log(F.col("n_grams").cast("double"))).alias("x6"),
+        fixed6_long(F.log(F.col("vocab").cast("double"))).alias("y6"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x6").cast("long").alias("sx"),
+        F.sum("y6").cast("long").alias("sy"),
+        F.sum(F.col("x6") * F.col("x6")).cast("long").alias("sxx"),
+        F.sum(F.col("x6") * F.col("y6")).cast("long").alias("sxy"),
+        F.sum(F.col("y6") * F.col("y6")).cast("long").alias("syy"),
+    ).filter(F.col("n") >= 2)
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    den = n_d * F.col("sxx") - sx_d * F.col("sx")
+    den2 = n_d * F.col("syy") - sy_d * F.col("sy")
+    fit = sums.select(
+        F.when(den != 0, F.round(num / den, 6)).alias("heaps_beta"),
+        F.when((den != 0) & (den2 != 0), F.round((num * num) / (den * den2), 6)).alias(
+            "heaps_r2"
+        ),
+    )
+    return cum.crossJoin(F.broadcast(fit)).orderBy("decile")
 
 
 def tfidf_keywords(

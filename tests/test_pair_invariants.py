@@ -125,6 +125,8 @@ CONSTRUCTION_JOBS = {
     "postings_bytes": 1,  # read; the codec runs inside the grouped-map stage
     "rank_fusion": 2,  # bm25 leg + edge leg each read documents
     "search_snippets": 1,  # single scan, pure string arithmetic
+    "heaps_law": 1,  # min/max doc_id is an in-plan broadcast, never .first()
+    "shard_balance": 1,  # balance stats fold in-plan from BIGINT sums
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -410,6 +412,10 @@ DRIVERLIKE_QUERIES = [
     "rank_fusion",
     # snippets: 1-based substring/locate arithmetic under ANSI
     "search_snippets",
+    # Heaps fit: integer `div` slicing + fixed6 ln OLS under ANSI
+    "heaps_law",
+    # balance stats: BIGINT products + guarded divisions under ANSI
+    "shard_balance",
 ]
 
 
@@ -488,6 +494,8 @@ PRUNING_EXPECTATIONS = {
     "hash_split": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "postings_bytes": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "search_snippets": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "heaps_law": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "shard_balance": (["doc_id", "text"], ["lang", "source", "n_chars"]),
 }
 
 

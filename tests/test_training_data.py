@@ -439,6 +439,63 @@ def test_zipf_stats_partitioning_invariance(spark):
     assert len(a) == 2
 
 
+def test_heaps_law_saturated_corpus(spark):
+    # identical docs: every 3-gram appears in slice 1, so vocab is flat,
+    # beta is exactly 0 and the R2 zero-variance guard yields NULL
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id long, text string"
+    )
+    rows = textstats.heaps_law(df, n=3, buckets=10).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert rows[0]["vocab"] == 4  # 6 tokens -> 4 distinct 3-grams
+    assert all(r["vocab"] == 4 for r in rows)
+    assert [r["n_grams"] for r in rows] == [4 * k for k in range(1, 11)]
+    assert [r["n_docs"] for r in rows] == list(range(1, 11))
+    assert all(r["heaps_beta"] == 0.0 for r in rows)
+    assert all(r["heaps_r2"] is None for r in rows)
+
+
+def test_heaps_law_all_novel_grams(spark):
+    # per-doc disjoint vocabularies: cumulative vocab == cumulative gram
+    # instances at every slice, so the log-log fit is exactly (1, 1)
+    rows_in = [
+        (i, " ".join(f"w{i}x{j}" for j in range(7))) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    rows = textstats.heaps_law(df, n=3, buckets=10).collect()
+    assert all(r["vocab"] == r["n_grams"] for r in rows)
+    assert all(r["heaps_beta"] == 1.0 for r in rows)
+    assert all(r["heaps_r2"] == 1.0 for r in rows)
+
+
+def test_heaps_law_partitioning_invariance(spark):
+    rows_in = [
+        (i, f"alpha beta gamma w{i} delta w{i} epsilon") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    a = sorted(tuple(r) for r in textstats.heaps_law(df).collect())
+    b = sorted(tuple(r) for r in textstats.heaps_law(df.repartition(7)).collect())
+    assert a == b
+    assert len(a) == 10
+
+
+def test_shard_balance_conservation(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_shard_balance
+
+    df = spark.createDataFrame(
+        [(i, "aa bb cc aa") for i in range(6)], "doc_id long, text string"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_shard_balance(spark, str(tmp_path)).collect()
+    assert sum(r["n_terms"] for r in rows) == 3
+    assert sum(r["n_postings"] for r in rows) == 18  # 3 terms x 6 docs
+    assert sum(r["n_occurrences"] for r in rows) == 24  # 4 tokens x 6 docs
+    # the balance statistics are corpus-level constants on every row
+    assert len({(r["max_over_avg"], r["cv"]) for r in rows}) == 1
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+
+
 def test_events_anomaly_planted_spike(spark, tmp_path):
     from datetime import datetime, timedelta
 
