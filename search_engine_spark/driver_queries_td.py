@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 
 from .pair_helpers import (
     SQL_FIXED6_LONG,
+    SQL_SUM_FIXED6,
     SQL_WS_TOKENS,
     doc_frequencies,
+    fixed6_long,
     ntz_epoch_us,
     scalar_count,
     sum_fixed6,
@@ -2065,6 +2067,217 @@ ORDER BY bucket
 
 
 # --------------------------------------------------------------------------
+# Relational analytics over the TPC-H-ish tables (beyond-reference breadth:
+# the classic warehouse shapes — scan+agg, selective 3-way join top-k,
+# star-schema multi-join — over the driver's orders/lineitem star).
+# Timestamp columns are TIMESTAMP_NTZ; every date predicate compares the
+# NTZ column against an NTZ literal (wall-clock, session-tz-invariant —
+# invariant 3 — and still pushes down to the parquet scan, unlike wrapping
+# the column in to_date()). Money aggregates quantize each row's product
+# ONCE to integer micros and sum BIGINTs (sum_fixed6 / fixed6_long —
+# invariant 4); top-k ranking orders by the exact BIGINT micros sum with a
+# unique-key tiebreak, so no float comparison can ever flip a rank.
+# Multiplier literals are INTEGER (1 - l_discount, 1 + l_tax) — a bare
+# 1.0 in the oracle would route through DuckDB DECIMAL (the float-literal
+# trap). Dates in output travel as 'YYYY-MM-DD' strings (date objects
+# serialize differently through pandas across the two engines).
+# --------------------------------------------------------------------------
+TPCH_Q1_CUTOFF = "2001-08-06 00:00:00"  # max shipdate 2001-11-04 minus 90d
+TPCH_Q3_SEGMENT = "BUILDING"
+TPCH_Q3_DATE = "1998-01-01 00:00:00"
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_START = "1996-01-01 00:00:00"
+TPCH_Q5_END = "1999-01-01 00:00:00"
+
+_SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price() -> F.Column:
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+def _ntz(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    charge = _disc_price() * (F.lit(1) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+
+    def avg6(col) -> F.Column:
+        return F.round(
+            (F.sum(fixed6_long(col)).cast("double") / F.lit(1000000.0)) / cnt, 6
+        )
+
+    return (
+        li.filter(F.col("l_shipdate") <= _ntz(TPCH_Q1_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_fixed6(F.col("l_quantity"), "sum_qty"),
+            sum_fixed6(F.col("l_extendedprice"), "sum_base_price"),
+            sum_fixed6(_disc_price(), "sum_disc_price"),
+            sum_fixed6(charge, "sum_charge"),
+            avg6(F.col("l_quantity")).alias("avg_qty"),
+            avg6(F.col("l_extendedprice")).alias("avg_price"),
+            avg6(F.col("l_discount")).alias("avg_disc"),
+            cnt.cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_AVG6 = (
+    "round((CAST(sum(CAST(round({col} * 1000000.0) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0) / count(*), 6)"
+)
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {SQL_SUM_FIXED6.format(col="l_quantity")} AS sum_qty,
+       {SQL_SUM_FIXED6.format(col="l_extendedprice")} AS sum_base_price,
+       {SQL_SUM_FIXED6.format(col=_SQL_DISC_PRICE)} AS sum_disc_price,
+       {SQL_SUM_FIXED6.format(col=_SQL_DISC_PRICE + " * (1 + l_tax)")} AS sum_charge,
+       {_SQL_AVG6.format(col="l_quantity")} AS avg_qty,
+       {_SQL_AVG6.format(col="l_extendedprice")} AS avg_price,
+       {_SQL_AVG6.format(col="l_discount")} AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{TPCH_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == TPCH_Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < _ntz(TPCH_Q3_DATE))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > _ntz(TPCH_Q3_DATE))
+        .select("l_orderkey", fixed6_long(_disc_price()).alias("d6"))
+    )
+    g = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("d6").cast("long").alias("rev6"))
+    )
+    return (
+        g.orderBy(F.desc("rev6"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue"),
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+    )
+
+
+SQL_SHIP_PRIORITY = f"""
+WITH g AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         CAST(sum(CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS rev6
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = '{TPCH_Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '{TPCH_Q3_DATE}'
+    AND l.l_shipdate > TIMESTAMP '{TPCH_Q3_DATE}'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT l_orderkey AS order_key,
+       round(rev6 / 1000000.0, 6) AS revenue,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       o_orderpriority AS order_priority
+FROM g
+ORDER BY rev6 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", fixed6_long(_disc_price()).alias("d6")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ntz(TPCH_Q5_START))
+            & (F.col("o_orderdate") < _ntz(TPCH_Q5_END))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = (
+        _read(spark, sf_dir, "region")
+        .filter(F.col("r_name") == TPCH_Q5_REGION)
+        .select("r_regionkey")
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(nation, nation["n_nationkey"] == cust["c_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    g = j.groupBy("n_name").agg(
+        F.sum("d6").cast("long").alias("rev6"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return g.select(
+        F.col("n_name").alias("nation"),
+        F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue"),
+        "n_items",
+    ).orderBy(F.desc("rev6"), F.asc("n_name"))
+
+
+SQL_NATION_REVENUE = f"""
+WITH g AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS rev6,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 AND s.s_nationkey = c.c_nationkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{TPCH_Q5_REGION}'
+    AND o.o_orderdate >= TIMESTAMP '{TPCH_Q5_START}'
+    AND o.o_orderdate < TIMESTAMP '{TPCH_Q5_END}'
+  GROUP BY n.n_name
+)
+SELECT n_name AS nation,
+       round(rev6 / 1000000.0, 6) AS revenue,
+       n_items
+FROM g
+ORDER BY rev6 DESC, n_name ASC
+"""
+
+
+# --------------------------------------------------------------------------
 # ROLLUP over events: multi-level aggregation in one pass (beyond-reference
 # analytics; grouping_id distinguishes the levels deterministically)
 # --------------------------------------------------------------------------
@@ -2569,6 +2782,9 @@ QUERIES_TD = {
     "rank_fusion": q_rank_fusion,
     "search_snippets": q_search_snippets,
     "shard_balance": q_shard_balance,
+    "pricing_summary": q_pricing_summary,
+    "ship_priority": q_ship_priority,
+    "nation_revenue": q_nation_revenue,
     "dedup_components": q_dedup_components,
 }
 
@@ -2610,5 +2826,8 @@ ORACLES_TD = {
     "rank_fusion": SQL_RANK_FUSION,
     "search_snippets": SQL_SEARCH_SNIPPETS,
     "shard_balance": SQL_SHARD_BALANCE,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "ship_priority": SQL_SHIP_PRIORITY,
+    "nation_revenue": SQL_NATION_REVENUE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -127,6 +127,9 @@ CONSTRUCTION_JOBS = {
     "search_snippets": 1,  # single scan, pure string arithmetic
     "heaps_law": 1,  # min/max doc_id is an in-plan broadcast, never .first()
     "shard_balance": 1,  # balance stats fold in-plan from BIGINT sums
+    "pricing_summary": 1,   # one lineitem read
+    "ship_priority": 3,     # customer + orders + lineitem reads
+    "nation_revenue": 6,    # the full star: fact + orders + 4 dims
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -162,7 +165,15 @@ def test_no_expand_in_pair_plan(spark, name):
 # Scoring pairs join a tiny per-query stats/scalar dimension: that join must
 # stay a broadcast (a shuffled sort-merge join here would shuffle the whole
 # token relation to co-locate against a <= |query terms| row table).
-BROADCAST_QUERIES = ["search_topk", "news_scoring", "bm25_topk", "fallback_search"]
+BROADCAST_QUERIES = [
+    "search_topk",
+    "news_scoring",
+    "bm25_topk",
+    "fallback_search",
+    # star-schema joins: every dimension side must broadcast
+    "ship_priority",
+    "nation_revenue",
+]
 
 
 @pytest.mark.parametrize("name", BROADCAST_QUERIES)
@@ -416,6 +427,11 @@ DRIVERLIKE_QUERIES = [
     "heaps_law",
     # balance stats: BIGINT products + guarded divisions under ANSI
     "shard_balance",
+    # TPC-H-ish trio: NTZ date predicates + fixed6 money sums must hold
+    # under a non-UTC session with ANSI on
+    "pricing_summary",
+    "ship_priority",
+    "nation_revenue",
 ]
 
 
@@ -436,7 +452,10 @@ def test_pair_matches_oracle_under_driverlike_session(driverlike, name):
     sc_cols, sc_rows = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
 
     con = duckdb.connect()
-    for t in ["documents", "events", "embeddings"]:
+    for t in [
+        "documents", "events", "embeddings",
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+    ]:
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
@@ -496,6 +515,18 @@ PRUNING_EXPECTATIONS = {
     "search_snippets": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "heaps_law": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "shard_balance": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "pricing_summary": (
+        ["l_returnflag", "l_quantity", "l_shipdate"],
+        ["l_partkey", "l_suppkey", "l_linenumber", "l_orderkey"],
+    ),
+    "ship_priority": (
+        ["l_orderkey", "o_orderpriority", "c_mktsegment"],
+        ["l_partkey", "l_linenumber", "l_tax", "o_totalprice", "c_name"],
+    ),
+    "nation_revenue": (
+        ["l_suppkey", "n_name", "r_name"],
+        ["l_tax", "l_returnflag", "o_totalprice", "c_name", "s_name"],
+    ),
 }
 
 
