@@ -1298,6 +1298,59 @@ FROM r WHERE rnk <= {BIGRAM_K}
 
 
 # ---------------------------------------------------------------------------
+# Skip-gram PMI (textstats.py collocations, window=5): top-k word pairs by
+# PMI over the ordered window-5 skip-gram stream — the word2vec/SGNS
+# co-occurrence statistic (Levy & Goldberg 2014: SGNS factorizes the
+# shifted PMI matrix of exactly this stream); document-LEVEL co-occurrence
+# would be degenerate here (the 30-word soup puts nearly every term in
+# nearly every doc, PMI ≈ 0 corpus-wide), while the positional window
+# shows real variation. Same float discipline as bigram_pmi: one ln of
+# one exact double expression rounded 6, ranking on the ROUNDED pmi with
+# (w1, w2)-asc tiebreak, every count CAST to BIGINT.
+# ---------------------------------------------------------------------------
+SKIP_K = 100
+SKIP_MIN = 5
+SKIP_WINDOW = 5
+
+
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return T.collocations(docs, k=SKIP_K, min_count=SKIP_MIN, window=SKIP_WINDOW)
+
+
+SQL_SKIPGRAM_PMI = f"""
+WITH wds AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w FROM documents
+),
+bi AS (
+  SELECT w[i] AS w1, w[i + o] AS w2
+  FROM wds,
+       unnest(range(1, len(w))) AS t(i),
+       unnest(range(1, {SKIP_WINDOW + 1})) AS t2(o)
+  WHERE len(w) >= 2 AND i + o <= len(w)
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+n AS (SELECT CAST(sum(c12) AS BIGINT) AS nbi FROM c12),
+s AS (
+  SELECT c12.w1, c12.w2, c12.c12, c1.c1, c2.c2,
+         round(ln((CAST(c12.c12 AS DOUBLE) * n.nbi)
+                  / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) AS pmi
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+  WHERE c12.c12 >= {SKIP_MIN}
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM s
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, c12, c1, c2, pmi
+FROM r WHERE rnk <= {SKIP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zipf rank-frequency stats (textstats.py zipf_stats): per-language vocab,
 # token total, and the log-log Zipf slope + R² over the top-R terms — the
 # distributional-anomaly report (Zipf 1949; Piantadosi 2014). Each
@@ -1600,6 +1653,7 @@ QUERIES_CUR = {
     "bigram_pmi": q_bigram_pmi,
     "zipf_stats": q_zipf_stats,
     "heaps_law": q_heaps_law,
+    "skipgram_pmi": q_skipgram_pmi,
     "dup_profile": q_dup_profile,
     "readability": q_readability,
     "source_overlap": q_source_overlap,
@@ -1630,6 +1684,7 @@ ORACLES_CUR = {
     "bigram_pmi": SQL_BIGRAM_PMI,
     "zipf_stats": SQL_ZIPF_STATS,
     "heaps_law": SQL_HEAPS_LAW,
+    "skipgram_pmi": SQL_SKIPGRAM_PMI,
     "dup_profile": SQL_DUP_PROFILE,
     "readability": SQL_READABILITY,
     "source_overlap": SQL_SOURCE_OVERLAP,

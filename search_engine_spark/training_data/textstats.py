@@ -205,6 +205,7 @@ def collocations(
     k: int = 100,
     min_count: int = 5,
     text_col: str = "text",
+    window: int = 1,
 ) -> DataFrame:
     """(rnk, w1, w2, c12, c1, c2, pmi) — corpus-wide top-``k`` bigram
     collocations by pointwise mutual information (Church & Hanks 1990),
@@ -233,19 +234,29 @@ def collocations(
     (rounded pmi desc, w1 asc, w2 asc), unique per bigram, so both
     engines rank identically. Counts stay BIGINT end-to-end; the
     products run in doubles so a 10^14-bigram corpus cannot overflow.
+
+    ``window`` > 1 generalizes the stream to ordered skip-gram pairs
+    (w[i], w[i+o]) for o in 1..window — the word2vec/SGNS co-occurrence
+    statistic (Levy & Goldberg 2014: SGNS factorizes the shifted PMI
+    matrix of exactly this stream). Same one-shuffle shape; the map-side
+    expansion is bounded at ``window``× the token stream.
     """
     words = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RUN}', 0)")
+    if window == 1:
+        pair_expr = (
+            "transform(sequence(0, size(_w) - 2),"
+            " i -> struct(_w[i] AS w1, _w[i + 1] AS w2))"
+        )
+    else:
+        pair_expr = (
+            "flatten(transform(sequence(0, size(_w) - 2), i ->"
+            f" transform(sequence(1, least({window}, size(_w) - 1 - i)),"
+            " o -> struct(_w[i] AS w1, _w[i + o] AS w2))))"
+        )
     bi = (
         df.withColumn("_w", words)
         .filter(F.size("_w") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(_w) - 2),"
-                    " i -> struct(_w[i] AS w1, _w[i + 1] AS w2))"
-                )
-            ).alias("b")
-        )
+        .select(F.explode(F.expr(pair_expr)).alias("b"))
         .select("b.w1", "b.w2")
     )
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))

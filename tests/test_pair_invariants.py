@@ -112,6 +112,7 @@ CONSTRUCTION_JOBS = {
     "bloom_dedup": 1,
     "tfidf_keywords": 1,  # N is an in-plan scalar, never a .count()
     "bigram_pmi": 1,    # bigram total is an in-plan broadcast scalar
+    "skipgram_pmi": 1,  # same shape over the window-5 skip-gram stream
     "zipf_stats": 1,    # OLS sums are in-plan BIGINT folds, no driver scalars
     "embedding_diversity": 1,  # Gram-identity sums all in-plan, no driver math
     "dup_profile": 1,   # duplication fractions fold in-plan, no driver scalars
@@ -432,6 +433,8 @@ DRIVERLIKE_QUERIES = [
     "pricing_summary",
     "ship_priority",
     "nation_revenue",
+    # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
+    "skipgram_pmi",
 ]
 
 
@@ -515,6 +518,7 @@ PRUNING_EXPECTATIONS = {
     "search_snippets": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "heaps_law": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "shard_balance": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "skipgram_pmi": (["text"], ["doc_id", "lang", "source", "n_chars"]),
     "pricing_summary": (
         ["l_returnflag", "l_quantity", "l_shipdate"],
         ["l_partkey", "l_suppkey", "l_linenumber", "l_orderkey"],

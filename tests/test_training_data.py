@@ -278,15 +278,19 @@ def test_tfidf_keywords_matches_python_oracle(spark):
     assert got[3][0][1] == "fig"
 
 
-def _collocations_oracle(texts, k, min_count):
+def _collocations_oracle(texts, k, min_count, window=1):
     import math
     import re
 
     c12: dict[tuple, int] = {}
     for t in texts:
         w = re.findall(r"[a-z0-9]{2,}", t.lower())
-        for a, b in zip(w, w[1:]):
-            c12[(a, b)] = c12.get((a, b), 0) + 1
+        for i, a in enumerate(w):
+            for o in range(1, window + 1):
+                if i + o >= len(w):
+                    break
+                b = w[i + o]
+                c12[(a, b)] = c12.get((a, b), 0) + 1
     c1: dict[str, int] = {}
     c2: dict[str, int] = {}
     for (a, b), c in c12.items():
@@ -327,6 +331,27 @@ def test_collocations_matches_python_oracle(spark):
     assert got and (got[0][1], got[0][2]) == ("new", "york")
     # the under-floor bigram is absent
     assert all((w1, w2) != ("rare", "pair") for _, w1, w2, *_ in got)
+
+
+def test_collocations_skipgram_window(spark):
+    # window=3 counts (w[i], w[i+o]) for o in 1..3 — "alpha ... gamma" at
+    # distance 2 becomes a pair that the adjacent stream never sees
+    texts = [
+        "alpha beta gamma delta alpha beta gamma",
+        "alpha x1 gamma alpha x2 gamma delta beta",
+        "gamma alpha beta delta gamma alpha beta",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    expected = _collocations_oracle(texts, k=10, min_count=2, window=3)
+    got = sorted(
+        (r["rnk"], r["w1"], r["w2"], r["c12"], r["c1"], r["c2"], r["pmi"])
+        for r in textstats.collocations(df, k=10, min_count=2, window=3).collect()
+    )
+    assert got == sorted(expected)
+    # the distance-2 pair exists under window=3 but not under window=1
+    adj = {(w1, w2) for _, w1, w2, *_ in _collocations_oracle(texts, 100, 1)}
+    assert any((w1, w2) == ("alpha", "gamma") for _, w1, w2, *_ in got)
+    assert ("alpha", "gamma") not in adj
 
 
 def test_collocations_partitioning_invariance(spark):
