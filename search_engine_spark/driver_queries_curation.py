@@ -1633,6 +1633,88 @@ JOIN sizes sb ON sb.source = i.source_b
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (training_data/bpe.py): the FULL iterative merge
+# loop — vocabulary collapse, per-step pair counts, deterministic argmax
+# (count desc, lhs asc, rhs asc), left-to-right literal-replace merge —
+# replayed in DuckDB as chained CTEs (the ann_ivf_trained pattern). All
+# integers/strings: no floats, no hashes, so the trained table is
+# bit-identical by construction. bpe_tokenize then applies the trained
+# rules to the vocabulary and emits the top subword frequencies.
+# ---------------------------------------------------------------------------
+BPE_MERGES_K = 8
+BPE_TOP = 20
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return B.train_bpe_merges(docs, num_merges=BPE_MERGES_K)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = B.train_bpe_merges(docs, num_merges=BPE_MERGES_K)
+    return B.subword_frequencies(docs, merges, top=BPE_TOP)
+
+
+def _bpe_ctes(k: int) -> str:
+    """w0 = |-encoded vocabulary; per step i: p_i pair counts, m_i argmax,
+    w_i merged vocabulary. DuckDB arrays are 1-indexed; range(1, len(s)) is
+    empty for single-symbol words, so no size guard is needed (Spark's side
+    filters size >= 2 before sequence())."""
+    cte = rf"""w0 AS (
+  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS enc, freq FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS word
+      FROM documents
+    ) GROUP BY word
+  )
+)"""
+    for i in range(1, k + 1):
+        cte += f""",
+p{i} AS (
+  SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(enc, '|'), '||') AS s, freq FROM w{i - 1}),
+       unnest(range(1, len(s))) AS t(i)
+  GROUP BY s[i], s[i + 1]
+),
+m{i} AS (
+  SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, pair_count
+  FROM p{i} ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+),
+w{i} AS (
+  SELECT replace(enc, '|' || lhs || '||' || rhs || '|',
+                 '|' || merged || '|') AS enc, freq
+  FROM w{i - 1}, m{i}
+)"""
+    return cte
+
+
+SQL_BPE_MERGES = f"""
+WITH {_bpe_ctes(BPE_MERGES_K)}
+{" UNION ALL ".join(
+    f"SELECT step, lhs, rhs, merged, pair_count FROM m{i}"
+    for i in range(1, BPE_MERGES_K + 1)
+)}
+"""
+
+SQL_BPE_TOKENIZE = f"""
+WITH {_bpe_ctes(BPE_MERGES_K)}
+SELECT token, CAST(sum(freq) AS BIGINT) AS tok_count
+FROM (
+  SELECT unnest(string_split(trim(enc, '|'), '||')) AS token, freq
+  FROM w{BPE_MERGES_K}
+)
+GROUP BY token
+ORDER BY tok_count DESC, token ASC
+LIMIT {BPE_TOP}
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1662,6 +1744,8 @@ QUERIES_CUR = {
     "dsir_weights": q_dsir_weights,
     "temperature_sample": q_temperature_sample,
     "hash_split": q_hash_split,
+    "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
 }
 
 ORACLES_CUR = {
@@ -1693,4 +1777,6 @@ ORACLES_CUR = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,
+    "bpe_merges": SQL_BPE_MERGES,
+    "bpe_tokenize": SQL_BPE_TOKENIZE,
 }

@@ -84,6 +84,13 @@ CONSTRUCTION_JOBS = {
     "media_resize": 2,
     "media_frame_sample": 2,
     "media_features": 2,
+    # BPE training loop (a BUILD step like ann_ivf_trained): initial
+    # vocabulary checkpoint + per-merge-step (1-row argmax collect, which
+    # AQE runs as ~2 jobs, + eager vocabulary checkpoint) x 8 steps;
+    # bpe_tokenize adds the rule-list collect + one more vocabulary pass.
+    # Every collected set is bounded by num_merges (the trained artifact).
+    "bpe_merges": 27,
+    "bpe_tokenize": 30,
     # remaining scan-only pairs: schema read, nothing else
     "binary_meta": 1,
     "language_id": 1,
