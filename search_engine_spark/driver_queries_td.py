@@ -2505,6 +2505,130 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# As-of join (operators/temporal.py): purchase -> latest preceding click
+# per user (click attribution). Spark runs the union-and-sweep plan (one
+# key-partitioned shuffle + running last-ignorenulls window — the
+# distributed ASOF shape); the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`,
+# a genuinely independent formulation of the same semantics. The click
+# side is pre-reduced to one row per (user, ts) with max(event_id) — with
+# duplicate build-side timestamps "the" latest row is ill-defined in both
+# engines. All time arithmetic on tz-invariant epoch micros (invariant 3);
+# every column BIGINT (no HUGEINT: max(), not sum()). Unmatched purchases
+# emit -1, not NULL: a nullable BIGINT serializes through pandas as
+# float64-with-NaN, the exact int64-vs-float64 hash trap of invariant 1 —
+# the sentinel keeps both engines at non-null int64 (the operator itself
+# keeps LEFT/NULL semantics; only this pair's projection is
+# sentinel-coded).
+# --------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", ntz_epoch_us(F.col("ts")).alias("us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("us").alias("ts_us"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_us", right_ts="ts_us"
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        F.coalesce(F.col("click_id_asof"), F.lit(-1).cast("long")).alias(
+            "click_id"
+        ),
+        F.coalesce(
+            F.col("purchase_us") - F.col("ts_us_asof"), F.lit(-1).cast("long")
+        ).alias("gap_us"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.purchase_id, p.user_id, p.purchase_us,
+       COALESCE(c.click_id, -1) AS click_id,
+       COALESCE(p.purchase_us - c.ts_us, -1) AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.purchase_us >= c.ts_us
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval (range) join (operators/temporal.py): clicks inside each error
+# event's trailing 5-minute window, zeros kept — the "events per window"
+# shape. Spark explodes intervals into fixed-width time buckets and
+# equi-joins on (user, bucket) + exact residual filter (no cartesian /
+# broadcast-nested-loop; plan-asserted in tests/test_temporal.py); the
+# oracle is the plain inequality join a single-node engine can afford.
+# --------------------------------------------------------------------------
+ERR_WINDOW_US = 5 * 60 * 1_000_000
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import interval_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", ntz_epoch_us(F.col("ts")).alias("us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("us").alias("s"),
+        (F.col("us") + F.lit(ERR_WINDOW_US)).alias("e"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("us").alias("ts_us"),
+    )
+    matches = interval_join(
+        clicks, errors, "ts_us", "s", "e", bucket_width=ERR_WINDOW_US, on="user_id"
+    )
+    counts = matches.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return errors.join(counts, "error_id", "left").select(
+        "error_id",
+        "user_id",
+        F.col("s").alias("window_start_us"),
+        F.coalesce(F.col("n_clicks"), F.lit(0).cast("long")).alias("n_clicks"),
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH e AS (
+  SELECT event_id AS error_id, user_id, epoch_us(ts) AS s
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.error_id, e.user_id, e.s AS window_start_us,
+       CAST(count(c.us) AS BIGINT) AS n_clicks
+FROM e LEFT JOIN c
+  ON c.user_id = e.user_id AND c.us >= e.s AND c.us < e.s + {ERR_WINDOW_US}
+GROUP BY e.error_id, e.user_id, e.s
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-node triangle counts + local clustering coefficient over the link
 # graph (operators/pagerank.py triangle_counts — degree-ordered
 # "compact-forward" orientation, O(m^1.5) wedge work regardless of skew;
@@ -2776,6 +2900,8 @@ QUERIES_TD = {
     "cohort_retention": q_cohort_retention,
     "triangle_counts": q_triangle_counts,
     "event_funnel": q_event_funnel,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "events_anomaly": q_events_anomaly,
     "bm25_topk": q_bm25_topk,
     "postings_bytes": q_postings_bytes,
@@ -2820,6 +2946,8 @@ ORACLES_TD = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "asof_join": SQL_ASOF_JOIN,
+    "interval_join": SQL_INTERVAL_JOIN,
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "bm25_topk": SQL_BM25_TOPK,
     "postings_bytes": SQL_POSTINGS_BYTES,

@@ -128,6 +128,8 @@ CONSTRUCTION_JOBS = {
     "triangle_counts": 1,   # N in-plan via scalar_count, no driver graph state
     "source_overlap": 1,    # distinct-first sets, all counts in-plan
     "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
+    "asof_join": 1,         # union-and-sweep window plan, no driver state
+    "interval_join": 1,     # bucket-explode equi-join, no driver state
     "events_anomaly": 1,    # moment sums fold in-plan per type
     "hll_distinct": 1,
     "postings_bytes": 1,  # read; the codec runs inside the grouped-map stage
@@ -442,6 +444,10 @@ DRIVERLIKE_QUERIES = [
     "nation_revenue",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
+    # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must
+    # hold under a DST-observing session with ANSI on
+    "asof_join",
+    "interval_join",
 ]
 
 
@@ -514,6 +520,8 @@ PRUNING_EXPECTATIONS = {
     "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
     "event_funnel": (["user_id", "ts", "event_type"], ["props", "value"]),
     "events_anomaly": (["ts", "event_type"], ["props", "value", "user_id"]),
+    "asof_join": (["event_id", "user_id", "event_type", "ts"], ["props", "value"]),
+    "interval_join": (["event_id", "user_id", "event_type", "ts"], ["props", "value"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),
