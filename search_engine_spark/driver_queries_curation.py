@@ -1715,6 +1715,46 @@ LIMIT {BPE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking (textstats.chunk_documents): fixed-size sliding
+# windows with overlap over each doc's whitespace token stream — the
+# RAG-index / long-doc-pretraining prep step (sequence_packing is the
+# cross-doc concat-and-split shape; this is the per-doc overlapped one).
+# Pure strings + integers + md5 chunk hashes (invariant 2): bit-identical
+# replay. No shuffle at all on the Spark side — one narrow map + explode.
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import textstats as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return X.chunk_documents(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+SQL_CONTEXT_CHUNKS = rf"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+  FROM documents
+),
+s AS (SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) >= 1)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(len(list_slice(words, start + 1, start + {CHUNK_SIZE})) AS BIGINT)
+         AS n_tok,
+       md5(array_to_string(list_slice(words, start + 1, start + {CHUNK_SIZE}),
+                           ' ')) AS chunk_hash
+FROM s, unnest(range(0, n, {CHUNK_STRIDE})) AS t(start)
+"""
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1746,6 +1786,7 @@ QUERIES_CUR = {
     "hash_split": q_hash_split,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
+    "context_chunks": q_context_chunks,
 }
 
 ORACLES_CUR = {
@@ -1779,4 +1820,5 @@ ORACLES_CUR = {
     "hash_split": SQL_HASH_SPLIT,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
+    "context_chunks": SQL_CONTEXT_CHUNKS,
 }

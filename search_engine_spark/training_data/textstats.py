@@ -88,6 +88,51 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size sliding-window chunks over each document's whitespace
+    token stream — the context-window prep for RAG indexing / long-doc
+    pretraining (size > stride ⇒ overlapping chunks; the trailing chunk
+    may be short). One narrow map + explode, no shuffle: chunking
+    parallelizes embarrassingly and the fan-out per doc is n/stride.
+
+    Rows: (id, chunk_id, start_tok, n_tok, chunk_hash) where chunk_hash
+    is md5 of the space-joined chunk text — engine-portable (invariant 2),
+    so a DuckDB replay is bit-identical. NULL/blank texts yield no chunks.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    words = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), "\\s+"))
+    base = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .withColumn("_n", F.size("_w"))
+        .filter(F.col("_n") >= 1)  # sequence(0, -1, +stride) would raise
+    )
+    exploded = base.select(
+        id_col,
+        "_w",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).alias("start_tok"),
+    )
+    chunk = F.slice("_w", F.col("start_tok") + 1, F.lit(size))
+    return exploded.select(
+        id_col,
+        (F.col("start_tok") / stride).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -130,6 +130,7 @@ CONSTRUCTION_JOBS = {
     "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
     "asof_join": 1,         # union-and-sweep window plan, no driver state
     "interval_join": 1,     # bucket-explode equi-join, no driver state
+    "context_chunks": 1,    # narrow map + explode, zero shuffles
     "events_anomaly": 1,    # moment sums fold in-plan per type
     "hll_distinct": 1,
     "postings_bytes": 1,  # read; the codec runs inside the grouped-map stage
@@ -448,6 +449,8 @@ DRIVERLIKE_QUERIES = [
     # hold under a DST-observing session with ANSI on
     "asof_join",
     "interval_join",
+    # 1-based slice arithmetic + sequence bounds under ANSI
+    "context_chunks",
 ]
 
 
@@ -522,6 +525,7 @@ PRUNING_EXPECTATIONS = {
     "events_anomaly": (["ts", "event_type"], ["props", "value", "user_id"]),
     "asof_join": (["event_id", "user_id", "event_type", "ts"], ["props", "value"]),
     "interval_join": (["event_id", "user_id", "event_type", "ts"], ["props", "value"]),
+    "context_chunks": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "hll_distinct": (["text", "lang"], ["doc_id", "source", "n_chars"]),
     "cms_heavy_hitters": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "length_quantiles": (["text", "lang"], ["doc_id", "source", "n_chars"]),

@@ -1736,3 +1736,66 @@ def test_length_quantiles_partition_invariant(spark):
     a = sorted(map(tuple, textstats.length_quantiles(df.repartition(11)).collect()))
     b = sorted(map(tuple, textstats.length_quantiles(df.coalesce(1)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents: sliding-window context chunks vs a pure-Python oracle.
+# ---------------------------------------------------------------------------
+def _oracle_chunks(texts, size, stride):
+    import hashlib
+
+    out = []
+    for doc_id, text in texts:
+        words = text.strip().split() if text and text.strip() else []
+        for cid, start in enumerate(range(0, len(words), stride)):
+            piece = words[start : start + size]
+            out.append(
+                (
+                    doc_id,
+                    cid,
+                    start,
+                    len(piece),
+                    hashlib.md5(" ".join(piece).encode()).hexdigest(),
+                )
+            )
+    return sorted(out)
+
+
+@pytest.mark.parametrize("size,stride", [(4, 3), (5, 5), (3, 1), (100, 7)])
+def test_chunk_documents_matches_oracle(spark, size, stride):
+    texts = [
+        (1, "a b c d e f g h i j"),       # overlap + short trailing chunk
+        (2, "one"),                        # single token -> one chunk
+        (3, ""),                           # blank -> no chunks
+        (4, "  padded   whitespace  x "),  # trim + multi-space split
+        (5, None),                         # NULL -> no chunks
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in textstats.chunk_documents(
+            df, size=size, stride=stride
+        ).collect()
+    )
+    assert got == _oracle_chunks(texts, size, stride)
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, size=0, stride=1)
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, size=4, stride=0)
+
+
+def test_chunk_documents_full_coverage_and_overlap(spark):
+    # size 4 / stride 3: consecutive chunks share exactly 1 token, and
+    # every token position is covered by at least one chunk.
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["start_tok"], r["n_tok"])
+        for r in textstats.chunk_documents(df, size=4, stride=3).collect()
+    )
+    assert rows == [(0, 4), (3, 4), (6, 4), (9, 2)]
