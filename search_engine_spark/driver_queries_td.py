@@ -1241,6 +1241,61 @@ WHERE pr.iter = 20
 """
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over the same synthetic link
+    graph as ``pagerank`` — the exact-integer Jacobi formulation
+    (``operators/pagerank.hits_scores``): unnormalized BIGINT trajectories
+    are order-free and bit-identical across engines (invariant 4 by
+    omission); the only floats are two final divides by the max, rounded 6.
+    The oracle replays all 20 iterations in one recursive CTE, carrying
+    both scores per row — hub and auth messages travel a single unioned
+    relation so the recursive term references the CTE once.
+    """
+    from .operators.pagerank import hits_scores
+
+    docs, edges = _edges(spark, sf_dir)
+    return hits_scores(docs, edges)
+
+
+SQL_HITS_SCORES = f"""
+WITH RECURSIVE {_EDGES_CTE},
+msgs AS (
+  -- is_auth=1: hub(source) contributes to auth(target);
+  -- is_auth=0: auth(target) contributes back to hub(source);
+  -- is_auth=2: zero-contribution self loop keeps isolated nodes present
+  SELECT source_doc_id AS from_node, target_doc_id AS to_node, 1 AS is_auth
+  FROM edges
+  UNION ALL
+  SELECT target_doc_id, source_doc_id, 0 FROM edges
+  UNION ALL
+  SELECT doc_id, doc_id, 2 FROM documents
+),
+hits AS (
+  SELECT 0 AS iter, doc_id,
+         CAST(1 AS BIGINT) AS hub, CAST(1 AS BIGINT) AS auth
+  FROM documents
+  UNION ALL
+  SELECT h.iter + 1, m.to_node AS doc_id,
+         CAST(sum(CASE WHEN m.is_auth = 0 THEN h.auth ELSE 0 END)
+              AS BIGINT) AS hub,
+         CAST(sum(CASE WHEN m.is_auth = 1 THEN h.hub ELSE 0 END)
+              AS BIGINT) AS auth
+  FROM hits h JOIN msgs m ON m.from_node = h.doc_id
+  WHERE h.iter < 20
+  GROUP BY h.iter + 1, m.to_node
+),
+fin AS (SELECT doc_id, hub, auth FROM hits WHERE iter = 20)
+SELECT doc_id, hub, auth,
+       CASE WHEN max(hub) OVER () > 0
+            THEN round(CAST(hub AS DOUBLE) / max(hub) OVER (), 6)
+       END AS hub_score,
+       CASE WHEN max(auth) OVER () > 0
+            THEN round(CAST(auth AS DOUBLE) / max(auth) OVER (), 6)
+       END AS auth_score
+FROM fin
+"""
+
+
 # --------------------------------------------------------------------------
 # A10/U4 — three-source frequency merge via full outer joins + full
 # popularity formula (docs words + "news" words from events.props + a
@@ -2892,6 +2947,7 @@ QUERIES_TD = {
     "spellcheck_candidates": q_spellcheck_candidates,
     "degree_counts": q_degree_counts,
     "pagerank": q_pagerank,
+    "hits_scores": q_hits_scores,
     "word_source_merge": q_word_source_merge,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_trained": q_ann_ivf_trained,
@@ -2938,6 +2994,7 @@ ORACLES_TD = {
     "spellcheck_candidates": SQL_SPELLCHECK_CANDIDATES,
     "degree_counts": SQL_DEGREE_COUNTS,
     "pagerank": SQL_PAGERANK,
+    "hits_scores": SQL_HITS_SCORES,
     "word_source_merge": SQL_WORD_SOURCE_MERGE,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_ivf_trained": SQL_ANN_IVF_TRAINED,

@@ -94,3 +94,69 @@ def test_triangle_counts_k4_and_partitioning(spark):
     assert len(rows) == 4
     b = sorted(tuple(r) for r in triangle_counts(edges.repartition(5)).collect())
     assert b == sorted(tuple(r) for r in rows)
+
+
+def _hits_python(nodes, edges, iterations=20):
+    hub = {v: 1 for v in nodes}
+    auth = {v: 1 for v in nodes}
+    for _ in range(iterations):
+        a2 = {v: 0 for v in nodes}
+        h2 = {v: 0 for v in nodes}
+        for s, t in edges:
+            a2[t] += hub[s]
+            h2[s] += auth[t]
+        hub, auth = h2, a2
+    mh, ma = max(hub.values()), max(auth.values())
+    return {
+        v: (
+            hub[v],
+            auth[v],
+            round(hub[v] / mh, 6) if mh > 0 else None,
+            round(auth[v] / ma, 6) if ma > 0 else None,
+        )
+        for v in nodes
+    }
+
+
+def test_hits_hand_built_vs_python_oracle(spark):
+    from search_engine_spark.operators.pagerank import hits_scores
+
+    # hub 1 points at {2,3,4}; 2 points at 3; 5 isolated; 4 points back at 1
+    nodes = [1, 2, 3, 4, 5]
+    edge_list = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 1)]
+    docs = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+    edges = spark.createDataFrame(
+        edge_list, "source_doc_id long, target_doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["hub"], r["auth"], r["hub_score"], r["auth_score"])
+        for r in hits_scores(docs, edges, iterations=6).collect()
+    }
+    assert got == _hits_python(nodes, edge_list, iterations=6)
+    # isolated node: exact zeros, scores 0.0 (not NULL — max is positive)
+    assert got[5] == (0, 0, 0.0, 0.0)
+
+
+def test_hits_partitioning_invariance_and_integer_exactness(spark):
+    from search_engine_spark.operators.pagerank import hits_scores
+
+    nodes = list(range(40))
+    edge_list = [(i, (7 * i + 13) % 40) for i in range(40) if i % 13 != 0]
+    edge_list += [(i, (5 * i + 2) % 40) for i in range(40) if i % 13 != 0]
+    edge_list = sorted({(s, t) for s, t in edge_list if s != t})
+    docs = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+    edges = spark.createDataFrame(
+        edge_list, "source_doc_id long, target_doc_id long"
+    )
+    want = _hits_python(nodes, edge_list, iterations=20)
+    a = {
+        r["doc_id"]: (r["hub"], r["auth"], r["hub_score"], r["auth_score"])
+        for r in hits_scores(docs, edges).collect()
+    }
+    b = {
+        r["doc_id"]: (r["hub"], r["auth"], r["hub_score"], r["auth_score"])
+        for r in hits_scores(docs.repartition(7), edges.repartition(11)).collect()
+    }
+    # integer trajectories are EXACT: equality, not tolerance
+    assert a == want
+    assert b == want

@@ -451,6 +451,9 @@ DRIVERLIKE_QUERIES = [
     "interval_join",
     # 1-based slice arithmetic + sequence bounds under ANSI
     "context_chunks",
+    # exact-integer HITS: BIGINT sums across 20 iterations under ANSI
+    # (an overflow would raise, never wrap) + two final max-divides
+    "hits_scores",
 ]
 
 
