@@ -2739,6 +2739,53 @@ FROM deg d LEFT JOIN tcnt t ON t.v = d.v
 """
 
 
+COCIT_MAX_IN_DEGREE = 64
+
+
+def q_cocitation_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation (Small 1973) + bibliographic coupling (Kessler 1963)
+    over the 3-generator synthetic link graph — the related-pages signal
+    (`operators/pagerank.cocitation_coupling`). Pure-integer counts; the
+    coupling self-join stop-lists targets with in-degree > 64 (the hub-
+    removal skew mitigation, part of the semantics — applied identically
+    in the oracle, though the synthetic in-degrees never reach it).
+    """
+    from .operators.pagerank import cocitation_coupling
+
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    return cocitation_coupling(edges, max_in_degree=COCIT_MAX_IN_DEGREE)
+
+
+SQL_COCITATION_COUPLING = f"""
+WITH {_TRI_EDGES_CTE},
+cocit AS (
+  SELECT e1.target_doc_id AS a, e2.target_doc_id AS b,
+         CAST(count(*) AS BIGINT) AS cocitation
+  FROM edges e1 JOIN edges e2 ON e1.source_doc_id = e2.source_doc_id
+  WHERE e1.target_doc_id < e2.target_doc_id
+  GROUP BY 1, 2
+),
+indeg AS (
+  SELECT target_doc_id AS dst, count(*) AS ind FROM edges GROUP BY 1
+),
+kept AS (
+  SELECT e.source_doc_id AS src, e.target_doc_id AS dst
+  FROM edges e JOIN indeg i ON i.dst = e.target_doc_id
+  WHERE i.ind <= {COCIT_MAX_IN_DEGREE}
+),
+coup AS (
+  SELECT c1.src AS a, c2.src AS b, CAST(count(*) AS BIGINT) AS coupling
+  FROM kept c1 JOIN kept c2 ON c1.dst = c2.dst
+  WHERE c1.src < c2.src
+  GROUP BY 1, 2
+)
+SELECT COALESCE(cc.a, cp.a) AS doc_a, COALESCE(cc.b, cp.b) AS doc_b,
+       CAST(COALESCE(cc.cocitation, 0) AS BIGINT) AS cocitation,
+       CAST(COALESCE(cp.coupling, 0) AS BIGINT) AS coupling
+FROM cocit cc FULL OUTER JOIN coup cp ON cp.a = cc.a AND cp.b = cc.b
+"""
+
+
 # --------------------------------------------------------------------------
 # Cohort retention over events (beyond-reference analytics): users bucketed
 # by first-active day, distinct-user counts at each day offset — the
@@ -2955,6 +3002,7 @@ QUERIES_TD = {
     "events_rollup": q_events_rollup,
     "cohort_retention": q_cohort_retention,
     "triangle_counts": q_triangle_counts,
+    "cocitation_coupling": q_cocitation_coupling,
     "event_funnel": q_event_funnel,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -3002,6 +3050,7 @@ ORACLES_TD = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "cohort_retention": SQL_COHORT_RETENTION,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
+    "cocitation_coupling": SQL_COCITATION_COUPLING,
     "event_funnel": SQL_EVENT_FUNNEL,
     "asof_join": SQL_ASOF_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,

@@ -228,6 +228,69 @@ def hits_scores(
     return out
 
 
+def cocitation_coupling(
+    edges: DataFrame,
+    src: str = "source_doc_id",
+    dst: str = "target_doc_id",
+    max_in_degree: int = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, cocitation, coupling) — the two classic link-graph
+    similarity statistics over the directed graph (reference
+    ``pagerank.py:6-38``'s edge relation): co-citation (Small 1973 —
+    how many documents cite BOTH a and b) and bibliographic coupling
+    (Kessler 1963 — how many targets a and b BOTH cite). The related-
+    pages / related-queries signal next to PageRank's importance signal.
+
+    Pure-integer counts (invariant 4 by omission); each pair emitted once
+    with doc_a < doc_b.
+
+    Skew (invariant 6): both statistics are ids-only self-joins whose
+    fan-out is quadratic in one degree. Co-citation fans out per CITING
+    page by out-degree² — bounded by the page link budget, safe. Coupling
+    fans out per CITED target by in-degree² — in-degree is the Zipf-skewed
+    web quantity (a million-in-link hub would emit 10^12 pairs), so
+    targets with in-degree > ``max_in_degree`` are stop-listed before the
+    join (the standard hub-removal mitigation, same family as the hot-
+    shingle prefix filter): a shared link to a mega-hub carries no
+    similarity information. The cap is part of the operator's semantics
+    and is applied identically in the DuckDB oracle.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e1 = e.select("src", F.col("dst").alias("a"))
+    e2 = e.select("src", F.col("dst").alias("b"))
+    cocit = (
+        e1.join(e2, "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cocitation"))
+    )
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    kept = e.join(
+        indeg.filter(F.col("ind") <= max_in_degree).select("dst"), "dst"
+    )
+    c1 = kept.select("dst", F.col("src").alias("a"))
+    c2 = kept.select("dst", F.col("src").alias("b"))
+    coup = (
+        c1.join(c2, "dst")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("coupling"))
+    )
+    return (
+        cocit.join(coup, ["a", "b"], "full_outer")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.coalesce("cocitation", F.lit(0)).cast("long").alias("cocitation"),
+            F.coalesce("coupling", F.lit(0)).cast("long").alias("coupling"),
+        )
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "source_doc_id",

@@ -160,3 +160,60 @@ def test_hits_partitioning_invariance_and_integer_exactness(spark):
     # integer trajectories are EXACT: equality, not tolerance
     assert a == want
     assert b == want
+
+
+def test_cocitation_coupling_hand_built(spark):
+    from search_engine_spark.operators.pagerank import cocitation_coupling
+
+    # 1 and 2 both cite {10, 11}; 10 and 11 are both cited by {1, 2};
+    # 3 cites 10 only; hub 99 is cited by everyone (stop-listed at cap 2)
+    edges = spark.createDataFrame(
+        [
+            (1, 10), (1, 11), (1, 99),
+            (2, 10), (2, 11), (2, 99),
+            (3, 10), (3, 99),
+            (1, 10),            # duplicate: counted once
+            (10, 10),           # self edge: dropped
+        ],
+        "source_doc_id long, target_doc_id long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cocitation"], r["coupling"])
+        for r in cocitation_coupling(edges, max_in_degree=2).collect()
+    }
+    assert got == {
+        # co-citation: target pairs sharing a citing source (uncapped)
+        (10, 11): (2, 0),
+        (10, 99): (3, 0),
+        (11, 99): (2, 0),
+        # coupling: source pairs sharing a cited target; 10 and 99 both
+        # have in-degree 3 > cap 2 and are stop-listed, so only 11
+        # (in-degree 2) couples its citers — (1,2) via 11 alone; 3 shares
+        # no kept target with anyone and emits no coupling row
+        (1, 2): (0, 1),
+    }
+
+
+def test_cocitation_coupling_partitioning_invariance(spark):
+    from search_engine_spark.operators.pagerank import cocitation_coupling
+
+    edge_list = sorted(
+        {
+            (i, (7 * i + 13) % 40)
+            for i in range(40)
+            if i % 13 != 0 and i != (7 * i + 13) % 40
+        }
+        | {
+            (i, (5 * i + 2) % 40)
+            for i in range(40)
+            if i % 13 != 0 and i != (5 * i + 2) % 40
+        }
+    )
+    edges = spark.createDataFrame(
+        edge_list, "source_doc_id long, target_doc_id long"
+    )
+    a = sorted(tuple(r) for r in cocitation_coupling(edges).collect())
+    b = sorted(
+        tuple(r) for r in cocitation_coupling(edges.repartition(9)).collect()
+    )
+    assert a == b and len(a) > 0

@@ -126,6 +126,7 @@ CONSTRUCTION_JOBS = {
     "readability": 1,   # per-doc fre + band counts fold in-plan
     "cohort_retention": 1,  # two-phase distinct, all counts in-plan
     "triangle_counts": 1,   # N in-plan via scalar_count, no driver graph state
+    "cocitation_coupling": 1,  # same edge recipe, ids-only self-joins
     "source_overlap": 1,    # distinct-first sets, all counts in-plan
     "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
     "asof_join": 1,         # union-and-sweep window plan, no driver state
@@ -147,7 +148,7 @@ CONSTRUCTION_JOBS = {
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
-    # NOT listed (deliberately): pagerank, dedup_components AND
+    # NOT listed (deliberately): pagerank, hits_scores, dedup_components AND
     # semantic_dedup — iterative operators (semantic_dedup runs the same
     # star-contraction loop) whose driver-side loop materializes each
     # round during construction; under AQE every materialization is
@@ -454,6 +455,8 @@ DRIVERLIKE_QUERIES = [
     # exact-integer HITS: BIGINT sums across 20 iterations under ANSI
     # (an overflow would raise, never wrap) + two final max-divides
     "hits_scores",
+    # pure-integer pair counts + in-degree stop-list under 200 partitions
+    "cocitation_coupling",
 ]
 
 
