@@ -2739,6 +2739,48 @@ FROM deg d LEFT JOIN tcnt t ON t.v = d.v
 """
 
 
+BFS_SEED_MOD = 97
+BFS_ITERS = 10
+
+
+def q_link_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS crawl depth (`operators/pagerank.bfs_distance`):
+    min hops from the doc_id%97==0 seed set along the synthetic link
+    graph, exactly 10 relaxation rounds (fixed horizon — identical output
+    across engines regardless of diameter); unreached docs absent. Pure
+    integers. The oracle replays the rounds in one recursive CTE; the
+    zero-weight self message keeps each node's current distance in play so
+    the recursive term references the CTE once.
+    """
+    from .operators.pagerank import bfs_distance
+
+    docs, edges = _edges(spark, sf_dir)
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0)
+    return bfs_distance(seeds, edges, iterations=BFS_ITERS)
+
+
+SQL_LINK_DISTANCE = f"""
+WITH RECURSIVE {_EDGES_CTE},
+msgs AS (
+  SELECT source_doc_id AS from_node, target_doc_id AS to_node, 1 AS w
+  FROM edges
+  UNION ALL
+  SELECT doc_id, doc_id, 0 FROM documents
+),
+bfs AS (
+  SELECT 0 AS iter, doc_id, CAST(0 AS BIGINT) AS dist
+  FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0
+  UNION ALL
+  SELECT b.iter + 1, m.to_node AS doc_id,
+         CAST(min(b.dist + m.w) AS BIGINT) AS dist
+  FROM bfs b JOIN msgs m ON m.from_node = b.doc_id
+  WHERE b.iter < {BFS_ITERS}
+  GROUP BY 1, 2
+)
+SELECT doc_id, dist FROM bfs WHERE iter = {BFS_ITERS}
+"""
+
+
 COCIT_MAX_IN_DEGREE = 64
 
 
@@ -3003,6 +3045,7 @@ QUERIES_TD = {
     "cohort_retention": q_cohort_retention,
     "triangle_counts": q_triangle_counts,
     "cocitation_coupling": q_cocitation_coupling,
+    "link_distance": q_link_distance,
     "event_funnel": q_event_funnel,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -3051,6 +3094,7 @@ ORACLES_TD = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "cocitation_coupling": SQL_COCITATION_COUPLING,
+    "link_distance": SQL_LINK_DISTANCE,
     "event_funnel": SQL_EVENT_FUNNEL,
     "asof_join": SQL_ASOF_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,

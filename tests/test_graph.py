@@ -217,3 +217,54 @@ def test_cocitation_coupling_partitioning_invariance(spark):
         tuple(r) for r in cocitation_coupling(edges.repartition(9)).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_bfs_distance_hand_built(spark):
+    from search_engine_spark.operators.pagerank import bfs_distance
+
+    # chain 0->1->2->3->4 plus shortcut 0->3; seed {0}; 9 isolated
+    docs = spark.createDataFrame([(v,) for v in range(10)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)],
+        "source_doc_id long, target_doc_id long",
+    )
+    seeds = docs.filter("doc_id = 0")
+    got = {
+        r["doc_id"]: r["dist"]
+        for r in bfs_distance(seeds, edges, iterations=6).collect()
+    }
+    # shortcut wins for 3 (dist 1, not 3) and 4 (dist 2); 5..9 unreached
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    # horizon cut: with 1 iteration only the 1-hop frontier appears
+    got1 = {
+        r["doc_id"]: r["dist"]
+        for r in bfs_distance(seeds, edges, iterations=1).collect()
+    }
+    assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_bfs_distance_multi_seed_partitioning_invariance(spark):
+    from search_engine_spark.operators.pagerank import bfs_distance
+
+    docs = spark.createDataFrame([(v,) for v in range(40)], "doc_id long")
+    edge_list = sorted(
+        {
+            (i, (7 * i + 13) % 40)
+            for i in range(40)
+            if i % 13 != 0 and i != (7 * i + 13) % 40
+        }
+    )
+    edges = spark.createDataFrame(
+        edge_list, "source_doc_id long, target_doc_id long"
+    )
+    seeds = docs.filter("doc_id % 20 = 0")
+    a = sorted(tuple(r) for r in bfs_distance(seeds, edges).collect())
+    b = sorted(
+        tuple(r)
+        for r in bfs_distance(
+            seeds.repartition(3), edges.repartition(7)
+        ).collect()
+    )
+    assert a == b
+    d = dict(a)
+    assert d[0] == 0 and d[20] == 0 and all(v >= 0 for v in d.values())

@@ -148,7 +148,8 @@ CONSTRUCTION_JOBS = {
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
-    # NOT listed (deliberately): pagerank, hits_scores, dedup_components AND
+    # NOT listed (deliberately): pagerank, hits_scores, link_distance,
+    # dedup_components AND
     # semantic_dedup — iterative operators (semantic_dedup runs the same
     # star-contraction loop) whose driver-side loop materializes each
     # round during construction; under AQE every materialization is
@@ -457,6 +458,8 @@ DRIVERLIKE_QUERIES = [
     "hits_scores",
     # pure-integer pair counts + in-degree stop-list under 200 partitions
     "cocitation_coupling",
+    # integer min-relaxation over a fixed horizon under ANSI
+    "link_distance",
 ]
 
 
