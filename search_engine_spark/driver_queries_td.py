@@ -2902,6 +2902,78 @@ FROM active a JOIN sizes s USING (cohort_day)
 
 
 # --------------------------------------------------------------------------
+# Rolling engagement (DAU / trailing-7-day WAU / stickiness) over events.
+# Rolling DISTINCT does not decompose like a rolling sum, and the naive
+# per-day "countDistinct over a 7-day self-join window" both re-scans the
+# event stream 7x and funnels each day's users through one reducer. Shape
+# here: ONE distinct on the uniform (user, day) key collapses the stream,
+# a bounded 7x explode re-keys each active day to the windows it covers,
+# a second uniform-key distinct dedups multi-active users per window, and
+# the final counts group by the ~bounded day key. Invariant 3: the day
+# index is integer DIV on ntz_epoch_us. Invariant 4: stickiness is the
+# one divide of exact BIGINTs, rounded 6. Reported for OBSERVED days only.
+# --------------------------------------------------------------------------
+WAU_WINDOW_DAYS = 7
+
+
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    ud = (
+        events.select("user_id", ntz_epoch_us(F.col("ts")).alias("_us"))
+        .select("user_id", F.expr(f"_us DIV {US_PER_DAY_DIV}").alias("day_idx"))
+        .distinct()
+    )
+    dau = ud.groupBy("day_idx").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day_idx"),
+                    F.col("day_idx") + F.lit(WAU_WINDOW_DAYS - 1),
+                )
+            ).alias("day_idx"),
+        )
+        .distinct()
+    )
+    wau = cover.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day_idx")
+        .select(
+            "day_idx",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+SQL_ROLLING_ACTIVE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY_DIV} AS day_idx
+  FROM events
+),
+dau AS (
+  SELECT day_idx, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day_idx
+),
+cover AS (
+  SELECT DISTINCT user_id, ud.day_idx + o AS day_idx
+  FROM ud, unnest(range(0, {WAU_WINDOW_DAYS})) AS t(o)
+),
+wau AS (
+  SELECT day_idx, CAST(count(*) AS BIGINT) AS wau FROM cover GROUP BY day_idx
+)
+SELECT d.day_idx, d.dau, w.wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w USING (day_idx)
+"""
+
+
+# --------------------------------------------------------------------------
 # Connected components over the MinHash-LSH near-dup graph: pairs -> dup
 # GROUPS with a canonical (min-id) representative — the step after pairwise
 # detection in a dedup pipeline. Spark: iterative min-label propagation;
@@ -3046,6 +3118,7 @@ QUERIES_TD = {
     "triangle_counts": q_triangle_counts,
     "cocitation_coupling": q_cocitation_coupling,
     "link_distance": q_link_distance,
+    "rolling_active": q_rolling_active,
     "event_funnel": q_event_funnel,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -3095,6 +3168,7 @@ ORACLES_TD = {
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "cocitation_coupling": SQL_COCITATION_COUPLING,
     "link_distance": SQL_LINK_DISTANCE,
+    "rolling_active": SQL_ROLLING_ACTIVE,
     "event_funnel": SQL_EVENT_FUNNEL,
     "asof_join": SQL_ASOF_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,

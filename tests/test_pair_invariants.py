@@ -127,6 +127,7 @@ CONSTRUCTION_JOBS = {
     "cohort_retention": 1,  # two-phase distinct, all counts in-plan
     "triangle_counts": 1,   # N in-plan via scalar_count, no driver graph state
     "cocitation_coupling": 1,  # same edge recipe, ids-only self-joins
+    "rolling_active": 1,  # one events read, all counts in-plan
     "source_overlap": 1,    # distinct-first sets, all counts in-plan
     "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
     "asof_join": 1,         # union-and-sweep window plan, no driver state
@@ -460,6 +461,8 @@ DRIVERLIKE_QUERIES = [
     "cocitation_coupling",
     # integer min-relaxation over a fixed horizon under ANSI
     "link_distance",
+    # tz-invariant day index + two-phase rolling distinct + one divide
+    "rolling_active",
 ]
 
 

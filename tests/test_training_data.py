@@ -1799,3 +1799,35 @@ def test_chunk_documents_full_coverage_and_overlap(spark):
         for r in textstats.chunk_documents(df, size=4, stride=3).collect()
     )
     assert rows == [(0, 4), (3, 4), (6, 4), (9, 2)]
+
+
+def test_rolling_active_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_rolling_active
+
+    # day 0: users {1,2}; day 1: {1}; day 9: {1,3} — the 7-day window of
+    # day 9 sees day 9 only (days 0/1 expired), so WAU(9)={1,3}
+    ev = [
+        (1, datetime(2024, 1, 1, 9)), (2, datetime(2024, 1, 1, 10)),
+        (1, datetime(2024, 1, 1, 11)),   # same user+day: one active row
+        (1, datetime(2024, 1, 2, 9)),
+        (1, datetime(2024, 1, 10, 9)), (3, datetime(2024, 1, 10, 9)),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "t", 0.0, "{}") for i, (u, ts) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r["day_idx"] - 19723, r["dau"], r["wau"], r["stickiness"])
+        for r in q_rolling_active(spark, str(tmp_path)).collect()
+    )
+    # observed days only: 0, 1, 9. WAU(0)={1,2}; WAU(1)={1,2} (day-0
+    # actives still inside the trailing window); WAU(9)={1,3}
+    assert got == [
+        (0, 2, 2, 1.0),
+        (1, 1, 2, 0.5),
+        (9, 2, 2, 1.0),
+    ]
