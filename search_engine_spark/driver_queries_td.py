@@ -2913,6 +2913,121 @@ FROM active a JOIN sizes s USING (cohort_day)
 # index is integer DIV on ntz_epoch_us. Invariant 4: stickiness is the
 # one divide of exact BIGINTs, rounded 6. Reported for OBSERVED days only.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Per-user inter-event gaps (lead/lag windows) + event-type Markov
+# transitions over events. Both order each user's stream by the
+# deterministic (epoch_us, event_id) total order — the per-user window is
+# the sessionization precedent (bounded by per-user event counts, never a
+# corpus-wide sort). Invariant 3: all time math on ntz_epoch_us BIGINTs.
+# Invariant 4: gaps/counts are exact integers; the means/probabilities are
+# single divides of exact BIGINTs rounded 6.
+# --------------------------------------------------------------------------
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_id", ntz_epoch_us(F.col("ts")).alias("_us")
+        )
+        .select(
+            "user_id",
+            (F.col("_us") - F.lag("_us").over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    # the mean stays INTEGER microseconds (floor division of exact
+    # BIGINTs): a rounded double mean of ~1e10-magnitude µs values lands
+    # on half-ulp boundaries where Spark and DuckDB disagree in the last
+    # printed digit — the invariant-1 trap; DIV truncation == DuckDB //
+    # floor on the always-positive sum
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.expr("sum(gap_us) DIV count(1)").cast("long").alias("mean_gap_us"),
+    )
+
+
+SQL_EVENT_GAPS = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+gaps AS (
+  SELECT user_id, CAST(us - prev_us AS BIGINT) AS gap_us
+  FROM ordered WHERE prev_us IS NOT NULL
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(CAST(sum(gap_us) AS BIGINT) // count(*) AS BIGINT) AS mean_gap_us
+FROM gaps GROUP BY user_id
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    stream: count of (prev_type -> next_type) steps and the conditional
+    probability P(next | prev) = count / row-total, both exact until the
+    one rounded divide.
+    """
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    steps = (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            ntz_epoch_us(F.col("ts")).alias("_us"),
+        )
+        .select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("prob"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       round(CAST(c.n AS DOUBLE) / t.row_total, 6) AS prob
+FROM counts c JOIN totals t USING (prev_type)
+"""
+
+
 WAU_WINDOW_DAYS = 7
 
 
@@ -3119,6 +3234,8 @@ QUERIES_TD = {
     "cocitation_coupling": q_cocitation_coupling,
     "link_distance": q_link_distance,
     "rolling_active": q_rolling_active,
+    "event_gaps": q_event_gaps,
+    "event_transitions": q_event_transitions,
     "event_funnel": q_event_funnel,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -3169,6 +3286,8 @@ ORACLES_TD = {
     "cocitation_coupling": SQL_COCITATION_COUPLING,
     "link_distance": SQL_LINK_DISTANCE,
     "rolling_active": SQL_ROLLING_ACTIVE,
+    "event_gaps": SQL_EVENT_GAPS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "asof_join": SQL_ASOF_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,

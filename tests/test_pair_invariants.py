@@ -128,6 +128,8 @@ CONSTRUCTION_JOBS = {
     "triangle_counts": 1,   # N in-plan via scalar_count, no driver graph state
     "cocitation_coupling": 1,  # same edge recipe, ids-only self-joins
     "rolling_active": 1,  # one events read, all counts in-plan
+    "event_gaps": 1,
+    "event_transitions": 1,  # row totals joined in-plan (broadcast)
     "source_overlap": 1,    # distinct-first sets, all counts in-plan
     "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
     "asof_join": 1,         # union-and-sweep window plan, no driver state
@@ -463,6 +465,10 @@ DRIVERLIKE_QUERIES = [
     "link_distance",
     # tz-invariant day index + two-phase rolling distinct + one divide
     "rolling_active",
+    # per-user lag windows on the (epoch_us, event_id) total order; the
+    # gap mean is pure-BIGINT floor division (half-ulp-proof)
+    "event_gaps",
+    "event_transitions",
 ]
 
 

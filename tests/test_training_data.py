@@ -1831,3 +1831,53 @@ def test_rolling_active_hand_computed(spark, tmp_path):
         (1, 1, 2, 0.5),
         (9, 2, 2, 1.0),
     ]
+
+
+def test_event_gaps_and_transitions_hand_computed(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.driver_queries_td import (
+        q_event_gaps,
+        q_event_transitions,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 0, 0)
+    # user 1: view@0s -> click@10s -> view@40s ; user 2: one event (no gap);
+    # user 3: two events at the SAME microsecond (event_id breaks the tie)
+    ev = [
+        (1, t0, "view"),
+        (1, t0 + timedelta(seconds=10), "click"),
+        (1, t0 + timedelta(seconds=40), "view"),
+        (2, t0, "view"),
+        (3, t0, "view"),
+        (3, t0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, (u, ts, et) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    gaps = {
+        r["user_id"]: (r["n_gaps"], r["min_gap_us"], r["max_gap_us"],
+                       r["mean_gap_us"])
+        for r in q_event_gaps(spark, str(tmp_path)).collect()
+    }
+    # user 2 has no gap row; user 3's same-µs pair yields one zero gap
+    assert gaps == {
+        1: (2, 10_000_000, 30_000_000, 20_000_000),
+        3: (1, 0, 0, 0),
+    }
+
+    trans = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+        for r in q_event_transitions(spark, str(tmp_path)).collect()
+    }
+    # user 1: view->click, click->view; user 3: view->purchase (event_id
+    # order at the tied timestamp)
+    assert trans == {
+        ("view", "click"): (1, 0.5),
+        ("view", "purchase"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
