@@ -2781,6 +2781,58 @@ SELECT doc_id, dist FROM bfs WHERE iter = {BFS_ITERS}
 """
 
 
+KCORE_K = 5
+KCORE_ROUNDS = 8
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (Seidman 1983) over the 3-generator undirected
+    graph: exactly 8 synchronous rounds at k=5 (`operators/pagerank.
+    k_core`) — a fixed horizon, so both engines emit the identical
+    survivor set whether or not peeling has converged. The oracle unrolls
+    the rounds as a chained-CTE ladder (the bpe_merges precedent — a
+    recursive CTE can't reference itself twice per round, which the
+    both-endpoints survivor test needs). Pure-integer degrees.
+    """
+    from .operators.pagerank import k_core
+
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    return k_core(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # every c{r} is referenced TWICE by d{r+1} (both-endpoint survivor
+    # test): without MATERIALIZED DuckDB inlines CTEs and the ladder
+    # re-evaluates 2^rounds times
+    parts = [
+        """und AS MATERIALIZED (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS a,
+                  greatest(source_doc_id, target_doc_id) AS b
+  FROM edges
+)""",
+        "sym AS MATERIALIZED (SELECT a, b FROM und"
+        " UNION ALL SELECT b, a FROM und)",
+        "c0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT s.a AS v,"
+            f" CAST(count(*) AS BIGINT) AS c"
+            f" FROM sym s JOIN c{r - 1} x ON x.v = s.a"
+            f" JOIN c{r - 1} y ON y.v = s.b"
+            f" GROUP BY s.a HAVING count(*) >= {k})"
+        )
+        parts.append(f"c{r} AS MATERIALIZED (SELECT v FROM d{r})")
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {_TRI_EDGES_CTE.rstrip()},\n{chain}\n"
+        f"SELECT v AS doc_id, c AS core_degree FROM d{rounds}"
+    )
+
+
+SQL_K_CORE = _kcore_sql(KCORE_K, KCORE_ROUNDS)
+
+
 COCIT_MAX_IN_DEGREE = 64
 
 
@@ -3232,6 +3284,7 @@ QUERIES_TD = {
     "cohort_retention": q_cohort_retention,
     "triangle_counts": q_triangle_counts,
     "cocitation_coupling": q_cocitation_coupling,
+    "k_core": q_k_core,
     "link_distance": q_link_distance,
     "rolling_active": q_rolling_active,
     "event_gaps": q_event_gaps,
@@ -3284,6 +3337,7 @@ ORACLES_TD = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "cocitation_coupling": SQL_COCITATION_COUPLING,
+    "k_core": SQL_K_CORE,
     "link_distance": SQL_LINK_DISTANCE,
     "rolling_active": SQL_ROLLING_ACTIVE,
     "event_gaps": SQL_EVENT_GAPS,

@@ -268,3 +268,48 @@ def test_bfs_distance_multi_seed_partitioning_invariance(spark):
     assert a == b
     d = dict(a)
     assert d[0] == 0 and d[20] == 0 and all(v >= 0 for v in d.values())
+
+
+def test_k_core_hand_built_and_partitioning(spark):
+    from search_engine_spark.operators.pagerank import k_core
+
+    # K4 {1..4} (a 3-core) + pendant chain 4-5-6 + triangle {7,8,9}
+    # (a 2-core that dies at k=3)
+    edge_list = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edge_list += [(4, 5), (5, 6), (7, 8), (8, 9), (7, 9)]
+    edges = spark.createDataFrame(
+        edge_list, "source_doc_id long, target_doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in k_core(edges, k=3, rounds=6).collect()
+    }
+    # after peeling 5, 6, and the triangle, K4 members have degree 3
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2 keeps the triangle and kills only the chain tail
+    got2 = {
+        r["doc_id"]: r["core_degree"]
+        for r in k_core(edges, k=2, rounds=6).collect()
+    }
+    assert set(got2) == {1, 2, 3, 4, 7, 8, 9}
+    b = {
+        r["doc_id"]: r["core_degree"]
+        for r in k_core(edges.repartition(7), k=3, rounds=6).collect()
+    }
+    assert b == got
+
+
+def test_k_core_fixed_horizon_not_converged(spark):
+    from search_engine_spark.operators.pagerank import k_core
+
+    # a chain 0-1-2-...-9 peels one end-node pair per round at k=2:
+    # after exactly 3 rounds the survivors are 3..6 (deterministic
+    # horizon cut, not the converged empty set)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)],
+        "source_doc_id long, target_doc_id long",
+    )
+    got = sorted(
+        r["doc_id"] for r in k_core(edges, k=2, rounds=3).collect()
+    )
+    assert got == [3, 4, 5, 6]

@@ -152,7 +152,7 @@ CONSTRUCTION_JOBS = {
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
     # NOT listed (deliberately): pagerank, hits_scores, link_distance,
-    # dedup_components AND
+    # k_core, dedup_components AND
     # semantic_dedup — iterative operators (semantic_dedup runs the same
     # star-contraction loop) whose driver-side loop materializes each
     # round during construction; under AQE every materialization is
@@ -469,6 +469,8 @@ DRIVERLIKE_QUERIES = [
     # gap mean is pure-BIGINT floor division (half-ulp-proof)
     "event_gaps",
     "event_transitions",
+    # 8 synchronous integer peeling rounds under ANSI + 200 partitions
+    "k_core",
 ]
 
 
