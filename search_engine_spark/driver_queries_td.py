@@ -2781,6 +2781,118 @@ SELECT doc_id, dist FROM bfs WHERE iter = {BFS_ITERS}
 """
 
 
+def q_graph_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global graph mixing report over the 3-generator graph:
+    edge/node counts, reciprocity (fraction of directed edges whose
+    reverse exists — Garlaschelli & Loffredo 2004), and undirected degree
+    assortativity (Newman 2002's Pearson r over edge-endpoint degrees,
+    plain-degree variant, both orientations counted). All moments are
+    exact BIGINT sums (invariant 4): the only floats are the reciprocity
+    divide and the single assortativity expression — its two variance
+    factors are exact sub-2^53 BIGINTs cast to DOUBLE before the product
+    (a BIGINT product could overflow; the double product rounds
+    identically in both engines) — each rounded 6. Everything is in-plan
+    1-row aggregates cross-joined (scalar_count pattern, zero driver
+    actions).
+    """
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    e = edges.cache()
+    rev = e.select(
+        F.col("target_doc_id").alias("source_doc_id"),
+        F.col("source_doc_id").alias("target_doc_id"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    rcnt = e.join(rev, ["source_doc_id", "target_doc_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    und = (
+        e.select(
+            F.least("source_doc_id", "target_doc_id").alias("a"),
+            F.greatest("source_doc_id", "target_doc_id").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ncnt = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    pairs = (
+        sym.join(deg.select(F.col("a"), F.col("d").alias("dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b"
+        )
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        ecnt.crossJoin(rcnt)
+        .crossJoin(ncnt)
+        .crossJoin(mom)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.round(
+                F.col("n_recip").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round(
+                    num.cast("double")
+                    / F.sqrt(vx.cast("double") * vy.cast("double")),
+                    6,
+                ),
+            ).alias("assortativity"),
+        )
+    )
+
+
+SQL_GRAPH_MIXING = f"""
+WITH {_TRI_EDGES_CTE},
+ecnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
+rcnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_recip
+  FROM edges e JOIN edges r
+    ON r.source_doc_id = e.target_doc_id
+   AND r.target_doc_id = e.source_doc_id
+),
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS a,
+                  greatest(source_doc_id, target_doc_id) AS b
+  FROM edges
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x.d) AS BIGINT) AS sx, CAST(sum(y.d) AS BIGINT) AS sy,
+         CAST(sum(x.d * x.d) AS BIGINT) AS sxx,
+         CAST(sum(y.d * y.d) AS BIGINT) AS syy,
+         CAST(sum(x.d * y.d) AS BIGINT) AS sxy
+  FROM sym s JOIN deg x ON x.a = s.a JOIN deg y ON y.a = s.b
+)
+SELECT n.n_nodes, e.n_edges,
+       round(CAST(r.n_recip AS DOUBLE) / e.n_edges, 6) AS reciprocity,
+       CASE WHEN (m.m * m.sxx - m.sx * m.sx) > 0
+             AND (m.m * m.syy - m.sy * m.sy) > 0 THEN
+         round(CAST(m.m * m.sxy - m.sx * m.sy AS DOUBLE)
+               / sqrt(CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE)
+                      * CAST(m.m * m.syy - m.sy * m.sy AS DOUBLE)), 6)
+       END AS assortativity
+FROM ecnt e, rcnt r, ncnt n, mom m
+"""
+
+
 KCORE_K = 5
 KCORE_ROUNDS = 8
 
@@ -3284,6 +3396,7 @@ QUERIES_TD = {
     "cohort_retention": q_cohort_retention,
     "triangle_counts": q_triangle_counts,
     "cocitation_coupling": q_cocitation_coupling,
+    "graph_mixing": q_graph_mixing,
     "k_core": q_k_core,
     "link_distance": q_link_distance,
     "rolling_active": q_rolling_active,
@@ -3337,6 +3450,7 @@ ORACLES_TD = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "cocitation_coupling": SQL_COCITATION_COUPLING,
+    "graph_mixing": SQL_GRAPH_MIXING,
     "k_core": SQL_K_CORE,
     "link_distance": SQL_LINK_DISTANCE,
     "rolling_active": SQL_ROLLING_ACTIVE,

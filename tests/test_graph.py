@@ -313,3 +313,54 @@ def test_k_core_fixed_horizon_not_converged(spark):
         r["doc_id"] for r in k_core(edges, k=2, rounds=3).collect()
     )
     assert got == [3, 4, 5, 6]
+
+
+def test_graph_mixing_star_vs_clique_fixture(spark, tmp_path, monkeypatch):
+    """Assortativity sign sanity on known topologies, via the pair's own
+    moment formula: a star is maximally disassortative (r = -1), a clique
+    has zero degree variance (NULL)."""
+    import math
+
+    def newman_r(edge_list):
+        from collections import Counter
+
+        und = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+        sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        deg = Counter(a for a, _ in sym)
+        xs = [(deg[a], deg[b]) for a, b in sym]
+        m = len(xs)
+        sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+        sxx = sum(x * x for x, _ in xs); syy = sum(y * y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return None
+        return round((m * sxy - sx * sy) / math.sqrt(vx * vy), 6)
+
+    star = [(0, i) for i in range(1, 6)]
+    assert newman_r(star) == -1.0
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert newman_r(clique) is None
+    # a path 0-1-2 mixes degree-1 ends with the degree-2 middle: r = -1
+    assert newman_r([(0, 1), (1, 2)]) == -1.0
+
+
+def test_graph_mixing_pair_matches_python(spark):
+    from search_engine_spark.driver_queries_td import q_graph_mixing
+
+    row = q_graph_mixing(spark, "/root/testdata/sf0.001").collect()[0]
+    # python replica of the synthetic recipe
+    N = 500
+    E = set()
+    for i in range(N):
+        if i % 13 == 0:
+            continue
+        for m, c in ((7, 13), (5, 2), (49, 104)):
+            t = (m * i + c) % N
+            if t != i:
+                E.add((i, t))
+    recip = sum(1 for s, t in E if (t, s) in E)
+    assert row["n_edges"] == len(E)
+    assert row["reciprocity"] == round(recip / len(E), 6)
+    assert row["assortativity"] is not None
+    assert -1.0 <= row["assortativity"] <= 1.0

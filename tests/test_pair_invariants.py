@@ -130,6 +130,7 @@ CONSTRUCTION_JOBS = {
     "rolling_active": 1,  # one events read, all counts in-plan
     "event_gaps": 1,
     "event_transitions": 1,  # row totals joined in-plan (broadcast)
+    "graph_mixing": 1,  # one docs read; the edge cache is lazy
     "source_overlap": 1,    # distinct-first sets, all counts in-plan
     "event_funnel": 1,      # four scalar_count aggregates cross-joined in-plan
     "asof_join": 1,         # union-and-sweep window plan, no driver state
@@ -471,6 +472,8 @@ DRIVERLIKE_QUERIES = [
     "event_transitions",
     # 8 synchronous integer peeling rounds under ANSI + 200 partitions
     "k_core",
+    # BIGINT moments -> one sqrt expression under ANSI; in-plan scalars
+    "graph_mixing",
 ]
 
 
