@@ -2781,6 +2781,52 @@ SELECT doc_id, dist FROM bfs WHERE iter = {BFS_ITERS}
 """
 
 
+PPR_SEED_MOD = 71
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002) with the teleport uniform
+    over the doc_id%71==0 seed set, 20 iterations, dangling mass dropped
+    (`operators/pagerank.personalized_pagerank`); same recursive-CTE
+    oracle shape as the global `pagerank` pair, rounded 9.
+    """
+    from .operators.pagerank import personalized_pagerank
+
+    docs, edges = _edges(spark, sf_dir)
+    seeds = docs.filter(F.col("doc_id") % PPR_SEED_MOD == 0)
+    ppr = personalized_pagerank(docs, edges, seeds)
+    return ppr.select("doc_id", F.round("ppr", 9).alias("ppr"))
+
+
+SQL_PERSONALIZED_PAGERANK = f"""
+WITH RECURSIVE {_EDGES_CTE},
+ss AS (SELECT count(*) AS k FROM documents WHERE doc_id % {PPR_SEED_MOD} = 0),
+outdeg AS (SELECT source_doc_id AS src, count(*)::DOUBLE AS od
+           FROM edges GROUP BY source_doc_id),
+edges_w AS (
+  SELECT e.source_doc_id AS src, e.target_doc_id AS dst, 1.0 / o.od AS w
+  FROM edges e JOIN outdeg o ON o.src = e.source_doc_id
+  UNION ALL
+  SELECT doc_id, doc_id, 0.0 FROM documents  -- zero-weight self-loop keeps every node in each iteration
+),
+pr AS (
+  SELECT 0 AS iter, doc_id,
+         CASE WHEN doc_id % {PPR_SEED_MOD} = 0
+              THEN 1.0 / (SELECT k FROM ss) ELSE 0.0 END AS rank
+  FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, e.dst AS doc_id,
+         CASE WHEN e.dst % {PPR_SEED_MOD} = 0
+              THEN (1 - 0.85) / (SELECT k FROM ss) ELSE 0.0 END
+         + 0.85 * sum(pr.rank * e.w) AS rank
+  FROM pr JOIN edges_w e ON e.src = pr.doc_id
+  WHERE pr.iter < 20
+  GROUP BY pr.iter + 1, e.dst
+)
+SELECT doc_id, round(rank, 9) AS ppr FROM pr WHERE iter = 20
+"""
+
+
 def q_graph_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row global graph mixing report over the 3-generator graph:
     edge/node counts, reciprocity (fraction of directed edges whose
@@ -3397,6 +3443,7 @@ QUERIES_TD = {
     "triangle_counts": q_triangle_counts,
     "cocitation_coupling": q_cocitation_coupling,
     "graph_mixing": q_graph_mixing,
+    "personalized_pagerank": q_personalized_pagerank,
     "k_core": q_k_core,
     "link_distance": q_link_distance,
     "rolling_active": q_rolling_active,
@@ -3451,6 +3498,7 @@ ORACLES_TD = {
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "cocitation_coupling": SQL_COCITATION_COUPLING,
     "graph_mixing": SQL_GRAPH_MIXING,
+    "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "k_core": SQL_K_CORE,
     "link_distance": SQL_LINK_DISTANCE,
     "rolling_active": SQL_ROLLING_ACTIVE,

@@ -143,6 +143,82 @@ def build_document_authority(
     return result
 
 
+def personalized_pagerank(
+    documents: DataFrame,
+    links_resolved: DataFrame,
+    seeds: DataFrame,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(doc_id, ppr) — personalized PageRank (Haveliwala 2002): the
+    teleport distribution is uniform over ``seeds`` instead of all nodes,
+    so rank mass concentrates around the seed set — the topic-sensitive /
+    related-pages ranking companion to the reference's global PageRank
+    (same iteration shape, same dangling-mass drop, ``pagerank.py:6-38``).
+
+    init pr = 1/|S| on seeds (0 elsewhere); update
+    new[t] = (1-d)/|S|·[t∈S] + d·Σ_src pr[src]/outdeg(src). Fixed
+    ``iterations`` rounds, no convergence test (reference quirk kept).
+
+    Scale: identical to ``build_document_authority`` — the edge relation
+    shuffles once into the cache, per iteration only the n-row rank
+    vector moves; the seed flag is a column on the cached node list.
+    """
+    seed_ids = seeds.select("doc_id").distinct()
+    ns = seed_ids.count()
+    if ns == 0:
+        return documents.sparkSession.createDataFrame([], "doc_id long, ppr double")
+    nodes = (
+        documents.select("doc_id")
+        .join(seed_ids.withColumn("_seed", F.lit(1)), "doc_id", "left")
+        .cache()
+    )
+    nodes.count()
+
+    edges = links_resolved.select(
+        F.col("source_doc_id").alias("src"), F.col("target_doc_id").alias("dst")
+    )
+    out_degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    edges_deg = edges.join(out_degree, "src").cache()
+    edges_deg.count()
+
+    base = 1.0 / ns
+    teleport = (1.0 - damping) / ns
+    seed_base = F.when(F.col("_seed") == 1, F.lit(base)).otherwise(F.lit(0.0))
+    seed_teleport = (
+        F.when(F.col("_seed") == 1, F.lit(teleport)).otherwise(F.lit(0.0))
+    )
+    ranks = nodes.select("doc_id", seed_base.alias("ppr"))
+
+    for i in range(iterations):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.doc_id, "inner")
+            .select(
+                "dst",
+                (F.lit(damping) * F.col("ppr") / F.col("out_degree")).alias(
+                    "contrib"
+                ),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.doc_id == contribs.dst, "left")
+            .select(
+                "doc_id",
+                (seed_teleport + F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                    "ppr"
+                ),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    edges_deg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
 def hits_scores(
     documents: DataFrame,
     links_resolved: DataFrame,

@@ -364,3 +364,54 @@ def test_graph_mixing_pair_matches_python(spark):
     assert row["reciprocity"] == round(recip / len(E), 6)
     assert row["assortativity"] is not None
     assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_personalized_pagerank_properties(spark):
+    import math
+
+    from search_engine_spark.operators.pagerank import (
+        build_document_authority,
+        personalized_pagerank,
+    )
+
+    docs = spark.createDataFrame([(v,) for v in range(12)], "doc_id long")
+    edge_list = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (6, 0)]
+    edges = spark.createDataFrame(
+        edge_list, "source_doc_id long, target_doc_id long"
+    )
+    seeds = docs.filter("doc_id = 0")
+    ppr = {
+        r["doc_id"]: r["ppr"]
+        for r in personalized_pagerank(docs, edges, seeds).collect()
+    }
+    # python replica (Jacobi, dangling drop — no dangling here)
+    out = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    rank = {v: (1.0 if v == 0 else 0.0) for v in range(12)}
+    for _ in range(20):
+        new = {v: (0.15 if v == 0 else 0.0) for v in range(12)}
+        for s, ts in out.items():
+            for t in ts:
+                new[t] += 0.85 * rank[s] / len(ts)
+        rank = new
+    for v in range(12):
+        assert math.isclose(ppr[v], rank[v], rel_tol=0, abs_tol=1e-9), v
+    # mass concentrates at the seed: rank(0) strictly dominates
+    assert ppr[0] == max(ppr.values())
+    # and differs from the global ranking on the same graph
+    glob = {
+        r["doc_id"]: r["pagerank"]
+        for r in build_document_authority(docs, edges).collect()
+    }
+    assert max(glob, key=glob.get) != 0 or glob[0] != ppr[0]
+
+
+def test_personalized_pagerank_empty_seed_set(spark):
+    from search_engine_spark.operators.pagerank import personalized_pagerank
+
+    docs = spark.createDataFrame([(v,) for v in range(3)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1)], "source_doc_id long, target_doc_id long"
+    )
+    assert personalized_pagerank(docs, edges, docs.filter("doc_id < 0")).count() == 0

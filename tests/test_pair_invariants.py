@@ -152,7 +152,8 @@ CONSTRUCTION_JOBS = {
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
-    # NOT listed (deliberately): pagerank, hits_scores, link_distance,
+    # NOT listed (deliberately): pagerank, personalized_pagerank,
+    # hits_scores, link_distance,
     # k_core, dedup_components AND
     # semantic_dedup — iterative operators (semantic_dedup runs the same
     # star-contraction loop) whose driver-side loop materializes each
@@ -474,6 +475,8 @@ DRIVERLIKE_QUERIES = [
     "k_core",
     # BIGINT moments -> one sqrt expression under ANSI; in-plan scalars
     "graph_mixing",
+    # seed-teleport float iteration under 200 partitions, rounded 9
+    "personalized_pagerank",
 ]
 
 
