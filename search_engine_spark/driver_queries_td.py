@@ -2939,6 +2939,54 @@ FROM ecnt e, rcnt r, ncnt n, mom m
 """
 
 
+LPA_ROUNDS = 5
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007
+    with (count desc, label asc) tie-break instead of RNG) on the
+    3-generator undirected graph, exactly 5 rounds
+    (`operators/pagerank.label_propagation`). Pure integers; the oracle
+    unrolls the rounds as a MATERIALIZED-CTE ladder with a per-node
+    QUALIFY argmax (window keyed on the uniform node id).
+    """
+    from .operators.pagerank import label_propagation
+
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    return label_propagation(edges, rounds=LPA_ROUNDS)
+
+
+def _lpa_sql(rounds: int) -> str:
+    parts = [
+        """und AS MATERIALIZED (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS a,
+                  greatest(source_doc_id, target_doc_id) AS b
+  FROM edges
+)""",
+        "sym AS MATERIALIZED (SELECT a, b FROM und"
+        " UNION ALL SELECT b, a FROM und)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS label FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"l{r} AS MATERIALIZED ("
+            f"SELECT s.a AS v, l.label,"
+            f" CAST(count(*) AS BIGINT) AS n"
+            f" FROM sym s JOIN l{r - 1} l ON l.v = s.b"
+            f" GROUP BY 1, 2"
+            f" QUALIFY row_number() OVER (PARTITION BY s.a"
+            f" ORDER BY count(*) DESC, l.label ASC) = 1)"
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {_TRI_EDGES_CTE.rstrip()},\n{chain}\n"
+        f"SELECT v AS doc_id, CAST(label AS BIGINT) AS label FROM l{rounds}"
+    )
+
+
+SQL_LABEL_PROPAGATION = _lpa_sql(LPA_ROUNDS)
+
+
 KCORE_K = 5
 KCORE_ROUNDS = 8
 
@@ -3444,6 +3492,7 @@ QUERIES_TD = {
     "cocitation_coupling": q_cocitation_coupling,
     "graph_mixing": q_graph_mixing,
     "personalized_pagerank": q_personalized_pagerank,
+    "label_propagation": q_label_propagation,
     "k_core": q_k_core,
     "link_distance": q_link_distance,
     "rolling_active": q_rolling_active,
@@ -3499,6 +3548,7 @@ ORACLES_TD = {
     "cocitation_coupling": SQL_COCITATION_COUPLING,
     "graph_mixing": SQL_GRAPH_MIXING,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
+    "label_propagation": SQL_LABEL_PROPAGATION,
     "k_core": SQL_K_CORE,
     "link_distance": SQL_LINK_DISTANCE,
     "rolling_active": SQL_ROLLING_ACTIVE,

@@ -415,6 +415,68 @@ def k_core(
     return deg.select(F.col("a").alias("doc_id"), "core_degree")
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "source_doc_id",
+    dst: str = "target_doc_id",
+) -> DataFrame:
+    """(doc_id, label) — community detection by SYNCHRONOUS label
+    propagation over the undirected graph (Raghavan et al. 2007, made
+    deterministic): labels start as node ids; each round every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by (count desc, label asc) — no RNG, no visit order, so
+    the trajectory is a pure function of the graph and EXACTLY ``rounds``
+    rounds produce identical output across engines and partitionings
+    (synchronous LPA can oscillate on bipartite structures; the fixed
+    horizon makes that a non-issue for parity). Nodes are the edge
+    endpoints — every node has >= 1 neighbor by construction. Pure
+    integers (invariant 4 by omission).
+
+    Scale: per round one shuffle to the uniform (node, label) pair for
+    counting (map-side partials), then the per-node argmax folds via
+    max(struct(count, -label)) — an aggregate, not a window, so a hub's
+    neighbor-label multiset collapses map-side and never funnels one
+    reducer whole; lineage cut every round (the k_core compile-depth
+    lesson).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    sym.count()
+    nodes = sym.select(F.col("a").alias("v")).distinct()
+    labels = nodes.select("v", F.col("v").alias("label"))
+    for r in range(rounds):
+        neigh = (
+            sym.join(labels.withColumnRenamed("v", "b"), "b")
+            .groupBy(F.col("a").alias("v"), "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        best = (
+            neigh.groupBy("v")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("_nl"))).alias("_m"))
+            .select("v", (-F.col("_m._nl")).cast("long").alias("label"))
+        )
+        labels = (
+            nodes.join(best, "v", "left")
+            .select(
+                "v",
+                F.coalesce("label", F.col("v")).cast("long").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), "label")
+
+
 def cocitation_coupling(
     edges: DataFrame,
     src: str = "source_doc_id",

@@ -415,3 +415,73 @@ def test_personalized_pagerank_empty_seed_set(spark):
         [(0, 1)], "source_doc_id long, target_doc_id long"
     )
     assert personalized_pagerank(docs, edges, docs.filter("doc_id < 0")).count() == 0
+
+
+def _lpa_python(edge_list, rounds):
+    from collections import Counter
+
+    und = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            cnt = Counter(label[u] for u in adj[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        label = new
+    return label
+
+
+def test_label_propagation_two_cliques_vs_python(spark):
+    from search_engine_spark.operators.pagerank import label_propagation
+
+    # two 4-cliques joined by one bridge edge
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edge_list = c1 + c2 + [(3, 10)]
+    edges = spark.createDataFrame(
+        edge_list, "source_doc_id long, target_doc_id long"
+    )
+    for rounds in (1, 3, 5):
+        got = {
+            r["doc_id"]: r["label"]
+            for r in label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == _lpa_python(edge_list, rounds), rounds
+    final = {
+        r["doc_id"]: r["label"]
+        for r in label_propagation(edges, rounds=5).collect()
+    }
+    # the two cliques end in different communities
+    assert len({final[v] for v in range(4)}) == 1
+    assert len({final[v] for v in range(10, 14)}) == 1
+    assert final[0] != final[10]
+
+
+def test_label_propagation_partitioning_invariance(spark):
+    from search_engine_spark.operators.pagerank import label_propagation
+
+    edge_list = sorted(
+        {
+            (i, (7 * i + 13) % 50)
+            for i in range(50)
+            if i % 13 != 0 and i != (7 * i + 13) % 50
+        }
+        | {
+            (i, (5 * i + 2) % 50)
+            for i in range(50)
+            if i % 13 != 0 and i != (5 * i + 2) % 50
+        }
+    )
+    edges = spark.createDataFrame(
+        edge_list, "source_doc_id long, target_doc_id long"
+    )
+    a = sorted(tuple(r) for r in label_propagation(edges).collect())
+    b = sorted(
+        tuple(r) for r in label_propagation(edges.repartition(9)).collect()
+    )
+    assert a == b == sorted(_lpa_python(edge_list, 5).items())

@@ -153,7 +153,7 @@ CONSTRUCTION_JOBS = {
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
     # NOT listed (deliberately): pagerank, personalized_pagerank,
-    # hits_scores, link_distance,
+    # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components AND
     # semantic_dedup — iterative operators (semantic_dedup runs the same
     # star-contraction loop) whose driver-side loop materializes each
@@ -477,6 +477,8 @@ DRIVERLIKE_QUERIES = [
     "graph_mixing",
     # seed-teleport float iteration under 200 partitions, rounded 9
     "personalized_pagerank",
+    # integer mode-argmax rounds: struct-max vs QUALIFY must agree
+    "label_propagation",
 ]
 
 
