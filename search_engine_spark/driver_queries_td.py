@@ -2332,6 +2332,82 @@ ORDER BY rev6 DESC, n_name ASC
 """
 
 
+# TPC-H Q10 shape: top customers by revenue from RETURNED items in a
+# window — fact filtered on the return flag, customer + nation dims
+# broadcast, fixed6 money sums, deterministic (rev6 desc, custkey asc)
+# top-20 (TakeOrderedAndProject)
+TPCH_Q10_START = "1996-01-01 00:00:00"
+TPCH_Q10_END = "1996-07-01 00:00:00"
+TPCH_Q10_K = 20
+
+
+def q_returns_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", fixed6_long(_disc_price()).alias("d6"))
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ntz(TPCH_Q10_START))
+            & (F.col("o_orderdate") < _ntz(TPCH_Q10_END))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("d6").cast("long").alias("rev6"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    return (
+        g.join(F.broadcast(cust), g["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue"),
+            "n_items",
+            F.col("n_name").alias("nation"),
+            "rev6",
+        )
+        .orderBy(F.desc("rev6"), F.asc("c_custkey"))
+        .limit(TPCH_Q10_K)
+        .drop("rev6")
+    )
+
+
+SQL_RETURNS_REPORT = f"""
+WITH g AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS rev6,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{TPCH_Q10_START}'
+    AND o.o_orderdate < TIMESTAMP '{TPCH_Q10_END}'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+       round(g.rev6 / 1000000.0, 6) AS revenue,
+       g.n_items, n.n_name AS nation
+FROM g
+JOIN customer c ON c.c_custkey = g.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY g.rev6 DESC, c.c_custkey ASC
+LIMIT {TPCH_Q10_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # ROLLUP over events: multi-level aggregation in one pass (beyond-reference
 # analytics; grouping_id distinguishes the levels deterministically)
@@ -3510,6 +3586,7 @@ QUERIES_TD = {
     "pricing_summary": q_pricing_summary,
     "ship_priority": q_ship_priority,
     "nation_revenue": q_nation_revenue,
+    "returns_report": q_returns_report,
     "dedup_components": q_dedup_components,
 }
 
@@ -3566,5 +3643,6 @@ ORACLES_TD = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "ship_priority": SQL_SHIP_PRIORITY,
     "nation_revenue": SQL_NATION_REVENUE,
+    "returns_report": SQL_RETURNS_REPORT,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -146,6 +146,7 @@ CONSTRUCTION_JOBS = {
     "pricing_summary": 1,   # one lineitem read
     "ship_priority": 3,     # customer + orders + lineitem reads
     "nation_revenue": 6,    # the full star: fact + orders + 4 dims
+    "returns_report": 4,    # fact + orders + customer + nation reads
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -191,6 +192,7 @@ BROADCAST_QUERIES = [
     # star-schema joins: every dimension side must broadcast
     "ship_priority",
     "nation_revenue",
+    "returns_report",
 ]
 
 
@@ -445,11 +447,12 @@ DRIVERLIKE_QUERIES = [
     "heaps_law",
     # balance stats: BIGINT products + guarded divisions under ANSI
     "shard_balance",
-    # TPC-H-ish trio: NTZ date predicates + fixed6 money sums must hold
+    # TPC-H-ish quartet: NTZ date predicates + fixed6 money sums must hold
     # under a non-UTC session with ANSI on
     "pricing_summary",
     "ship_priority",
     "nation_revenue",
+    "returns_report",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must
@@ -577,6 +580,10 @@ PRUNING_EXPECTATIONS = {
     "nation_revenue": (
         ["l_suppkey", "n_name", "r_name"],
         ["l_tax", "l_returnflag", "o_totalprice", "c_name", "s_name"],
+    ),
+    "returns_report": (
+        ["l_returnflag", "c_name", "n_name"],
+        ["l_partkey", "l_suppkey", "l_shipdate", "o_totalprice", "c_acctbal"],
     ),
 }
 
