@@ -2408,6 +2408,71 @@ LIMIT {TPCH_Q10_K}
 """
 
 
+# TPC-H Q14 shape: promo revenue share inside a ship-date window — ONE
+# pass over the filtered fact with a conditional fixed6 sum (no second
+# scan for the numerator), part dim broadcast; the share is a single
+# divide of exact BIGINTs rounded 6 (NULL on an empty window)
+TPCH_Q14_START = "1996-01-01 00:00:00"
+TPCH_Q14_END = "1996-04-01 00:00:00"
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz(TPCH_Q14_START))
+            & (F.col("l_shipdate") < _ntz(TPCH_Q14_END))
+        )
+        .select("l_partkey", fixed6_long(_disc_price()).alias("d6"))
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    g = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("d6")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo6"),
+        F.sum("d6").cast("long").alias("total6"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return g.select(
+        "n_items",
+        F.round(F.col("promo6") / F.lit(1000000.0), 6).alias("promo_revenue"),
+        F.round(F.col("total6") / F.lit(1000000.0), 6).alias("total_revenue"),
+        F.when(
+            F.col("total6") > 0,
+            F.round(
+                F.lit(100.0) * F.col("promo6").cast("double") / F.col("total6"),
+                6,
+            ),
+        ).alias("promo_share_pct"),
+    )
+
+
+SQL_PROMO_SHARE = f"""
+WITH g AS (
+  SELECT
+    CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                                  * 1000000.0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo6,
+    CAST(sum(CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                        * 1000000.0) AS BIGINT)) AS BIGINT) AS total6,
+    CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{TPCH_Q14_START}'
+    AND l.l_shipdate < TIMESTAMP '{TPCH_Q14_END}'
+)
+SELECT n_items,
+       round(promo6 / 1000000.0, 6) AS promo_revenue,
+       round(total6 / 1000000.0, 6) AS total_revenue,
+       CASE WHEN total6 > 0 THEN
+         round(100.0 * CAST(promo6 AS DOUBLE) / total6, 6)
+       END AS promo_share_pct
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # ROLLUP over events: multi-level aggregation in one pass (beyond-reference
 # analytics; grouping_id distinguishes the levels deterministically)
@@ -3587,6 +3652,7 @@ QUERIES_TD = {
     "ship_priority": q_ship_priority,
     "nation_revenue": q_nation_revenue,
     "returns_report": q_returns_report,
+    "promo_share": q_promo_share,
     "dedup_components": q_dedup_components,
 }
 
@@ -3644,5 +3710,6 @@ ORACLES_TD = {
     "ship_priority": SQL_SHIP_PRIORITY,
     "nation_revenue": SQL_NATION_REVENUE,
     "returns_report": SQL_RETURNS_REPORT,
+    "promo_share": SQL_PROMO_SHARE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

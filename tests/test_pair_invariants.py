@@ -147,6 +147,7 @@ CONSTRUCTION_JOBS = {
     "ship_priority": 3,     # customer + orders + lineitem reads
     "nation_revenue": 6,    # the full star: fact + orders + 4 dims
     "returns_report": 4,    # fact + orders + customer + nation reads
+    "promo_share": 2,       # fact + part reads; share is in-plan
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -193,6 +194,7 @@ BROADCAST_QUERIES = [
     "ship_priority",
     "nation_revenue",
     "returns_report",
+    "promo_share",
 ]
 
 
@@ -453,6 +455,7 @@ DRIVERLIKE_QUERIES = [
     "ship_priority",
     "nation_revenue",
     "returns_report",
+    "promo_share",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must
@@ -504,7 +507,8 @@ def test_pair_matches_oracle_under_driverlike_session(driverlike, name):
     con = duckdb.connect()
     for t in [
         "documents", "events", "embeddings",
-        "lineitem", "orders", "customer", "supplier", "nation", "region",
+        "lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region",
     ]:
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(path):
@@ -584,6 +588,10 @@ PRUNING_EXPECTATIONS = {
     "returns_report": (
         ["l_returnflag", "c_name", "n_name"],
         ["l_partkey", "l_suppkey", "l_shipdate", "o_totalprice", "c_acctbal"],
+    ),
+    "promo_share": (
+        ["l_shipdate", "p_type"],
+        ["l_orderkey", "l_suppkey", "l_returnflag", "p_name", "p_brand"],
     ),
 }
 
