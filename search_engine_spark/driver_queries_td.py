@@ -2408,6 +2408,90 @@ LIMIT {TPCH_Q10_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Function-word stylometry profile per source (Mosteller & Wallace 1964 —
+# the authorship / template-detection signal; a source whose function-word
+# rates sit far from the corpus norm is machine-generated or boilerplate).
+# The function-word filter runs MAP-SIDE before any shuffle, so the only
+# keyed aggregations are (source, word) — bounded by sources × list — and
+# per-source token totals (plain counts with map-side partials). Zero
+# counts are materialized via the literal word list × distinct sources so
+# both engines emit identical row sets. Invariant 4: rate per 1000 tokens
+# is the one divide of exact BIGINTs, rounded 6.
+# --------------------------------------------------------------------------
+FUNC_WORDS = (
+    "the", "of", "and", "to", "in", "is", "it", "for", "with", "that",
+)
+_FUNC_SQL = ", ".join(f"('{w}')" for w in FUNC_WORDS)
+
+
+def q_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+        ).alias("word"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens")
+    )
+    hits = (
+        toks.filter(F.col("word").isin(*FUNC_WORDS))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = totals.crossJoin(
+        spark.createDataFrame([(w,) for w in FUNC_WORDS], "word string")
+    )
+    return (
+        grid.join(hits, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "total_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(
+                    F.lit(1000.0) * F.coalesce("n", F.lit(0)).cast("double")
+                    / F.col("total_tokens"),
+                    6,
+                ),
+            ).alias("rate_per_1000"),
+        )
+    )
+
+
+SQL_STYLOMETRY = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_RUN}')) AS word
+  FROM documents
+),
+totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS total_tokens
+  FROM toks GROUP BY source
+),
+hits AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE word IN ({", ".join(f"'{w}'" for w in FUNC_WORDS)})
+  GROUP BY source, word
+),
+grid AS (
+  SELECT t.source, w.word, t.total_tokens
+  FROM totals t CROSS JOIN (VALUES {_FUNC_SQL}) AS w(word)
+)
+SELECT g.source, g.word,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+       g.total_tokens,
+       CASE WHEN g.total_tokens > 0 THEN
+         round(1000.0 * COALESCE(h.n, 0) / g.total_tokens, 6)
+       END AS rate_per_1000
+FROM grid g
+LEFT JOIN hits h ON h.source = g.source AND h.word = g.word
+"""
+
+
 # TPC-H Q14 shape: promo revenue share inside a ship-date window — ONE
 # pass over the filtered fact with a conditional fixed6 sum (no second
 # scan for the numerator), part dim broadcast; the share is a single
@@ -3653,6 +3737,7 @@ QUERIES_TD = {
     "nation_revenue": q_nation_revenue,
     "returns_report": q_returns_report,
     "promo_share": q_promo_share,
+    "stylometry": q_stylometry,
     "dedup_components": q_dedup_components,
 }
 
@@ -3711,5 +3796,6 @@ ORACLES_TD = {
     "nation_revenue": SQL_NATION_REVENUE,
     "returns_report": SQL_RETURNS_REPORT,
     "promo_share": SQL_PROMO_SHARE,
+    "stylometry": SQL_STYLOMETRY,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -148,6 +148,7 @@ CONSTRUCTION_JOBS = {
     "nation_revenue": 6,    # the full star: fact + orders + 4 dims
     "returns_report": 4,    # fact + orders + customer + nation reads
     "promo_share": 2,       # fact + part reads; share is in-plan
+    "stylometry": 1,        # one docs read; grid is a literal local list
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -195,6 +196,8 @@ BROADCAST_QUERIES = [
     "nation_revenue",
     "returns_report",
     "promo_share",
+    # map-side function-word filter + bounded-key rates under ANSI
+    "stylometry",
 ]
 
 
