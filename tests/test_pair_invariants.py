@@ -196,8 +196,6 @@ BROADCAST_QUERIES = [
     "nation_revenue",
     "returns_report",
     "promo_share",
-    # map-side function-word filter + bounded-key rates under ANSI
-    "stylometry",
 ]
 
 
@@ -459,6 +457,8 @@ DRIVERLIKE_QUERIES = [
     "nation_revenue",
     "returns_report",
     "promo_share",
+    # map-side function-word filter + bounded-key rates under ANSI
+    "stylometry",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must
