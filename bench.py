@@ -330,6 +330,10 @@ def main() -> None:
         "extras": {
             "cpus": CPUS,
             "bench_pages": N_BENCH_PAGES,
+            # suite size: the wall total is only comparable across rounds
+            # per-entry (r02 recorded 36 pairs, r03 records 100+)
+            "n_entries": len(queries),
+            "sec_per_entry": round(total / len(queries), 4) if queries else None,
             "index_build_docs_per_sec": round(docs_per_sec, 2),
             "postings_bytes_per_posting": round(bytes_per_posting, 2),
             "search_p50_ms": round(statistics.median(lat) * 1000, 2),
