@@ -2409,6 +2409,80 @@ LIMIT {TPCH_Q10_K}
 
 
 # --------------------------------------------------------------------------
+# Term burstiness (Church & Gale 1995; Katz 1996): content words CLUMP —
+# observed document frequency falls well below the Poisson expectation
+# N·(1−exp(−ctf/N)) for the same total count, while function words track
+# it. The df_ratio column is the classic content-word detector (and a
+# quality signal: machine-generated spam is abnormally un-bursty). The
+# token stream collapses once through the two-phase skew-free
+# doc_frequencies (invariant 6); N rides in-plan as a broadcast scalar;
+# df/ctf are exact BIGINTs and each float column is ONE expression of
+# those integers (exp/divide) rounded 6 (invariant 4).
+# --------------------------------------------------------------------------
+BURST_MIN_CTF = 10
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+        ).alias("word"),
+    )
+    stats = doc_frequencies(
+        words, key="word", with_ctf=True, ctf_alias="ctf"
+    ).filter(F.col("ctf") >= BURST_MIN_CTF)
+    n_df = scalar_count(docs.select("doc_id"), as_double=False)
+    return stats.crossJoin(F.broadcast(n_df)).select(
+        "word",
+        F.col("doc_frequency").cast("long").alias("df"),
+        F.col("ctf").cast("long").alias("ctf"),
+        F.round(
+            F.col("ctf").cast("double") / F.col("doc_frequency"), 6
+        ).alias("burstiness"),
+        F.round(
+            F.col("doc_frequency").cast("double")
+            / (
+                F.col("_n").cast("double")
+                * (
+                    F.lit(1.0)
+                    - F.exp(
+                        -(F.col("ctf").cast("double") / F.col("_n"))
+                    )
+                )
+            ),
+            6,
+        ).alias("df_ratio"),
+    )
+
+
+SQL_TERM_BURSTINESS = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RUN}')) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS k
+  FROM words GROUP BY word, doc_id
+),
+stats AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df, CAST(sum(k) AS BIGINT) AS ctf
+  FROM per_doc GROUP BY word
+  HAVING sum(k) >= {BURST_MIN_CTF}
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT s.word, s.df, s.ctf,
+       round(CAST(s.ctf AS DOUBLE) / s.df, 6) AS burstiness,
+       round(CAST(s.df AS DOUBLE)
+             / (CAST(nn.n AS DOUBLE)
+                * (1.0 - exp(-(CAST(s.ctf AS DOUBLE) / nn.n)))), 6)
+         AS df_ratio
+FROM stats s, nn
+"""
+
+
+# --------------------------------------------------------------------------
 # Function-word stylometry profile per source (Mosteller & Wallace 1964 —
 # the authorship / template-detection signal; a source whose function-word
 # rates sit far from the corpus norm is machine-generated or boilerplate).
@@ -3738,6 +3812,7 @@ QUERIES_TD = {
     "returns_report": q_returns_report,
     "promo_share": q_promo_share,
     "stylometry": q_stylometry,
+    "term_burstiness": q_term_burstiness,
     "dedup_components": q_dedup_components,
 }
 
@@ -3797,5 +3872,6 @@ ORACLES_TD = {
     "returns_report": SQL_RETURNS_REPORT,
     "promo_share": SQL_PROMO_SHARE,
     "stylometry": SQL_STYLOMETRY,
+    "term_burstiness": SQL_TERM_BURSTINESS,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }
