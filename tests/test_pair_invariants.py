@@ -149,6 +149,7 @@ CONSTRUCTION_JOBS = {
     "returns_report": 4,    # fact + orders + customer + nation reads
     "promo_share": 2,       # fact + part reads; share is in-plan
     "stylometry": 1,        # one docs read; grid is a literal local list
+    "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -459,6 +460,8 @@ DRIVERLIKE_QUERIES = [
     "promo_share",
     # map-side function-word filter + bounded-key rates under ANSI
     "stylometry",
+    # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
+    "term_burstiness",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must

@@ -1881,3 +1881,32 @@ def test_event_gaps_and_transitions_hand_computed(spark, tmp_path):
         ("view", "purchase"): (1, 0.5),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_term_burstiness_hand_computed(spark, tmp_path):
+    import math
+
+    from search_engine_spark.driver_queries_td import q_term_burstiness
+
+    # 'clump' is bursty: 12 occurrences packed into 2 of 10 docs;
+    # 'even' is spread: 1 occurrence in each of 10 docs; 'rare' under floor
+    rows = []
+    for i in range(10):
+        text = "even " + ("clump " * 6 if i < 2 else "") + ("rare" if i == 0 else "")
+        rows.append((i, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["word"]: (r["df"], r["ctf"], r["burstiness"], r["df_ratio"])
+        for r in q_term_burstiness(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"even", "clump"}  # 'rare' ctf=1 < floor 10
+    n = 10
+    exp_clump = n * (1 - math.exp(-12 / n))
+    exp_even = n * (1 - math.exp(-10 / n))
+    assert got["clump"] == (2, 12, 6.0, round(2 / exp_clump, 6))
+    assert got["even"] == (10, 10, 1.0, round(10 / exp_even, 6))
+    # burstiness separates them: clumped term far below Poisson expectation
+    assert got["clump"][3] < 0.4 < 1.0 <= round(got["even"][3], 1) + 0.5
