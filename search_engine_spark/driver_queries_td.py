@@ -2409,6 +2409,114 @@ LIMIT {TPCH_Q10_K}
 
 
 # --------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood retrieval (Zhai & Lafferty 2001) —
+# the language-model scorer next to BM25: score(q,d) =
+# Σ_matched ln(1 + tf·|C|/(μ·ctf_w)) + |q|·ln(μ/(dl+μ)), the standard
+# matched-terms-only decomposition (unmatched terms fold into the second,
+# doc-length-only term). Invariant 4: every ln runs ONCE on a double built
+# from exact BIGINTs and is quantized to fixed6 immediately; per-doc sums
+# are pure BIGINT; ranking keys on the exact integer score (desc, doc_id
+# asc) so a sub-1e-6 ln divergence can never flip a rank. |C| and the
+# per-term ctf ride in-plan (broadcast); docs with zero matches are
+# excluded (the standard candidate set).
+# --------------------------------------------------------------------------
+QL_MU = 2000
+
+
+def q_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    c_df = toks.agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    ctf = qtoks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ctf"))
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    contrib6 = F.round(
+        F.log(
+            F.lit(1.0)
+            + F.col("tf").cast("double") * F.col("_c")
+            / (F.lit(float(QL_MU)) * F.col("ctf"))
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    base6 = F.round(
+        F.log(F.lit(float(QL_MU)) / (F.col("dl").cast("double") + QL_MU))
+        * F.lit(1000000.0),
+        0,
+    ).cast("long") * F.lit(len(NEWS_QUERY_TERMS))
+    per_doc = (
+        tf.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(c_df))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib6).cast("long").alias("m6"),
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        )
+    )
+    scored = per_doc.join(dl, "doc_id").select(
+        "doc_id",
+        "matched_terms",
+        (F.col("m6") + base6).alias("score6"),
+    )
+    return (
+        scored.orderBy(F.desc("score6"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "matched_terms",
+            F.round(F.col("score6") / F.lit(1000000.0), 6).alias("ql_score"),
+        )
+    )
+
+
+def _ql_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+c AS (SELECT CAST(count(*) AS BIGINT) AS c FROM toks),
+qt AS (SELECT doc_id, term FROM toks WHERE term IN ({terms})),
+ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM qt GROUP BY term),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM qt GROUP BY doc_id, term),
+per_doc AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(ln(1.0 + CAST(tf.tf AS DOUBLE) * c.c
+                                 / ({QL_MU}.0 * ctf.ctf)) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS m6,
+         CAST(count(*) AS BIGINT) AS matched_terms
+  FROM tf JOIN ctf USING (term), c
+  GROUP BY tf.doc_id
+),
+scored AS (
+  SELECT p.doc_id, p.matched_terms,
+         p.m6 + CAST(round(ln({QL_MU}.0 / (CAST(d.dl AS DOUBLE) + {QL_MU}))
+                           * 1000000.0) AS BIGINT)
+                * {len(NEWS_QUERY_TERMS)} AS score6
+  FROM per_doc p JOIN dl d USING (doc_id)
+)
+SELECT doc_id, matched_terms, round(score6 / 1000000.0, 6) AS ql_score
+FROM scored
+ORDER BY score6 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+SQL_QL_TOPK = _ql_sql()
+
+
+# --------------------------------------------------------------------------
 # Term burstiness (Church & Gale 1995; Katz 1996): content words CLUMP —
 # observed document frequency falls well below the Poisson expectation
 # N·(1−exp(−ctf/N)) for the same total count, while function words track
@@ -3813,6 +3921,7 @@ QUERIES_TD = {
     "promo_share": q_promo_share,
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
+    "ql_topk": q_ql_topk,
     "dedup_components": q_dedup_components,
 }
 
@@ -3873,5 +3982,6 @@ ORACLES_TD = {
     "promo_share": SQL_PROMO_SHARE,
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
+    "ql_topk": SQL_QL_TOPK,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

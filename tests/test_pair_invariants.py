@@ -150,6 +150,7 @@ CONSTRUCTION_JOBS = {
     "promo_share": 2,       # fact + part reads; share is in-plan
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
+    "ql_topk": 1,           # one docs read; |C| and ctf in-plan
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -462,6 +463,8 @@ DRIVERLIKE_QUERIES = [
     "stylometry",
     # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
     "term_burstiness",
+    # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI
+    "ql_topk",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must

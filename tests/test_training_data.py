@@ -1910,3 +1910,39 @@ def test_term_burstiness_hand_computed(spark, tmp_path):
     assert got["even"] == (10, 10, 1.0, round(10 / exp_even, 6))
     # burstiness separates them: clumped term far below Poisson expectation
     assert got["clump"][3] < 0.4 < 1.0 <= round(got["even"][3], 1) + 0.5
+
+
+def test_ql_topk_hand_computed(spark, tmp_path):
+    import math
+
+    from search_engine_spark.driver_queries_td import QL_MU, q_ql_topk
+
+    # doc 0: 'spark' x3 + filler; doc 1: 'spark data' once each + filler;
+    # doc 2: filler only (no match -> absent)
+    rows = [
+        (0, "spark spark spark xx yy zz", "en", "s", 10),
+        (1, "spark data xx yy zz ww", "en", "s", 10),
+        (2, "xx yy zz ww vv uu", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["matched_terms"], r["ql_score"])
+        for r in q_ql_topk(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1}
+
+    def score(tfs, dl, c, ctfs):
+        m6 = sum(
+            round(math.log(1.0 + tf * c / (QL_MU * ctf)) * 1e6)
+            for tf, ctf in zip(tfs, ctfs)
+        )
+        base6 = round(math.log(QL_MU / (dl + QL_MU)) * 1e6) * 3
+        return round((m6 + base6) / 1e6, 6)
+
+    c = 6 + 6 + 6  # total tokens
+    # ctf: spark=4, data=1
+    assert got[0] == (1, score([3], 6, c, [4]))
+    assert got[1] == (2, score([1, 1], 6, c, [4, 1]))
