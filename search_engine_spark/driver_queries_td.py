@@ -2517,6 +2517,99 @@ SQL_QL_TOPK = _ql_sql()
 
 
 # --------------------------------------------------------------------------
+# Rank-biased overlap (Webber, Moffat & Zobel 2010) between the BM25 and
+# Dirichlet-QL top-20 rankings over the same corpus/query — the standard
+# top-weighted ranking-similarity statistic (truncated form), used to
+# quantify how much two scorers agree before swapping one in. Shape: both
+# 20-row rankings are ranked in-plan (windows over 20-row relations), the
+# doc_id-matched pairs expand to the ≤20 depths d ≥ max(ra, rb) (≤400
+# rows total), X_d = agreement at depth d folds by count, and each RBO
+# term (1−p)·p^(d−1)·X_d/d is quantized fixed6 BEFORE the BIGINT sum
+# (invariant 4 — pow may differ by an ulp between engines, the sum order
+# never matters on integers). p = 0.9 rides as CAST('0.9' AS DOUBLE) in
+# the oracle (invariant 1: no bare float literals).
+# --------------------------------------------------------------------------
+RBO_P = "0.9"
+RBO_K = 20
+
+
+def q_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    a = q_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_score"), F.asc("doc_id")))
+        .alias("ra"),
+    )
+    b = q_ql_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ql_score"), F.asc("doc_id")))
+        .alias("rb"),
+    )
+    m = a.join(b, "doc_id").select(
+        F.greatest("ra", "rb").alias("dmin")
+    )
+    xd = (
+        m.select(
+            F.explode(F.sequence(F.col("dmin"), F.lit(RBO_K))).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    p = F.lit(float(RBO_P))
+    term6 = F.round(
+        (F.lit(1.0) - p)
+        * F.pow(p, F.col("d").cast("double") - 1.0)
+        * F.col("x").cast("double")
+        / F.col("d")
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    overlap = m.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    rbo6 = xd.agg(F.sum(term6).cast("long").alias("rbo6"))
+    return overlap.crossJoin(F.broadcast(rbo6)).select(
+        F.lit(RBO_K).cast("long").alias("k"),
+        "n_common",
+        F.round(F.col("rbo6") / F.lit(1000000.0), 6).alias("rbo_trunc"),
+    )
+
+
+SQL_RANK_OVERLAP = f"""
+WITH a AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS ra
+  FROM ({SQL_BM25_TOPK})
+),
+b AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ql_score DESC, doc_id ASC) AS rb
+  FROM ({SQL_QL_TOPK})
+),
+m AS MATERIALIZED (
+  SELECT greatest(a.ra, b.rb) AS dmin FROM a JOIN b USING (doc_id)
+),
+xd AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS x
+  FROM m, unnest(range(m.dmin, {RBO_K} + 1)) AS t(d)
+  GROUP BY d
+),
+rbo AS (
+  SELECT CAST(sum(CAST(round((1.0 - CAST('{RBO_P}' AS DOUBLE))
+                             * power(CAST('{RBO_P}' AS DOUBLE), d - 1.0)
+                             * x / d * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS rbo6
+  FROM xd
+),
+ov AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM m)
+SELECT CAST({RBO_K} AS BIGINT) AS k, ov.n_common,
+       round(rbo.rbo6 / 1000000.0, 6) AS rbo_trunc
+FROM ov, rbo
+"""
+
+
+# --------------------------------------------------------------------------
 # Term burstiness (Church & Gale 1995; Katz 1996): content words CLUMP —
 # observed document frequency falls well below the Poisson expectation
 # N·(1−exp(−ctf/N)) for the same total count, while function words track
@@ -3922,6 +4015,7 @@ QUERIES_TD = {
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
+    "rank_overlap": q_rank_overlap,
     "dedup_components": q_dedup_components,
 }
 
@@ -3983,5 +4077,6 @@ ORACLES_TD = {
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,
+    "rank_overlap": SQL_RANK_OVERLAP,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -151,6 +151,7 @@ CONSTRUCTION_JOBS = {
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
+    "rank_overlap": 2,      # the two ranking subplans each read docs once
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -465,6 +466,8 @@ DRIVERLIKE_QUERIES = [
     "term_burstiness",
     # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI
     "ql_topk",
+    # fixed6-quantized pow terms over the two rankings under ANSI
+    "rank_overlap",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must

@@ -1946,3 +1946,42 @@ def test_ql_topk_hand_computed(spark, tmp_path):
     # ctf: spark=4, data=1
     assert got[0] == (1, score([3], 6, c, [4]))
     assert got[1] == (2, score([1, 1], 6, c, [4, 1]))
+
+
+def test_rank_overlap_identity_and_python_oracle(spark, tmp_path):
+    import math
+
+    from search_engine_spark.driver_queries_td import (
+        RBO_K,
+        q_bm25_topk,
+        q_ql_topk,
+        q_rank_overlap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = q_rank_overlap(spark, sf).collect()[0]
+    assert row["k"] == RBO_K
+
+    # python replica from the two rankings the pair itself exposes
+    a = [
+        r["doc_id"]
+        for r in q_bm25_topk(spark, sf).orderBy(
+            F.desc("bm25_score"), F.asc("doc_id")
+        ).collect()
+    ]
+    b = [
+        r["doc_id"]
+        for r in q_ql_topk(spark, sf).orderBy(
+            F.desc("ql_score"), F.asc("doc_id")
+        ).collect()
+    ]
+    p = 0.9
+    rbo6 = 0
+    for d in range(1, RBO_K + 1):
+        x = len(set(a[:d]) & set(b[:d]))
+        if x:
+            rbo6 += round((1 - p) * p ** (d - 1) * x / d * 1e6)
+    assert row["n_common"] == len(set(a) & set(b))
+    assert row["rbo_trunc"] == round(rbo6 / 1e6, 6)
+    # identical rankings give the truncated-RBO maximum (1 - p^k)
+    assert 0.0 <= row["rbo_trunc"] <= round(1 - p**RBO_K, 6) + 1e-9
