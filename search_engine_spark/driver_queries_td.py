@@ -2517,6 +2517,172 @@ SQL_QL_TOPK = _ql_sql()
 
 
 # --------------------------------------------------------------------------
+# Equi-width value histogram per event type — the distribution report an
+# ingest pipeline keeps per metric. The bucket index floor(value/width) is
+# computed on the RAW stored double (identical bits in both engines, so
+# the floor can never disagree); counts are exact BIGINTs on the bounded
+# (type, bucket) key with map-side partials; the share is one divide of
+# exact BIGINTs rounded 6, per-type totals derived from the aggregated
+# relation itself (no second scan).
+# --------------------------------------------------------------------------
+HIST_WIDTH = 25
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    b = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(float(HIST_WIDTH)))
+        .cast("long")
+        .alias("bucket"),
+    )
+    counts = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return counts.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * HIST_WIDTH).cast("long").alias("lo"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(value / {HIST_WIDTH}.0) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.bucket,
+       CAST(c.bucket * {HIST_WIDTH} AS BIGINT) AS lo,
+       c.n,
+       round(CAST(c.n AS DOUBLE) / t.total, 6) AS share
+FROM counts c JOIN totals t USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# Dunning log-likelihood keyness (Dunning 1993): which terms are
+# over-represented in one sub-corpus vs the rest — THE corpus-comparison
+# statistic (keyword extraction for domain drift, source profiling,
+# contamination forensics). 2x2 contingency per term from exact BIGINT
+# ctfs; each O·ln(O/E) term is ONE ln expression of exact integers
+# quantized fixed6 immediately (0·ln0 = 0 by the CASE guard), G² sums the
+# quantized terms in BIGINT and ranking keys on that exact integer
+# (invariant 4); corpus totals ride in-plan. Token stream shuffles once
+# to the vocab-bounded (term, side) key with map-side partials.
+# --------------------------------------------------------------------------
+KEYNESS_LANG = "en"
+KEYNESS_MIN_CTF = 5
+KEYNESS_K = 50
+
+
+def q_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == KEYNESS_LANG).cast("int").alias("in_a"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    per_term = toks.groupBy("term").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("b"),
+    )
+    tot = per_term.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    j = per_term.crossJoin(F.broadcast(tot)).filter(
+        F.col("a") + F.col("b") >= KEYNESS_MIN_CTF
+    )
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    ea = nad * (ad + bd) / (nad + nbd)
+    eb = nbd * (ad + bd) / (nad + nbd)
+    t1_6 = F.when(
+        F.col("a") > 0,
+        F.round(ad * F.log(ad / ea) * F.lit(1000000.0), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    t2_6 = F.when(
+        F.col("b") > 0,
+        F.round(bd * F.log(bd / eb) * F.lit(1000000.0), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    scored = j.select(
+        "term",
+        F.col("a").alias("ctf_a"),
+        F.col("b").alias("ctf_b"),
+        (F.lit(2) * (t1_6 + t2_6)).alias("g6"),
+        (ad / nad > bd / nbd).alias("enriched_in_a"),
+    )
+    return (
+        scored.orderBy(F.desc("g6"), F.asc("term"))
+        .limit(KEYNESS_K)
+        .select(
+            "term",
+            "ctf_a",
+            "ctf_b",
+            F.round(F.col("g6") / F.lit(1000000.0), 6).alias("llr_g2"),
+            "enriched_in_a",
+        )
+    )
+
+
+SQL_KEYNESS_LLR = f"""
+WITH toks AS (
+  SELECT CASE WHEN lang = '{KEYNESS_LANG}' THEN 1 ELSE 0 END AS in_a,
+         unnest(regexp_extract_all(lower(text), '{WORD_RUN}')) AS term
+  FROM documents
+),
+per_term AS (
+  SELECT term, CAST(sum(in_a) AS BIGINT) AS a,
+         CAST(sum(1 - in_a) AS BIGINT) AS b
+  FROM toks GROUP BY term
+),
+tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+  FROM per_term
+),
+scored AS (
+  SELECT p.term, p.a, p.b,
+         2 * (CASE WHEN p.a > 0 THEN
+                CAST(round(CAST(p.a AS DOUBLE)
+                           * ln(CAST(p.a AS DOUBLE)
+                                / (CAST(t.na AS DOUBLE) * (p.a + p.b)
+                                   / (CAST(t.na AS DOUBLE) + t.nb)))
+                           * 1000000.0) AS BIGINT)
+              ELSE 0 END
+            + CASE WHEN p.b > 0 THEN
+                CAST(round(CAST(p.b AS DOUBLE)
+                           * ln(CAST(p.b AS DOUBLE)
+                                / (CAST(t.nb AS DOUBLE) * (p.a + p.b)
+                                   / (CAST(t.na AS DOUBLE) + t.nb)))
+                           * 1000000.0) AS BIGINT)
+              ELSE 0 END) AS g6,
+         (CAST(p.a AS DOUBLE) / t.na > CAST(p.b AS DOUBLE) / t.nb)
+           AS enriched_in_a
+  FROM per_term p, tot t
+  WHERE p.a + p.b >= {KEYNESS_MIN_CTF}
+)
+SELECT term, a AS ctf_a, b AS ctf_b,
+       round(g6 / 1000000.0, 6) AS llr_g2,
+       enriched_in_a
+FROM scored
+ORDER BY g6 DESC, term ASC
+LIMIT {KEYNESS_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Rank-biased overlap (Webber, Moffat & Zobel 2010) between the BM25 and
 # Dirichlet-QL top-20 rankings over the same corpus/query — the standard
 # top-weighted ranking-similarity statistic (truncated form), used to
@@ -4016,6 +4182,8 @@ QUERIES_TD = {
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
     "rank_overlap": q_rank_overlap,
+    "value_histogram": q_value_histogram,
+    "keyness_llr": q_keyness_llr,
     "dedup_components": q_dedup_components,
 }
 
@@ -4078,5 +4246,7 @@ ORACLES_TD = {
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,
     "rank_overlap": SQL_RANK_OVERLAP,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "keyness_llr": SQL_KEYNESS_LLR,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

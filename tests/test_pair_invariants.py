@@ -152,6 +152,8 @@ CONSTRUCTION_JOBS = {
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
     "rank_overlap": 2,      # the two ranking subplans each read docs once
+    "value_histogram": 1,
+    "keyness_llr": 1,       # corpus totals in-plan from the term relation
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -468,6 +470,10 @@ DRIVERLIKE_QUERIES = [
     "ql_topk",
     # fixed6-quantized pow terms over the two rankings under ANSI
     "rank_overlap",
+    # floor-bucket boundaries on raw stored doubles + one share divide
+    "value_histogram",
+    # fixed6-quantized O·ln(O/E) terms, pure-BIGINT G² ranking under ANSI
+    "keyness_llr",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must

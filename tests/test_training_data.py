@@ -1985,3 +1985,69 @@ def test_rank_overlap_identity_and_python_oracle(spark, tmp_path):
     assert row["rbo_trunc"] == round(rbo6 / 1e6, 6)
     # identical rankings give the truncated-RBO maximum (1 - p^k)
     assert 0.0 <= row["rbo_trunc"] <= round(1 - p**RBO_K, 6) + 1e-9
+
+
+def test_value_histogram_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_value_histogram
+
+    t = datetime(2024, 1, 1, 9)
+    rows = [
+        (0, t, 1, "x", 10.0, "{}"),    # bucket 0
+        (1, t, 1, "x", 24.99, "{}"),   # bucket 0
+        (2, t, 1, "x", 25.0, "{}"),    # bucket 1 (left-closed boundary)
+        (3, t, 1, "x", -0.01, "{}"),   # bucket -1 (floor, not trunc)
+        (4, t, 1, "y", 100.0, "{}"),   # own type
+        (5, t, 1, "x", None, "{}"),    # NULL excluded
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["event_type"], r["bucket"]): (r["lo"], r["n"], r["share"])
+        for r in q_value_histogram(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("x", 0): (0, 2, 0.5),
+        ("x", 1): (25, 1, 0.25),
+        ("x", -1): (-25, 1, 0.25),
+        ("y", 4): (100, 1, 1.0),
+    }
+
+
+def test_keyness_llr_hand_computed(spark, tmp_path):
+    import math
+
+    from search_engine_spark.driver_queries_td import q_keyness_llr
+
+    # 'foo' exclusive to en (10x), 'bar' exclusive to de (10x),
+    # 'norm' balanced 10/10 (G2 ~ 0)
+    rows = [
+        (0, "foo " * 10 + "norm " * 10, "en", "s", 10),
+        (1, "bar " * 10 + "norm " * 10, "de", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["term"]: (r["ctf_a"], r["ctf_b"], r["llr_g2"], r["enriched_in_a"])
+        for r in q_keyness_llr(spark, str(tmp_path)).collect()
+    }
+
+    def g2(a, b, na, nb):
+        out = 0
+        for o, e in ((a, na * (a + b) / (na + nb)), (b, nb * (a + b) / (na + nb))):
+            if o > 0:
+                out += round(o * math.log(o / e) * 1e6)
+        return round(2 * out / 1e6, 6)
+
+    na = nb = 20
+    assert got["foo"] == (10, 0, g2(10, 0, na, nb), True)
+    assert got["bar"] == (0, 10, g2(0, 10, na, nb), False)
+    assert got["norm"][2] == 0.0  # perfectly balanced -> zero keyness
+    assert got["foo"][2] > 10.0  # exclusive terms are strongly keyed
