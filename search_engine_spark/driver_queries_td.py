@@ -2517,6 +2517,68 @@ SQL_QL_TOPK = _ql_sql()
 
 
 # --------------------------------------------------------------------------
+# Per-document lexical diversity: type-token ratio + Shannon entropy of
+# the doc's own term distribution (Shannon 1948; the templated/keyword-
+# stuffed-page detector — natural prose sits near the corpus entropy band,
+# boilerplate collapses toward 0). ZERO shuffles: every metric is a
+# per-row array expression (the gopher_repetition pattern). Invariant 4:
+# H = ln N − (1/N)·Σ ln c_i is computed with EVERY ln quantized fixed6
+# immediately (BIGINT sums are order-free; a raw double fold could differ
+# by an engine ulp), the final value one divide of exact integers
+# rounded 6. The instance-count lookup is the O(n²) list_filter form —
+# exact and identical in both engines, bounded by the ~30-token synthetic
+# docs (a production corpus would pre-sort and run-length the array).
+# --------------------------------------------------------------------------
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"regexp_extract_all(lower(text), '{WORD_RUN}', 0) AS toks",
+    ).selectExpr(
+        "doc_id",
+        "cast(size(toks) AS bigint) AS n_tokens",
+        "cast(size(array_distinct(toks)) AS bigint) AS n_types",
+        """CASE WHEN size(toks) > 0 THEN
+             round(cast(size(array_distinct(toks)) AS double)
+                   / size(toks), 6)
+           END AS ttr""",
+        """CASE WHEN size(toks) > 0 THEN
+             round((cast(size(toks) AS double)
+                     * cast(round(ln(size(toks)) * 1000000.0) AS bigint)
+                    - aggregate(
+                        transform(toks, x -> cast(round(
+                            ln(size(filter(toks, y -> y = x)))
+                            * 1000000.0) AS bigint)),
+                        cast(0 AS bigint), (acc, v) -> acc + v))
+                   / (size(toks) * cast(1000000.0 AS double)), 6)
+           END AS entropy""",
+    )
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RUN}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CASE WHEN len(toks) > 0 THEN
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+       END AS ttr,
+       CASE WHEN len(toks) > 0 THEN
+         round((CAST(len(toks) AS DOUBLE)
+                 * CAST(round(ln(len(toks)) * 1000000.0) AS BIGINT)
+                - CAST(list_sum(list_transform(toks, x -> CAST(round(
+                      ln(len(list_filter(toks, y -> y = x)))
+                      * 1000000.0) AS BIGINT))) AS BIGINT))
+               / (len(toks) * CAST(1000000.0 AS DOUBLE)), 6)
+       END AS entropy
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # Equi-width value histogram per event type — the distribution report an
 # ingest pipeline keeps per metric. The bucket index floor(value/width) is
 # computed on the RAW stored double (identical bits in both engines, so
@@ -4184,6 +4246,7 @@ QUERIES_TD = {
     "rank_overlap": q_rank_overlap,
     "value_histogram": q_value_histogram,
     "keyness_llr": q_keyness_llr,
+    "lexical_diversity": q_lexical_diversity,
     "dedup_components": q_dedup_components,
 }
 
@@ -4248,5 +4311,6 @@ ORACLES_TD = {
     "rank_overlap": SQL_RANK_OVERLAP,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "keyness_llr": SQL_KEYNESS_LLR,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

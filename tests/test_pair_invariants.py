@@ -154,6 +154,7 @@ CONSTRUCTION_JOBS = {
     "rank_overlap": 2,      # the two ranking subplans each read docs once
     "value_histogram": 1,
     "keyness_llr": 1,       # corpus totals in-plan from the term relation
+    "lexical_diversity": 1,  # pure scan+project, zero shuffles
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -474,6 +475,8 @@ DRIVERLIKE_QUERIES = [
     "value_histogram",
     # fixed6-quantized O·ln(O/E) terms, pure-BIGINT G² ranking under ANSI
     "keyness_llr",
+    # per-row fixed6 entropy folds under ANSI (zero shuffles)
+    "lexical_diversity",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must

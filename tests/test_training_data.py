@@ -2051,3 +2051,35 @@ def test_keyness_llr_hand_computed(spark, tmp_path):
     assert got["bar"] == (0, 10, g2(0, 10, na, nb), False)
     assert got["norm"][2] == 0.0  # perfectly balanced -> zero keyness
     assert got["foo"][2] > 10.0  # exclusive terms are strongly keyed
+
+
+def test_lexical_diversity_hand_computed(spark, tmp_path):
+    import math
+
+    from search_engine_spark.driver_queries_td import q_lexical_diversity
+
+    rows = [
+        (0, "aa aa aa aa", "en", "s", 10),        # degenerate: H = 0, ttr .25
+        (1, "aa bb cc dd", "en", "s", 10),        # uniform: H = ln 4
+        (2, "aa aa bb", "en", "s", 10),           # mixed
+        (3, "", "en", "s", 0),                    # empty: NULLs
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["ttr"], r["entropy"])
+        for r in q_lexical_diversity(spark, str(tmp_path)).collect()
+    }
+
+    def h(counts):
+        n = sum(counts)
+        s6 = sum(c * round(math.log(c) * 1e6) for c in counts)
+        return round((n * round(math.log(n) * 1e6) - s6) / (n * 1e6), 6)
+
+    assert got[0] == (4, 1, 0.25, 0.0)
+    assert got[1] == (4, 4, 1.0, h([1, 1, 1, 1]))
+    assert abs(got[1][3] - math.log(4)) < 1e-5
+    assert got[2] == (3, 2, 0.666667, h([2, 1]))
+    assert got[3] == (0, 0, None, None)
