@@ -34,6 +34,7 @@ from .training_data.multimodal import synthesize_media
 
 MUT_OFFSET = 100000
 TOKEN_RUN = "[a-z0-9]{2,}"
+US_PER_DAY_DIV = 86_400_000_000
 MIN_LONG_SQL = "(-9223372036854775807 - 1)"
 
 
@@ -2995,6 +2996,91 @@ LEFT JOIN hits h ON h.source = g.source AND h.word = g.word
 """
 
 
+# --------------------------------------------------------------------------
+# RFM customer segmentation over orders — the classic warehouse cohorting
+# (Hughes 1994): per customer Recency (days since last order vs the
+# corpus max date), Frequency (order count), Monetary (fixed6 money sum),
+# plus a FIXED-THRESHOLD segment label (business-rule cut — a quantile
+# cut would need a corpus-wide rank; thresholds keep the whole operator
+# one bounded aggregation). Invariant 3: day indexes are integer DIV on
+# ntz_epoch_us; the corpus max day rides in-plan (broadcast 1-row agg).
+# Invariant 4: monetary is the one rounded divide of an exact fixed6 sum.
+# --------------------------------------------------------------------------
+RFM_RECENT_DAYS = 180
+RFM_FREQ_FLOOR = 11
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            ntz_epoch_us(F.col("o_orderdate")).alias("_us"),
+            fixed6_long(F.col("o_totalprice")).alias("m6"),
+        )
+        .select(
+            "o_custkey",
+            F.expr(f"_us DIV {US_PER_DAY_DIV}").alias("day_idx"),
+            "m6",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("day_idx").cast("long").alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("m6").cast("long").alias("m6"),
+        )
+    )
+    mx = per_cust.agg(F.max("last_day").alias("_maxd"))
+    seg = (
+        F.when(
+            (F.col("recency_days") <= RFM_RECENT_DAYS)
+            & (F.col("frequency") >= RFM_FREQ_FLOOR),
+            F.lit("champion"),
+        )
+        .when(F.col("recency_days") <= RFM_RECENT_DAYS, F.lit("recent"))
+        .when(F.col("frequency") >= RFM_FREQ_FLOOR, F.lit("loyal"))
+        .otherwise(F.lit("dormant"))
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            (F.col("_maxd") - F.col("last_day")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            F.round(F.col("m6") / F.lit(1000000.0), 6).alias("monetary"),
+        )
+        .withColumn("segment", seg)
+    )
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(max(epoch_us(o_orderdate) // {US_PER_DAY_DIV}) AS BIGINT)
+           AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT))
+              AS BIGINT) AS m6
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT max(last_day) AS maxd FROM per_cust)
+SELECT p.o_custkey AS custkey,
+       CAST(mx.maxd - p.last_day AS BIGINT) AS recency_days,
+       p.frequency,
+       round(p.m6 / 1000000.0, 6) AS monetary,
+       CASE
+         WHEN mx.maxd - p.last_day <= {RFM_RECENT_DAYS}
+              AND p.frequency >= {RFM_FREQ_FLOOR} THEN 'champion'
+         WHEN mx.maxd - p.last_day <= {RFM_RECENT_DAYS} THEN 'recent'
+         WHEN p.frequency >= {RFM_FREQ_FLOOR} THEN 'loyal'
+         ELSE 'dormant'
+       END AS segment
+FROM per_cust p, mx
+"""
+
+
 # TPC-H Q14 shape: promo revenue share inside a ship-date window — ONE
 # pass over the filtered fact with a conditional fixed6 sum (no second
 # scan for the numerator), part dim broadcast; the share is a single
@@ -3826,9 +3912,6 @@ FROM cocit cc FULL OUTER JOIN coup cp ON cp.a = cc.a AND cp.b = cc.b
 # ever groups by the skewed cohort key. Invariant 4: the only float is
 # one divide of two exact BIGINTs, rounded 6.
 # --------------------------------------------------------------------------
-US_PER_DAY_DIV = 86_400_000_000
-
-
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     days = (
@@ -4247,6 +4330,7 @@ QUERIES_TD = {
     "value_histogram": q_value_histogram,
     "keyness_llr": q_keyness_llr,
     "lexical_diversity": q_lexical_diversity,
+    "rfm_segments": q_rfm_segments,
     "dedup_components": q_dedup_components,
 }
 
@@ -4312,5 +4396,6 @@ ORACLES_TD = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "keyness_llr": SQL_KEYNESS_LLR,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "dedup_components": SQL_DEDUP_COMPONENTS,
 }

@@ -2083,3 +2083,36 @@ def test_lexical_diversity_hand_computed(spark, tmp_path):
     assert abs(got[1][3] - math.log(4)) < 1e-5
     assert got[2] == (3, 2, 0.666667, h([2, 1]))
     assert got[3] == (0, 0, None, None)
+
+
+def test_rfm_segments_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_rfm_segments
+
+    # corpus max date = 2024-12-31. cust 1: recent+frequent (champion);
+    # cust 2: recent, low freq; cust 3: old but frequent (loyal);
+    # cust 4: old + rare (dormant)
+    orders = []
+    oid = 0
+    for _ in range(12):
+        orders.append((oid, 1, "O", 100.0, datetime(2024, 12, 1), "1-URGENT")); oid += 1
+    orders.append((oid, 2, "O", 50.5, datetime(2024, 12, 31), "1-URGENT")); oid += 1
+    for _ in range(12):
+        orders.append((oid, 3, "O", 10.0, datetime(2022, 1, 1), "1-URGENT")); oid += 1
+    orders.append((oid, 4, "O", 7.25, datetime(2021, 6, 1), "1-URGENT")); oid += 1
+    df = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["custkey"]: (r["recency_days"], r["frequency"], r["monetary"],
+                       r["segment"])
+        for r in q_rfm_segments(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (30, 12, 1200.0, "champion")
+    assert got[2] == (0, 1, 50.5, "recent")
+    assert got[3][1:] == (12, 120.0, "loyal")
+    assert got[4][3] == "dormant"
