@@ -3801,6 +3801,73 @@ def _lpa_sql(rounds: int) -> str:
 SQL_LABEL_PROPAGATION = _lpa_sql(LPA_ROUNDS)
 
 
+def q_degree_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k_nn(k) mean-neighbor-degree curve (Pastor-Satorras, Vázquez &
+    Vespignani 2001) over the 3-generator undirected graph — the
+    per-degree-class companion to the scalar assortativity in
+    `graph_mixing` (a falling curve = hubs attach to leaves). EXACT:
+    because every node of degree k has exactly k neighbors, the average
+    of per-node neighbor-degree means over class k equals
+    Σ_class Σ_neighbors d(u) / (k·n_k) — ONE divide of exact BIGINTs,
+    rounded 6 (invariant 4); no nested fractions. Shuffles key on node
+    ids and the bounded degree class, map-side partials throughout.
+    """
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    und = (
+        edges.select(
+            F.least("source_doc_id", "target_doc_id").alias("a"),
+            F.greatest("source_doc_id", "target_doc_id").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nbr = (
+        sym.join(deg.select(F.col("a").alias("b"), F.col("d").alias("db")), "b")
+        .groupBy("a")
+        .agg(F.sum("db").cast("long").alias("nbr_sum"))
+    )
+    return (
+        deg.join(nbr, "a")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("nbr_sum").cast("long").alias("s"),
+        )
+        .select(
+            F.col("d").alias("degree"),
+            "n_nodes",
+            F.round(
+                F.col("s").cast("double") / (F.col("d") * F.col("n_nodes")), 6
+            ).alias("knn"),
+        )
+    )
+
+
+SQL_DEGREE_CORRELATION = f"""
+WITH {_TRI_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS a,
+                  greatest(source_doc_id, target_doc_id) AS b
+  FROM edges
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+nbr AS (
+  SELECT s.a, CAST(sum(x.d) AS BIGINT) AS nbr_sum
+  FROM sym s JOIN deg x ON x.a = s.b
+  GROUP BY s.a
+)
+SELECT g.d AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       round(CAST(CAST(sum(n.nbr_sum) AS BIGINT) AS DOUBLE)
+             / (g.d * count(*)), 6) AS knn
+FROM deg g JOIN nbr n USING (a)
+GROUP BY g.d
+"""
+
+
 KCORE_K = 5
 KCORE_ROUNDS = 8
 
@@ -4302,6 +4369,7 @@ QUERIES_TD = {
     "triangle_counts": q_triangle_counts,
     "cocitation_coupling": q_cocitation_coupling,
     "graph_mixing": q_graph_mixing,
+    "degree_correlation": q_degree_correlation,
     "personalized_pagerank": q_personalized_pagerank,
     "label_propagation": q_label_propagation,
     "k_core": q_k_core,
@@ -4368,6 +4436,7 @@ ORACLES_TD = {
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "cocitation_coupling": SQL_COCITATION_COUPLING,
     "graph_mixing": SQL_GRAPH_MIXING,
+    "degree_correlation": SQL_DEGREE_CORRELATION,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "label_propagation": SQL_LABEL_PROPAGATION,
     "k_core": SQL_K_CORE,

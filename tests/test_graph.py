@@ -485,3 +485,38 @@ def test_label_propagation_partitioning_invariance(spark):
         tuple(r) for r in label_propagation(edges.repartition(9)).collect()
     )
     assert a == b == sorted(_lpa_python(edge_list, 5).items())
+
+
+def test_degree_correlation_star_fixture(spark):
+    from search_engine_spark.driver_queries_td import q_degree_correlation
+
+    # direct check of the exact class-sum identity on a star via the same
+    # shape the pair uses — python replica over the pair's synthetic graph
+    import collections
+
+    row = {
+        r["degree"]: (r["n_nodes"], r["knn"])
+        for r in q_degree_correlation(spark, "/root/testdata/sf0.001").collect()
+    }
+    N = 500
+    und = set()
+    for i in range(N):
+        if i % 13 == 0:
+            continue
+        for m, c in ((7, 13), (5, 2), (49, 104)):
+            t = (m * i + c) % N
+            if t != i:
+                und.add((min(i, t), max(i, t)))
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    cls = collections.defaultdict(lambda: [0, 0])
+    for v, ns in adj.items():
+        k = len(ns)
+        cls[k][0] += 1
+        cls[k][1] += sum(len(adj[u]) for u in ns)
+    want = {
+        k: (n, round(s / (k * n), 6)) for k, (n, s) in cls.items()
+    }
+    assert row == want

@@ -156,6 +156,7 @@ CONSTRUCTION_JOBS = {
     "keyness_llr": 1,       # corpus totals in-plan from the term relation
     "lexical_diversity": 1,  # pure scan+project, zero shuffles
     "rfm_segments": 1,       # one orders read; corpus max day in-plan
+    "degree_correlation": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -480,6 +481,8 @@ DRIVERLIKE_QUERIES = [
     "lexical_diversity",
     # tz-invariant day indexes + fixed6 money sums under a DST session
     "rfm_segments",
+    # exact class-sum divide over bounded degree classes under ANSI
+    "degree_correlation",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must
