@@ -4164,6 +4164,124 @@ FROM counts c JOIN totals t USING (prev_type)
 """
 
 
+# --------------------------------------------------------------------------
+# Cohort overlap: exact Jaccard between the user sets of every event-type
+# pair — "do purchasers also click?" audience-overlap matrix. Two-phase
+# (invariant 6): the event stream collapses ONCE to the distinct uniform
+# (type, user) key; the intersection self-join fans out per user by at
+# most (types-that-user-has choose 2) — bounded by the type TAXONOMY
+# squared, never the corpus (the source_overlap shape). One divide of
+# exact BIGINTs rounded 6.
+# --------------------------------------------------------------------------
+def q_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_COHORT_OVERLAP = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM tu a JOIN tu b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE)
+             / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Weekly activity profile: events per (type, day-of-week, hour) with the
+# share of the type's total — the seasonality grid an ingest scheduler
+# reads. Invariant 3: dow/hour derive from PURE INTEGER arithmetic on
+# ntz_epoch_us (1970-01-01 was a Thursday ⇒ dow = (day_idx + 4) % 7 with
+# 0 = Sunday) — never an engine/locale-dependent date_part('dow'). The
+# grid key is bounded (types × 7 × 24), counts exact BIGINTs with
+# map-side partials; share = one exact divide rounded 6.
+# --------------------------------------------------------------------------
+US_PER_HOUR_DIV = 3_600_000_000
+
+
+def q_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    grid = (
+        events.select(
+            "event_type", ntz_epoch_us(F.col("ts")).alias("_us")
+        )
+        .select(
+            "event_type",
+            ((F.expr(f"_us DIV {US_PER_DAY_DIV}") + 4) % 7).alias("dow"),
+            (F.expr(f"_us DIV {US_PER_HOUR_DIV}") % 24).alias("hour"),
+        )
+        .groupBy("event_type", "dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = grid.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return grid.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+SQL_WEEKLY_PROFILE = f"""
+WITH grid AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {US_PER_DAY_DIV} + 4) % 7 AS BIGINT) AS dow,
+         CAST((epoch_us(ts) // {US_PER_HOUR_DIV}) % 24 AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM grid GROUP BY 1
+)
+SELECT g.event_type, g.dow, g.hour, g.n,
+       round(CAST(g.n AS DOUBLE) / t.total, 6) AS share
+FROM grid g JOIN totals t USING (event_type)
+"""
+
+
 WAU_WINDOW_DAYS = 7
 
 
@@ -4377,6 +4495,8 @@ QUERIES_TD = {
     "rolling_active": q_rolling_active,
     "event_gaps": q_event_gaps,
     "event_transitions": q_event_transitions,
+    "cohort_overlap": q_cohort_overlap,
+    "weekly_profile": q_weekly_profile,
     "event_funnel": q_event_funnel,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -4444,6 +4564,8 @@ ORACLES_TD = {
     "rolling_active": SQL_ROLLING_ACTIVE,
     "event_gaps": SQL_EVENT_GAPS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "cohort_overlap": SQL_COHORT_OVERLAP,
+    "weekly_profile": SQL_WEEKLY_PROFILE,
     "event_funnel": SQL_EVENT_FUNNEL,
     "asof_join": SQL_ASOF_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,

@@ -157,6 +157,8 @@ CONSTRUCTION_JOBS = {
     "lexical_diversity": 1,  # pure scan+project, zero shuffles
     "rfm_segments": 1,       # one orders read; corpus max day in-plan
     "degree_correlation": 1,
+    "cohort_overlap": 1,
+    "weekly_profile": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -483,6 +485,10 @@ DRIVERLIKE_QUERIES = [
     "rfm_segments",
     # exact class-sum divide over bounded degree classes under ANSI
     "degree_correlation",
+    # two-phase distinct-set Jaccard + one exact divide
+    "cohort_overlap",
+    # pure-integer dow/hour arithmetic under a DST-observing session
+    "weekly_profile",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must

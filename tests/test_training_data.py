@@ -2116,3 +2116,43 @@ def test_rfm_segments_hand_computed(spark, tmp_path):
     assert got[2] == (0, 1, 50.5, "recent")
     assert got[3][1:] == (12, 120.0, "loyal")
     assert got[4][3] == "dormant"
+
+
+def test_cohort_overlap_and_weekly_profile_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import (
+        q_cohort_overlap,
+        q_weekly_profile,
+    )
+
+    # 1970-01-01 was a Thursday (dow 4 with 0=Sunday)
+    thu = datetime(1970, 1, 1, 5, 0, 0)
+    sun = datetime(1970, 1, 4, 23, 30, 0)
+    ev = [
+        (1, thu, "view"), (2, thu, "view"), (3, thu, "view"),
+        (1, sun, "click"), (2, sun, "click"),
+        (9, sun, "purchase"),
+        (1, thu, "view"),   # same user+type twice: one set member
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, (u, ts, et) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    ov = {
+        (r["type_a"], r["type_b"]): (r["n_common"], r["jaccard"])
+        for r in q_cohort_overlap(spark, str(tmp_path)).collect()
+    }
+    # view={1,2,3}, click={1,2}, purchase={9}; zero-overlap pairs absent
+    assert ov == {("click", "view"): (2, round(2 / 3, 6))}
+
+    wp = {
+        (r["event_type"], r["dow"], r["hour"]): (r["n"], r["share"])
+        for r in q_weekly_profile(spark, str(tmp_path)).collect()
+    }
+    assert wp[("view", 4, 5)] == (4, 1.0)      # Thursday 05:00
+    assert wp[("click", 0, 23)] == (2, 1.0)    # Sunday 23:00
+    assert wp[("purchase", 0, 23)] == (1, 1.0)
