@@ -3081,6 +3081,66 @@ FROM per_cust p, mx
 """
 
 
+# TPC-H Q15 shape: top supplier(s) by revenue inside a ship-date window.
+# The reference Q15 returns EVERY supplier tied at the max; that is the
+# semantics here — the max rides in-plan as a 1-row aggregate of the
+# supplier-revenue relation (never a driver scalar), and the tie filter
+# compares exact fixed6 BIGINTs so "equal to max" can never wobble on a
+# rounded double (invariant 4).
+TPCH_Q15_START = "1996-01-01 00:00:00"
+TPCH_Q15_END = "1996-04-01 00:00:00"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz(TPCH_Q15_START))
+            & (F.col("l_shipdate") < _ntz(TPCH_Q15_END))
+        )
+        .select("l_suppkey", fixed6_long(_disc_price()).alias("d6"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("d6").cast("long").alias("rev6"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    mx = rev.agg(F.max("rev6").alias("_mx"))
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev6") == F.col("_mx"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("total_revenue"),
+            "n_items",
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round({_SQL_DISC_PRICE} * 1000000.0) AS BIGINT))
+              AS BIGINT) AS rev6,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TPCH_Q15_START}'
+    AND l_shipdate < TIMESTAMP '{TPCH_Q15_END}'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(rev6) AS mx FROM rev)
+SELECT s.s_suppkey AS suppkey, s.s_name,
+       round(r.rev6 / 1000000.0, 6) AS total_revenue,
+       r.n_items
+FROM rev r
+CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev6 = mx.mx
+"""
+
+
 # TPC-H Q14 shape: promo revenue share inside a ship-date window — ONE
 # pass over the filtered fact with a conditional fixed6 sum (no second
 # scan for the numerator), part dim broadcast; the share is a single
@@ -4511,6 +4571,7 @@ QUERIES_TD = {
     "nation_revenue": q_nation_revenue,
     "returns_report": q_returns_report,
     "promo_share": q_promo_share,
+    "top_supplier": q_top_supplier,
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
@@ -4580,6 +4641,7 @@ ORACLES_TD = {
     "nation_revenue": SQL_NATION_REVENUE,
     "returns_report": SQL_RETURNS_REPORT,
     "promo_share": SQL_PROMO_SHARE,
+    "top_supplier": SQL_TOP_SUPPLIER,
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,

@@ -148,6 +148,7 @@ CONSTRUCTION_JOBS = {
     "nation_revenue": 6,    # the full star: fact + orders + 4 dims
     "returns_report": 4,    # fact + orders + customer + nation reads
     "promo_share": 2,       # fact + part reads; share is in-plan
+    "top_supplier": 2,      # fact + supplier reads; the max is in-plan
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
@@ -469,6 +470,8 @@ DRIVERLIKE_QUERIES = [
     "promo_share",
     # map-side function-word filter + bounded-key rates under ANSI
     "stylometry",
+    # exact-fixed6 tie-at-max filter + NTZ window under a DST session
+    "top_supplier",
     # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
     "term_burstiness",
     # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI
