@@ -4225,6 +4225,62 @@ FROM counts c JOIN totals t USING (prev_type)
 
 
 # --------------------------------------------------------------------------
+# Per-user activity streaks — the canonical GAPS-AND-ISLANDS shape: after
+# the (user, day) relation is made distinct on uniform keys (invariant 6),
+# day_idx − row_number() within the user is constant exactly on each run
+# of consecutive days, so one per-user window + one bounded groupBy yield
+# every island. Pure integers; day indexes are integer DIV on
+# ntz_epoch_us (invariant 3); the per-user window is the sessionization
+# precedent (bounded by per-user activity, never a corpus sort).
+# --------------------------------------------------------------------------
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    ud = (
+        events.select("user_id", ntz_epoch_us(F.col("ts")).alias("_us"))
+        .select("user_id", F.expr(f"_us DIV {US_PER_DAY_DIV}").alias("day_idx"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    islands = ud.select(
+        "user_id",
+        (F.col("day_idx") - F.row_number().over(w)).alias("island"),
+    ).groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+SQL_USER_STREAKS = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY_DIV} AS day_idx
+  FROM events
+),
+islands AS (
+  SELECT user_id,
+         day_idx - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day_idx) AS island,
+         1 AS one
+  FROM ud
+),
+runs AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Cohort overlap: exact Jaccard between the user sets of every event-type
 # pair — "do purchasers also click?" audience-overlap matrix. Two-phase
 # (invariant 6): the event stream collapses ONCE to the distinct uniform
@@ -4557,6 +4613,7 @@ QUERIES_TD = {
     "event_transitions": q_event_transitions,
     "cohort_overlap": q_cohort_overlap,
     "weekly_profile": q_weekly_profile,
+    "user_streaks": q_user_streaks,
     "event_funnel": q_event_funnel,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -4627,6 +4684,7 @@ ORACLES_TD = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_overlap": SQL_COHORT_OVERLAP,
     "weekly_profile": SQL_WEEKLY_PROFILE,
+    "user_streaks": SQL_USER_STREAKS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "asof_join": SQL_ASOF_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,

@@ -160,6 +160,7 @@ CONSTRUCTION_JOBS = {
     "degree_correlation": 1,
     "cohort_overlap": 1,
     "weekly_profile": 1,
+    "user_streaks": 1,
     "cms_heavy_hitters": 1,  # n_total is in-plan from the sketch, never a .count()
     "length_quantiles": 1,
     "weighted_sample": 1,
@@ -492,6 +493,8 @@ DRIVERLIKE_QUERIES = [
     "cohort_overlap",
     # pure-integer dow/hour arithmetic under a DST-observing session
     "weekly_profile",
+    # gaps-and-islands row_number offsets under 200 partitions
+    "user_streaks",
     # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
     "skipgram_pmi",
     # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must

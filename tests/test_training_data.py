@@ -2156,3 +2156,32 @@ def test_cohort_overlap_and_weekly_profile_hand_computed(spark, tmp_path):
     assert wp[("view", 4, 5)] == (4, 1.0)      # Thursday 05:00
     assert wp[("click", 0, 23)] == (2, 1.0)    # Sunday 23:00
     assert wp[("purchase", 0, 23)] == (1, 1.0)
+
+
+def test_user_streaks_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_user_streaks
+
+    def d(day, h=9):
+        return datetime(2024, 1, day, h)
+
+    # user 1: days 1-3 consecutive, gap, days 6-7 (longest 3, 2 streaks);
+    # user 2: single day twice (one active day); user 3: alternating days
+    ev = [
+        (1, d(1)), (1, d(2)), (1, d(3)), (1, d(6)), (1, d(7)),
+        (1, d(2, 23)),            # same day again: one active day
+        (2, d(10)), (2, d(10, 15)),
+        (3, d(1)), (3, d(3)), (3, d(5)),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "t", 0.0, "{}") for i, (u, ts) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["active_days"], r["n_streaks"], r["longest_streak"])
+        for r in q_user_streaks(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (5, 2, 3), 2: (1, 1, 1), 3: (3, 3, 1)}
