@@ -3081,6 +3081,77 @@ FROM per_cust p, mx
 """
 
 
+# --------------------------------------------------------------------------
+# Gini coefficient of orders-per-customer — the inequality/concentration
+# report (is demand spread or whale-driven?). EXACT, no sort: the
+# per-customer counts collapse to the BOUNDED class distribution
+# (order-count value → #customers), and Gini = Σᵢⱼ mᵢmⱼ|xᵢ−xⱼ| / (2n²μ)
+# folds over the classes² self-join — bounded by the max per-customer
+# count squared, never the customer population (invariant 6); numerator
+# and denominator are pure BIGINT products, ONE divide rounded 6
+# (invariant 4). The usual rank-based Gini needs a corpus-wide sort.
+# --------------------------------------------------------------------------
+def q_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    classes = per_cust.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    a = classes.select(F.col("x").alias("xi"), F.col("m").alias("mi"))
+    b = classes.select(F.col("x").alias("xj"), F.col("m").alias("mj"))
+    num = a.crossJoin(b).agg(
+        F.sum(
+            F.col("mi")
+            * F.col("mj")
+            * F.abs(F.col("xi") - F.col("xj"))
+        )
+        .cast("long")
+        .alias("num")
+    )
+    tot = classes.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("m") * F.col("x")).cast("long").alias("sx"),
+    )
+    return tot.crossJoin(F.broadcast(num)).select(
+        "n",
+        F.col("sx").alias("total_orders"),
+        F.when(
+            F.col("sx") > 0,
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("n") * F.col("sx")),
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+SQL_ORDER_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS x FROM orders GROUP BY 1
+),
+classes AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS m FROM per_cust GROUP BY x
+),
+num AS (
+  SELECT CAST(sum(a.m * b.m * abs(a.x - b.x)) AS BIGINT) AS num
+  FROM classes a CROSS JOIN classes b
+),
+tot AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n,
+         CAST(sum(m * x) AS BIGINT) AS sx
+  FROM classes
+)
+SELECT tot.n, tot.sx AS total_orders,
+       CASE WHEN tot.sx > 0 THEN
+         round(CAST(num.num AS DOUBLE) / (2.0 * tot.n * tot.sx), 6)
+       END AS gini
+FROM tot, num
+"""
+
+
 # TPC-H Q15 shape: top supplier(s) by revenue inside a ship-date window.
 # The reference Q15 returns EVERY supplier tied at the max; that is the
 # semantics here — the max rides in-plan as a 1-row aggregate of the
@@ -4629,6 +4700,7 @@ QUERIES_TD = {
     "returns_report": q_returns_report,
     "promo_share": q_promo_share,
     "top_supplier": q_top_supplier,
+    "order_gini": q_order_gini,
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
@@ -4700,6 +4772,7 @@ ORACLES_TD = {
     "returns_report": SQL_RETURNS_REPORT,
     "promo_share": SQL_PROMO_SHARE,
     "top_supplier": SQL_TOP_SUPPLIER,
+    "order_gini": SQL_ORDER_GINI,
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,

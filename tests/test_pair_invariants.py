@@ -149,6 +149,7 @@ CONSTRUCTION_JOBS = {
     "returns_report": 4,    # fact + orders + customer + nation reads
     "promo_share": 2,       # fact + part reads; share is in-plan
     "top_supplier": 2,      # fact + supplier reads; the max is in-plan
+    "order_gini": 1,        # one orders read; classes² fold in-plan
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
@@ -473,6 +474,8 @@ DRIVERLIKE_QUERIES = [
     "stylometry",
     # exact-fixed6 tie-at-max filter + NTZ window under a DST session
     "top_supplier",
+    # pure-BIGINT classes² Gini fold + one divide under ANSI
+    "order_gini",
     # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
     "term_burstiness",
     # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI

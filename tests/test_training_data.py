@@ -2185,3 +2185,40 @@ def test_user_streaks_hand_computed(spark, tmp_path):
         for r in q_user_streaks(spark, str(tmp_path)).collect()
     }
     assert got == {1: (5, 2, 3), 2: (1, 1, 1), 3: (3, 3, 1)}
+
+
+def test_order_gini_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_order_gini
+
+    def write(counts, path):
+        rows, oid = [], 0
+        for cust, k in enumerate(counts, start=1):
+            for _ in range(k):
+                rows.append(
+                    (oid, cust, "O", 10.0, datetime(2024, 1, 1), "1-URGENT")
+                )
+                oid += 1
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+        df.write.parquet(str(path / "orders.parquet"))
+
+    # perfectly equal: gini 0
+    eq = tmp_path / "eq"
+    eq.mkdir()
+    write([5, 5, 5, 5], eq)
+    row = q_order_gini(spark, str(eq)).collect()[0]
+    assert (row["n"], row["total_orders"], row["gini"]) == (4, 20, 0.0)
+
+    # textbook skew [1, 9]: mean-abs-diff Gini = sum|xi-xj| / (2 n^2 mu)
+    sk = tmp_path / "sk"
+    sk.mkdir()
+    write([1, 9], sk)
+    row = q_order_gini(spark, str(sk)).collect()[0]
+    # pairs: |1-9| * 2 = 16; denom 2 * n * sx = 2*2*10 = 40 -> 0.4
+    assert (row["n"], row["total_orders"], row["gini"]) == (2, 10, 0.4)
