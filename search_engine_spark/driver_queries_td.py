@@ -2913,6 +2913,102 @@ FROM stats s, nn
 
 
 # --------------------------------------------------------------------------
+# Distribution-shape report: mean/variance/skewness/excess-kurtosis of
+# doc token length per language — the moments a curation pipeline reads
+# before setting length gates (a heavy right tail means a length cap
+# bites real prose). ONE map-side pass builds exact BIGINT power sums
+# (Σx..Σx⁴; x ≤ a few hundred tokens keeps Σx⁴ far under 2^63 per
+# stratum), then each central moment is a SINGLE double expression of
+# those exact integers (IEEE products of exact values — identical in both
+# engines; never Spark's built-in skewness/kurtosis, whose streaming
+# accumulation is order-dependent), rounded 6, NULL-guarded on zero
+# variance (invariant 4).
+# --------------------------------------------------------------------------
+def q_length_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    x = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    s = x.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("long").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m2 = (n * s2 - s1 * s1) / (n * n)
+    m3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) / (n * n * n)
+    m4 = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    ) / (n * n * n * n)
+    return s.select(
+        "lang",
+        "n",
+        F.round(s1 / n, 6).alias("mean_len"),
+        F.round(m2, 6).alias("variance"),
+        # m2*sqrt(m2), not pow(m2, 1.5): sqrt is IEEE-correctly-rounded in
+        # both engines, pow is not
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - 3.0, 6)).alias("kurtosis"),
+    )
+
+
+SQL_LENGTH_MOMENTS = f"""
+WITH x AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '{WORD_RUN}')) AS BIGINT)
+           AS x
+  FROM documents
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2,
+         CAST(sum(x * x * x) AS BIGINT) AS s3,
+         CAST(sum(x * x * x * x) AS BIGINT) AS s4
+  FROM x GROUP BY lang
+),
+m AS (
+  SELECT lang, n,
+         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4,
+         CAST(n AS DOUBLE) AS nd
+  FROM s
+)
+SELECT lang, n,
+       round(s1 / nd, 6) AS mean_len,
+       round((nd * s2 - s1 * s1) / (nd * nd), 6) AS variance,
+       CASE WHEN (nd * s2 - s1 * s1) / (nd * nd) > 0 THEN
+         round(((nd * nd * s3 - 3 * nd * s1 * s2 + 2 * s1 * s1 * s1)
+                / (nd * nd * nd))
+               / (((nd * s2 - s1 * s1) / (nd * nd))
+                  * sqrt((nd * s2 - s1 * s1) / (nd * nd))), 6)
+       END AS skewness,
+       CASE WHEN (nd * s2 - s1 * s1) / (nd * nd) > 0 THEN
+         round(((nd * nd * nd * s4 - 4 * nd * nd * s1 * s3
+                 + 6 * nd * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+                / (nd * nd * nd * nd))
+               / (((nd * s2 - s1 * s1) / (nd * nd))
+                  * ((nd * s2 - s1 * s1) / (nd * nd))) - 3.0, 6)
+       END AS kurtosis
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # Function-word stylometry profile per source (Mosteller & Wallace 1964 —
 # the authorship / template-detection signal; a source whose function-word
 # rates sit far from the corpus norm is machine-generated or boilerplate).
@@ -4701,6 +4797,7 @@ QUERIES_TD = {
     "promo_share": q_promo_share,
     "top_supplier": q_top_supplier,
     "order_gini": q_order_gini,
+    "length_moments": q_length_moments,
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
@@ -4773,6 +4870,7 @@ ORACLES_TD = {
     "promo_share": SQL_PROMO_SHARE,
     "top_supplier": SQL_TOP_SUPPLIER,
     "order_gini": SQL_ORDER_GINI,
+    "length_moments": SQL_LENGTH_MOMENTS,
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,

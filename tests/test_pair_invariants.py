@@ -150,6 +150,7 @@ CONSTRUCTION_JOBS = {
     "promo_share": 2,       # fact + part reads; share is in-plan
     "top_supplier": 2,      # fact + supplier reads; the max is in-plan
     "order_gini": 1,        # one orders read; classes² fold in-plan
+    "length_moments": 1,
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
@@ -476,6 +477,8 @@ DRIVERLIKE_QUERIES = [
     "top_supplier",
     # pure-BIGINT classes² Gini fold + one divide under ANSI
     "order_gini",
+    # exact power sums -> single-expression moments (sqrt not pow)
+    "length_moments",
     # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
     "term_burstiness",
     # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI

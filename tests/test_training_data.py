@@ -2222,3 +2222,32 @@ def test_order_gini_hand_computed(spark, tmp_path):
     row = q_order_gini(spark, str(sk)).collect()[0]
     # pairs: |1-9| * 2 = 16; denom 2 * n * sx = 2*2*10 = 40 -> 0.4
     assert (row["n"], row["total_orders"], row["gini"]) == (2, 10, 0.4)
+
+
+def test_length_moments_hand_computed(spark, tmp_path):
+    import math
+
+    from search_engine_spark.driver_queries_td import q_length_moments
+
+    # en lengths [2, 4, 6]: mean 4, var 8/3, skew 0, excess kurt -1.5;
+    # de single doc: zero variance -> NULL shape stats
+    rows = [
+        (0, "aa bb", "en", "s", 5),
+        (1, "aa bb cc dd", "en", "s", 11),
+        (2, "aa bb cc dd ee ff", "en", "s", 17),
+        (3, "xx yy", "de", "s", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["lang"]: (r["n"], r["mean_len"], r["variance"], r["skewness"],
+                    r["kurtosis"])
+        for r in q_length_moments(spark, str(tmp_path)).collect()
+    }
+    assert got["en"][0:2] == (3, 4.0)
+    assert got["en"][2] == round(8 / 3, 6)
+    assert got["en"][3] == 0.0          # symmetric
+    assert got["en"][4] == -1.5         # uniform-3-point excess kurtosis
+    assert got["de"] == (1, 2.0, 0.0, None, None)
