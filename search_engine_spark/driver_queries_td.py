@@ -3178,6 +3178,95 @@ FROM per_cust p, mx
 
 
 # --------------------------------------------------------------------------
+# Market-basket association rules over order line items (Agrawal &
+# Srikant 1994's support/confidence/lift, pairs only — the 2-itemset
+# core of Apriori): which parts co-occur in orders beyond chance. The
+# pair join fans out per ORDER by (basket size choose 2) — bounded by
+# the basket, never the catalog (invariant 6, the co-citation shape);
+# baskets are first made DISTINCT on the uniform (order, part) key.
+# Support/confidence/lift are single expressions of exact BIGINTs
+# rounded 6, the order total in-plan (invariant 4). Emitted per
+# DIRECTED rule (a -> b) above the support floor.
+# --------------------------------------------------------------------------
+BASKET_MIN_PAIR = 3
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    n_orders = scalar_count(
+        basket.select("l_orderkey").distinct(), as_double=False
+    )
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_PAIR)
+    )
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+    nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("_n"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("_n")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_MARKET_BASKET = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item_n AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+  FROM basket GROUP BY 1
+),
+nn AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM basket
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM basket a JOIN basket b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_PAIR}
+)
+SELECT p.part_a, p.part_b, p.n_pair,
+       round(CAST(p.n_pair AS DOUBLE) / nn.n, 6) AS support,
+       round(CAST(p.n_pair AS DOUBLE) / na.n_item, 6) AS confidence,
+       round(CAST(p.n_pair AS DOUBLE) * nn.n
+             / (CAST(na.n_item AS DOUBLE) * nb.n_item), 6) AS lift
+FROM pairs p
+JOIN item_n na ON na.l_partkey = p.part_a
+JOIN item_n nb ON nb.l_partkey = p.part_b
+CROSS JOIN nn
+"""
+
+
+# --------------------------------------------------------------------------
 # Gini coefficient of orders-per-customer — the inequality/concentration
 # report (is demand spread or whale-driven?). EXACT, no sort: the
 # per-customer counts collapse to the BOUNDED class distribution
@@ -4798,6 +4887,7 @@ QUERIES_TD = {
     "top_supplier": q_top_supplier,
     "order_gini": q_order_gini,
     "length_moments": q_length_moments,
+    "market_basket": q_market_basket,
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
@@ -4871,6 +4961,7 @@ ORACLES_TD = {
     "top_supplier": SQL_TOP_SUPPLIER,
     "order_gini": SQL_ORDER_GINI,
     "length_moments": SQL_LENGTH_MOMENTS,
+    "market_basket": SQL_MARKET_BASKET,
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,

@@ -151,6 +151,7 @@ CONSTRUCTION_JOBS = {
     "top_supplier": 2,      # fact + supplier reads; the max is in-plan
     "order_gini": 1,        # one orders read; classes² fold in-plan
     "length_moments": 1,
+    "market_basket": 1,     # one lineitem read; order total in-plan
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
@@ -479,6 +480,8 @@ DRIVERLIKE_QUERIES = [
     "order_gini",
     # exact power sums -> single-expression moments (sqrt not pow)
     "length_moments",
+    # basket-bounded pair fan-out + exact support/confidence/lift
+    "market_basket",
     # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
     "term_burstiness",
     # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI

@@ -2251,3 +2251,46 @@ def test_length_moments_hand_computed(spark, tmp_path):
     assert got["en"][3] == 0.0          # symmetric
     assert got["en"][4] == -1.5         # uniform-3-point excess kurtosis
     assert got["de"] == (1, 2.0, 0.0, None, None)
+
+
+def test_market_basket_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_market_basket
+
+    # parts 10 and 11 co-occur in 3 of 4 orders; part 12 rides along once;
+    # a duplicated line item must not double-count the basket membership
+    baskets = [
+        (1, [10, 11]),
+        (2, [10, 11, 12]),
+        (3, [10, 11, 10]),   # dup line: one membership
+        (4, [10]),
+    ]
+    rows = []
+    ln = 0
+    for ok, parts in baskets:
+        for p in parts:
+            rows.append(
+                (ok, p, 1, ln % 7, 1.0, 100.0, 0.0, 0.0, "N", "O",
+                 datetime(2024, 1, 1))
+            )
+            ln += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r["part_a"], r["part_b"]): (r["n_pair"], r["support"],
+                                     r["confidence"], r["lift"])
+        for r in q_market_basket(spark, str(tmp_path)).collect()
+    }
+    # only the (10, 11) pair clears the floor of 3 (both directions)
+    # na(10)=4, na(11)=3, n_orders=4
+    assert got == {
+        (10, 11): (3, 0.75, 0.75, round(3 * 4 / (4 * 3), 6)),
+        (11, 10): (3, 0.75, 1.0, 1.0),
+    }
