@@ -3178,6 +3178,50 @@ FROM per_cust p, mx
 
 
 # --------------------------------------------------------------------------
+# Semi-structured JSON extraction from the events props column — the
+# schema-on-read payload projection every ingest pipeline does (Spark
+# get_json_object vs DuckDB json_extract, both JSONPath): per event type,
+# integer stats over the extracted k plus a parse-failure count (NULL on
+# malformed/missing in BOTH engines — asserted by the fixture test). All
+# counts/sums exact BIGINT; the mean is pure-BIGINT division (the
+# event_gaps half-ulp lesson). NOTE Spark DIV truncates toward zero while
+# DuckDB // floors — identical only where sum(k) >= 0 (true for the
+# synthetic k ∈ [0, 99]) or the division is exact; a payload with
+# negative sums would need a floordiv spelling on the Spark side.
+# --------------------------------------------------------------------------
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    k = events.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return k.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("k").isNull().cast("long")).cast("long").alias("n_unparsed"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.expr("sum(k) DIV count(k)").cast("long").alias("mean_k"),
+    )
+
+
+SQL_PROPS_EXTRACT = """
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unparsed,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(CAST(sum(k) AS BIGINT) // count(k) AS BIGINT) AS mean_k
+FROM k GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Market-basket association rules over order line items (Agrawal &
 # Srikant 1994's support/confidence/lift, pairs only — the 2-itemset
 # core of Apriori): which parts co-occur in orders beyond chance. The
@@ -4888,6 +4932,7 @@ QUERIES_TD = {
     "order_gini": q_order_gini,
     "length_moments": q_length_moments,
     "market_basket": q_market_basket,
+    "props_extract": q_props_extract,
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
@@ -4962,6 +5007,7 @@ ORACLES_TD = {
     "order_gini": SQL_ORDER_GINI,
     "length_moments": SQL_LENGTH_MOMENTS,
     "market_basket": SQL_MARKET_BASKET,
+    "props_extract": SQL_PROPS_EXTRACT,
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,

@@ -152,6 +152,7 @@ CONSTRUCTION_JOBS = {
     "order_gini": 1,        # one orders read; classes² fold in-plan
     "length_moments": 1,
     "market_basket": 1,     # one lineitem read; order total in-plan
+    "props_extract": 1,
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
@@ -482,6 +483,8 @@ DRIVERLIKE_QUERIES = [
     "length_moments",
     # basket-bounded pair fan-out + exact support/confidence/lift
     "market_basket",
+    # JSONPath extraction NULL semantics + BIGINT stats under ANSI
+    "props_extract",
     # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
     "term_burstiness",
     # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI

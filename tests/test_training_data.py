@@ -2294,3 +2294,33 @@ def test_market_basket_hand_computed(spark, tmp_path):
         (10, 11): (3, 0.75, 0.75, round(3 * 4 / (4 * 3), 6)),
         (11, 10): (3, 0.75, 1.0, 1.0),
     }
+
+
+def test_props_extract_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_props_extract
+
+    t = datetime(2024, 1, 1, 9)
+    rows = [
+        (0, t, 1, "view", 0.0, '{"k": 10}'),
+        (1, t, 1, "view", 0.0, '{"k": 20}'),
+        (2, t, 1, "view", 0.0, '{"other": 5}'),   # missing key: NULL
+        (3, t, 1, "view", 0.0, "not json"),        # malformed: NULL
+        (4, t, 1, "click", 0.0, '{"k": -3}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: (r["n_events"], r["n_unparsed"], r["min_k"],
+                          r["max_k"], r["mean_k"])
+        for r in q_props_extract(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (4, 2, 10, 20, 15),
+        "click": (1, 0, -3, -3, -3),
+    }
