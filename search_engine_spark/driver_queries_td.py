@@ -4525,6 +4525,89 @@ FROM counts c JOIN totals t USING (prev_type)
 
 
 # --------------------------------------------------------------------------
+# Session bounce rate by entry event type — the classic web-analytics
+# quality metric over the SAME 30-min session assignment as
+# `event_sessions` (invariant 3: integer epoch-µs gaps): a session
+# "bounces" when it contains exactly one event; sessions are attributed
+# to their ENTRY type via a lexicographic struct-min on the deterministic
+# (us, event_id) total order (an aggregate, not a second window). Counts
+# exact BIGINT on the bounded type key; rate = one exact divide rounded 6.
+# --------------------------------------------------------------------------
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.withColumn("_us", ntz_epoch_us(F.col("ts")))
+    gap = F.col("_us") - F.lag("_us").over(w_user)
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("_brk", is_break).withColumn(
+        "session_seq",
+        F.sum("_brk").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.struct("_us", "event_id", "event_type")).alias("_entry"),
+    )
+    return (
+        per.select(
+            F.col("_entry.event_type").alias("entry_type"),
+            (F.col("n_events") == 1).cast("long").alias("is_bounce"),
+        )
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("is_bounce").cast("long").alias("n_bounces"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            F.round(
+                F.col("n_bounces").cast("double") / F.col("n_sessions"), 6
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+SQL_BOUNCE_RATE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, us,
+         CAST(sum(brk) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM marked
+),
+per AS (
+  SELECT user_id, session_seq,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(struct_pack(us := us, eid := event_id, et := event_type))
+           AS entry
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT entry.et AS entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM per GROUP BY entry.et
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-user activity streaks — the canonical GAPS-AND-ISLANDS shape: after
 # the (user, day) relation is made distinct on uniform keys (invariant 6),
 # day_idx − row_number() within the user is constant exactly on each run
@@ -4933,6 +5016,7 @@ QUERIES_TD = {
     "length_moments": q_length_moments,
     "market_basket": q_market_basket,
     "props_extract": q_props_extract,
+    "bounce_rate": q_bounce_rate,
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
@@ -5008,6 +5092,7 @@ ORACLES_TD = {
     "length_moments": SQL_LENGTH_MOMENTS,
     "market_basket": SQL_MARKET_BASKET,
     "props_extract": SQL_PROPS_EXTRACT,
+    "bounce_rate": SQL_BOUNCE_RATE,
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,

@@ -153,6 +153,7 @@ CONSTRUCTION_JOBS = {
     "length_moments": 1,
     "market_basket": 1,     # one lineitem read; order total in-plan
     "props_extract": 1,
+    "bounce_rate": 1,
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
@@ -485,6 +486,8 @@ DRIVERLIKE_QUERIES = [
     "market_basket",
     # JSONPath extraction NULL semantics + BIGINT stats under ANSI
     "props_extract",
+    # session assignment + struct-min entry attribution under a DST tz
+    "bounce_rate",
     # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
     "term_burstiness",
     # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI

@@ -2324,3 +2324,36 @@ def test_props_extract_hand_computed(spark, tmp_path):
         "view": (4, 2, 10, 20, 15),
         "click": (1, 0, -3, -3, -3),
     }
+
+
+def test_bounce_rate_hand_computed(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.driver_queries_td import q_bounce_rate
+
+    t0 = datetime(2024, 1, 1, 9)
+    ev = [
+        # user 1 session A (entry view, 2 events): not a bounce
+        (1, t0, "view"), (1, t0 + timedelta(minutes=5), "click"),
+        # user 1 session B after a 31-min gap (entry click, 1 event): bounce
+        (1, t0 + timedelta(minutes=36, seconds=1), "click"),
+        # user 2 single-event session (entry view): bounce
+        (2, t0, "view"),
+        # user 3: tied timestamps — event_id picks the entry ("error")
+        (3, t0, "error"), (3, t0, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, (u, ts, et) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["entry_type"]: (r["n_sessions"], r["n_bounces"], r["bounce_rate"])
+        for r in q_bounce_rate(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (2, 1, 0.5),
+        "click": (1, 1, 1.0),
+        "error": (1, 0, 0.0),
+    }
