@@ -4647,8 +4647,7 @@ WITH ud AS (
 islands AS (
   SELECT user_id,
          day_idx - row_number() OVER (PARTITION BY user_id
-                                      ORDER BY day_idx) AS island,
-         1 AS one
+                                      ORDER BY day_idx) AS island
   FROM ud
 ),
 runs AS (
