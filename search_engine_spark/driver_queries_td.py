@@ -4525,6 +4525,137 @@ FROM counts c JOIN totals t USING (prev_type)
 
 
 # --------------------------------------------------------------------------
+# Behavioral entropy per user: Shannon entropy of each user's event-type
+# mix plus the effective type count exp(H) (Hill number of order 1 —
+# "how many event types does this user effectively use?"); bots and
+# single-purpose scripts sit near 0, organic users near ln(#types).
+# Same fixed6-ln discipline as lexical_diversity but in GROUPED form:
+# the (user, type) counts are exact BIGINTs on uniform keys, H derives
+# from n·q(ln n) − Σ c·q(ln c) with q = fixed6 quantization (order-free
+# BIGINT sums, invariant 4); exp runs once on the ROUNDED H so both
+# engines exponentiate the identical double.
+# --------------------------------------------------------------------------
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    ct = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ln6 = F.round(F.log(F.col("c").cast("double")) * F.lit(1000000.0), 0).cast(
+        "long"
+    )
+    per_user = ct.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * ln6).cast("long").alias("s6"),
+    )
+    h = F.round(
+        (
+            F.col("n").cast("double")
+            * F.round(F.log(F.col("n").cast("double")) * F.lit(1000000.0), 0)
+            - F.col("s6")
+        )
+        / (F.col("n").cast("double") * F.lit(1000000.0)),
+        6,
+    )
+    return per_user.select(
+        "user_id",
+        "n",
+        "n_types",
+        h.alias("entropy"),
+        F.round(F.exp(h), 6).alias("effective_types"),
+    )
+
+
+SQL_BEHAVIOR_ENTROPY = """
+WITH ct AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS s6
+  FROM ct GROUP BY user_id
+)
+SELECT user_id, n, n_types,
+       round((CAST(n AS DOUBLE)
+               * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+              - s6) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS entropy,
+       round(exp(round((CAST(n AS DOUBLE)
+               * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+              - s6) / (CAST(n AS DOUBLE) * 1000000.0), 6)), 6)
+         AS effective_types
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
+# Chao1 vocabulary-richness estimate (Chao 1984; Gale & Sampson's "how
+# big is the unseen vocabulary" question): per language, observed
+# distinct words, singleton/doubleton counts, and
+# chao1 = V + f1·(f1−1)/(2·(f2+1)) — the lower-bound estimate of the
+# TRUE vocabulary including unseen words; the index-sizing companion to
+# heaps_law. ONE shuffle collapses the token stream to the vocab-bounded
+# (lang, word) counts (map-side partials); f1/f2/V fold from that
+# aggregated relation; the estimate is one expression of exact BIGINTs
+# rounded 6 (invariant 4).
+# --------------------------------------------------------------------------
+def q_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+            ).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return agg.select(
+        "lang",
+        "v_obs",
+        "f1",
+        "f2",
+        F.round(
+            F.col("v_obs")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1)
+            / (F.lit(2.0) * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1"),
+    )
+
+
+SQL_CHAO1_VOCAB = f"""
+WITH wc AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang,
+               unnest(regexp_extract_all(lower(text), '{WORD_RUN}')) AS word
+        FROM documents)
+  GROUP BY lang, word
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS v_obs,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM wc GROUP BY lang
+)
+SELECT lang, v_obs, f1, f2,
+       round(v_obs + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+         AS chao1
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Session bounce rate by entry event type — the classic web-analytics
 # quality metric over the SAME 30-min session assignment as
 # `event_sessions` (invariant 3: integer epoch-µs gaps): a session
@@ -5016,6 +5147,8 @@ QUERIES_TD = {
     "market_basket": q_market_basket,
     "props_extract": q_props_extract,
     "bounce_rate": q_bounce_rate,
+    "behavior_entropy": q_behavior_entropy,
+    "chao1_vocab": q_chao1_vocab,
     "stylometry": q_stylometry,
     "term_burstiness": q_term_burstiness,
     "ql_topk": q_ql_topk,
@@ -5092,6 +5225,8 @@ ORACLES_TD = {
     "market_basket": SQL_MARKET_BASKET,
     "props_extract": SQL_PROPS_EXTRACT,
     "bounce_rate": SQL_BOUNCE_RATE,
+    "behavior_entropy": SQL_BEHAVIOR_ENTROPY,
+    "chao1_vocab": SQL_CHAO1_VOCAB,
     "stylometry": SQL_STYLOMETRY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "ql_topk": SQL_QL_TOPK,

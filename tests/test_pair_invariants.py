@@ -154,6 +154,8 @@ CONSTRUCTION_JOBS = {
     "market_basket": 1,     # one lineitem read; order total in-plan
     "props_extract": 1,
     "bounce_rate": 1,
+    "behavior_entropy": 1,
+    "chao1_vocab": 1,
     "stylometry": 1,        # one docs read; grid is a literal local list
     "term_burstiness": 1,   # one docs read; N is in-plan (scalar_count)
     "ql_topk": 1,           # one docs read; |C| and ctf in-plan
@@ -488,6 +490,10 @@ DRIVERLIKE_QUERIES = [
     "props_extract",
     # session assignment + struct-min entry attribution under a DST tz
     "bounce_rate",
+    # grouped fixed6 entropy + exp on the rounded value under ANSI
+    "behavior_entropy",
+    # singleton/doubleton folds + one estimate expression under ANSI
+    "chao1_vocab",
     # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
     "term_burstiness",
     # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI

@@ -2357,3 +2357,49 @@ def test_bounce_rate_hand_computed(spark, tmp_path):
         "click": (1, 1, 1.0),
         "error": (1, 0, 0.0),
     }
+
+
+def test_behavior_entropy_and_chao1_hand_computed(spark, tmp_path):
+    import math
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import (
+        q_behavior_entropy,
+        q_chao1_vocab,
+    )
+
+    t = datetime(2024, 1, 1, 9)
+    # user 1: 2 view + 2 click (max entropy ln 2); user 2: 5 view (0)
+    ev = [(1, "view"), (1, "view"), (1, "click"), (1, "click")] + [
+        (2, "view")
+    ] * 5
+    edf = spark.createDataFrame(
+        [(i, t, u, et, 0.0, "{}") for i, (u, et) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    edf.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["n"], r["n_types"], r["entropy"],
+                       r["effective_types"])
+        for r in q_behavior_entropy(spark, str(tmp_path)).collect()
+    }
+    h1 = round(
+        (4 * round(math.log(4) * 1e6) - 4 * round(math.log(2) * 1e6))
+        / (4 * 1e6),
+        6,
+    )
+    assert got[1] == (4, 2, h1, round(math.exp(h1), 6))
+    assert abs(got[1][2] - math.log(2)) < 1e-5
+    assert got[2] == (5, 1, 0.0, 1.0)
+
+    # chao1: en has 3 singletons, 1 doubleton, V=5
+    # words: aa aa bb bb cc dd ee -> V=5, f1=3 (cc dd ee), f2=2 (aa bb)
+    ddf = spark.createDataFrame(
+        [(0, "aa aa bb bb cc dd ee", "en", "s", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ddf.write.parquet(str(tmp_path / "documents.parquet"))
+    row = q_chao1_vocab(spark, str(tmp_path)).collect()[0]
+    assert (row["v_obs"], row["f1"], row["f2"]) == (5, 3, 2)
+    assert row["chao1"] == round(5 + 3 * 2 / (2.0 * 3), 6)
