@@ -27,10 +27,16 @@ from .pair_helpers import (
     scalar_count,
     sum_fixed6,
 )
+from .stopwords import STOPWORDS
 from .training_data import dedup as D
 from .training_data import similarity as S
 from .training_data import textstats as X
 from .training_data.multimodal import synthesize_media
+
+# stopwords the token regex could actually produce (same subset the
+# driver_queries module filters with)
+_TD_STOPWORDS = sorted(w for w in STOPWORDS if "'" not in w)
+_SQL_TD_STOPWORD_LIST = ", ".join(f"'{w}'" for w in _TD_STOPWORDS)
 
 MUT_OFFSET = 100000
 TOKEN_RUN = "[a-z0-9]{2,}"
@@ -5082,6 +5088,243 @@ FROM sums s JOIN g USING (label)
 """
 
 
+# --------------------------------------------------------------------------
+# Inbound anchor-text aggregation (Brin & Page 1998 §2.2: anchor words
+# describe the TARGET page better than its own text — the classic
+# web-index signal alongside the reference's title/description field
+# weights, search_service.py:31-35). Edges reuse link_resolve's
+# deterministic (doc_id*7+13) % N synthetic map; the anchor is the source
+# page's first ANCHOR_WORDS tokens (lead words ≈ link text), stopword-
+# filtered AFTER slicing so both engines see the identical phrase. A
+# source contributes a term to a target at most once (distinct triple),
+# then per-target terms rank by (citing-source count desc, term asc),
+# keeping the top ANCHOR_TOP — the anchor summary a doc-partitioned index
+# stores next to its postings. Scale shape: ≤ANCHOR_WORDS rows explode
+# per source, only (ids, term) cross the shuffle, and the ranking window
+# partitions by target_doc_id — a permutation-like %N key, no skew.
+# --------------------------------------------------------------------------
+ANCHOR_WORDS = 6
+ANCHOR_TOP = 3
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    n_df = scalar_count(docs.select("doc_id"), as_double=False)
+    anchors = (
+        docs.crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("source_doc_id"),
+            ((F.col("doc_id") * 7 + 13) % F.col("_n")).alias("target_doc_id"),
+            F.explode(
+                F.slice(
+                    F.regexp_extract_all(
+                        F.lower("text"), F.lit(TOKEN_RUN), F.lit(0)
+                    ),
+                    1,
+                    ANCHOR_WORDS,
+                )
+            ).alias("term"),
+        )
+        .filter(
+            (F.col("source_doc_id") != F.col("target_doc_id"))
+            & ~F.col("term").isin(_TD_STOPWORDS)
+        )
+    )
+    per = (
+        anchors.select("source_doc_id", "target_doc_id", "term")
+        .distinct()
+        .groupBy("target_doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("anchor_sources"))
+    )
+    w = Window.partitionBy("target_doc_id").orderBy(
+        F.desc("anchor_sources"), F.asc("term")
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= ANCHOR_TOP)
+        .select("target_doc_id", "rk", "term", "anchor_sources")
+    )
+
+
+SQL_ANCHOR_TEXT = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+anchors AS (
+  SELECT doc_id AS source_doc_id,
+         (doc_id * 7 + 13) % n.n AS target_doc_id,
+         unnest(list_slice(regexp_extract_all(lower(text), '{TOKEN_RUN}'),
+                           1, {ANCHOR_WORDS})) AS term
+  FROM documents, n
+),
+per AS (
+  SELECT target_doc_id, term, CAST(count(*) AS BIGINT) AS anchor_sources
+  FROM (
+    SELECT DISTINCT source_doc_id, target_doc_id, term
+    FROM anchors
+    WHERE source_doc_id <> target_doc_id
+      AND term NOT IN ({_SQL_TD_STOPWORD_LIST})
+  )
+  GROUP BY 1, 2
+)
+SELECT target_doc_id, CAST(rk AS BIGINT) AS rk, term, anchor_sources
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY target_doc_id
+                               ORDER BY anchor_sources DESC, term) AS rk
+  FROM per
+)
+WHERE rk <= {ANCHOR_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Pseudo-relevance feedback expansion (RM1 relevance model, Lavrenko &
+# Croft 2001): rank the corpus for the fixed query with an INTEGER-EXACT
+# tf·idf6 score (per-term idf quantized to fixed6 BIGINT — the
+# reference's tf*idf scoring, search_service.py:13-40, made
+# aggregation-order-free), take the top PRF_FB_DOCS docs (score desc,
+# doc_id asc), then estimate p(w|R) uniformly over the feedback set:
+# weight = Σ_d tf(w,d)/|d| with each per-doc ratio floor-quantized to
+# 1e-6 (tf·1e6/dl is pure IEEE multiply+divide on exact integers — no
+# libm, bit-identical across engines) and summed as BIGINT. Output: the
+# top PRF_TOP expansion terms (original query terms excluded) with
+# feedback-doc df, the exact integer weight, and its exact double
+# display form (one shared IEEE division — no rounding). Scale shape:
+# the feedback set is ≤10 ids (broadcast); the expansion aggregation
+# touches only the 10-doc token stream — query-time cheap at any corpus
+# size, and the corpus-wide part is the same tf/idf aggregation the
+# index build already materializes.
+# --------------------------------------------------------------------------
+PRF_FB_DOCS = 10
+PRF_TOP = 15
+
+
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    ).filter(~F.col("term").isin(_TD_STOPWORDS))
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    dfd = F.col("doc_frequency").cast("double")
+    idf6 = (
+        doc_frequencies(qtoks)
+        .crossJoin(F.broadcast(scalar_count(docs)))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("idf6"),
+        )
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    fb = (
+        tf.join(F.broadcast(idf6), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf6")).cast("long").alias("score6"))
+        .orderBy(F.desc("score6"), F.asc("doc_id"))
+        .limit(PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    fb_toks = toks.join(F.broadcast(fb), "doc_id")
+    dl = fb_toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    fb_tf = fb_toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    contrib = fb_tf.join(dl, "doc_id").select(
+        "term",
+        F.floor(
+            F.col("tf").cast("double")
+            * F.lit(1000000.0)
+            / F.col("dl").cast("double")
+        )
+        .cast("long")
+        .alias("c6"),
+    )
+    return (
+        contrib.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("fb_df"),
+            F.sum("c6").cast("long").alias("rm1_weight_i6"),
+        )
+        .filter(~F.col("term").isin(NEWS_QUERY_TERMS))
+        .withColumn(
+            "rm1_weight",
+            F.col("rm1_weight_i6").cast("double")
+            / F.lit(1000000.0 * PRF_FB_DOCS),
+        )
+        .orderBy(F.desc("rm1_weight_i6"), F.asc("term"))
+        .limit(PRF_TOP)
+    )
+
+
+def _prf_sql() -> str:
+    qterms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH ftoks AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  ) WHERE term NOT IN ({_SQL_TD_STOPWORD_LIST})
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+idf6 AS (
+  SELECT term,
+         CAST(round(ln((n.n - count(DISTINCT doc_id) + 0.5)
+                       / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                    * 1000000.0) AS BIGINT) AS idf6
+  FROM ftoks, n WHERE term IN ({qterms}) GROUP BY term, n.n
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ftoks WHERE term IN ({qterms}) GROUP BY 1, 2
+),
+fb AS (
+  SELECT tf.doc_id
+  FROM tf JOIN idf6 USING (term)
+  GROUP BY tf.doc_id
+  ORDER BY CAST(sum(tf.tf * idf6.idf6) AS BIGINT) DESC, tf.doc_id
+  LIMIT {PRF_FB_DOCS}
+),
+fb_toks AS (SELECT f.doc_id, f.term FROM ftoks f JOIN fb USING (doc_id)),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM fb_toks GROUP BY doc_id
+),
+fb_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM fb_toks GROUP BY 1, 2
+),
+contrib AS (
+  SELECT term,
+         CAST(floor(CAST(tf AS DOUBLE) * 1000000.0 / CAST(dl.dl AS DOUBLE))
+              AS BIGINT) AS c6
+  FROM fb_tf JOIN dl USING (doc_id)
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS fb_df,
+       CAST(sum(c6) AS BIGINT) AS rm1_weight_i6,
+       CAST(sum(c6) AS BIGINT) / CAST({1000000 * PRF_FB_DOCS} AS DOUBLE)
+         AS rm1_weight
+FROM contrib
+WHERE term NOT IN ({qterms})
+GROUP BY term
+ORDER BY rm1_weight_i6 DESC, term
+LIMIT {PRF_TOP}
+"""
+
+
+SQL_PRF_EXPANSION = _prf_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -5158,6 +5401,8 @@ QUERIES_TD = {
     "lexical_diversity": q_lexical_diversity,
     "rfm_segments": q_rfm_segments,
     "dedup_components": q_dedup_components,
+    "anchor_text": q_anchor_text,
+    "prf_expansion": q_prf_expansion,
 }
 
 ORACLES_TD = {
@@ -5236,4 +5481,6 @@ ORACLES_TD = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "anchor_text": SQL_ANCHOR_TEXT,
+    "prf_expansion": SQL_PRF_EXPANSION,
 }

@@ -38,6 +38,7 @@ NO_EXPAND_QUERIES = [
     "bm25_topk",
     "news_feed_freshness",
     "fallback_search",
+    "prf_expansion",
 ]
 
 # Exact number of Spark jobs each pair may run during CONSTRUCTION: one
@@ -174,6 +175,8 @@ CONSTRUCTION_JOBS = {
     "dsir_weights": 1,  # docs + target derive from ONE read
     "temperature_sample": 1,  # rates are in-plan, never collected
     "hash_split": 1,
+    "anchor_text": 1,    # one docs read; N is in-plan (scalar_count)
+    "prf_expansion": 1,  # one docs read; idf6/feedback set all in-plan
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components AND
@@ -545,6 +548,12 @@ DRIVERLIKE_QUERIES = [
     "personalized_pagerank",
     # integer mode-argmax rounds: struct-max vs QUALIFY must agree
     "label_propagation",
+    # slice-then-filter anchor phrases + per-target rank window under
+    # 200 partitions (permutation %N target key)
+    "anchor_text",
+    # integer-exact tf·idf6 feedback ranking + floor-quantized RM1
+    # contributions under ANSI (the ÷dl is pure IEEE, no libm)
+    "prf_expansion",
 ]
 
 

@@ -2403,3 +2403,62 @@ def test_behavior_entropy_and_chao1_hand_computed(spark, tmp_path):
     row = q_chao1_vocab(spark, str(tmp_path)).collect()[0]
     assert (row["v_obs"], row["f1"], row["f2"]) == (5, 3, 2)
     assert row["chao1"] == round(5 + 3 * 2 / (2.0 * 3), 6)
+
+
+def test_anchor_text_and_prf_expansion_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import (
+        q_anchor_text,
+        q_prf_expansion,
+    )
+
+    # edges: (doc_id*7+13) % 5 -> 0->3, 1->0, 2->2 (self, dropped),
+    # 3->4, 4->1; anchors = first 6 tokens of the source text
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "delta alpha"),
+        (2, "omega"),
+        (3, "zeta eta theta iota kappa lambda mu"),  # mu is token #7: sliced off
+        (4, "beta beta alpha"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        (r["target_doc_id"], r["rk"]): (r["term"], r["anchor_sources"])
+        for r in q_anchor_text(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        (0, 1): ("alpha", 1), (0, 2): ("delta", 1),
+        (1, 1): ("alpha", 1), (1, 2): ("beta", 1),
+        (3, 1): ("alpha", 1), (3, 2): ("beta", 1), (3, 3): ("gamma", 1),
+        # six distinct anchor words: only the top-3 (term asc on count tie)
+        (4, 1): ("eta", 1), (4, 2): ("iota", 1), (4, 3): ("kappa", 1),
+    }
+
+
+def test_prf_expansion_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_prf_expansion
+
+    # doc 2 matches no query term -> feedback set = {0, 1}
+    docs = [
+        (0, "spark data query alpha alpha beta"),  # dl=6
+        (1, "spark beta beta gamma"),              # dl=4
+        (2, "delta epsilon"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r["term"], r["fb_df"], r["rm1_weight_i6"], r["rm1_weight"])
+        for r in q_prf_expansion(spark, str(tmp_path)).collect()
+    ]
+    # beta: floor(1e6/6) + floor(2e6/4); alpha: floor(2e6/6); gamma: floor(1e6/4)
+    assert got == [
+        ("beta", 2, 166666 + 500000, (166666 + 500000) / 1e7),
+        ("alpha", 1, 333333, 333333 / 1e7),
+        ("gamma", 1, 250000, 250000 / 1e7),
+    ]
