@@ -5325,6 +5325,180 @@ LIMIT {PRF_TOP}
 SQL_PRF_EXPANSION = _prf_sql()
 
 
+# --------------------------------------------------------------------------
+# Positional phrase search (the classic positional-postings operator the
+# reference's LIKE-based hit counter approximates, search_service.py
+# rerank + intent hit counting): tokens carry their raw-stream position,
+# a phrase of length L matches where L position-shifted streams align
+# (term_i at pos+i). Filtering to the phrase's terms happens BEFORE the
+# positional joins, so the IN-list pushes to the scan and only matching
+# (doc_id, pos) ids cross the shuffle; per-phrase top-k goes through
+# orderBy+limit (TakeOrderedAndProject — distributed partial top-k, no
+# single-partition phrase window). Positions are reported 1-based.
+# --------------------------------------------------------------------------
+PHRASES = (("order", "fast"), ("order", "fast", "window"))
+PHRASE_TOP = 20
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("pos", "term"),
+    )
+    out = None
+    for words in PHRASES:
+        match = toks.filter(F.col("term") == words[0]).select("doc_id", "pos")
+        for i, w in enumerate(words[1:], start=1):
+            shifted = toks.filter(F.col("term") == w).select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            match = match.join(shifted, ["doc_id", "pos"])
+        per = (
+            match.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                (F.min("pos") + 1).cast("long").alias("first_pos"),
+            )
+            .select(
+                F.lit(" ".join(words)).alias("phrase"),
+                "doc_id",
+                "n_occurrences",
+                "first_pos",
+            )
+            .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+            .limit(PHRASE_TOP)
+        )
+        out = per if out is None else out.unionByName(per)
+    return out
+
+
+def _phrase_sql() -> str:
+    branches = []
+    for words in PHRASES:
+        joins = "".join(
+            f"\n    JOIN toks t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{w}'"
+            for i, w in enumerate(words[1:], start=1)
+        )
+        branches.append(f"""SELECT * FROM (
+  SELECT '{" ".join(words)}' AS phrase, t0.doc_id,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(min(t0.pos) AS BIGINT) AS first_pos
+  FROM toks t0{joins}
+  WHERE t0.term = '{words[0]}'
+  GROUP BY t0.doc_id
+  ORDER BY n_occurrences DESC, t0.doc_id
+  LIMIT {PHRASE_TOP}
+)""")
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RUN}'), 1)
+           AS pos
+  FROM documents
+)
+{body}
+"""
+
+
+SQL_PHRASE_MATCH = _phrase_sql()
+
+
+# --------------------------------------------------------------------------
+# Link prediction (Liben-Nowell & Kleinberg 2003): common-neighbor count
+# and Adamic-Adar score for non-adjacent doc pairs of the undirected
+# link graph (the _TRI_GENS variant, whose two-hop generator closes
+# wedges). AA = Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg w) with each hub term
+# quantized to fixed6 BIGINT immediately (invariant 4: ln may differ by
+# an ulp between libms, so round once per hub and sum integers; a wedge
+# hub has ≥2 neighbors by construction, so ln(deg) > 0). Shape: wedge
+# self-join on the hub carries ids only; existing edges drop via
+# anti-join; fan-out is Σ deg(w)², bounded here by the affine generators
+# (max degree ~6) — on a power-law web graph you'd cap hub degree first,
+# exactly the standard AA practice.
+# --------------------------------------------------------------------------
+LP_TOP = 30
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    und = edges.select(
+        F.least("source_doc_id", "target_doc_id").alias("a"),
+        F.greatest("source_doc_id", "target_doc_id").alias("b"),
+    ).distinct()
+    nb = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nb.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = nb.select(F.col("node").alias("w"), F.col("nbr").alias("u"))
+    y = nb.select(F.col("node").alias("w"), F.col("nbr").alias("v"))
+    wedges = x.join(y, "w").filter(F.col("u") < F.col("v"))
+    cand = wedges.join(
+        und,
+        (wedges["u"] == und["a"]) & (wedges["v"] == und["b"]),
+        "left_anti",
+    )
+    scored = cand.join(deg.withColumnRenamed("node", "w"), "w").select(
+        "u",
+        "v",
+        F.round(F.lit(1000000.0) / F.log(F.col("d").cast("double")), 0)
+        .cast("long")
+        .alias("t6"),
+    )
+    return (
+        scored.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("t6").cast("long").alias("aa6"),
+        )
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            "common_neighbors",
+            "aa6",
+            (F.col("aa6").cast("double") / F.lit(1000000.0)).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("aa6"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(LP_TOP)
+    )
+
+
+SQL_LINK_PREDICTION = f"""
+WITH {_TRI_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS a,
+                  greatest(source_doc_id, target_doc_id) AS b
+  FROM edges
+),
+nb AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY node),
+cand AS (
+  SELECT x.node AS w, x.nbr AS u, y.nbr AS v
+  FROM nb x JOIN nb y ON y.node = x.node AND x.nbr < y.nbr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM und WHERE und.a = x.nbr AND und.b = y.nbr
+  )
+),
+scored AS (
+  SELECT u, v, CAST(round(CAST(1000000 AS DOUBLE) / ln(d)) AS BIGINT) AS t6
+  FROM cand JOIN deg ON deg.node = cand.w
+)
+SELECT u AS doc_a, v AS doc_b,
+       CAST(count(*) AS BIGINT) AS common_neighbors,
+       CAST(sum(t6) AS BIGINT) AS aa6,
+       CAST(sum(t6) AS BIGINT) / CAST(1000000 AS DOUBLE) AS adamic_adar
+FROM scored
+GROUP BY u, v
+ORDER BY aa6 DESC, doc_a, doc_b
+LIMIT {LP_TOP}
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -5403,6 +5577,8 @@ QUERIES_TD = {
     "dedup_components": q_dedup_components,
     "anchor_text": q_anchor_text,
     "prf_expansion": q_prf_expansion,
+    "phrase_match": q_phrase_match,
+    "link_prediction": q_link_prediction,
 }
 
 ORACLES_TD = {
@@ -5483,4 +5659,6 @@ ORACLES_TD = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "anchor_text": SQL_ANCHOR_TEXT,
     "prf_expansion": SQL_PRF_EXPANSION,
+    "phrase_match": SQL_PHRASE_MATCH,
+    "link_prediction": SQL_LINK_PREDICTION,
 }

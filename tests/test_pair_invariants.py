@@ -177,6 +177,8 @@ CONSTRUCTION_JOBS = {
     "hash_split": 1,
     "anchor_text": 1,    # one docs read; N is in-plan (scalar_count)
     "prf_expansion": 1,  # one docs read; idf6/feedback set all in-plan
+    "phrase_match": 1,   # positional joins all declared, no driver state
+    "link_prediction": 1,  # edge recipe + degrees in-plan (scalar_count)
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components AND
@@ -554,6 +556,11 @@ DRIVERLIKE_QUERIES = [
     # integer-exact tf·idf6 feedback ranking + floor-quantized RM1
     # contributions under ANSI (the ÷dl is pure IEEE, no libm)
     "prf_expansion",
+    # positional joins + per-phrase TakeOrderedAndProject under 200
+    # partitions (0-based posexplode vs 1-based subscripts alignment)
+    "phrase_match",
+    # fixed6-quantized 1/ln(deg) hub terms, BIGINT sums under ANSI
+    "link_prediction",
 ]
 
 
@@ -624,6 +631,8 @@ PRUNING_EXPECTATIONS = {
     "readability": (["lang", "text"], ["doc_id", "source", "n_chars"]),
     "cohort_retention": (["user_id", "ts"], ["props", "value", "event_type"]),
     "triangle_counts": (["doc_id"], ["text", "lang", "source", "n_chars"]),
+    "link_prediction": (["doc_id"], ["text", "lang", "source", "n_chars"]),
+    "phrase_match": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
     "event_funnel": (["user_id", "ts", "event_type"], ["props", "value"]),
     "events_anomaly": (["ts", "event_type"], ["props", "value", "user_id"]),

@@ -2462,3 +2462,63 @@ def test_prf_expansion_hand_computed(spark, tmp_path):
         ("alpha", 1, 333333, 333333 / 1e7),
         ("gamma", 1, 250000, 250000 / 1e7),
     ]
+
+
+def test_phrase_match_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_phrase_match
+
+    docs = [
+        # bigram at raw pos 1 and 3; trigram at pos 3
+        (0, "order fast order fast window"),
+        (1, "fast order window"),        # reversed: no adjacency
+        (2, "order fast"),               # single bigram hit
+        (3, "order slow fast window"),   # gap breaks the phrase
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        (r["phrase"], r["doc_id"], r["n_occurrences"], r["first_pos"])
+        for r in q_phrase_match(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        ("order fast", 0, 2, 1),
+        ("order fast", 2, 1, 1),
+        ("order fast window", 0, 1, 3),
+    ]
+
+
+def test_link_prediction_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_link_prediction
+
+    # N=8, _TRI_GENS edges (0 is a %13 dangling source but gains edges as
+    # a target): undirected edge set {05 06 13 14 17 23 24 35 46 57 67},
+    # deg = {0:2, 1:3, 2:2, 3:3, 4:3, 5:3, 6:3, 7:3};
+    # per-hub terms: round(1e6/ln2)=1442695, round(1e6/ln3)=910239
+    spark.createDataFrame(
+        [(i, "x", "en", "s", 1) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r["doc_a"], r["doc_b"], r["common_neighbors"], r["aa6"],
+         r["adamic_adar"])
+        for r in q_link_prediction(spark, str(tmp_path)).collect()
+    ]
+    # e.g. (3,4): Γ3={1,2,5} ∩ Γ4={1,2,6} = {1,2} → 910239 + 1442695
+    assert got == [
+        (3, 4, 2, 2352934, 2.352934),
+        (5, 6, 2, 2352934, 2.352934),
+        (0, 7, 2, 1820478, 1.820478),
+        (1, 2, 2, 1820478, 1.820478),
+        (1, 5, 2, 1820478, 1.820478),
+        (1, 6, 2, 1820478, 1.820478),
+        (3, 7, 2, 1820478, 1.820478),
+        (4, 7, 2, 1820478, 1.820478),
+        (0, 3, 1, 910239, 0.910239),
+        (0, 4, 1, 910239, 0.910239),
+        (2, 5, 1, 910239, 0.910239),
+        (2, 6, 1, 910239, 0.910239),
+    ]
