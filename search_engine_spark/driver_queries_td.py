@@ -14,6 +14,8 @@ both sides.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5499,6 +5501,284 @@ LIMIT {LP_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# Multi-touch attribution (first/last-touch) — the classic marketing
+# report over the events stream: each purchase is attributed to the
+# first and the last click/view by the same user inside a 7-day
+# lookback. The touch join is an equi-join on user_id with a range
+# predicate (per-user fan-out bounded by user activity — the
+# sessionization precedent); first/last resolve via lexicographic
+# struct-min/max on the deterministic (us, event_id) total order
+# (aggregates, not windows — bounce_rate's pattern). Purchases with no
+# touch in window surface as the '(none)' channel via an anti-join, so
+# no engine-dependent null-struct comparisons exist anywhere. Revenue
+# sums are fixed6 integer (invariant 4); timestamps are ntz_epoch_us
+# (invariant 3).
+# --------------------------------------------------------------------------
+ATTR_LOOKBACK_US = 7 * US_PER_DAY_DIV
+ATTR_TOUCH_TYPES = ("click", "view")
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", "user_id", "event_type", "value",
+        ntz_epoch_us(F.col("ts")).alias("us"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("us").alias("p_us"),
+        "value",
+    )
+    touch = ev.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("us").alias("t_us"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("t_type"),
+    )
+    cond = (
+        (touch["t_user"] == purch["p_user"])
+        & (touch["t_us"] < purch["p_us"])
+        & (touch["t_us"] >= purch["p_us"] - ATTR_LOOKBACK_US)
+    )
+    attributed = (
+        purch.join(touch, cond)
+        .groupBy("pid", "value")
+        .agg(
+            F.min(F.struct("t_us", "tid", "t_type")).alias("_f"),
+            F.max(F.struct("t_us", "tid", "t_type")).alias("_l"),
+        )
+        .select(
+            "pid",
+            F.col("_f.t_type").alias("first_touch"),
+            F.col("_l.t_type").alias("last_touch"),
+            "value",
+        )
+    )
+    no_touch = purch.join(
+        attributed.select("pid"), "pid", "left_anti"
+    ).select(
+        F.lit("(none)").alias("first_touch"),
+        F.lit("(none)").alias("last_touch"),
+        "value",
+    )
+    return (
+        attributed.select("first_touch", "last_touch", "value")
+        .unionByName(no_touch)
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            sum_fixed6("value", "revenue"),
+        )
+    )
+
+
+SQL_TOUCH_ATTRIBUTION = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events
+),
+p AS (
+  SELECT event_id AS pid, user_id, us AS p_us, value
+  FROM ev WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, us AS t_us, event_id AS tid, event_type AS t_type
+  FROM ev WHERE event_type IN ('click', 'view')
+),
+att AS (
+  SELECT p.pid, p.value,
+         min(struct_pack(us := t_us, eid := tid, et := t_type)) AS f,
+         max(struct_pack(us := t_us, eid := tid, et := t_type)) AS l
+  FROM p JOIN t ON t.user_id = p.user_id
+    AND t.t_us < p.p_us AND t.t_us >= p.p_us - {ATTR_LOOKBACK_US}
+  GROUP BY p.pid, p.value
+),
+channels AS (
+  SELECT f.et AS first_touch, l.et AS last_touch, value FROM att
+  UNION ALL
+  SELECT '(none)', '(none)', p.value FROM p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM t WHERE t.user_id = p.user_id
+      AND t.t_us < p.p_us AND t.t_us >= p.p_us - {ATTR_LOOKBACK_US}
+  )
+)
+SELECT first_touch, last_touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       {SQL_SUM_FIXED6.format(col="value")} AS revenue
+FROM channels GROUP BY first_touch, last_touch
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking evaluation: nDCG@10 of the integer-exact tf·idf6 ranking
+# (prf_expansion's feedback scorer) against coordination-level graded
+# relevance (grade = number of distinct query terms the doc contains —
+# tf-blind, so the metric is not trivially 1). Every transcendental is
+# pinned: per-term BM25 idf quantized fixed6 (invariant 4) and the rank
+# discounts 1/log2(r+1) are Python-computed integer constants embedded
+# identically in BOTH engines' plans. DCG6 = Σ grade·d6(rank) over the
+# top-10 (score6 desc, doc_id asc — orderBy+limit, then a rank window on
+# the 10 surviving rows only); IDCG6 comes from the per-grade doc COUNTS
+# (cum-count CASE against the same constants — no corpus-wide ideal sort,
+# no skewed window). ndcg is the one rounded divide of two exact BIGINTs.
+# --------------------------------------------------------------------------
+NDCG_K = 10
+NDCG_QUERIES = {
+    "news": ("spark", "data", "query"),
+    "exec": ("join", "merge"),
+    "plan": ("window", "sort", "order"),
+    "flow": ("stream",),
+}
+# 1e6/log2(r+1) for rank r = 1..10, shared integer constants
+_NDCG_D6 = {
+    r: int(round(1000000.0 / math.log2(r + 1))) for r in range(1, NDCG_K + 1)
+}
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    n_df = scalar_count(docs.select("doc_id"))
+    out = None
+    for qid, terms in sorted(NDCG_QUERIES.items()):
+        qtoks = toks.filter(F.col("term").isin(*terms))
+        tf = qtoks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        dfd = F.col("doc_frequency").cast("double")
+        idf6 = (
+            doc_frequencies(qtoks)
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "term",
+                F.round(
+                    F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                    * F.lit(1000000.0),
+                    0,
+                )
+                .cast("long")
+                .alias("idf6"),
+            )
+        )
+        per_doc = tf.join(F.broadcast(idf6), "term").groupBy("doc_id").agg(
+            F.sum(F.col("tf") * F.col("idf6")).cast("long").alias("score6"),
+            F.count(F.lit(1)).cast("long").alias("grade"),
+        )
+        top = per_doc.orderBy(F.desc("score6"), F.asc("doc_id")).limit(NDCG_K)
+        rw = Window.orderBy(F.desc("score6"), F.asc("doc_id"))
+        d6 = F.create_map(
+            *[F.lit(x) for r, d in _NDCG_D6.items() for x in (r, d)]
+        )
+        dcg = top.select(
+            (F.col("grade") * d6[F.row_number().over(rw)]).alias("g6")
+        ).agg(F.sum("g6").cast("long").alias("dcg6"))
+        cnts = per_doc.groupBy().agg(
+            *[
+                F.sum((F.col("grade") >= g).cast("long"))
+                .cast("long")
+                .alias(f"c{g}")
+                for g in (1, 2, 3)
+            ]
+        )
+        # grade at ideal rank r: 3 while r <= c3, then 2 while r <= c2,
+        # then 1 while r <= c1 (c_g = docs with grade >= g, so c3<=c2<=c1)
+        ideal = sum(
+            F.when(F.lit(r) <= F.col("c3"), 3 * d)
+            .when(F.lit(r) <= F.col("c2"), 2 * d)
+            .when(F.lit(r) <= F.col("c1"), 1 * d)
+            .otherwise(0)
+            for r, d in _NDCG_D6.items()
+        )
+        row = dcg.crossJoin(F.broadcast(cnts)).select(
+            F.lit(qid).alias("qid"),
+            "dcg6",
+            ideal.cast("long").alias("idcg6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "qid",
+        "dcg6",
+        "idcg6",
+        F.round(
+            F.col("dcg6").cast("double") / F.col("idcg6").cast("double"), 6
+        ).alias("ndcg"),
+    )
+
+
+def _ndcg_sql() -> str:
+    blocks = []
+    for qid, terms in sorted(NDCG_QUERIES.items()):
+        tl = ", ".join(f"'{t}'" for t in terms)
+        d6_case = " ".join(
+            f"WHEN {r} THEN {d}" for r, d in _NDCG_D6.items()
+        )
+        ideal = " + ".join(
+            f"(CASE WHEN {r} <= c3 THEN {3 * d} WHEN {r} <= c2 THEN {2 * d}"
+            f" WHEN {r} <= c1 THEN {d} ELSE 0 END)"
+            for r, d in _NDCG_D6.items()
+        )
+        blocks.append(f"""SELECT * FROM (
+  WITH qt AS (
+    SELECT doc_id, term FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+      FROM documents
+    ) WHERE term IN ({tl})
+  ),
+  n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+  tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM qt GROUP BY 1, 2
+  ),
+  idf6 AS (
+    SELECT term,
+           CAST(round(ln((n.n - count(DISTINCT doc_id) + 0.5)
+                         / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                      * 1000000.0) AS BIGINT) AS idf6
+    FROM qt, n GROUP BY term, n.n
+  ),
+  per_doc AS (
+    SELECT doc_id, CAST(sum(tf * idf6) AS BIGINT) AS score6,
+           CAST(count(*) AS BIGINT) AS grade
+    FROM tf JOIN idf6 USING (term) GROUP BY doc_id
+  ),
+  top AS (
+    SELECT grade,
+           row_number() OVER (ORDER BY score6 DESC, doc_id) AS r
+    FROM per_doc ORDER BY score6 DESC, doc_id LIMIT {NDCG_K}
+  ),
+  cnts AS (
+    SELECT CAST(sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN grade >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(sum(CASE WHEN grade >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+    FROM per_doc
+  ),
+  dcg AS (
+    SELECT CAST(sum(grade * (CASE r {d6_case} END)) AS BIGINT) AS dcg6
+    FROM top
+  )
+  SELECT '{qid}' AS qid, dcg6, CAST({ideal} AS BIGINT) AS idcg6
+  FROM dcg, cnts
+)""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+SELECT qid, dcg6, idcg6,
+       round(CAST(dcg6 AS DOUBLE) / CAST(idcg6 AS DOUBLE), 6) AS ndcg
+FROM (
+{body}
+)
+"""
+
+
+SQL_NDCG_EVAL = _ndcg_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -5579,6 +5859,8 @@ QUERIES_TD = {
     "prf_expansion": q_prf_expansion,
     "phrase_match": q_phrase_match,
     "link_prediction": q_link_prediction,
+    "touch_attribution": q_touch_attribution,
+    "ndcg_eval": q_ndcg_eval,
 }
 
 ORACLES_TD = {
@@ -5661,4 +5943,6 @@ ORACLES_TD = {
     "prf_expansion": SQL_PRF_EXPANSION,
     "phrase_match": SQL_PHRASE_MATCH,
     "link_prediction": SQL_LINK_PREDICTION,
+    "touch_attribution": SQL_TOUCH_ATTRIBUTION,
+    "ndcg_eval": SQL_NDCG_EVAL,
 }

@@ -179,6 +179,8 @@ CONSTRUCTION_JOBS = {
     "prf_expansion": 1,  # one docs read; idf6/feedback set all in-plan
     "phrase_match": 1,   # positional joins all declared, no driver state
     "link_prediction": 1,  # edge recipe + degrees in-plan (scalar_count)
+    "touch_attribution": 1,  # one events read; window bounds are literals
+    "ndcg_eval": 1,      # one docs read; idf6/counts/discounts in-plan
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components AND
@@ -561,6 +563,10 @@ DRIVERLIKE_QUERIES = [
     "phrase_match",
     # fixed6-quantized 1/ln(deg) hub terms, BIGINT sums under ANSI
     "link_prediction",
+    # tz-invariant 7-day lookback windows + struct-min/max entry pick
+    "touch_attribution",
+    # fixed6 idf + python-constant log2 discounts, exact BIGINT DCG sums
+    "ndcg_eval",
 ]
 
 
@@ -633,6 +639,11 @@ PRUNING_EXPECTATIONS = {
     "triangle_counts": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "link_prediction": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "phrase_match": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "touch_attribution": (
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        ["props"],
+    ),
+    "ndcg_eval": (["doc_id", "text"], ["lang", "source", "n_chars"]),
     "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
     "event_funnel": (["user_id", "ts", "event_type"], ["props", "value"]),
     "events_anomaly": (["ts", "event_type"], ["props", "value", "user_id"]),

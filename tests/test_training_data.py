@@ -2522,3 +2522,77 @@ def test_link_prediction_hand_computed(spark, tmp_path):
         (2, 5, 1, 910239, 0.910239),
         (2, 6, 1, 910239, 0.910239),
     ]
+
+
+def test_touch_attribution_hand_computed(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.driver_queries_td import q_touch_attribution
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        # user 1: view then click then purchase -> (view, click)
+        (0, t0, 1, "view", 0.0, "{}"),
+        (1, t0 + h, 1, "click", 0.0, "{}"),
+        (2, t0 + 2 * h, 1, "purchase", 10.5, "{}"),
+        # user 2: single click -> (click, click)
+        (3, t0, 2, "click", 0.0, "{}"),
+        (4, t0 + h, 2, "purchase", 5.25, "{}"),
+        # user 3: no touches at all
+        (5, t0, 3, "purchase", 1.0, "{}"),
+        # user 4: touch outside the 7-day lookback
+        (6, t0, 4, "view", 0.0, "{}"),
+        (7, t0 + timedelta(days=8), 4, "purchase", 2.0, "{}"),
+        # user 5: touch AFTER the purchase does not attribute
+        (8, t0, 5, "purchase", 3.0, "{}"),
+        (9, t0 + h, 5, "click", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = sorted(
+        (r["first_touch"], r["last_touch"], r["n_purchases"], r["revenue"])
+        for r in q_touch_attribution(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        ("(none)", "(none)", 3, 6.0),
+        ("click", "click", 1, 5.25),
+        ("view", "click", 1, 10.5),
+    ]
+
+
+def test_ndcg_eval_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_ndcg_eval
+
+    # N=7; idf6 = round(ln((N-df+0.5)/(df+0.5)+1)*1e6): df=1 -> 1673976,
+    # df=2 -> 1163151; discounts d6(1)=1000000, d6(2)=630930
+    docs = [
+        (0, "spark data query"),                    # news grade 3
+        (1, "spark spark"),                         # news grade 1
+        (2, "join merge"),                          # exec grade 2
+        (3, "merge merge merge merge merge merge"), # exec grade 1, big tf
+        (4, "window sort order"),                   # plan grade 3
+        (5, "stream stream stream"),                # flow grade 1
+        (6, "stream"),                              # flow grade 1
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["qid"]: (r["dcg6"], r["idcg6"], r["ndcg"])
+        for r in q_ndcg_eval(spark, str(tmp_path)).collect()
+    }
+    # exec: doc 3 (grade 1, tf=6) outscores doc 2 (grade 2) -> ndcg < 1:
+    # dcg = 1*1000000 + 2*630930; ideal = 2*1000000 + 1*630930
+    assert got == {
+        "news": (3630930, 3630930, 1.0),
+        "exec": (2261860, 2630930, round(2261860 / 2630930, 6)),
+        "plan": (3000000, 3000000, 1.0),
+        "flow": (1630930, 1630930, 1.0),
+    }
