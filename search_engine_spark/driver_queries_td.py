@@ -5779,6 +5779,151 @@ FROM (
 SQL_NDCG_EVAL = _ndcg_sql()
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers. The HAVING gate compares the
+# EXACT fixed6 integer quantity sum against an integer threshold (no
+# float compare can flip a boundary order between engines); the gated
+# orderkeys are a self-contained aggregate of the fact table, re-joined
+# to orders (fact-sized, shuffle on the key) and the customer dim
+# (broadcast). Order date surfaces as tz-invariant epoch-µs (invariant
+# 3); top-100 by (o_totalprice desc, orderdate, orderkey) — a total
+# order — via orderBy+limit (TakeOrderedAndProject).
+# --------------------------------------------------------------------------
+Q18_MIN_QTY6 = 250 * 1_000_000
+Q18_TOP = 100
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", fixed6_long(F.col("l_quantity")).alias("q6")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q6").cast("long").alias("qty6"))
+        .filter(F.col("qty6") > Q18_MIN_QTY6)
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        ntz_epoch_us(F.col("o_orderdate")).alias("orderdate_us"),
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            "orderdate_us",
+            "o_totalprice",
+            F.round(F.col("qty6") / F.lit(1000000.0), 6).alias("total_qty"),
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("orderdate_us"), F.asc("orderkey")
+        )
+        .limit(Q18_TOP)
+    )
+
+
+SQL_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS qty6
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT)
+         > {Q18_MIN_QTY6}
+)
+SELECT c.c_name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       epoch_us(o.o_orderdate) AS orderdate_us, o.o_totalprice,
+       round(b.qty6 / CAST(1000000 AS DOUBLE), 6) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, orderdate_us, orderkey
+LIMIT {Q18_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Truncated Katz centrality — integer-exact like HITS/BFS: c_k(v) = the
+# number of length-k paths ending at v over the synthetic link graph,
+# four fixed rounds (fixed horizon keeps both engines on the same
+# trajectory); katz_i = Σ_k 8^(4-k)·c_k(v) is the attenuation β=1/8
+# series rescaled by 8^4=4096 so every intermediate is BIGINT, with ONE
+# exact binary-fraction divide (x/4096 is lossless in doubles) at the
+# end. Spark: one join per round (PageRank's 1-join cadence — no
+# checkpoint needed), then one union + groupBy for the weighted series
+# (a single shuffle, not 4 chained left joins). Path counts stay tiny:
+# in-degrees of the affine-generator graph are bounded.
+# --------------------------------------------------------------------------
+KATZ_ITERS = 4
+KATZ_BETA_DEN = 8
+
+
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, edges = _edges(spark, sf_dir)
+    c = docs.select("doc_id", F.lit(1).cast("long").alias("c"))
+    weighted = []
+    for k in range(1, KATZ_ITERS + 1):
+        c = (
+            edges.join(c, edges["source_doc_id"] == c["doc_id"])
+            .groupBy(F.col("target_doc_id").alias("doc_id"))
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        w = KATZ_BETA_DEN ** (KATZ_ITERS - k)
+        weighted.append(
+            c.select("doc_id", (F.col("c") * F.lit(w)).cast("long").alias("w"))
+        )
+    series = weighted[0]
+    for part in weighted[1:]:
+        series = series.unionByName(part)
+    tot = series.groupBy("doc_id").agg(
+        F.sum("w").cast("long").alias("katz_i")
+    )
+    return docs.join(tot, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("katz_i", F.lit(0).cast("long")).alias("katz_i"),
+        (
+            F.coalesce("katz_i", F.lit(0).cast("long")).cast("double")
+            / F.lit(float(KATZ_BETA_DEN**KATZ_ITERS))
+        ).alias("katz"),
+    )
+
+
+def _katz_sql() -> str:
+    rounds = []
+    prev = "c0"
+    for k in range(1, KATZ_ITERS + 1):
+        rounds.append(
+            f"c{k} AS MATERIALIZED (\n"
+            f"  SELECT target_doc_id AS v, CAST(sum(c) AS BIGINT) AS c\n"
+            f"  FROM edges JOIN {prev} ON {prev}.v = edges.source_doc_id\n"
+            f"  GROUP BY target_doc_id\n)"
+        )
+        prev = f"c{k}"
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT v, c * {KATZ_BETA_DEN ** (KATZ_ITERS - k)} AS w FROM c{k}"
+        for k in range(1, KATZ_ITERS + 1)
+    )
+    return f"""
+WITH {_EDGES_CTE},
+c0 AS (SELECT doc_id AS v, CAST(1 AS BIGINT) AS c FROM documents),
+{",".join(rounds)},
+series AS (
+{union}
+),
+tot AS (SELECT v, CAST(sum(w) AS BIGINT) AS katz_i FROM series GROUP BY v)
+SELECT d.doc_id, CAST(COALESCE(t.katz_i, 0) AS BIGINT) AS katz_i,
+       CAST(COALESCE(t.katz_i, 0) AS BIGINT)
+         / CAST({KATZ_BETA_DEN**KATZ_ITERS} AS DOUBLE) AS katz
+FROM documents d LEFT JOIN tot t ON t.v = d.doc_id
+"""
+
+
+SQL_KATZ_CENTRALITY = _katz_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -5861,6 +6006,8 @@ QUERIES_TD = {
     "link_prediction": q_link_prediction,
     "touch_attribution": q_touch_attribution,
     "ndcg_eval": q_ndcg_eval,
+    "large_orders": q_large_orders,
+    "katz_centrality": q_katz_centrality,
 }
 
 ORACLES_TD = {
@@ -5945,4 +6092,6 @@ ORACLES_TD = {
     "link_prediction": SQL_LINK_PREDICTION,
     "touch_attribution": SQL_TOUCH_ATTRIBUTION,
     "ndcg_eval": SQL_NDCG_EVAL,
+    "large_orders": SQL_LARGE_ORDERS,
+    "katz_centrality": SQL_KATZ_CENTRALITY,
 }

@@ -181,6 +181,8 @@ CONSTRUCTION_JOBS = {
     "link_prediction": 1,  # edge recipe + degrees in-plan (scalar_count)
     "touch_attribution": 1,  # one events read; window bounds are literals
     "ndcg_eval": 1,      # one docs read; idf6/counts/discounts in-plan
+    "large_orders": 3,   # fact + orders + customer reads
+    "katz_centrality": 1,  # one docs read; 4 fixed rounds fully declared
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components AND
@@ -567,6 +569,10 @@ DRIVERLIKE_QUERIES = [
     "touch_attribution",
     # fixed6 idf + python-constant log2 discounts, exact BIGINT DCG sums
     "ndcg_eval",
+    # exact-integer HAVING gate + epoch-µs order dates under ANSI/DST
+    "large_orders",
+    # 4 integer path-count rounds + one exact /4096 binary divide
+    "katz_centrality",
 ]
 
 
@@ -644,6 +650,12 @@ PRUNING_EXPECTATIONS = {
         ["props"],
     ),
     "ndcg_eval": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "large_orders": (
+        ["l_orderkey", "l_quantity", "c_name"],
+        ["l_partkey", "l_suppkey", "l_shipdate", "o_orderpriority",
+         "c_acctbal", "c_mktsegment"],
+    ),
+    "katz_centrality": (["doc_id"], ["text", "lang", "source", "n_chars"]),
     "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
     "event_funnel": (["user_id", "ts", "event_type"], ["props", "value"]),
     "events_anomaly": (["ts", "event_type"], ["props", "value", "user_id"]),

@@ -2596,3 +2596,82 @@ def test_ndcg_eval_hand_computed(spark, tmp_path):
         "plan": (3000000, 3000000, 1.0),
         "flow": (1630930, 1630930, 1.0),
     }
+
+
+def test_large_orders_hand_computed(spark, tmp_path):
+    from datetime import datetime
+
+    from search_engine_spark.driver_queries_td import q_large_orders
+
+    d1, d2, d3 = (
+        datetime(1995, 1, 1),
+        datetime(1995, 1, 2),
+        datetime(1995, 1, 3),
+    )
+    # order 1 sums to EXACTLY 250 -> excluded by the strict > gate;
+    # order 2 clears it by one millionth (the fixed6 ulp); order 3 is
+    # comfortably above; order 4 misses by one millionth.
+    li = [
+        (1, 100.0), (1, 150.0),
+        (2, 100.0), (2, 150.000001),
+        (3, 300.0),
+        (4, 249.999999),
+    ]
+    spark.createDataFrame(
+        [(ok, 0, 0, q) for ok, q in li],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [
+            (1, 10, 500.0, d1),
+            (2, 10, 400.0, d2),
+            (3, 20, 400.0, d3),
+            (4, 20, 900.0, d1),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, "Customer#10"), (20, "Customer#20")],
+        "c_custkey long, c_name string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    def us(dt):
+        from datetime import timezone
+
+        # ntz_epoch_us reads wall-clock fields, so the expectation is the
+        # naive datetime interpreted as UTC regardless of the machine TZ
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    got = [
+        (r["c_name"], r["custkey"], r["orderkey"], r["orderdate_us"],
+         r["o_totalprice"], r["total_qty"])
+        for r in q_large_orders(spark, str(tmp_path)).collect()
+    ]
+    # orders 1 and 4 gated out; tie on totalprice=400 broken by orderdate
+    assert got == [
+        ("Customer#10", 10, 2, us(d2), 400.0, 250.000001),
+        ("Customer#20", 20, 3, us(d3), 400.0, 300.0),
+    ]
+
+
+def test_katz_centrality_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_katz_centrality
+
+    # 8 docs -> the same affine-generator graph as the link_prediction
+    # fixture: edges (1,4)(1,7)(2,3)(2,4)(3,1)(3,2)(4,1)(4,6)(5,0)(5,3)
+    # (6,0)(6,7)(7,5)(7,6). c_k(v) = #length-k paths ending at v;
+    # e.g. v=0: c1=2 (from 5,6), c2=3 (5<-7, 6<-4, 6<-7), c3=5, c4=7
+    # -> katz_i = 2*512 + 3*64 + 5*8 + 7 = 1275, katz = 1275/4096.
+    spark.createDataFrame(
+        [(i, "x", "en", "s", 1) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["katz_i"], r["katz"])
+        for r in q_katz_centrality(spark, str(tmp_path)).collect()
+    }
+    expect_i = {0: 1275, 1: 1330, 2: 660, 3: 1190,
+                4: 1271, 5: 680, 6: 1350, 7: 1356}
+    assert got == {v: (i, i / 4096) for v, i in expect_i.items()}
