@@ -5924,6 +5924,169 @@ FROM documents d LEFT JOIN tot t ON t.v = d.doc_id
 SQL_KATZ_CENTRALITY = _katz_sql()
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: high-balance customers with no open orders. The
+# "above the segment's positive-balance average" gate is the classic
+# scalar-subquery; it is evaluated INTEGER-EXACT as bal6·n_pos > sum6
+# (cross-multiplied fixed6 BIGINTs — no float average can flip a
+# customer sitting on the boundary; bal6 ≤ 1e10 and n_pos at the
+# segment grain keep the product far from int64 range until ~1e8
+# customers per segment, where the gate would move to a per-segment
+# DECIMAL average). Segment stats broadcast (5 rows); the "no open
+# orders" NOT EXISTS is a left-anti join on the uniform o_custkey.
+# The displayed segment average is the FLOORED micro-average
+# (sum6 div n_pos — exact in both engines for positive operands), so
+# no irrational double ever meets round().
+# --------------------------------------------------------------------------
+def q_cust_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment",
+        fixed6_long(F.col("c_acctbal")).alias("bal6"),
+    )
+    seg = (
+        cust.filter(F.col("bal6") > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("bal6").cast("long").alias("sum6"),
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+        )
+    )
+    open_orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("bal6") * F.col("n_pos") > F.col("sum6"))
+        .join(
+            open_orders,
+            cust["c_custkey"] == open_orders["o_custkey"],
+            "left_anti",
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            "c_mktsegment",
+            F.round(F.col("bal6") / F.lit(1000000.0), 6).alias("acctbal"),
+            F.round(
+                F.expr("sum6 div n_pos") / F.lit(1000000.0), 6
+            ).alias("seg_avg"),
+        )
+    )
+
+
+SQL_CUST_BALANCE = """
+WITH cust AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(round(c_acctbal * 1000000.0) AS BIGINT) AS bal6
+  FROM customer
+),
+seg AS (
+  SELECT c_mktsegment, CAST(sum(bal6) AS BIGINT) AS sum6,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM cust WHERE bal6 > 0 GROUP BY c_mktsegment
+)
+SELECT c.c_custkey AS custkey, c.c_name, c.c_mktsegment,
+       round(c.bal6 / 1000000.0, 6) AS acctbal,
+       round((s.sum6 // s.n_pos) / 1000000.0, 6) AS seg_avg
+FROM cust c JOIN seg s USING (c_mktsegment)
+WHERE c.bal6 * s.n_pos > s.sum6
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+# multi-supplier finished order ("late" = shipped more than 365 days
+# after the order date, compared in tz-invariant epoch-µs integer
+# space — invariant 3; the schema carries no commit/receipt dates).
+# The EXISTS/NOT-EXISTS pair is the grouped rewrite: one
+# (orderkey, suppkey) aggregate of the fact table (no countDistinct —
+# invariant 6), a per-order roll-up gating n_supp > 1 AND n_late = 1,
+# and the late rows re-joined on the uniform orderkey. Supplier dim
+# broadcasts; top-20 by (numwait desc, s_name) — unique names make the
+# order total — via orderBy+limit.
+# --------------------------------------------------------------------------
+LATE_GAP_US = 365 * 86_400_000_000
+
+
+def q_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey", ntz_epoch_us(F.col("o_orderdate")).alias("order_us")
+        )
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        ntz_epoch_us(F.col("l_shipdate")).alias("ship_us"),
+    )
+    per = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("ship_us") > F.col("order_us") + F.lit(LATE_GAP_US),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    gated = (
+        per.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("late").alias("n_late"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_orderkey")
+    )
+    waiting = (
+        per.filter(F.col("late") == 1)
+        .join(gated, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"])
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_LATE_SUPPLIER = f"""
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN epoch_us(l_shipdate)
+                       > epoch_us(o_orderdate) + {LATE_GAP_US}
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders
+    ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+gated AS (
+  SELECT l_orderkey FROM per GROUP BY l_orderkey
+  HAVING count(*) > 1 AND sum(late) = 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per p
+JOIN gated g ON g.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.late = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -6008,6 +6171,8 @@ QUERIES_TD = {
     "ndcg_eval": q_ndcg_eval,
     "large_orders": q_large_orders,
     "katz_centrality": q_katz_centrality,
+    "cust_balance": q_cust_balance,
+    "late_supplier": q_late_supplier,
 }
 
 ORACLES_TD = {
@@ -6094,4 +6259,6 @@ ORACLES_TD = {
     "ndcg_eval": SQL_NDCG_EVAL,
     "large_orders": SQL_LARGE_ORDERS,
     "katz_centrality": SQL_KATZ_CENTRALITY,
+    "cust_balance": SQL_CUST_BALANCE,
+    "late_supplier": SQL_LATE_SUPPLIER,
 }

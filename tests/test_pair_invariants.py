@@ -183,6 +183,8 @@ CONSTRUCTION_JOBS = {
     "ndcg_eval": 1,      # one docs read; idf6/counts/discounts in-plan
     "large_orders": 3,   # fact + orders + customer reads
     "katz_centrality": 1,  # one docs read; 4 fixed rounds fully declared
+    "cust_balance": 2,   # customer + orders reads; segment avg in-plan
+    "late_supplier": 3,  # lineitem + orders + supplier reads
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components AND
@@ -573,6 +575,10 @@ DRIVERLIKE_QUERIES = [
     "large_orders",
     # 4 integer path-count rounds + one exact /4096 binary divide
     "katz_centrality",
+    # cross-multiplied integer above-average gate + floored micro-average
+    "cust_balance",
+    # epoch-µs lateness threshold arithmetic under a DST session
+    "late_supplier",
 ]
 
 
@@ -656,6 +662,14 @@ PRUNING_EXPECTATIONS = {
          "c_acctbal", "c_mktsegment"],
     ),
     "katz_centrality": (["doc_id"], ["text", "lang", "source", "n_chars"]),
+    "cust_balance": (
+        ["c_acctbal", "c_mktsegment", "o_orderstatus"],
+        ["c_nationkey", "o_totalprice", "o_orderdate"],
+    ),
+    "late_supplier": (
+        ["l_suppkey", "l_shipdate", "s_name"],
+        ["l_quantity", "l_extendedprice", "o_totalprice", "s_nationkey"],
+    ),
     "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
     "event_funnel": (["user_id", "ts", "event_type"], ["props", "value"]),
     "events_anomaly": (["ts", "event_type"], ["props", "value", "user_id"]),

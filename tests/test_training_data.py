@@ -2675,3 +2675,82 @@ def test_katz_centrality_hand_computed(spark, tmp_path):
     expect_i = {0: 1275, 1: 1330, 2: 660, 3: 1190,
                 4: 1271, 5: 680, 6: 1350, 7: 1356}
     assert got == {v: (i, i / 4096) for v, i in expect_i.items()}
+
+
+def test_cust_balance_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_cust_balance
+
+    # segment A: avg 200 — c2 sits exactly AT the mean (strict > excludes);
+    # segment B: c6 clears its own-pulled mean by ulps, c7 negative is
+    # outside the average pool AND can never pass the positive-sum gate;
+    # segment C: c9 is above-average but holds an open order (anti join),
+    # c10 is above-average with only a finished order (kept).
+    cust = [
+        (1, "c1", "A", 100.0), (2, "c2", "A", 200.0), (3, "c3", "A", 300.0),
+        (4, "c4", "B", 100.0), (5, "c5", "B", 300.0),
+        (6, "c6", "B", 200.000003), (7, "c7", "B", -50.0),
+        (8, "c8", "C", 100.0), (9, "c9", "C", 300.0), (10, "c10", "C", 250.0),
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_mktsegment string,"
+        " c_acctbal double",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(100, 9, "O"), (101, 10, "F")],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = sorted(
+        (r["custkey"], r["c_name"], r["c_mktsegment"], r["acctbal"],
+         r["seg_avg"])
+        for r in q_cust_balance(spark, str(tmp_path)).collect()
+    )
+    # B: sum6=600000003, n=3 -> floored micro-avg 200000001 (c5 at 300
+    # clears it too); C: sum6=650000000, n=3 -> 216666666
+    assert got == [
+        (3, "c3", "A", 300.0, 200.0),
+        (5, "c5", "B", 300.0, 200.000001),
+        (6, "c6", "B", 200.000003, 200.000001),
+        (10, "c10", "C", 250.0, 216.666666),
+    ]
+
+
+def test_late_supplier_hand_computed(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from search_engine_spark.driver_queries_td import q_late_supplier
+
+    t0 = datetime(1995, 1, 1)
+    late = t0 + timedelta(days=365, seconds=1)   # strictly past the gate
+    at = t0 + timedelta(days=365)                # exactly AT -> on time
+    ok = t0 + timedelta(days=10)
+    spark.createDataFrame(
+        [
+            (1, "F", t0),  # s1 late, s2 on time -> s1 counted
+            (2, "F", t0),  # s1 AND s2 late -> nobody counted
+            (3, "F", t0),  # single-supplier order -> not counted
+            (4, "O", t0),  # open order -> out of scope
+            (5, "F", t0),  # s3 exactly at the boundary, s1 late -> s1 again
+        ],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (1, 1, late), (1, 2, ok),
+            (2, 1, late), (2, 2, late),
+            (3, 1, late),
+            (4, 1, late), (4, 3, ok),
+            (5, 1, late), (5, 3, at),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "Supplier#1"), (2, "Supplier#2"), (3, "Supplier#3")],
+        "s_suppkey long, s_name string",
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+
+    got = [
+        (r["suppkey"], r["s_name"], r["numwait"])
+        for r in q_late_supplier(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, "Supplier#1", 2)]
