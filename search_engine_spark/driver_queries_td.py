@@ -6087,6 +6087,242 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Proximity ranking (min-span): the positional companion to phrase_match
+# — rank docs containing BOTH query terms by the smallest token distance
+# between any occurrence pair. Computed as a PLANE SWEEP, not the
+# quadratic tf_a x tf_b position join: one window per doc ordered by
+# position, each row's span = distance to the latest occurrence of the
+# OTHER term at-or-before it (last_value IGNORE NULLS) — every nearest
+# pair is seen from its later element, so min(span) is exact in
+# O(tf_a + tf_b) per doc. Doc-sized window partitions (no skew);
+# positions differ by one between engines (0- vs 1-based) but spans are
+# differences, so the offset cancels. Integer throughout; top-10 by
+# (min_span asc, doc_id) — a total order — via orderBy+limit.
+# --------------------------------------------------------------------------
+PROX_QUERIES = (("order", "window"), ("fast", "merge"))
+PROX_TOP = 10
+
+
+def q_proximity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("pos", "term"),
+    )
+    out = None
+    for a, b in PROX_QUERIES:
+        sub = toks.filter(F.col("term").isin(a, b))
+        w = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        prev_a = F.last(
+            F.when(F.col("term") == a, F.col("pos")), ignorenulls=True
+        ).over(w)
+        prev_b = F.last(
+            F.when(F.col("term") == b, F.col("pos")), ignorenulls=True
+        ).over(w)
+        span = F.when(F.col("term") == a, F.col("pos") - prev_b).otherwise(
+            F.col("pos") - prev_a
+        )
+        per = (
+            sub.select("doc_id", span.cast("long").alias("span"))
+            .filter(F.col("span").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.min("span").cast("long").alias("min_span"))
+            .select(F.lit(f"{a} {b}").alias("query"), "doc_id", "min_span")
+            .orderBy(F.asc("min_span"), F.asc("doc_id"))
+            .limit(PROX_TOP)
+        )
+        out = per if out is None else out.unionByName(per)
+    return out
+
+
+def _proximity_sql() -> str:
+    branches = []
+    for a, b in PROX_QUERIES:
+        branches.append(f"""SELECT * FROM (
+  SELECT '{a} {b}' AS query, doc_id, CAST(min(span) AS BIGINT) AS min_span
+  FROM (
+    SELECT doc_id,
+           CASE WHEN term = '{a}'
+                THEN pos - last_value(CASE WHEN term = '{b}' THEN pos END
+                                      IGNORE NULLS) OVER w
+                ELSE pos - last_value(CASE WHEN term = '{a}' THEN pos END
+                                      IGNORE NULLS) OVER w
+           END AS span
+    FROM toks WHERE term IN ('{a}', '{b}')
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) WHERE span IS NOT NULL
+  GROUP BY doc_id
+  ORDER BY min_span, doc_id
+  LIMIT {PROX_TOP}
+)""")
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RUN}'), 1)
+           AS pos
+  FROM documents
+)
+{body}
+"""
+
+
+SQL_PROXIMITY_RANK = _proximity_sql()
+
+
+# --------------------------------------------------------------------------
+# MMR diversified rerank (Carbonell & Goldstein 1998): greedy top-5 from
+# the 20 highest-cosine candidates of probe vec 0, score = λ·rel −
+# (1−λ)·max-sim-to-selected with λ=0.7. All selection arithmetic is
+# INTEGER: cosines are quantized to fixed6 BIGINT the moment they leave
+# the ordered fold (both engines fold identically — the embedding_knn
+# precedent), and mmr6 = 7·rel6 − 3·maxsim6 is the λ score scaled by
+# 10⁷, so no float compare can reorder a boundary pick. The greedy loop
+# is fully IN-PLAN in both engines — a 5-step ladder (anti-join the
+# selected set, max-sim aggregate over it, orderBy+limit 1), the
+# MATERIALIZED-CTE pattern from the BPE/HITS pairs — no driver-side
+# rerank loop. The candidate pool is cached (20 rows) since every rung
+# re-reads it. Probe relation is broadcast — zero plan-construction
+# jobs for the probe fetch.
+# --------------------------------------------------------------------------
+MMR_K = 5
+MMR_POOL = 20
+MMR_LAM10 = 7  # λ·10; penalty weight is 10-λ·10 = 3
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    rel6 = F.round(
+        S.cosine_similarity_col(F.col("pv"), F.col("v")) * 1000000.0, 0
+    ).cast("long")
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "v", rel6.alias("rel6"))
+        .orderBy(F.desc("rel6"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .cache()
+    )
+    sim6 = F.round(
+        S.cosine_similarity_col(F.col("va"), F.col("vb")) * 1000000.0, 0
+    ).cast("long")
+    sims = (
+        cands.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+        .join(
+            cands.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")),
+            F.col("a") != F.col("b"),
+        )
+        .select("a", "b", sim6.alias("sim6"))
+    )
+    picked = (
+        cands.orderBy(F.desc("rel6"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "rel6",
+            F.lit(0).cast("long").alias("maxsim6"),
+            (F.col("rel6") * F.lit(MMR_LAM10)).cast("long").alias("mmr6"),
+        )
+    )
+    for k in range(2, MMR_K + 1):
+        sel_ids = picked.select("vec_id")
+        ms = (
+            sims.join(sel_ids, sims["b"] == sel_ids["vec_id"])
+            .groupBy("a")
+            .agg(F.max("sim6").alias("ms"))
+        )
+        step = (
+            cands.join(sel_ids, "vec_id", "left_anti")
+            .join(ms, F.col("vec_id") == ms["a"])
+            .select(
+                F.lit(k).cast("long").alias("rank"),
+                "vec_id",
+                "rel6",
+                F.col("ms").cast("long").alias("maxsim6"),
+                (
+                    F.col("rel6") * F.lit(MMR_LAM10)
+                    - F.col("ms") * F.lit(10 - MMR_LAM10)
+                )
+                .cast("long")
+                .alias("mmr6"),
+            )
+            .orderBy(F.desc("mmr6"), F.asc("vec_id"))
+            .limit(1)
+        )
+        picked = picked.unionByName(step)
+    return picked
+
+
+def _mmr_sql() -> str:
+    def sel(k: int) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, k)
+        )
+
+    steps = []
+    for k in range(2, MMR_K + 1):
+        steps.append(f"""s{k} AS MATERIALIZED (
+  SELECT CAST({k} AS BIGINT) AS rank, c.vec_id, c.rel6,
+         m.ms AS maxsim6,
+         {MMR_LAM10} * c.rel6 - {10 - MMR_LAM10} * m.ms AS mmr6
+  FROM cands c JOIN (
+    SELECT a, max(sim6) AS ms FROM sims
+    WHERE b IN ({sel(k)}) GROUP BY a
+  ) m ON m.a = c.vec_id
+  WHERE c.vec_id NOT IN ({sel(k)})
+  ORDER BY mmr6 DESC, c.vec_id LIMIT 1
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{k}" for k in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+cands AS MATERIALIZED (
+  SELECT vec_id, v,
+         CAST(round(
+           list_sum(list_transform(list_zip(pv, v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(pv, x -> x * x)))
+              * sqrt(list_sum(list_transform(v, x -> x * x))))
+           * 1000000.0) AS BIGINT) AS rel6
+  FROM e, p WHERE vec_id <> 0
+  ORDER BY rel6 DESC, vec_id LIMIT {MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(round(
+           list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(x.v, v -> v * v)))
+              * sqrt(list_sum(list_transform(y.v, v -> v * v))))
+           * 1000000.0) AS BIGINT) AS sim6
+  FROM cands x JOIN cands y ON x.vec_id <> y.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel6,
+         CAST(0 AS BIGINT) AS maxsim6, {MMR_LAM10} * rel6 AS mmr6
+  FROM cands ORDER BY rel6 DESC, vec_id LIMIT 1
+),
+{",".join(steps)}
+{union}
+"""
+
+
+SQL_MMR_RERANK = _mmr_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -6173,6 +6409,8 @@ QUERIES_TD = {
     "katz_centrality": q_katz_centrality,
     "cust_balance": q_cust_balance,
     "late_supplier": q_late_supplier,
+    "proximity_rank": q_proximity_rank,
+    "mmr_rerank": q_mmr_rerank,
 }
 
 ORACLES_TD = {
@@ -6261,4 +6499,6 @@ ORACLES_TD = {
     "katz_centrality": SQL_KATZ_CENTRALITY,
     "cust_balance": SQL_CUST_BALANCE,
     "late_supplier": SQL_LATE_SUPPLIER,
+    "proximity_rank": SQL_PROXIMITY_RANK,
+    "mmr_rerank": SQL_MMR_RERANK,
 }

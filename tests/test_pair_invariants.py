@@ -185,6 +185,8 @@ CONSTRUCTION_JOBS = {
     "katz_centrality": 1,  # one docs read; 4 fixed rounds fully declared
     "cust_balance": 2,   # customer + orders reads; segment avg in-plan
     "late_supplier": 3,  # lineitem + orders + supplier reads
+    "proximity_rank": 1,  # one docs read; window plane-sweep in-plan
+    "mmr_rerank": 1,     # one embeddings read; probe broadcast, cache lazy
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components AND
@@ -579,6 +581,10 @@ DRIVERLIKE_QUERIES = [
     "cust_balance",
     # epoch-µs lateness threshold arithmetic under a DST session
     "late_supplier",
+    # window plane-sweep spans under 200 shuffle partitions
+    "proximity_rank",
+    # integer mmr6 ladder picks under an ANSI non-UTC session
+    "mmr_rerank",
 ]
 
 
@@ -670,6 +676,8 @@ PRUNING_EXPECTATIONS = {
         ["l_suppkey", "l_shipdate", "s_name"],
         ["l_quantity", "l_extendedprice", "o_totalprice", "s_nationkey"],
     ),
+    "proximity_rank": (["doc_id", "text"], ["lang", "source", "n_chars"]),
+    "mmr_rerank": (["vec_id", "embedding"], ["label"]),
     "source_overlap": (["source", "text"], ["doc_id", "lang", "n_chars"]),
     "event_funnel": (["user_id", "ts", "event_type"], ["props", "value"]),
     "events_anomaly": (["ts", "event_type"], ["props", "value", "user_id"]),

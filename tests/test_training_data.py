@@ -2754,3 +2754,69 @@ def test_late_supplier_hand_computed(spark, tmp_path):
         for r in q_late_supplier(spark, str(tmp_path)).collect()
     ]
     assert got == [(1, "Supplier#1", 2)]
+
+
+def test_proximity_rank_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_proximity_rank
+
+    docs = [
+        (0, "order xx window"),                 # span 2
+        (1, "window yy yy order order"),        # nearest pair 0-3 -> 3
+        (2, "order only here"),                 # missing 'window' -> absent
+        (3, "window order"),                    # adjacent -> 1
+        (4, "order window order"),              # 1
+        (5, "fast zz zz zz merge fast"),        # fast-merge span 1 (4,5)
+        (6, "merge fast"),                      # 1
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        (r["query"], r["doc_id"], r["min_span"])
+        for r in q_proximity_rank(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        ("fast merge", 5, 1),
+        ("fast merge", 6, 1),
+        ("order window", 0, 2),
+        ("order window", 1, 3),
+        ("order window", 3, 1),
+        ("order window", 4, 1),
+    ]
+
+
+def test_mmr_rerank_hand_computed(spark, tmp_path):
+    from search_engine_spark.driver_queries_td import q_mmr_rerank
+
+    # probe [1,0,0,0]; candidates at +20/+25/+40 deg in the xy plane,
+    # -30/-35 deg (other half-plane), and one orthogonal. The greedy flip:
+    # rank 2 is vec 3 (rel6 866025, maxsim6 cos50=642788) over the MORE
+    # relevant vec 2 (rel6 906308, maxsim6 cos5=996195) because
+    # 7*866025-3*642788 = 4133811 > 7*906308-3*996195 = 4017221.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9396926207859084, 0.3420201433256687, 0.0, 0.0]),
+        (2, [0.9063077870366499, 0.42261826174069944, 0.0, 0.0]),
+        (3, [0.8660254037844387, -0.49999999999999994, 0.0, 0.0]),
+        (4, [0.766044443118978, 0.6427876096865393, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.8191520442889918, -0.573576436351046, 0.0, 0.0]),
+    ]
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs],
+        "vec_id long, embedding array<double>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = [
+        (r["rank"], r["vec_id"], r["rel6"], r["maxsim6"], r["mmr6"])
+        for r in q_mmr_rerank(spark, str(tmp_path)).collect()
+    ]
+    assert sorted(got) == [
+        (1, 1, 939693, 0, 6577851),
+        (2, 3, 866025, 642788, 4133811),
+        (3, 2, 906308, 996195, 3355571),
+        (4, 6, 819152, 996195, 2745479),
+        (5, 4, 766044, 965926, 2464530),
+    ]
