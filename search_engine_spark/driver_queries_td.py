@@ -136,6 +136,41 @@ WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
 
 
 # --------------------------------------------------------------------------
+# Shingle containment pairs (mutated corpus — the 30-char-dropped mutants
+# are near-subsets of their originals: overlap ~1.0 where Jaccard is lower,
+# the asymmetric duplication case Jaccard-threshold dedup misses). Spark
+# uses the lossless smaller-side prefix filter (dedup.containment_pairs);
+# the oracle recomputes the exact overlap coefficient brute-force. The
+# division is BIGINT/BIGINT of identical operands in both engines.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mut_docs(spark, sf_dir)
+    return D.containment_pairs(
+        D.shingles(corpus), threshold=CONTAINMENT_THRESHOLD
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_MUT_DOCS_CTE}, {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / least(sa.n, sb.n), 6) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / least(sa.n, sb.n), 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints (64-bit signed, portable bit expansion)
 # --------------------------------------------------------------------------
 def _tf(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
@@ -5026,6 +5061,74 @@ GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# Canonical representatives: per near-dup cluster (same LSH -> connected-
+# components chain as dedup_components), the member a curation pipeline
+# KEEPS — argmax(text length), ties to the min id — plus the cluster size.
+# Spark: dedup.canonical_representatives (struct-max aggregate, no window
+# sort); oracle: the recursive-closure components CTE + a row_number pick.
+# length() counts characters on the identical derived text in both engines;
+# all outputs are exact BIGINTs.
+# --------------------------------------------------------------------------
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mut_docs(spark, sf_dir)
+    sig = D.minhash_signatures(D.shingles(corpus), num_perm=9)
+    pairs = D.lsh_candidate_pairs(sig, rows_per_band=3)
+    comps = D.connected_components(pairs)
+    scores = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("canon_len")
+    )
+    return D.canonical_representatives(comps, scores, score_col="canon_len")
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE {_MUT_DOCS_CTE}, {_shingle_cte()},
+sig AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range(9))::INT AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // 3)::INT AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 3
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS peer FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS component
+  FROM reach GROUP BY node
+),
+scored AS (
+  SELECT c.component, c.doc_id, CAST(length(m.text) AS BIGINT) AS canon_len
+  FROM comp c JOIN corpus m USING (doc_id)
+),
+ranked AS (
+  SELECT component, doc_id, canon_len,
+         row_number() OVER (
+           PARTITION BY component ORDER BY canon_len DESC, doc_id ASC
+         ) AS rn,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+  FROM scored
+)
+SELECT component, doc_id AS canonical_doc, canon_len, n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding diversity (similarity.py embedding_diversity): per-label member
 # count, mean norm, and the EXACT mean pairwise cosine via the Gram
@@ -6327,6 +6430,7 @@ QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
@@ -6399,6 +6503,7 @@ QUERIES_TD = {
     "lexical_diversity": q_lexical_diversity,
     "rfm_segments": q_rfm_segments,
     "dedup_components": q_dedup_components,
+    "canonical_docs": q_canonical_docs,
     "anchor_text": q_anchor_text,
     "prf_expansion": q_prf_expansion,
     "phrase_match": q_phrase_match,
@@ -6417,6 +6522,7 @@ ORACLES_TD = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "embedding_diversity": SQL_EMBEDDING_DIVERSITY,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "embedding_knn": SQL_EMBEDDING_KNN,
@@ -6489,6 +6595,7 @@ ORACLES_TD = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "canonical_docs": SQL_CANONICAL_DOCS,
     "anchor_text": SQL_ANCHOR_TEXT,
     "prf_expansion": SQL_PRF_EXPANSION,
     "phrase_match": SQL_PHRASE_MATCH,

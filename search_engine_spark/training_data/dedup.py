@@ -133,6 +133,39 @@ def lsh_candidate_pairs(
     )
 
 
+def _per_doc_shingle_arrays(
+    shingle_df: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(_id, _shingles, n_shingles, _prefix) — per doc, the md5-canonically
+    ordered shingle array, its size, and the first ``n - ceil(t*n) + 1``
+    elements (the AllPairs prefix for threshold ``t``). One groupBy: sizes,
+    arrays, and prefixes share the shuffle; no per-doc window sort."""
+    return (
+        shingle_df.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.md5("shingle").alias("h"), F.col("shingle").alias("s"))
+                )
+            ).alias("_arr")
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform("_arr", lambda x: x["s"]).alias("_shingles"),
+            F.size("_arr").alias("n_shingles"),
+        )
+        .withColumn(
+            "_plen",
+            F.col("n_shingles")
+            - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+            + 1,
+        )
+        .withColumn(
+            "_prefix", F.slice("_shingles", F.lit(1), F.col("_plen").cast("int"))
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str = "doc_id",
@@ -162,30 +195,7 @@ def ngram_jaccard_pairs(
     join; verification joins the two per-doc arrays (one row per
     candidate pair, uniform id keys) and intersects them JVM-side.
     """
-    per_doc = (
-        shingle_df.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.md5("shingle").alias("h"), F.col("shingle").alias("s"))
-                )
-            ).alias("_arr")
-        )
-        .select(
-            F.col(id_col).alias("_id"),
-            F.transform("_arr", lambda x: x["s"]).alias("_shingles"),
-            F.size("_arr").alias("n_shingles"),
-        )
-        .withColumn(
-            "_plen",
-            F.col("n_shingles")
-            - F.ceil(F.lit(threshold) * F.col("n_shingles"))
-            + 1,
-        )
-        .withColumn(
-            "_prefix", F.slice("_shingles", F.lit(1), F.col("_plen").cast("int"))
-        )
-    )
+    per_doc = _per_doc_shingle_arrays(shingle_df, id_col, threshold)
     prefix = per_doc.select("_id", F.explode("_prefix").alias("shingle"))
     cand = (
         prefix.select(F.col("_id").alias("id_a"), "shingle")
@@ -218,6 +228,104 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id_a, id_b, overlap) — EXACT overlap coefficient
+    ``|A∩B| / min(|A|,|B|) >= threshold``: subset/containment duplication
+    that Jaccard misses (a short doc quoted whole inside a long one has
+    overlap 1.0 but Jaccard only |A|/|B|) — the asymmetric complement of
+    :func:`ngram_jaccard_pairs` for boilerplate/quotation dedup.
+
+    Lossless candidate filter (smaller-side prefix): if overlap >= t, the
+    smaller set A shares >= ceil(t*|A|) elements with B, so by pigeonhole
+    A's first ``|A| - ceil(t*|A|) + 1`` shingles in the canonical
+    (md5(shingle), shingle) order must hit B's FULL set. Candidates are
+    therefore prefix(x) JOIN full(y) on shingle — ids only (invariant 6) —
+    canonicalized to unordered (least, greatest) pairs; the exact
+    intersection is then recomputed per candidate over the full per-doc
+    arrays (two uniform-id joins, array_intersect JVM-side). Unlike the
+    Jaccard filter both directions must probe the full side, so a head
+    shingle's fan-out is (prefix occupancy) x (document frequency) — at
+    t=0.9 prefixes keep ~10% of each doc, bounding the blow-up at ~0.1*df²
+    per hot shingle versus the naive join's df².
+    """
+    per_doc = _per_doc_shingle_arrays(shingle_df, id_col, threshold)
+    prefix = per_doc.select("_id", F.explode("_prefix").alias("shingle"))
+    full = per_doc.select("_id", F.explode("_shingles").alias("shingle"))
+    cand = (
+        prefix.select(F.col("_id").alias("_pid"), "shingle")
+        .join(full.select(F.col("_id").alias("_fid"), "shingle"), "shingle")
+        .filter(F.col("_pid") != F.col("_fid"))
+        .select(
+            F.least("_pid", "_fid").alias("id_a"),
+            F.greatest("_pid", "_fid").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = per_doc.select(
+        F.col("_id").alias("id_a"),
+        F.col("_shingles").alias("_sa"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = per_doc.select(
+        F.col("_id").alias("id_b"),
+        F.col("_shingles").alias("_sb"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("n_common") / F.least("size_a", "size_b"),
+                6,
+            ),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "overlap")
+    )
+
+
+def canonical_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(component, canonical_doc, <score_col>, n_members) — per dup cluster,
+    the member a curation pipeline KEEPS: argmax(score), ties to the min id
+    (:func:`connected_components` picks min-id unconditionally; real
+    pipelines keep the best-quality duplicate instead).
+
+    Shape: one uniform-key join on the id (``components`` rows are ids
+    only, invariant 6) and one shuffle on ``component``; the argmax is a
+    struct-max aggregate — partial-aggregated map-side, no window sort, so
+    a pathologically large dup cluster costs a hot reducer key but never a
+    per-cluster sort.
+    """
+    joined = components.join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    best = F.max(
+        F.struct(F.col(score_col).alias("_s"), (-F.col(id_col)).alias("_nid"))
+    ).alias("_best")
+    return (
+        joined.groupBy("component")
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "component",
+            (-F.col("_best._nid")).alias("canonical_doc"),
+            F.col("_best._s").alias(score_col),
+            "n_members",
+        )
     )
 
 

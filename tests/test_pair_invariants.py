@@ -187,9 +187,10 @@ CONSTRUCTION_JOBS = {
     "late_supplier": 3,  # lineitem + orders + supplier reads
     "proximity_rank": 1,  # one docs read; window plane-sweep in-plan
     "mmr_rerank": 1,     # one embeddings read; probe broadcast, cache lazy
+    "containment_pairs": 1,  # one docs read; prefix filter fully declared
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
-    # k_core, dedup_components AND
+    # k_core, dedup_components, canonical_docs AND
     # semantic_dedup — iterative operators (semantic_dedup runs the same
     # star-contraction loop) whose driver-side loop materializes each
     # round during construction; under AQE every materialization is
@@ -585,6 +586,12 @@ DRIVERLIKE_QUERIES = [
     "proximity_rank",
     # integer mmr6 ladder picks under an ANSI non-UTC session
     "mmr_rerank",
+    # smaller-side prefix filter + exact BIGINT/BIGINT overlap divide
+    # under 200 shuffle partitions
+    "containment_pairs",
+    # star-contraction components + struct-max canonical pick under 200
+    # partitions (all-BIGINT outputs)
+    "canonical_docs",
 ]
 
 

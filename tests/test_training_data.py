@@ -145,6 +145,78 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_containment_finds_subset_doc_jaccard_misses(tiny_docs):
+    # doc 6's 2 shingles are a strict subset of doc 1's 4: overlap 1.0 but
+    # Jaccard only 0.5 — the asymmetric case the operator exists for.
+    docs = tiny_docs.unionByName(
+        tiny_docs.sparkSession.createDataFrame(
+            [(6, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in dedup.containment_pairs(
+            dedup.shingles(docs), threshold=0.9
+        ).collect()
+    }
+    assert got[(1, 6)] == 1.0
+    assert got[(2, 6)] == 1.0
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            dedup.shingles(docs), threshold=0.9
+        ).collect()
+    }
+    assert (1, 6) not in jac
+
+
+def test_containment_prefix_filter_lossless_vs_bruteforce(tiny_docs):
+    # the smaller-side prefix filter must reproduce the brute-force result
+    # exactly (losslessness proof exercised on every co-occurring pair)
+    docs = tiny_docs.unionByName(
+        tiny_docs.sparkSession.createDataFrame(
+            [(6, "alpha beta gamma delta"), (7, "delta epsilon zeta eta")],
+            "doc_id long, text string",
+        )
+    )
+    sh = dedup.shingles(docs)
+    sets: dict[int, set] = {}
+    for r in sh.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    t = 0.5
+    brute = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            common = len(sets[a] & sets[b])
+            if common:
+                ov = round(common / min(len(sets[a]), len(sets[b])), 6)
+                if ov >= t:
+                    brute[(a, b)] = ov
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in dedup.containment_pairs(sh, threshold=t).collect()
+    }
+    assert got == brute
+
+
+def test_canonical_representatives_argmax_tie_min_id(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2)],
+        "doc_id long, score long",
+    )
+    got = {
+        r["component"]: (r["canonical_doc"], r["score"], r["n_members"])
+        for r in dedup.canonical_representatives(comps, scores).collect()
+    }
+    # component 1: scores 5/9/9 — max 9, tie between 2 and 3 -> min id 2
+    assert got == {1: (2, 9, 3), 10: (10, 4, 2)}
+
+
 def test_dedup_keep_first(tiny_docs):
     pairs = tiny_docs.sparkSession.createDataFrame(
         [(1, 2), (1, 3)], "id_a long, id_b long"
