@@ -171,6 +171,146 @@ WHERE round(n_common / least(sa.n, sb.n), 6) >= {CONTAINMENT_THRESHOLD}
 
 
 # --------------------------------------------------------------------------
+# Per-source boilerplate shingles (template detection): a shingle present in
+# >= 50% of a source's docs is boilerplate (site chrome/footer) that a
+# curation pipeline strips before dedup and training. The corpus injects a
+# deterministic per-source footer (the shared-expression pattern, like
+# URL_EXPR) so every source has exactly 3 rate-1.0 footer shingles to
+# detect; natural shingles stay far below threshold. Shape: per-(source,
+# shingle) doc counts with map-side partial agg (uniform key — shingle
+# cardinality grows with the corpus), per-source totals broadcast.
+# --------------------------------------------------------------------------
+BOILERPLATE_RATE = 0.5
+_FOOTER_SQL = "text || ' copyright ' || source || ' all rights reserved'"
+
+
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.withColumn("text", F.expr(_FOOTER_SQL))
+    sh = D.shingles(corpus)  # (doc_id, source, shingle), distinct per doc
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    cnt = sh.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df_s"))
+    return (
+        cnt.join(F.broadcast(src), "source")
+        .withColumn("rate", F.round(F.col("df_s") / F.col("n_docs"), 6))
+        .filter(F.col("rate") >= BOILERPLATE_RATE)
+        .select("source", "shingle", "df_s", "n_docs", "rate")
+    )
+
+
+SQL_BOILERPLATE_SHINGLES = f"""
+WITH corpus AS (
+  SELECT doc_id, source, {_FOOTER_SQL} AS text FROM documents
+),
+words AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+  FROM words, unnest(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+cnt AS (
+  SELECT source, shingle, count(*) AS df_s FROM sh GROUP BY source, shingle
+)
+SELECT c.source, shingle, df_s, n_docs,
+       round(df_s / n_docs, 6) AS rate
+FROM cnt c JOIN src USING (source)
+WHERE round(df_s / n_docs, 6) >= {BOILERPLATE_RATE}
+"""
+
+
+# --------------------------------------------------------------------------
+# Join-selectivity estimates (query-planner audit): for the top-25 terms by
+# document frequency (deterministic df desc, term asc), compare the
+# independence-assumption estimate df_a*df_b/N against the EXACT
+# co-occurrence count — the statistic a distributed planner uses to order
+# posting-list intersections, and the audit that shows where independence
+# breaks. The co-occurrence self-join is restricted to the top-K terms
+# first (semi join), so its input is <= K rows per doc and the pair
+# fan-out is bounded by K^2/2 per doc at any corpus size.
+# --------------------------------------------------------------------------
+SELECTIVITY_TOP_K = 25
+
+
+def q_selectivity_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    dfc = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    topt = dfc.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+        SELECTIVITY_TOP_K
+    )
+    n = scalar_count(docs)
+    a = topt.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = topt.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = a.join(b, F.col("term_a") < F.col("term_b"))
+    tdt = td.join(F.broadcast(topt.select("term")), "term", "semi")
+    x = tdt.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    y = tdt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    co = (
+        x.join(y, ["doc_id"])
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("co_df"))
+    )
+    return (
+        pairs.join(co, ["term_a", "term_b"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "df_a",
+            "df_b",
+            F.coalesce("co_df", F.lit(0)).alias("co_df"),
+            F.round((F.col("df_a") * F.col("df_b")) / F.col("_n"), 6).alias(
+                "est_co_df"
+            ),
+        )
+    )
+
+
+SQL_SELECTIVITY_ESTIMATES = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+dfc AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+topt AS (
+  SELECT term, df FROM dfc ORDER BY df DESC, term ASC
+  LIMIT {SELECTIVITY_TOP_K}
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b
+  FROM topt a JOIN topt b ON a.term < b.term
+),
+tdt AS (SELECT doc_id, term FROM td WHERE term IN (SELECT term FROM topt)),
+co AS (
+  SELECT x.term AS term_a, y.term AS term_b, count(*) AS co_df
+  FROM tdt x JOIN tdt y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY x.term, y.term
+)
+SELECT p.term_a, p.term_b, df_a, df_b,
+       COALESCE(co.co_df, 0) AS co_df,
+       round((df_a * df_b) / n._n, 6) AS est_co_df
+FROM pairs p
+LEFT JOIN co ON co.term_a = p.term_a AND co.term_b = p.term_b, n
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints (64-bit signed, portable bit expansion)
 # --------------------------------------------------------------------------
 def _tf(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
@@ -6431,6 +6571,8 @@ QUERIES_TD = {
     "embedding_diversity": q_embedding_diversity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
+    "boilerplate_shingles": q_boilerplate_shingles,
+    "selectivity_estimates": q_selectivity_estimates,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
@@ -6523,6 +6665,8 @@ ORACLES_TD = {
     "embedding_diversity": SQL_EMBEDDING_DIVERSITY,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
+    "selectivity_estimates": SQL_SELECTIVITY_ESTIMATES,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "embedding_knn": SQL_EMBEDDING_KNN,

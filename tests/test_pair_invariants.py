@@ -188,6 +188,8 @@ CONSTRUCTION_JOBS = {
     "proximity_rank": 1,  # one docs read; window plane-sweep in-plan
     "mmr_rerank": 1,     # one embeddings read; probe broadcast, cache lazy
     "containment_pairs": 1,  # one docs read; prefix filter fully declared
+    "boilerplate_shingles": 1,  # one docs read; source totals broadcast
+    "selectivity_estimates": 1,  # one docs read; N in-plan (scalar_count)
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -592,6 +594,11 @@ DRIVERLIKE_QUERIES = [
     # star-contraction components + struct-max canonical pick under 200
     # partitions (all-BIGINT outputs)
     "canonical_docs",
+    # injected-footer corpus + one exact BIGINT/BIGINT rate divide
+    "boilerplate_shingles",
+    # deterministic df-desc/term-asc top-K + independence-estimate divide
+    # against an in-plan N under 200 shuffle partitions
+    "selectivity_estimates",
 ]
 
 
