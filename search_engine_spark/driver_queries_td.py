@@ -311,6 +311,150 @@ LEFT JOIN co ON co.term_a = p.term_a AND co.term_b = p.term_b, n
 
 
 # --------------------------------------------------------------------------
+# Vocabulary pruning report (index sizing): for a grid of min-df gates, the
+# vocabulary and postings volume retained — the sizing audit behind a
+# min_df cutoff decision. Term stats come from the two-phase skew-free
+# doc_frequencies helper (invariant 6); the 5-row grid is a broadcast
+# local relation; totals are a 1-row in-plan aggregate (no driver .count).
+# All counts BIGINT; the two fractions are single exact-int divides.
+# --------------------------------------------------------------------------
+PRUNING_GRID = (1, 2, 3, 5, 8)
+
+
+def q_vocab_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    stats = doc_frequencies(occ, with_ctf=True)
+    totals = stats.agg(
+        F.count(F.lit(1)).alias("_vocab"), F.sum("ctf").alias("_postings")
+    )
+    grid = spark.createDataFrame(
+        [(g,) for g in PRUNING_GRID], "min_df long"
+    )
+    pruned = (
+        stats.join(
+            F.broadcast(grid),
+            F.col("doc_frequency") >= F.col("min_df"),
+        )
+        .groupBy("min_df")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("ctf").alias("n_postings"),
+        )
+    )
+    return pruned.crossJoin(F.broadcast(totals)).select(
+        "min_df",
+        "n_terms",
+        "n_postings",
+        F.round(F.col("n_terms") / F.col("_vocab"), 6).alias("term_frac"),
+        F.round(F.col("n_postings") / F.col("_postings"), 6).alias(
+            "posting_frac"
+        ),
+    )
+
+
+SQL_VOCAB_PRUNING = f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+stats AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_frequency,
+         CAST(count(*) AS BIGINT) AS ctf
+  FROM occ GROUP BY term
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS _vocab,
+         CAST(sum(ctf) AS BIGINT) AS _postings
+  FROM stats
+),
+grid AS (SELECT unnest([{", ".join(str(g) for g in PRUNING_GRID)}])::BIGINT AS min_df),
+pruned AS (
+  SELECT min_df, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(ctf) AS BIGINT) AS n_postings
+  FROM stats, grid WHERE doc_frequency >= min_df GROUP BY min_df
+)
+SELECT min_df, n_terms, n_postings,
+       round(CAST(n_terms AS DOUBLE) / _vocab, 6) AS term_frac,
+       round(CAST(n_postings AS DOUBLE) / _postings, 6) AS posting_frac
+FROM pruned, totals
+"""
+
+
+# --------------------------------------------------------------------------
+# OOV rate per source (tokenizer-coverage audit): the fraction of token
+# occurrences outside the deterministic top-100 vocabulary (ctf desc, term
+# asc) — the coverage statistic behind a fixed-vocab tokenizer decision.
+# The vocabulary is a broadcast anti-join side; per-source sums are plain
+# map-side-partial counts on a low-cardinality key (no countDistinct).
+# --------------------------------------------------------------------------
+OOV_VOCAB_K = 100
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("source", "text")
+    occ = docs.select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    ctf = occ.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    vocab = ctf.orderBy(F.col("ctf").desc(), F.col("term").asc()).limit(
+        OOV_VOCAB_K
+    ).select("term")
+    tot = occ.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    oov = (
+        occ.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        tot.join(oov, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.round(
+                F.coalesce("n_oov", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+SQL_OOV_RATE = f"""
+WITH occ AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+ctf AS (SELECT term, count(*) AS ctf FROM occ GROUP BY term),
+vocab AS (
+  SELECT term FROM ctf ORDER BY ctf DESC, term ASC LIMIT {OOV_VOCAB_K}
+),
+tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM occ GROUP BY source
+),
+oov AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_oov
+  FROM occ WHERE term NOT IN (SELECT term FROM vocab)
+  GROUP BY source
+)
+SELECT t.source, n_tokens,
+       COALESCE(o.n_oov, 0) AS n_oov,
+       round(COALESCE(o.n_oov, 0) / n_tokens, 6) AS oov_rate
+FROM tot t LEFT JOIN oov o USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints (64-bit signed, portable bit expansion)
 # --------------------------------------------------------------------------
 def _tf(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
@@ -6573,6 +6717,8 @@ QUERIES_TD = {
     "containment_pairs": q_containment_pairs,
     "boilerplate_shingles": q_boilerplate_shingles,
     "selectivity_estimates": q_selectivity_estimates,
+    "vocab_pruning": q_vocab_pruning,
+    "oov_rate": q_oov_rate,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
@@ -6667,6 +6813,8 @@ ORACLES_TD = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
     "selectivity_estimates": SQL_SELECTIVITY_ESTIMATES,
+    "vocab_pruning": SQL_VOCAB_PRUNING,
+    "oov_rate": SQL_OOV_RATE,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "embedding_knn": SQL_EMBEDDING_KNN,

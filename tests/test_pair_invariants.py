@@ -39,6 +39,7 @@ NO_EXPAND_QUERIES = [
     "news_feed_freshness",
     "fallback_search",
     "prf_expansion",
+    "vocab_pruning",
 ]
 
 # Exact number of Spark jobs each pair may run during CONSTRUCTION: one
@@ -190,6 +191,8 @@ CONSTRUCTION_JOBS = {
     "containment_pairs": 1,  # one docs read; prefix filter fully declared
     "boilerplate_shingles": 1,  # one docs read; source totals broadcast
     "selectivity_estimates": 1,  # one docs read; N in-plan (scalar_count)
+    "vocab_pruning": 1,  # one docs read; grid is a local relation
+    "oov_rate": 1,       # one docs read; vocab is a broadcast subplan
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -599,6 +602,10 @@ DRIVERLIKE_QUERIES = [
     # deterministic df-desc/term-asc top-K + independence-estimate divide
     # against an in-plan N under 200 shuffle partitions
     "selectivity_estimates",
+    # two-phase df + broadcast grid join + in-plan totals divides
+    "vocab_pruning",
+    # deterministic top-100 vocab + broadcast anti-join + one rate divide
+    "oov_rate",
 ]
 
 
