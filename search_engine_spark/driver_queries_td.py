@@ -455,6 +455,154 @@ FROM tot t LEFT JOIN oov o USING (source)
 
 
 # --------------------------------------------------------------------------
+# Next-word prediction table (autocomplete/suggest): per first-word, the
+# argmax successor from raw bigram counts plus its conditional probability
+# — the bigram-LM table behind type-ahead. Deterministic: top-50 first
+# words by (total desc, word asc); per-word argmax via row_number over the
+# AGGREGATED (w1, w2) counts (bounded by distinct successors, never the
+# raw stream), tie to the lexicographically first successor.
+# --------------------------------------------------------------------------
+NEXT_WORD_TOP_K = 50
+
+
+def q_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)").alias("w")
+    )
+    bg = words.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2), "
+                "i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    tot = cnt.groupBy("w1").agg(F.sum("pair_cnt").alias("total_cnt"))
+    topw = tot.orderBy(F.col("total_cnt").desc(), F.col("w1").asc()).limit(
+        NEXT_WORD_TOP_K
+    )
+    w = Window.partitionBy("w1").orderBy(
+        F.col("pair_cnt").desc(), F.col("w2").asc()
+    )
+    ranked = (
+        cnt.join(F.broadcast(topw.select("w1")), "w1", "semi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.join(F.broadcast(topw), "w1").select(
+        F.col("w1").alias("word"),
+        F.col("w2").alias("next_word"),
+        "pair_cnt",
+        "total_cnt",
+        F.round(F.col("pair_cnt") / F.col("total_cnt"), 6).alias("prob"),
+    )
+
+
+SQL_NEXT_WORD = f"""
+WITH words AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w FROM documents
+),
+bg AS (
+  SELECT w[i + 1] AS w1, w[i + 2] AS w2
+  FROM words, unnest(range(len(w) - 1)) AS t(i) WHERE len(w) >= 2
+),
+cnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt FROM bg GROUP BY w1, w2
+),
+tot AS (
+  SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS total_cnt FROM cnt GROUP BY w1
+),
+topw AS (
+  SELECT w1, total_cnt FROM tot ORDER BY total_cnt DESC, w1 ASC
+  LIMIT {NEXT_WORD_TOP_K}
+),
+ranked AS (
+  SELECT c.w1, c.w2, c.pair_cnt,
+         row_number() OVER (
+           PARTITION BY c.w1 ORDER BY c.pair_cnt DESC, c.w2 ASC
+         ) AS rn
+  FROM cnt c WHERE c.w1 IN (SELECT w1 FROM topw)
+)
+SELECT r.w1 AS word, r.w2 AS next_word, r.pair_cnt, t.total_cnt,
+       round(r.pair_cnt / t.total_cnt, 6) AS prob
+FROM ranked r JOIN topw t USING (w1) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus delta report (incremental indexing): classify every doc across two
+# corpus versions as added / removed / changed / unchanged with doc and
+# char totals — the audit that sizes an incremental index refresh (the
+# streaming pipeline's apply_batch consumes exactly the changed+added
+# set). v2 is derived deterministically on both sides (the shared-
+# expression pattern): docs %13 dropped, %7 text-shifted, %11 re-added
+# under new ids. One full-outer join on the uniform doc_id key.
+# --------------------------------------------------------------------------
+DELTA_ADD_OFFSET = 200000
+
+
+def _delta_v2(docs: DataFrame) -> DataFrame:
+    changed = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select("doc_id", F.expr("substring(text, 16)").alias("text"))
+    kept = docs.filter(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 13 != 0)
+    ).select("doc_id", "text")
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + DELTA_ADD_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" appended v2 section")).alias("text"),
+    )
+    return changed.unionByName(kept).unionByName(added)
+
+
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = _delta_v2(docs)
+    a = docs.select(F.col("doc_id"), F.col("text").alias("_ta"))
+    b = v2.select(F.col("doc_id"), F.col("text").alias("_tb"))
+    j = a.join(b, "doc_id", "full_outer").select(
+        F.when(F.col("_ta").isNull(), F.lit("added"))
+        .when(F.col("_tb").isNull(), F.lit("removed"))
+        .when(F.col("_ta") != F.col("_tb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("class"),
+        F.coalesce(F.length("_tb"), F.length("_ta"))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return j.groupBy("class").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+
+
+SQL_CORPUS_DELTA = f"""
+WITH v2 AS (
+  SELECT doc_id, substring(text, 16) AS text FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 7 != 0 AND doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + {DELTA_ADD_OFFSET}, text || ' appended v2 section'
+  FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text != b.text THEN 'changed'
+              ELSE 'unchanged' END AS class,
+         CAST(COALESCE(length(b.text), length(a.text)) AS BIGINT) AS n_chars
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT class, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM j GROUP BY class
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints (64-bit signed, portable bit expansion)
 # --------------------------------------------------------------------------
 def _tf(spark: SparkSession, sf_dir: str, mutated: bool) -> DataFrame:
@@ -6719,6 +6867,8 @@ QUERIES_TD = {
     "selectivity_estimates": q_selectivity_estimates,
     "vocab_pruning": q_vocab_pruning,
     "oov_rate": q_oov_rate,
+    "next_word": q_next_word,
+    "corpus_delta": q_corpus_delta,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
@@ -6815,6 +6965,8 @@ ORACLES_TD = {
     "selectivity_estimates": SQL_SELECTIVITY_ESTIMATES,
     "vocab_pruning": SQL_VOCAB_PRUNING,
     "oov_rate": SQL_OOV_RATE,
+    "next_word": SQL_NEXT_WORD,
+    "corpus_delta": SQL_CORPUS_DELTA,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "embedding_knn": SQL_EMBEDDING_KNN,

@@ -193,6 +193,8 @@ CONSTRUCTION_JOBS = {
     "selectivity_estimates": 1,  # one docs read; N in-plan (scalar_count)
     "vocab_pruning": 1,  # one docs read; grid is a local relation
     "oov_rate": 1,       # one docs read; vocab is a broadcast subplan
+    "next_word": 1,      # one docs read; top-w1 set is a broadcast subplan
+    "corpus_delta": 1,   # one docs read; v2 derives from the same scan
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -606,6 +608,10 @@ DRIVERLIKE_QUERIES = [
     "vocab_pruning",
     # deterministic top-100 vocab + broadcast anti-join + one rate divide
     "oov_rate",
+    # aggregated-bigram argmax window + one conditional-prob divide
+    "next_word",
+    # full-outer version join + string-equality classification, all BIGINT
+    "corpus_delta",
 ]
 
 
