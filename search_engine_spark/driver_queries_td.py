@@ -45,6 +45,10 @@ TOKEN_RUN = "[a-z0-9]{2,}"
 US_PER_DAY_DIV = 86_400_000_000
 MIN_LONG_SQL = "(-9223372036854775807 - 1)"
 
+# full-BM25 constants (k1/b), shared by bm25_topk and impact_quantization
+BM25_K1 = 1.2
+BM25_B = 0.75
+
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -599,6 +603,118 @@ j AS (
 SELECT class, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM j GROUP BY class
+"""
+
+
+# --------------------------------------------------------------------------
+# Impact quantization (tiered / impact-ordered index): per-term MAX BM25
+# impact and its 8-bit quantized bucket against the global max — the
+# block-max statistic WAND prunes with, quantized the way an impact-
+# ordered index stores it, plus the quantization error the lossy grid
+# pays. idf is fixed6-quantized IMMEDIATELY (ln may differ by an ulp
+# between JVM and C libm); everything after is pure IEEE ×/÷/+ on
+# identical operands. Term stats use the manual two-phase shape (tf on
+# the uniform (term, doc) key, df re-aggregated from it — invariant 6).
+# --------------------------------------------------------------------------
+IMPACT_BUCKETS = 255
+
+
+def q_impact_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_frequency"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl_df = dl.agg(F.avg(F.col("dl").cast("double")).alias("_avgdl"))
+    dfd = F.col("doc_frequency").cast("double")
+    idf = (
+        dfx.crossJoin(F.broadcast(scalar_count(docs)))
+        .select(
+            "term",
+            "doc_frequency",
+            fixed6_long(
+                F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+            ).alias("idf6"),
+        )
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        1.0 - BM25_B + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("_avgdl")
+    )
+    impact_s = F.col("idf6") * (tfd * (BM25_K1 + 1.0) / (tfd + norm))
+    mx = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .withColumn("_imp", impact_s)
+        .groupBy("term", "doc_frequency")
+        .agg(F.max("_imp").alias("max_s"))
+    )
+    gm = mx.agg(F.max("max_s").alias("_gm"))
+    bucket = F.floor(
+        F.col("max_s") / F.col("_gm") * F.lit(float(IMPACT_BUCKETS))
+    ).cast("long")
+    return mx.crossJoin(F.broadcast(gm)).select(
+        "term",
+        "doc_frequency",
+        F.round(F.col("max_s") / 1000000.0, 6).alias("max_impact"),
+        bucket.alias("bucket"),
+        F.round(
+            (
+                F.col("max_s")
+                - bucket * F.col("_gm") / F.lit(float(IMPACT_BUCKETS))
+            )
+            / 1000000.0,
+            6,
+        ).alias("quant_err"),
+    )
+
+
+SQL_IMPACT_QUANTIZATION = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+),
+dfx AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS doc_frequency
+  FROM tf GROUP BY term
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
+idf AS (
+  SELECT term, doc_frequency,
+         {SQL_FIXED6_LONG.format(
+             col="ln((n._n - CAST(doc_frequency AS DOUBLE) + 0.5)"
+                 " / (CAST(doc_frequency AS DOUBLE) + 0.5) + 1.0)"
+         )} AS idf6
+  FROM dfx, n
+),
+mx AS (
+  SELECT t.term, i.doc_frequency,
+         max(i.idf6 * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)
+             / (CAST(t.tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * CAST(d.dl AS DOUBLE) / a.avgdl)))) AS max_s
+  FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id), avgdl a
+  GROUP BY t.term, i.doc_frequency
+),
+m AS (SELECT max(max_s) AS gm FROM mx)
+SELECT term, doc_frequency,
+       round(max_s / 1000000.0, 6) AS max_impact,
+       CAST(floor(max_s / m.gm * {IMPACT_BUCKETS}.0) AS BIGINT) AS bucket,
+       round((max_s - CAST(floor(max_s / m.gm * {IMPACT_BUCKETS}.0) AS BIGINT)
+              * m.gm / {IMPACT_BUCKETS}.0) / 1000000.0, 6) AS quant_err
+FROM mx, m
 """
 
 
@@ -1642,6 +1758,64 @@ edges AS (
 _EDGES_CTE = _edges_cte()
 
 
+# --------------------------------------------------------------------------
+# Link reciprocity report (graph health): per source node with at least one
+# reciprocated out-edge, the out-degree, reciprocated count, and rate —
+# Newman reciprocity resolved to node granularity, over the triangle-
+# closing generator graph (the base two-generator graph is near-
+# reciprocity-free by construction). The reciprocation test is an
+# ids-only self-join on the uniform node key.
+# --------------------------------------------------------------------------
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _edges(spark, sf_dir, _TRI_GENS)
+    rev = edges.select(
+        F.col("target_doc_id").alias("source_doc_id"),
+        F.col("source_doc_id").alias("target_doc_id"),
+    )
+    recip = (
+        edges.join(rev, ["source_doc_id", "target_doc_id"], "semi")
+        .groupBy("source_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_reciprocated"))
+    )
+    outd = edges.groupBy("source_doc_id").agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    return (
+        outd.join(recip, "source_doc_id")
+        .select(
+            F.col("source_doc_id").alias("doc_id"),
+            "out_degree",
+            "n_reciprocated",
+            F.round(
+                F.col("n_reciprocated") / F.col("out_degree"), 6
+            ).alias("recip_rate"),
+        )
+    )
+
+
+SQL_LINK_RECIPROCITY = f"""
+WITH {_edges_cte(_TRI_GENS)},
+recip AS (
+  SELECT a.source_doc_id, CAST(count(*) AS BIGINT) AS n_reciprocated
+  FROM edges a
+  WHERE EXISTS (
+    SELECT 1 FROM edges b
+    WHERE b.source_doc_id = a.target_doc_id
+      AND b.target_doc_id = a.source_doc_id
+  )
+  GROUP BY a.source_doc_id
+),
+outd AS (
+  SELECT source_doc_id, CAST(count(*) AS BIGINT) AS out_degree
+  FROM edges GROUP BY source_doc_id
+)
+SELECT o.source_doc_id AS doc_id, out_degree, n_reciprocated,
+       round(n_reciprocated / out_degree, 6) AS recip_rate
+FROM outd o JOIN recip r USING (source_doc_id)
+"""
+
+
+
 def q_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, edges = _edges(spark, sf_dir)
     outd = edges.groupBy(F.col("source_doc_id").alias("doc_id")).agg(
@@ -2110,10 +2284,6 @@ GROUP BY user_id, session_seq
 # (search_service.py:13-40); this is the engine's complete-BM25 mode the
 # north_star names. Same tie-break discipline (score desc, doc asc).
 # --------------------------------------------------------------------------
-BM25_K1 = 1.2
-BM25_B = 0.75
-
-
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select(
@@ -6869,6 +7039,8 @@ QUERIES_TD = {
     "oov_rate": q_oov_rate,
     "next_word": q_next_word,
     "corpus_delta": q_corpus_delta,
+    "impact_quantization": q_impact_quantization,
+    "link_reciprocity": q_link_reciprocity,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
@@ -6967,6 +7139,8 @@ ORACLES_TD = {
     "oov_rate": SQL_OOV_RATE,
     "next_word": SQL_NEXT_WORD,
     "corpus_delta": SQL_CORPUS_DELTA,
+    "impact_quantization": SQL_IMPACT_QUANTIZATION,
+    "link_reciprocity": SQL_LINK_RECIPROCITY,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     "embedding_knn": SQL_EMBEDDING_KNN,

@@ -40,6 +40,7 @@ NO_EXPAND_QUERIES = [
     "fallback_search",
     "prf_expansion",
     "vocab_pruning",
+    "impact_quantization",
 ]
 
 # Exact number of Spark jobs each pair may run during CONSTRUCTION: one
@@ -195,6 +196,8 @@ CONSTRUCTION_JOBS = {
     "oov_rate": 1,       # one docs read; vocab is a broadcast subplan
     "next_word": 1,      # one docs read; top-w1 set is a broadcast subplan
     "corpus_delta": 1,   # one docs read; v2 derives from the same scan
+    "impact_quantization": 1,  # one docs read; N/avgdl/global-max in-plan
+    "link_reciprocity": 1,     # one docs read; edges derive in-plan
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -612,6 +615,11 @@ DRIVERLIKE_QUERIES = [
     "next_word",
     # full-outer version join + string-equality classification, all BIGINT
     "corpus_delta",
+    # fixed6 idf, IEEE-pure impact ratios, floor-quantized bucket under
+    # ANSI + 200 shuffle partitions
+    "impact_quantization",
+    # ids-only reciprocation semi-join + one exact-int rate divide
+    "link_reciprocity",
 ]
 
 
