@@ -2365,6 +2365,180 @@ SQL_BM25_TOPK = _bm25_sql()
 
 
 # --------------------------------------------------------------------------
+# BM25 b-parameter sweep (length-normalization tuning): the rank-1 doc and
+# score for each b in an exactly-binary-representable grid — the sweep a
+# relevance engineer runs before fixing b. The grid is a broadcast local
+# relation crossed onto the per-(doc, term) contributions; per-b argmax is
+# a row_number over the 5 x |candidate docs| aggregated rows. Oracle grid
+# values are cast ::DOUBLE (a bare DECIMAL column would serialize as a
+# pandas object and fail the kind check).
+# --------------------------------------------------------------------------
+B_SWEEP_GRID = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+
+def q_bm25_b_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl_df = dl.agg(F.avg(F.col("dl").cast("double")).alias("_avgdl"))
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    dfd = F.col("doc_frequency").cast("double")
+    stats = (
+        doc_frequencies(qtoks)
+        .crossJoin(F.broadcast(scalar_count(docs)))
+        .withColumn(
+            "idf", F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+        )
+        .select("term", "idf")
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    grid = spark.createDataFrame([(b,) for b in B_SWEEP_GRID], "b double")
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        1.0 - F.col("b") + F.col("b") * F.col("dl").cast("double") / F.col("_avgdl")
+    )
+    contrib = F.coalesce("idf", F.lit(1.0)) * (
+        tfd * (BM25_K1 + 1.0) / (tfd + norm)
+    )
+    scored = (
+        tf.join(F.broadcast(stats), "term", "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("b", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("b").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "b",
+            F.col("doc_id").alias("top_doc"),
+            F.col("score").alias("top_score"),
+        )
+    )
+
+
+def _b_sweep_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    grid = ", ".join(str(b) for b in B_SWEEP_GRID)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT avg(dl::DOUBLE) AS avgdl FROM dl),
+stats AS (
+  SELECT term,
+         ln((n.n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+  FROM toks, n GROUP BY term, n.n
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ({terms})
+  GROUP BY doc_id, term
+),
+grid AS (SELECT unnest([{grid}])::DOUBLE AS b),
+scored AS (
+  SELECT g.b, tf.doc_id,
+         round(sum(COALESCE(stats.idf, 1.0) * (tf.tf::DOUBLE * ({BM25_K1} + 1.0)
+               / (tf.tf::DOUBLE + {BM25_K1} * (1.0 - g.b + g.b * dl.dl::DOUBLE / avgdl.avgdl)))), 6) AS score
+  FROM tf
+  LEFT JOIN stats ON stats.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, avgdl, grid g
+  GROUP BY g.b, tf.doc_id
+),
+ranked AS (
+  SELECT b, doc_id, score,
+         row_number() OVER (PARTITION BY b ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT b, doc_id AS top_doc, score AS top_score FROM ranked WHERE rn = 1
+"""
+
+
+SQL_BM25_B_SWEEP = _b_sweep_sql()
+
+
+# --------------------------------------------------------------------------
+# Cascade overlap (two-stage early-exit retrieval audit): how many of the
+# full-BM25 top-20 survive a cheap tf-only first stage cut at depth 50 —
+# the safety check before deploying an early-termination cascade. The
+# stage-1 cut is a deterministic (tf-sum desc, doc asc) top-50; survived
+# is a broadcast membership flag on the 20-row final ranking.
+# --------------------------------------------------------------------------
+CASCADE_DEPTH = 50
+
+
+def q_cascade_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top20 = q_bm25_topk(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    qtoks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    ).filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    stage1 = (
+        qtoks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_tfsum"))
+        .orderBy(F.desc("_tfsum"), F.asc("doc_id"))
+        .limit(CASCADE_DEPTH)
+        .select("doc_id", F.lit(1).alias("_in_s1"))
+    )
+    w = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    return (
+        top20.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(stage1), "doc_id", "left")
+        .select(
+            "rank",
+            "doc_id",
+            "bm25_score",
+            F.coalesce("_in_s1", F.lit(0))
+            .cast("long")
+            .alias("survived_stage1"),
+        )
+    )
+
+
+def _cascade_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH top20 AS ({SQL_BM25_TOPK.strip()}),
+s1 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) AS tfsum
+    FROM (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+      FROM documents
+    ) WHERE term IN ({terms})
+    GROUP BY doc_id
+    ORDER BY tfsum DESC, doc_id ASC LIMIT {CASCADE_DEPTH}
+  )
+),
+ranked AS (
+  SELECT doc_id, bm25_score,
+         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM top20
+)
+SELECT rank, r.doc_id, bm25_score,
+       CAST(CASE WHEN s1.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS survived_stage1
+FROM ranked r LEFT JOIN s1 ON s1.doc_id = r.doc_id
+"""
+
+
+SQL_CASCADE_OVERLAP = _cascade_sql()
+
+
+# --------------------------------------------------------------------------
 # Postings-codec framing parity (north_rule: "per-term docID-delta +
 # varint-compressed posting lists"). The Spark side runs the REAL
 # ``codec.encode_postings`` over each term's posting list (grouped-map
@@ -7040,6 +7214,8 @@ QUERIES_TD = {
     "next_word": q_next_word,
     "corpus_delta": q_corpus_delta,
     "impact_quantization": q_impact_quantization,
+    "bm25_b_sweep": q_bm25_b_sweep,
+    "cascade_overlap": q_cascade_overlap,
     "link_reciprocity": q_link_reciprocity,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_dup": q_simhash_near_dup,
@@ -7140,6 +7316,8 @@ ORACLES_TD = {
     "next_word": SQL_NEXT_WORD,
     "corpus_delta": SQL_CORPUS_DELTA,
     "impact_quantization": SQL_IMPACT_QUANTIZATION,
+    "bm25_b_sweep": SQL_BM25_B_SWEEP,
+    "cascade_overlap": SQL_CASCADE_OVERLAP,
     "link_reciprocity": SQL_LINK_RECIPROCITY,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,

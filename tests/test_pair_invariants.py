@@ -198,6 +198,8 @@ CONSTRUCTION_JOBS = {
     "corpus_delta": 1,   # one docs read; v2 derives from the same scan
     "impact_quantization": 1,  # one docs read; N/avgdl/global-max in-plan
     "link_reciprocity": 1,     # one docs read; edges derive in-plan
+    "bm25_b_sweep": 1,   # one docs read; b-grid is a local relation
+    "cascade_overlap": 2,  # bm25 leg + stage-1 leg each read documents
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -620,6 +622,10 @@ DRIVERLIKE_QUERIES = [
     "impact_quantization",
     # ids-only reciprocation semi-join + one exact-int rate divide
     "link_reciprocity",
+    # per-b argmax windows over exactly-binary grid values under ANSI
+    "bm25_b_sweep",
+    # deterministic tf-sum stage-1 cut + broadcast membership flag
+    "cascade_overlap",
 ]
 
 
