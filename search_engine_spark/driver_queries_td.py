@@ -315,6 +315,124 @@ LEFT JOIN co ON co.term_a = p.term_a AND co.term_b = p.term_b, n
 
 
 # --------------------------------------------------------------------------
+# Novelty curve (arrival-order dedup statistic): per doc, the fraction of
+# its shingles whose GLOBAL first occurrence (min doc_id, doc_id standing
+# in for arrival order) is this doc — the marginal-novelty signal a
+# streaming curation pipeline thresholds to drop recombination documents.
+# First occurrences are a map-side-partial min on the corpus-cardinality
+# shingle key; the membership join carries ids only (invariant 6).
+# --------------------------------------------------------------------------
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = D.shingles(docs)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+            "novelty_rate"
+        ),
+    )
+
+
+SQL_NOVELTY_CURVE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents), {_shingle_cte()},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM sh s JOIN first f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       round(n_novel / n_shingles, 6) AS novelty_rate
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
+# Prefix completion table (type-ahead by prefix, the companion of
+# next_word's bigram successor): per 3-char prefix, the argmax completion
+# by collection frequency (ties to the lexicographically first term), the
+# prefix's term count, and its total occurrences. The argmax runs over the
+# AGGREGATED per-term ctf relation (vocabulary-bounded, never the raw
+# stream).
+# --------------------------------------------------------------------------
+PREFIX_LEN = 3
+
+
+def q_prefix_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    ctf = (
+        occ.filter(F.length("term") >= PREFIX_LEN)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+        .withColumn("prefix", F.expr(f"substring(term, 1, {PREFIX_LEN})"))
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("ctf").desc(), F.col("term").asc()
+    )
+    stats = ctf.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("ctf").alias("total_ctf"),
+    )
+    best = (
+        ctf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("prefix", F.col("term").alias("completion"), "ctf")
+    )
+    return best.join(stats, "prefix").select(
+        "prefix", "completion", "ctf", "n_terms", "total_ctf"
+    )
+
+
+SQL_PREFIX_COMPLETE = f"""
+WITH occ AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+ctf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS ctf,
+         substring(term, 1, {PREFIX_LEN}) AS prefix
+  FROM occ WHERE length(term) >= {PREFIX_LEN}
+  GROUP BY term
+),
+stats AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(ctf) AS BIGINT) AS total_ctf
+  FROM ctf GROUP BY prefix
+),
+best AS (
+  SELECT prefix, term AS completion, ctf,
+         row_number() OVER (
+           PARTITION BY prefix ORDER BY ctf DESC, term ASC
+         ) AS rn
+  FROM ctf
+)
+SELECT b.prefix, b.completion, b.ctf, s.n_terms, s.total_ctf
+FROM best b JOIN stats s USING (prefix) WHERE b.rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Vocabulary pruning report (index sizing): for a grid of min-df gates, the
 # vocabulary and postings volume retained — the sizing audit behind a
 # min_df cutoff decision. Term stats come from the two-phase skew-free
@@ -7215,6 +7333,8 @@ QUERIES_TD = {
     "corpus_delta": q_corpus_delta,
     "impact_quantization": q_impact_quantization,
     "bm25_b_sweep": q_bm25_b_sweep,
+    "novelty_curve": q_novelty_curve,
+    "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
     "link_reciprocity": q_link_reciprocity,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -7317,6 +7437,8 @@ ORACLES_TD = {
     "corpus_delta": SQL_CORPUS_DELTA,
     "impact_quantization": SQL_IMPACT_QUANTIZATION,
     "bm25_b_sweep": SQL_BM25_B_SWEEP,
+    "novelty_curve": SQL_NOVELTY_CURVE,
+    "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
     "link_reciprocity": SQL_LINK_RECIPROCITY,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,

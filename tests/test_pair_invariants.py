@@ -200,6 +200,8 @@ CONSTRUCTION_JOBS = {
     "link_reciprocity": 1,     # one docs read; edges derive in-plan
     "bm25_b_sweep": 1,   # one docs read; b-grid is a local relation
     "cascade_overlap": 2,  # bm25 leg + stage-1 leg each read documents
+    "novelty_curve": 1,  # one docs read; first-occurrence mins in-plan
+    "prefix_complete": 1,  # one docs read; argmax over aggregated ctf
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -626,6 +628,10 @@ DRIVERLIKE_QUERIES = [
     "bm25_b_sweep",
     # deterministic tf-sum stage-1 cut + broadcast membership flag
     "cascade_overlap",
+    # min-first-occurrence join + one exact-int novelty divide
+    "novelty_curve",
+    # aggregated-ctf argmax window per prefix, all-BIGINT outputs
+    "prefix_complete",
 ]
 
 
