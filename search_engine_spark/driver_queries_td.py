@@ -433,6 +433,163 @@ FROM best b JOIN stats s USING (prefix) WHERE b.rn = 1
 
 
 # --------------------------------------------------------------------------
+# Posting-gap histogram (codec sizing): the log2 distribution of docID
+# deltas across all posting lists — the statistic that decides delta+varint
+# vs bit-packing (postings_bytes measures the chosen codec's output; this
+# is its input distribution). Buckets are exact integers via
+# length(bin(delta)) - 1 == floor(log2) with NO libm. The per-term lag
+# window mirrors how the real codec sees each list; at cluster scale the
+# deltas come out of the per-(term, shard) encode stage instead of a
+# global window (operators/postings.py) — this pair audits the
+# distribution, not the encode path.
+# --------------------------------------------------------------------------
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    deltas = td.withColumn(
+        "delta", F.col("doc_id") - F.lag("doc_id").over(w)
+    ).filter(F.col("delta").isNotNull())
+    return (
+        deltas.select(
+            (F.length(F.bin("delta")) - 1).cast("long").alias("gap_log2")
+        )
+        .groupBy("gap_log2")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+SQL_GAP_HISTOGRAM = f"""
+WITH td AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  )
+),
+deltas AS (
+  SELECT doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+         AS delta
+  FROM td
+)
+SELECT CAST(length(bin(delta)) - 1 AS BIGINT) AS gap_log2,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM deltas WHERE delta IS NOT NULL GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash calibration (sketch-accuracy audit): for every LSH candidate
+# pair, the signature-agreement Jaccard ESTIMATE (agreeing permutations /
+# 9) against the EXACT shingle Jaccard and the signed error — the
+# calibration check before trusting the sketch for threshold decisions.
+# Exact sets travel once per side as per-doc arrays onto the bounded
+# candidate list (ids-only LSH join, invariant 6).
+# --------------------------------------------------------------------------
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mut_docs(spark, sf_dir)
+    sh = D.shingles(corpus)
+    sig = D.minhash_signatures(sh, num_perm=9)
+    pairs = D.lsh_candidate_pairs(sig, rows_per_band=3)
+    agree = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("id_a"), "seed",
+                       F.col("minhash").alias("_ma")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"), "seed",
+                       F.col("minhash").alias("_mb")),
+            ["id_b", "seed"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("_arr"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    a = per_doc.select(
+        F.col("doc_id").alias("id_a"), F.col("_arr").alias("_sa"),
+        F.col("_n").alias("_na"),
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("id_b"), F.col("_arr").alias("_sb"),
+        F.col("_n").alias("_nb"),
+    )
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    exact = common / (F.col("_na") + F.col("_nb") - common)
+    return (
+        agree.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            F.round(F.col("n_agree") / 9.0, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("jaccard"),
+            F.round(F.col("n_agree") / 9.0 - exact, 6).alias("est_err"),
+        )
+    )
+
+
+SQL_MINHASH_CALIBRATION = f"""
+WITH {_MUT_DOCS_CTE}, {_shingle_cte()},
+sig AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range(9))::INT AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // 3)::INT AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 3
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT p.id_a, p.id_b,
+         CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree
+  FROM pairs p
+  JOIN sig x ON x.doc_id = p.id_a
+  JOIN sig y ON y.doc_id = p.id_b AND y.seed = x.seed
+  GROUP BY p.id_a, p.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT g.id_a, g.id_b, g.n_agree,
+       round(g.n_agree / 9.0, 6) AS est_jaccard,
+       round(COALESCE(i.n_common, 0) / (sa.n + sb.n - COALESCE(i.n_common, 0)), 6) AS jaccard,
+       round(g.n_agree / 9.0
+             - COALESCE(i.n_common, 0) / (sa.n + sb.n - COALESCE(i.n_common, 0)), 6) AS est_err
+FROM agree g
+LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+JOIN sizes sa ON sa.doc_id = g.id_a
+JOIN sizes sb ON sb.doc_id = g.id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Vocabulary pruning report (index sizing): for a grid of min-df gates, the
 # vocabulary and postings volume retained — the sizing audit behind a
 # min_df cutoff decision. Term stats come from the two-phase skew-free
@@ -7334,6 +7491,8 @@ QUERIES_TD = {
     "impact_quantization": q_impact_quantization,
     "bm25_b_sweep": q_bm25_b_sweep,
     "novelty_curve": q_novelty_curve,
+    "gap_histogram": q_gap_histogram,
+    "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
     "link_reciprocity": q_link_reciprocity,
@@ -7438,6 +7597,8 @@ ORACLES_TD = {
     "impact_quantization": SQL_IMPACT_QUANTIZATION,
     "bm25_b_sweep": SQL_BM25_B_SWEEP,
     "novelty_curve": SQL_NOVELTY_CURVE,
+    "gap_histogram": SQL_GAP_HISTOGRAM,
+    "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
     "link_reciprocity": SQL_LINK_RECIPROCITY,

@@ -202,6 +202,8 @@ CONSTRUCTION_JOBS = {
     "cascade_overlap": 2,  # bm25 leg + stage-1 leg each read documents
     "novelty_curve": 1,  # one docs read; first-occurrence mins in-plan
     "prefix_complete": 1,  # one docs read; argmax over aggregated ctf
+    "gap_histogram": 1,  # one docs read; log2 buckets via bin(), no libm
+    "minhash_calibration": 1,  # one docs read; sketch + exact share the scan
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -632,6 +634,10 @@ DRIVERLIKE_QUERIES = [
     "novelty_curve",
     # aggregated-ctf argmax window per prefix, all-BIGINT outputs
     "prefix_complete",
+    # integer log2 buckets (bin-string length) under ANSI subtraction
+    "gap_histogram",
+    # md5 signature agreement + exact-int jaccard/error divides
+    "minhash_calibration",
 ]
 
 
