@@ -590,6 +590,91 @@ JOIN sizes sb ON sb.doc_id = g.id_b
 
 
 # --------------------------------------------------------------------------
+# Standing alerts (percolator / reverse search): a set of STORED
+# conjunctive term queries matched against the whole corpus — the news-
+# alerting direction (docs stream past stored queries) the reference's
+# forward search cannot express. The stored queries are a broadcast
+# literal relation; a doc matches when its distinct-term intersection
+# with the query reaches the query's size (exact conjunctive semantics).
+# --------------------------------------------------------------------------
+ALERT_QUERIES = (
+    (1, ("spark", "data")),
+    (2, ("spark", "query")),
+    (3, ("data", "query")),
+    (4, ("spark", "data", "query")),
+)
+
+
+def q_standing_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    qrows = [(qid, t) for qid, terms in ALERT_QUERIES for t in terms]
+    qrel = spark.createDataFrame(qrows, "query_id long, term string")
+    qsize = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in ALERT_QUERIES],
+        "query_id long, q_terms long",
+    )
+    matched = (
+        td.join(F.broadcast(qrel), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    full = matched.join(F.broadcast(qsize), "query_id").filter(
+        F.col("_hit") == F.col("q_terms")
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .join(F.broadcast(qsize), "query_id")
+        .select("query_id", "q_terms", "n_matches", "first_doc")
+    )
+
+
+def _alerts_sql() -> str:
+    qrel = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in ALERT_QUERIES for t in terms
+    )
+    qsize = ", ".join(
+        f"({qid}, {len(terms)})" for qid, terms in ALERT_QUERIES
+    )
+    return f"""
+WITH td AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+qrel(query_id, term) AS (VALUES {qrel}),
+qsize(query_id, q_terms) AS (VALUES {qsize}),
+matched AS (
+  SELECT q.query_id, t.doc_id, count(*) AS hit
+  FROM td t JOIN qrel q USING (term)
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       CAST(s.q_terms AS BIGINT) AS q_terms,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       min(m.doc_id) AS first_doc
+FROM matched m JOIN qsize s USING (query_id)
+WHERE m.hit = s.q_terms
+GROUP BY m.query_id, s.q_terms
+"""
+
+
+SQL_STANDING_ALERTS = _alerts_sql()
+
+
+# --------------------------------------------------------------------------
 # Vocabulary pruning report (index sizing): for a grid of min-df gates, the
 # vocabulary and postings volume retained — the sizing audit behind a
 # min_df cutoff decision. Term stats come from the two-phase skew-free
@@ -3008,6 +3093,81 @@ ORDER BY rrf_score DESC, doc_id ASC
 SQL_RANK_FUSION = SQL_RANK_FUSION.format(
     edges_cte=_EDGES_CTE.strip(), bm25_sql=SQL_BM25_TOPK.strip()
 )
+
+
+# --------------------------------------------------------------------------
+# Hybrid dense+sparse retrieval (RRF over BM25 and embedding-cosine
+# rankings): the modern two-tower fusion — lexical top-20 from the full
+# BM25 path, dense top-20 by exact cosine to a probe vector (vec_id 0;
+# vec_id aligns with doc_id in the synthetic tables), reciprocal-rank-
+# fused at k=60. Cosines come from knn_join's ordered zip_with fold
+# rounded to 6 BEFORE ranking (invariant 4); absent legs contribute 0 and
+# rank 0, mirroring rank_fusion.
+# --------------------------------------------------------------------------
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_b = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    bm25 = (
+        q_bm25_topk(spark, sf_dir)
+        .select("doc_id", "bm25_score")
+        .withColumn("bm25_rank", F.row_number().over(w_b))
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    dense = S.knn_join(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(
+        F.col("nn_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    contrib_b = 1.0 / (F.lit(RRF_K) + F.col("bm25_rank"))
+    contrib_d = 1.0 / (F.lit(RRF_K) + F.col("dense_rank"))
+    return (
+        bm25.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(contrib_b, F.lit(0.0))
+                + F.coalesce(contrib_d, F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+            F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("long").alias("dense_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH bm AS ({{bm25_sql}}),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC)
+              AS BIGINT) AS bm25_rank
+  FROM bm
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_sum(list_transform(list_zip(p.v, c.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cosine
+  FROM e p JOIN e c ON p.vec_id = 0 AND c.vec_id <> 0
+),
+dr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+              AS BIGINT) AS dense_rank
+  FROM scored
+  QUALIFY row_number() OVER (ORDER BY cosine DESC, doc_id ASC) <= 20
+)
+SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+       round(COALESCE(1.0 / ({RRF_K} + b.bm25_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + d.dense_rank), 0.0), 6) AS rrf_score,
+       COALESCE(b.bm25_rank, 0) AS bm25_rank,
+       COALESCE(d.dense_rank, 0) AS dense_rank
+FROM bmr b FULL OUTER JOIN dr d ON b.doc_id = d.doc_id
+"""
+
+SQL_HYBRID_RRF = SQL_HYBRID_RRF.format(bm25_sql=SQL_BM25_TOPK.strip())
 
 
 # --------------------------------------------------------------------------
@@ -7492,6 +7652,8 @@ QUERIES_TD = {
     "bm25_b_sweep": q_bm25_b_sweep,
     "novelty_curve": q_novelty_curve,
     "gap_histogram": q_gap_histogram,
+    "standing_alerts": q_standing_alerts,
+    "hybrid_rrf": q_hybrid_rrf,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -7598,6 +7760,8 @@ ORACLES_TD = {
     "bm25_b_sweep": SQL_BM25_B_SWEEP,
     "novelty_curve": SQL_NOVELTY_CURVE,
     "gap_histogram": SQL_GAP_HISTOGRAM,
+    "standing_alerts": SQL_STANDING_ALERTS,
+    "hybrid_rrf": SQL_HYBRID_RRF,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,

@@ -204,6 +204,8 @@ CONSTRUCTION_JOBS = {
     "prefix_complete": 1,  # one docs read; argmax over aggregated ctf
     "gap_histogram": 1,  # one docs read; log2 buckets via bin(), no libm
     "minhash_calibration": 1,  # one docs read; sketch + exact share the scan
+    "standing_alerts": 1,  # one docs read; stored queries are local relations
+    "hybrid_rrf": 2,  # bm25 leg reads documents, dense leg reads embeddings
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -638,6 +640,10 @@ DRIVERLIKE_QUERIES = [
     "gap_histogram",
     # md5 signature agreement + exact-int jaccard/error divides
     "minhash_calibration",
+    # exact conjunctive match counts against broadcast literal queries
+    "standing_alerts",
+    # rounded-fold cosine ranks + RRF double sums under ANSI
+    "hybrid_rrf",
 ]
 
 
