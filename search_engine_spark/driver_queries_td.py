@@ -7637,6 +7637,312 @@ s1 AS MATERIALIZED (
 SQL_MMR_RERANK = _mmr_sql()
 
 
+# --------------------------------------------------------------------------
+# Query clarity (Cronen-Townsend, Zhou & Croft, SIGIR 2002): the classic
+# query-performance predictor — KL divergence between the relevance model
+# induced by a query's top-k retrieved docs and the corpus language model.
+# High clarity = the query's result set speaks a focused sub-language
+# (likely good retrieval); clarity near 0 = the results look like random
+# corpus text (query will perform poorly). Retrieval leg is the ql_topk
+# Dirichlet-QL scorer extended to a query SET (one grouped plan, not one
+# job per query); the relevance model is P(w|R) = (1/k)·avg of P_ml(w|d)
+# over the top-k docs. Invariant 4 everywhere a float could fold in
+# engine-dependent order: per-doc tf/dl ratios quantize fixed6 into
+# BIGINT sums, so P(w|R) is an exact rational of integers; each KL term
+# p_r·log2(p_r/p_c) is ONE scalar expression of those exact integers
+# quantized fixed6 before the per-query BIGINT sum. Scale shape: the
+# token stream shuffles once to (doc, term); the per-query top-k relation
+# is |Q|·k rows and BROADCASTS back onto the token stream (candidates-
+# first, bounded rejoin — the reference's 2000-candidate over-fetch
+# pattern, `app/api/search_service.py:103-104`).
+# --------------------------------------------------------------------------
+CLARITY_QUERIES = (
+    (1, ("spark", "data")),
+    (2, ("hash", "join", "merge")),
+    (3, ("window",)),
+    (4, ("fast", "slow")),
+)
+CLARITY_K = 10
+
+
+def q_query_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    c_tot = ctf.agg(F.sum("ctf").cast("long").alias("_c"))
+
+    qrel = spark.createDataFrame(
+        [(qid, t) for qid, terms in CLARITY_QUERIES for t in terms],
+        "query_id long, term string",
+    )
+    qlen = {qid: len(terms) for qid, terms in CLARITY_QUERIES}
+    qlen_rel = spark.createDataFrame(
+        list(qlen.items()), "query_id long, q_terms long"
+    )
+
+    # Dirichlet-QL per (query, doc): matched-term sum + |q|·doc base term
+    contrib6 = F.round(
+        F.log(
+            F.lit(1.0)
+            + F.col("tf").cast("double") * F.col("_c")
+            / (F.lit(float(QL_MU)) * F.col("ctf"))
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    matched = (
+        tf.join(F.broadcast(qrel), "term")
+        .join(F.broadcast(ctf.join(F.broadcast(qrel), "term").select("term", "ctf").distinct()), "term")
+        .crossJoin(F.broadcast(c_tot))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib6).cast("long").alias("m6"))
+    )
+    base6 = F.round(
+        F.log(F.lit(float(QL_MU)) / (F.col("dl").cast("double") + QL_MU))
+        * F.lit(1000000.0),
+        0,
+    ).cast("long") * F.col("q_terms")
+    scored = (
+        matched.join(dl, "doc_id")
+        .join(F.broadcast(qlen_rel), "query_id")
+        .select("query_id", "doc_id", (F.col("m6") + base6).alias("score6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score6"), F.asc("doc_id")
+    )
+    topk = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= CLARITY_K)
+        .select("query_id", "doc_id")
+    )
+
+    # relevance model: r6(query, term) = Σ_topk round(1e6 · tf/dl)
+    rm = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(topk), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("tf").cast("double")
+                    / F.col("dl")
+                    * F.lit(1000000.0),
+                    0,
+                ).cast("long")
+            ).cast("long").alias("r6")
+        )
+    )
+    kq = topk.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    p_r = F.col("r6").cast("double") / (F.col("k") * F.lit(1000000.0))
+    p_c = F.col("ctf").cast("double") / F.col("_c")
+    kl6 = F.round(p_r * F.log2(p_r / p_c) * F.lit(1000000.0), 0).cast("long")
+    return (
+        rm.join(F.broadcast(kq), "query_id")
+        .join(ctf, "term")
+        .crossJoin(F.broadcast(c_tot))
+        .groupBy("query_id")
+        .agg(
+            F.max("k").alias("n_topk"),
+            F.count(F.lit(1)).cast("long").alias("rm_vocab"),
+            F.round(F.sum(kl6).cast("long") / F.lit(1000000.0), 6).alias(
+                "clarity"
+            ),
+        )
+        .select("query_id", "n_topk", "rm_vocab", "clarity")
+    )
+
+
+def _clarity_sql() -> str:
+    qrel = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in CLARITY_QUERIES for t in terms
+    )
+    qlen = ", ".join(f"({qid}, {len(terms)})" for qid, terms in CLARITY_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
+c AS (SELECT CAST(sum(ctf) AS BIGINT) AS c FROM ctf),
+qrel(query_id, term) AS (VALUES {qrel}),
+qlen(query_id, q_terms) AS (VALUES {qlen}),
+matched AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(sum(CAST(round(ln(1.0 + CAST(tf.tf AS DOUBLE) * c.c
+                                 / ({QL_MU}.0 * ctf.ctf)) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS m6
+  FROM tf JOIN qrel q USING (term) JOIN ctf USING (term), c
+  GROUP BY q.query_id, tf.doc_id
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         m.m6 + CAST(round(ln({QL_MU}.0 / (CAST(d.dl AS DOUBLE) + {QL_MU}))
+                           * 1000000.0) AS BIGINT) * l.q_terms AS score6
+  FROM matched m JOIN dl d USING (doc_id) JOIN qlen l USING (query_id)
+),
+topk AS (
+  SELECT query_id, doc_id
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score6 DESC, doc_id ASC) <= {CLARITY_K}
+),
+rm AS (
+  SELECT t.query_id, tf.term,
+         CAST(sum(CAST(round(CAST(tf.tf AS DOUBLE) / d.dl * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS r6
+  FROM tf JOIN dl d USING (doc_id) JOIN topk t USING (doc_id)
+  GROUP BY t.query_id, tf.term
+),
+kq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+       FROM topk GROUP BY query_id)
+SELECT rm.query_id,
+       CAST(max(kq.k) AS BIGINT) AS n_topk,
+       CAST(count(*) AS BIGINT) AS rm_vocab,
+       round(CAST(sum(CAST(round(
+           (CAST(rm.r6 AS DOUBLE) / (kq.k * 1000000.0))
+           * log2((CAST(rm.r6 AS DOUBLE) / (kq.k * 1000000.0))
+                  / (CAST(ctf.ctf AS DOUBLE) / c.c))
+           * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0, 6) AS clarity
+FROM rm JOIN kq USING (query_id) JOIN ctf USING (term), c
+GROUP BY rm.query_id
+"""
+
+
+SQL_QUERY_CLARITY = _clarity_sql()
+
+
+# --------------------------------------------------------------------------
+# Impact-tiered index report (static index pruning / champion lists:
+# Ntoulas & Cho, SIGIR 2007; the "fancy lists" in the original Google
+# paper): per term, postings rank by (tf desc, doc_id asc) and split
+# into tiers — tier 0 the top-{TIER_M0} per term, tier 1 the next up to
+# rank {TIER_M1}, tier 2 the tail. The report is the index-sizing audit
+# behind a tiered deployment: how many postings and what share of total
+# term mass each tier captures (tier 0+1 serving most queries from a
+# fraction of the index). All counts are exact BIGINTs; the only floats
+# are two single divides of exact integers rounded 6 (invariant 4 safe —
+# no float accumulation anywhere). The n_terms count uses the two-phase
+# distinct pattern (tier has 3 values — a countDistinct grouped by it
+# would funnel the vocabulary through 3 reducers; invariant 6). Scale
+# note: the per-term row_number window is vocab-partitioned; at web scale
+# a head term's full posting list lands in one partition — production
+# would compute the tier-m0/m1 tf cutoffs via per-term top-m aggregation
+# (bounded heap) instead of a full sort, which this report's semantics
+# permit; at the corpus sizes here the window is the clearer plan.
+# --------------------------------------------------------------------------
+TIER_M0 = 2
+TIER_M1 = 8
+
+
+def q_tiered_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_RUN), F.lit(0)
+                )
+            ).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    tiered = tf.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "tier",
+        F.when(F.col("_rn") <= TIER_M0, F.lit(0))
+        .when(F.col("_rn") <= TIER_M1, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long"),
+    )
+    per_tier = tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum("tf").cast("long").alias("ctf_tier"),
+    )
+    n_terms = (
+        tiered.select("tier", "term")
+        .distinct()
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    )
+    tot = per_tier.agg(F.sum("ctf_tier").cast("long").alias("_t"))
+    w_cum = (
+        Window.orderBy("tier")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_tier.join(n_terms, "tier")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.sum("ctf_tier").over(w_cum).cast("long"))
+        .select(
+            "tier",
+            "n_terms",
+            "n_postings",
+            "ctf_tier",
+            F.round(F.col("ctf_tier").cast("double") / F.col("_t"), 6).alias(
+                "ctf_share"
+            ),
+            F.round(F.col("_cum").cast("double") / F.col("_t"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+SQL_TIERED_INDEX = f"""
+WITH tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+        FROM documents)
+  GROUP BY term, doc_id
+),
+tiered AS (
+  SELECT term, tf,
+         CAST(CASE WHEN rn <= {TIER_M0} THEN 0
+                   WHEN rn <= {TIER_M1} THEN 1
+                   ELSE 2 END AS BIGINT) AS tier
+  FROM (SELECT term, tf,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id ASC) AS rn
+        FROM tf)
+),
+per_tier AS (
+  SELECT tier, CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(sum(tf) AS BIGINT) AS ctf_tier
+  FROM tiered GROUP BY tier
+),
+n_terms AS (
+  SELECT tier, CAST(count(*) AS BIGINT) AS n_terms
+  FROM (SELECT DISTINCT tier, term FROM tiered) GROUP BY tier
+),
+tot AS (SELECT CAST(sum(ctf_tier) AS BIGINT) AS t FROM per_tier)
+SELECT p.tier, n.n_terms, p.n_postings, p.ctf_tier,
+       round(CAST(p.ctf_tier AS DOUBLE) / tot.t, 6) AS ctf_share,
+       round(CAST(sum(p.ctf_tier) OVER (ORDER BY p.tier
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / tot.t, 6) AS cum_share
+FROM per_tier p JOIN n_terms n USING (tier), tot
+ORDER BY p.tier
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -7654,6 +7960,8 @@ QUERIES_TD = {
     "gap_histogram": q_gap_histogram,
     "standing_alerts": q_standing_alerts,
     "hybrid_rrf": q_hybrid_rrf,
+    "query_clarity": q_query_clarity,
+    "tiered_index": q_tiered_index,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -7762,6 +8070,8 @@ ORACLES_TD = {
     "gap_histogram": SQL_GAP_HISTOGRAM,
     "standing_alerts": SQL_STANDING_ALERTS,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "query_clarity": SQL_QUERY_CLARITY,
+    "tiered_index": SQL_TIERED_INDEX,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,

@@ -206,6 +206,8 @@ CONSTRUCTION_JOBS = {
     "minhash_calibration": 1,  # one docs read; sketch + exact share the scan
     "standing_alerts": 1,  # one docs read; stored queries are local relations
     "hybrid_rrf": 2,  # bm25 leg reads documents, dense leg reads embeddings
+    "query_clarity": 1,  # one docs read; query set is a local relation
+    "tiered_index": 1,  # one docs read; tier cutoffs are literals
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -644,6 +646,10 @@ DRIVERLIKE_QUERIES = [
     "standing_alerts",
     # rounded-fold cosine ranks + RRF double sums under ANSI
     "hybrid_rrf",
+    # fixed6 relevance-model sums + KL log2 terms under ANSI
+    "query_clarity",
+    # exact-int tier masses; single rounded divides under ANSI
+    "tiered_index",
 ]
 
 
