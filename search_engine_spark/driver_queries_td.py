@@ -7943,6 +7943,192 @@ ORDER BY p.tier
 """
 
 
+# --------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between language sub-corpus unigram
+# LMs (Lin 1991) — the distribution-shift diagnostic behind data-mixing
+# decisions (complements keyness_llr's one-vs-rest G² and dsir_weights'
+# importance ratios): JS in [0,1] bits, symmetric, finite even where one
+# side's probability is 0. Both distributions are exact rationals of
+# BIGINT ctfs; each per-term contribution 0.5·pa·log2(2pa/(pa+pb)) +
+# 0.5·pb·log2(2pb/(pa+pb)) is ONE scalar double expression quantized
+# fixed9 (JS terms are ~1e-3-scale; 1e9 keeps quantization below
+# reporting precision with sums ≤1e9, no overflow) before the per-pair
+# BIGINT sum (invariant 4). Shape: the token stream shuffles once to the
+# vocab-bounded (lang, term) key; the |langs|² pair relation broadcasts;
+# the pair-term fan-out is |pairs|·vocab — bounded by vocabulary, not
+# corpus size.
+# --------------------------------------------------------------------------
+def q_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pt = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_RUN), F.lit(0)
+                )
+            ).alias("term"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("ctf"))
+    )
+    tot = pt.groupBy("lang").agg(F.sum("ctf").cast("long").alias("c"))
+    a, b = tot.alias("a"), tot.alias("b")
+    pairs = a.join(b, F.col("a.lang") < F.col("b.lang")).select(
+        F.col("a.lang").alias("lang_a"),
+        F.col("b.lang").alias("lang_b"),
+        F.col("a.c").alias("ca"),
+        F.col("b.c").alias("cb"),
+    )
+    ta = pt.join(
+        F.broadcast(pairs.select("lang_a", "lang_b")),
+        pt["lang"] == F.col("lang_a"),
+    ).select("lang_a", "lang_b", "term", F.col("ctf").alias("ctf_a"))
+    tb = pt.join(
+        F.broadcast(pairs.select("lang_a", "lang_b")),
+        pt["lang"] == F.col("lang_b"),
+    ).select("lang_a", "lang_b", "term", F.col("ctf").alias("ctf_b"))
+    full = (
+        ta.join(tb, ["lang_a", "lang_b", "term"], "full_outer")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.coalesce("ctf_a", F.lit(0)).alias("ctf_a"),
+            F.coalesce("ctf_b", F.lit(0)).alias("ctf_b"),
+        )
+        .join(F.broadcast(pairs), ["lang_a", "lang_b"])
+    )
+    pa = F.col("ctf_a").cast("double") / F.col("ca")
+    pb = F.col("ctf_b").cast("double") / F.col("cb")
+    term_a = F.when(
+        F.col("ctf_a") > 0,
+        F.lit(0.5) * pa * F.log2(F.lit(2.0) * pa / (pa + pb)),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("ctf_b") > 0,
+        F.lit(0.5) * pb * F.log2(F.lit(2.0) * pb / (pa + pb)),
+    ).otherwise(F.lit(0.0))
+    js9 = F.round((term_a + term_b) * F.lit(1000000000.0), 0).cast("long")
+    return (
+        full.groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(
+                ((F.col("ctf_a") > 0) & (F.col("ctf_b") > 0)).cast("int")
+            ).cast("long").alias("shared_terms"),
+            F.round(
+                F.sum(js9).cast("long") / F.lit(1000000000.0), 6
+            ).alias("js_div"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+SQL_LANG_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+pt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS ctf
+       FROM toks GROUP BY lang, term),
+tot AS (SELECT lang, CAST(sum(ctf) AS BIGINT) AS c FROM pt GROUP BY lang),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, a.c AS ca, b.c AS cb
+  FROM tot a JOIN tot b ON a.lang < b.lang
+),
+ta AS (SELECT p.lang_a, p.lang_b, t.term, t.ctf AS ctf_a
+       FROM pt t JOIN pairs p ON t.lang = p.lang_a),
+tb AS (SELECT p.lang_a, p.lang_b, t.term, t.ctf AS ctf_b
+       FROM pt t JOIN pairs p ON t.lang = p.lang_b),
+full_t AS (
+  SELECT COALESCE(ta.lang_a, tb.lang_a) AS lang_a,
+         COALESCE(ta.lang_b, tb.lang_b) AS lang_b,
+         COALESCE(ta.ctf_a, 0) AS ctf_a, COALESCE(tb.ctf_b, 0) AS ctf_b
+  FROM ta FULL OUTER JOIN tb
+    ON ta.lang_a = tb.lang_a AND ta.lang_b = tb.lang_b AND ta.term = tb.term
+),
+contrib AS (
+  SELECT f.lang_a, f.lang_b,
+         CAST(ctf_a > 0 AND ctf_b > 0 AS INT) AS shared,
+         CAST(round((
+           CASE WHEN ctf_a > 0 THEN
+             0.5 * (CAST(ctf_a AS DOUBLE) / p.ca)
+                 * log2(2.0 * (CAST(ctf_a AS DOUBLE) / p.ca)
+                        / (CAST(ctf_a AS DOUBLE) / p.ca
+                           + CAST(ctf_b AS DOUBLE) / p.cb))
+           ELSE 0.0 END
+           + CASE WHEN ctf_b > 0 THEN
+             0.5 * (CAST(ctf_b AS DOUBLE) / p.cb)
+                 * log2(2.0 * (CAST(ctf_b AS DOUBLE) / p.cb)
+                        / (CAST(ctf_a AS DOUBLE) / p.ca
+                           + CAST(ctf_b AS DOUBLE) / p.cb))
+           ELSE 0.0 END) * 1000000000.0) AS BIGINT) AS js9
+  FROM full_t f JOIN pairs p USING (lang_a, lang_b)
+)
+SELECT lang_a, lang_b, CAST(sum(shared) AS BIGINT) AS shared_terms,
+       round(CAST(sum(js9) AS BIGINT) / 1000000000.0, 6) AS js_div
+FROM contrib GROUP BY lang_a, lang_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Crawl politeness drain-time audit: the reference crawls each domain at
+# 0.5 requests/s (`app/crawler/worker.py:25-37,52` AsyncLimiter) with the
+# page set sharded across nodes by id (`duplicate_detection.py:46-58`) —
+# so a refresh cycle's wall-clock floor is set by the LARGEST domain, not
+# the corpus size (politeness serializes within a domain; domains run in
+# parallel up to fetch concurrency). Per domain: page count, drain time
+# at the reference rate, corpus share, and whether it sits on the
+# critical path (drain == fleet max). All exact integers; the one divide
+# is a single rounded ratio of exact BIGINTs. This is the planning input
+# behind crawl sharding and recrawl budgeting — at web scale the groupBy
+# key is the domain (hash-partitioned, counts combine map-side) and the
+# fleet max rides in-plan as a broadcast scalar, never a driver collect.
+# --------------------------------------------------------------------------
+CRAWL_SPACING_S = 2  # 1 / requests_per_second=0.5, worker.py:52
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("source")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages")
+    )
+    fleet = per.agg(
+        F.sum("n_pages").cast("long").alias("_t"),
+        F.max("n_pages").cast("long").alias("_mx"),
+    )
+    return (
+        per.crossJoin(F.broadcast(fleet))
+        .select(
+            "source",
+            "n_pages",
+            ((F.col("n_pages") - 1) * CRAWL_SPACING_S).alias("drain_s"),
+            F.round(
+                F.col("n_pages").cast("double") / F.col("_t"), 6
+            ).alias("page_share"),
+            (F.col("n_pages") == F.col("_mx")).alias("critical_path"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY source
+),
+fleet AS (
+  SELECT CAST(sum(n_pages) AS BIGINT) AS t,
+         CAST(max(n_pages) AS BIGINT) AS mx
+  FROM per
+)
+SELECT source, n_pages,
+       (n_pages - 1) * {CRAWL_SPACING_S} AS drain_s,
+       round(CAST(n_pages AS DOUBLE) / fleet.t, 6) AS page_share,
+       n_pages = fleet.mx AS critical_path
+FROM per, fleet
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -7962,6 +8148,8 @@ QUERIES_TD = {
     "hybrid_rrf": q_hybrid_rrf,
     "query_clarity": q_query_clarity,
     "tiered_index": q_tiered_index,
+    "lang_divergence": q_lang_divergence,
+    "crawl_schedule": q_crawl_schedule,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -8072,6 +8260,8 @@ ORACLES_TD = {
     "hybrid_rrf": SQL_HYBRID_RRF,
     "query_clarity": SQL_QUERY_CLARITY,
     "tiered_index": SQL_TIERED_INDEX,
+    "lang_divergence": SQL_LANG_DIVERGENCE,
+    "crawl_schedule": SQL_CRAWL_SCHEDULE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,

@@ -208,6 +208,8 @@ CONSTRUCTION_JOBS = {
     "hybrid_rrf": 2,  # bm25 leg reads documents, dense leg reads embeddings
     "query_clarity": 1,  # one docs read; query set is a local relation
     "tiered_index": 1,  # one docs read; tier cutoffs are literals
+    "lang_divergence": 1,  # one docs read; lang-pair relation derives in-plan
+    "crawl_schedule": 1,  # one docs read; fleet scalars ride in-plan
     # NOT listed (deliberately): pagerank, personalized_pagerank,
     # hits_scores, link_distance, label_propagation,
     # k_core, dedup_components, canonical_docs AND
@@ -650,6 +652,10 @@ DRIVERLIKE_QUERIES = [
     "query_clarity",
     # exact-int tier masses; single rounded divides under ANSI
     "tiered_index",
+    # fixed9 JS-term sums + log2 of exact-rational probabilities under ANSI
+    "lang_divergence",
+    # exact-int drains; single rounded share divide under ANSI
+    "crawl_schedule",
 ]
 
 
