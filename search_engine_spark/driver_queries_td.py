@@ -8129,6 +8129,233 @@ FROM per, fleet
 """
 
 
+# --------------------------------------------------------------------------
+# PageRank convergence curve: per-iteration L1/max rank movement plus the
+# contraction ratio for the first {PR_CONV_ITERS} iterations of the
+# reference-constant recurrence (d=0.85, dangling mass dropped —
+# `app/batch/pagerank.py:6-38`). The reference runs a BLIND fixed-20
+# loop; this report is the instrumentation that justifies (or indicts)
+# that choice — the contraction column exposes the ~d geometric rate, and
+# at web scale it is the input for an early-stop tolerance (the optional
+# `tol` in operators/pagerank.build_document_authority). Invariant 4:
+# per-node |Δrank| quantizes fixed9 into BIGINT L1/max sums (ranks agree
+# across engines to far better than 1e-9 — the pagerank pair proves
+# round-9 identity); the contraction ratio is one divide of exact
+# integers. Iterative like the pagerank pair: each iteration
+# localCheckpoints, so the unioned 8-row report reads checkpointed
+# snapshots, not an exponentially deep plan.
+# --------------------------------------------------------------------------
+PR_CONV_ITERS = 8
+
+
+def q_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, edges = _edges(spark, sf_dir)
+    n = docs.count()
+    base, tel = 1.0 / n, (1.0 - 0.85) / n
+    out_degree = edges.groupBy("source_doc_id").agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    edges_deg = edges.join(out_degree, "source_doc_id").localCheckpoint(
+        eager=True
+    )
+    ranks = docs.select("doc_id", F.lit(base).alias("pr"))
+    d9 = F.round(
+        F.abs(F.col("a.pr") - F.col("b.pr")) * F.lit(1000000000.0), 0
+    ).cast("long")
+    deltas = []
+    for k in range(1, PR_CONV_ITERS + 1):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.source_doc_id == ranks.doc_id)
+            .select(
+                F.col("target_doc_id").alias("dst"),
+                (F.lit(0.85) * F.col("pr") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            docs.join(contribs, docs.doc_id == contribs.dst, "left")
+            .select(
+                "doc_id",
+                (F.lit(tel) + F.coalesce("c", F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        deltas.append(
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "doc_id")
+            .agg(
+                F.sum(d9).cast("long").alias("l1_9"),
+                F.max(d9).cast("long").alias("max_9"),
+            )
+            .select(F.lit(k).cast("long").alias("iter"), "l1_9", "max_9")
+        )
+        ranks = new_ranks
+    res = deltas[0]
+    for d in deltas[1:]:
+        res = res.unionByName(d)
+    w = Window.orderBy("iter")
+    return res.select(
+        "iter",
+        F.round(F.col("l1_9") / F.lit(1000000000.0), 6).alias("l1_delta"),
+        F.round(F.col("max_9") / F.lit(1000000000.0), 6).alias("max_delta"),
+        F.coalesce(
+            F.round(
+                F.col("l1_9").cast("double") / F.lag("l1_9").over(w), 6
+            ),
+            F.lit(0.0),
+        ).alias("contraction"),
+    )
+
+
+SQL_PAGERANK_CONVERGENCE = f"""
+WITH RECURSIVE {_EDGES_CTE},
+outdeg AS (SELECT source_doc_id AS src, count(*)::DOUBLE AS od
+           FROM edges GROUP BY source_doc_id),
+edges_w AS (
+  SELECT e.source_doc_id AS src, e.target_doc_id AS dst, 1.0 / o.od AS w
+  FROM edges e JOIN outdeg o ON o.src = e.source_doc_id
+  UNION ALL
+  SELECT doc_id, doc_id, 0.0 FROM documents
+),
+pr AS (
+  SELECT 0 AS iter, doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, e.dst AS doc_id,
+         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(pr.rank * e.w) AS rank
+  FROM pr JOIN edges_w e ON e.src = pr.doc_id
+  WHERE pr.iter < {PR_CONV_ITERS}
+  GROUP BY pr.iter + 1, e.dst
+),
+deltas AS (
+  SELECT CAST(b.iter AS BIGINT) AS iter,
+         CAST(sum(CAST(round(abs(b.rank - a.rank) * 1000000000.0)
+                       AS BIGINT)) AS BIGINT) AS l1_9,
+         CAST(max(CAST(round(abs(b.rank - a.rank) * 1000000000.0)
+                       AS BIGINT)) AS BIGINT) AS max_9
+  FROM pr a JOIN pr b ON b.doc_id = a.doc_id AND b.iter = a.iter + 1
+  GROUP BY b.iter
+)
+SELECT iter,
+       round(l1_9 / 1000000000.0, 6) AS l1_delta,
+       round(max_9 / 1000000000.0, 6) AS max_delta,
+       coalesce(round(CAST(l1_9 AS DOUBLE)
+                      / lag(l1_9) OVER (ORDER BY iter), 6), 0.0)
+         AS contraction
+FROM deltas
+"""
+
+
+# --------------------------------------------------------------------------
+# Feature-correlation report: exact Pearson r between per-doc feature
+# pairs (token count vs char count vs distinct-type count) — the corpus-
+# diagnostics mainstay behind quality-model feature selection (a feature
+# pair with |r|→1 is redundant; near 0, independent signal). EXACT
+# integer moments: every feature is an exact BIGINT per doc, all six
+# sums (Sx, Sy, Sxx, Syy, Sxy per pair) accumulate in BIGINT (order-free,
+# invariant 4 by omission), and r is ONE final double expression of
+# those exact integers rounded 6. One corpus scan: all three features
+# compute per row, one aggregate row carries every moment, and the three
+# report rows project from it (no per-pair re-scan).
+# --------------------------------------------------------------------------
+def q_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).cast("long").alias("tok"),
+        F.size(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+            )
+        ).cast("long").alias("typ"),
+        F.col("n_chars").cast("long").alias("chr"),
+    )
+    m = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(c).cast("long").alias(f"s_{c}")
+            for c in ("tok", "typ", "chr")
+        ],
+        *[
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"s_{a}{b}")
+            for a, b in (
+                ("tok", "tok"), ("typ", "typ"), ("chr", "chr"),
+                ("tok", "chr"), ("tok", "typ"), ("chr", "typ"),
+            )
+        ],
+    )
+
+    def _r(x: str, y: str) -> Column:
+        num = (
+            F.col("n") * F.col(f"s_{x}{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        ).cast("double")
+        vx = (
+            F.col("n") * F.col(f"s_{x}{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+        ).cast("double")
+        vy = (
+            F.col("n") * F.col(f"s_{y}{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        ).cast("double")
+        return F.round(num / F.sqrt(vx * vy), 6)
+
+    parts = [
+        m.select(
+            F.lit(x).alias("feature_x"),
+            F.lit(y).alias("feature_y"),
+            F.col("n"),
+            _r(x, y).alias("pearson_r"),
+        )
+        for x, y in (("tok", "chr"), ("tok", "typ"), ("chr", "typ"))
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+SQL_FEATURE_CORRELATION = f"""
+WITH feats AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_RUN}'))
+              AS BIGINT) AS tok,
+         CAST(len(list_distinct(regexp_extract_all(lower(text),
+              '{TOKEN_RUN}'))) AS BIGINT) AS typ,
+         CAST(n_chars AS BIGINT) AS chr
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(tok) AS BIGINT) AS s_tok,
+         CAST(sum(typ) AS BIGINT) AS s_typ,
+         CAST(sum(chr) AS BIGINT) AS s_chr,
+         CAST(sum(tok * tok) AS BIGINT) AS s_toktok,
+         CAST(sum(typ * typ) AS BIGINT) AS s_typtyp,
+         CAST(sum(chr * chr) AS BIGINT) AS s_chrchr,
+         CAST(sum(tok * chr) AS BIGINT) AS s_tokchr,
+         CAST(sum(tok * typ) AS BIGINT) AS s_toktyp,
+         CAST(sum(chr * typ) AS BIGINT) AS s_chrtyp
+  FROM feats
+)
+SELECT 'tok' AS feature_x, 'chr' AS feature_y, n,
+       round(CAST(n * s_tokchr - s_tok * s_chr AS DOUBLE)
+             / sqrt(CAST(n * s_toktok - s_tok * s_tok AS DOUBLE)
+                    * CAST(n * s_chrchr - s_chr * s_chr AS DOUBLE)), 6)
+         AS pearson_r
+FROM m
+UNION ALL
+SELECT 'tok', 'typ', n,
+       round(CAST(n * s_toktyp - s_tok * s_typ AS DOUBLE)
+             / sqrt(CAST(n * s_toktok - s_tok * s_tok AS DOUBLE)
+                    * CAST(n * s_typtyp - s_typ * s_typ AS DOUBLE)), 6)
+FROM m
+UNION ALL
+SELECT 'chr', 'typ', n,
+       round(CAST(n * s_chrtyp - s_chr * s_typ AS DOUBLE)
+             / sqrt(CAST(n * s_chrchr - s_chr * s_chr AS DOUBLE)
+                    * CAST(n * s_typtyp - s_typ * s_typ AS DOUBLE)), 6)
+FROM m
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -8150,6 +8377,8 @@ QUERIES_TD = {
     "tiered_index": q_tiered_index,
     "lang_divergence": q_lang_divergence,
     "crawl_schedule": q_crawl_schedule,
+    "pagerank_convergence": q_pagerank_convergence,
+    "feature_correlation": q_feature_correlation,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -8262,6 +8491,8 @@ ORACLES_TD = {
     "tiered_index": SQL_TIERED_INDEX,
     "lang_divergence": SQL_LANG_DIVERGENCE,
     "crawl_schedule": SQL_CRAWL_SCHEDULE,
+    "pagerank_convergence": SQL_PAGERANK_CONVERGENCE,
+    "feature_correlation": SQL_FEATURE_CORRELATION,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
