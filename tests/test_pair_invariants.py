@@ -656,6 +656,11 @@ DRIVERLIKE_QUERIES = [
     "lang_divergence",
     # exact-int drains; single rounded share divide under ANSI
     "crawl_schedule",
+    # fixed9 |Δrank| BIGINT sums per checkpointed iteration + one
+    # double contraction divide rounded 6 under ANSI + 200 partitions
+    "pagerank_convergence",
+    # pure-BIGINT power sums -> one Pearson sqrt expression under ANSI
+    "feature_correlation",
 ]
 
 
