@@ -8356,6 +8356,250 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004) in the exact-integer
+# fixed-point formulation the hits_scores pair established: candidate
+# words (length >= 4, the POS-filter proxy) form an undirected
+# co-occurrence graph over window-2 adjacency in the FILTERED token
+# sequence; ranks then follow the unnormalized TextRank recurrence
+# r' = 0.15 + 0.85 * sum(r_u / deg_u) with every quantity held in BIGINT
+# micro-units: the per-neighbor message is r_u div deg_u (integer floor)
+# and the damping mix is (15*UNIT + 85*sum) div 100 — order-free and
+# bit-identical across engines (invariant 4 by omission; the floor drops
+# sub-micro mass, documented as the fixed-point variant). The reference
+# scores documents, never terms (`app/search/engine.py` weights fields) —
+# this is the keyword-side companion an indexer runs at ingest. Graph
+# size is VOCABULARY-bounded, not corpus-bounded: at web scale the
+# co-occurrence graph contracts a trillion-token stream to |V| nodes in
+# one map-side-combined aggregation, and the 10 iterations run on that
+# contracted graph alone. Each iteration localCheckpoints (pagerank's
+# lineage discipline).
+# --------------------------------------------------------------------------
+TR_TOKEN = "[a-z0-9]{4,}"
+TR_ITERS = 10
+TR_UNIT = 1_000_000
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower(text), '{TR_TOKEN}', 0)")
+        ).alias("pos", "w"),
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.lag("w").over(wnd).alias("pa"), F.col("w").alias("pb")
+    ).filter(F.col("pa").isNotNull() & (F.col("pa") != F.col("pb")))
+    edges = (
+        pairs.select(
+            F.least("pa", "pb").alias("ea"), F.greatest("pa", "pb").alias("eb")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    both = edges.unionByName(
+        edges.select(F.col("eb").alias("ea"), F.col("ea").alias("eb"))
+    )
+    deg = both.groupBy("ea").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    msgs = both.join(deg, "ea").localCheckpoint(eager=True)
+    ranks = deg.select(
+        F.col("ea").alias("w"), F.lit(TR_UNIT).cast("long").alias("r")
+    )
+    for _ in range(TR_ITERS):
+        ranks = (
+            msgs.join(ranks, msgs.ea == ranks.w)
+            .select(F.col("eb").alias("w"), F.expr("r div deg").alias("m"))
+            .groupBy("w")
+            .agg(
+                F.expr(f"({15 * TR_UNIT} + 85 * sum(m)) div 100")
+                .cast("long")
+                .alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(deg, ranks.w == deg.ea).select(
+        F.col("w").alias("word"),
+        F.col("deg").alias("degree"),
+        F.round(F.col("r") / F.lit(1000000.0), 6).alias("textrank"),
+    )
+
+
+SQL_TEXTRANK_KEYWORDS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TR_TOKEN}')) AS w,
+         generate_subscripts(regexp_extract_all(lower(text), '{TR_TOKEN}'), 1)
+           AS pos
+  FROM documents
+),
+adj AS (
+  SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pa, w AS pb
+  FROM toks
+),
+wedges AS (
+  SELECT DISTINCT least(pa, pb) AS ea, greatest(pa, pb) AS eb
+  FROM adj WHERE pa IS NOT NULL AND pa <> pb
+),
+bidir AS (SELECT ea, eb FROM wedges UNION ALL SELECT eb, ea FROM wedges),
+deg AS (SELECT ea, CAST(count(*) AS BIGINT) AS deg FROM bidir GROUP BY ea),
+msgs AS (SELECT b.ea AS frm, b.eb AS dst, d.deg
+         FROM bidir b JOIN deg d ON d.ea = b.ea),
+tr AS (
+  SELECT 0 AS iter, ea AS w, CAST({TR_UNIT} AS BIGINT) AS r FROM deg
+  UNION ALL
+  SELECT tr.iter + 1, m.dst AS w,
+         CAST(({15 * TR_UNIT} + 85 * sum(tr.r // m.deg)) // 100
+              AS BIGINT) AS r
+  FROM tr JOIN msgs m ON m.frm = tr.w
+  WHERE tr.iter < {TR_ITERS}
+  GROUP BY tr.iter + 1, m.dst
+)
+SELECT tr.w AS word, d.deg AS degree,
+       round(tr.r / 1000000.0, 6) AS textrank
+FROM tr JOIN deg d ON d.ea = tr.w
+WHERE tr.iter = {TR_ITERS}
+"""
+
+
+# --------------------------------------------------------------------------
+# Host-level authority: contract the synthetic page link graph to the
+# source/domain level (edge weight = page-link multiplicity, host
+# self-loops dropped) and run the reference-constant recurrence (d=0.85,
+# `app/batch/pagerank.py:6-38`) on the CONTRACTED graph in the same
+# exact-integer fixed-point form as textrank_keywords — the weighted
+# message is (r_u * w_uv) div out_w_u. This is the standard web-scale
+# move: host aggregation shrinks a trillion-edge page graph by orders of
+# magnitude in ONE map-side-combined aggregation (uniform doc_id join
+# keys), after which the 10 iterations touch only |hosts| rows. Outputs
+# per host: page count, weighted in/out degree, fixed-point rank — all
+# BIGINT except the one final /UNIT divide.
+# --------------------------------------------------------------------------
+HOST_ITERS = 10
+
+
+def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    _, edges = _edges(spark, sf_dir)
+    hedges = (
+        edges.join(
+            docs.select(
+                F.col("doc_id").alias("source_doc_id"),
+                F.col("source").alias("src_host"),
+            ),
+            "source_doc_id",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("target_doc_id"),
+                F.col("source").alias("dst_host"),
+            ),
+            "target_doc_id",
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    hosts = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages")
+    )
+    outw = hedges.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("w").alias("out_w")
+    )
+    inw = hedges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("w").alias("in_w")
+    )
+    # zero-weight self message keeps every host present per iteration
+    # (out_w=1 is a safe divisor: the numerator is 0 by construction)
+    msgs = hedges.join(
+        outw, hedges.src_host == outw.host
+    ).select("src_host", "dst_host", "w", "out_w").unionByName(
+        hosts.select(
+            F.col("host").alias("src_host"),
+            F.col("host").alias("dst_host"),
+            F.lit(0).cast("long").alias("w"),
+            F.lit(1).cast("long").alias("out_w"),
+        )
+    ).localCheckpoint(eager=True)
+    ranks = hosts.select(
+        "host", F.lit(TR_UNIT).cast("long").alias("r")
+    )
+    for _ in range(HOST_ITERS):
+        ranks = (
+            msgs.join(ranks, msgs.src_host == ranks.host)
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(r * w) div out_w").alias("m"),
+            )
+            .groupBy("host")
+            .agg(
+                F.expr(f"({15 * TR_UNIT} + 85 * sum(m)) div 100")
+                .cast("long")
+                .alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(hosts, "host")
+        .join(outw, "host", "left")
+        .join(inw, "host", "left")
+        .select(
+            "host",
+            "n_pages",
+            F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+            F.round(F.col("r") / F.lit(1000000.0), 6).alias("authority"),
+        )
+    )
+
+
+SQL_HOST_AUTHORITY = f"""
+WITH RECURSIVE {_EDGES_CTE},
+hedges AS (
+  SELECT ds.source AS src_host, dt.source AS dst_host,
+         CAST(count(*) AS BIGINT) AS w
+  FROM edges e
+  JOIN documents ds ON ds.doc_id = e.source_doc_id
+  JOIN documents dt ON dt.doc_id = e.target_doc_id
+  WHERE ds.source <> dt.source
+  GROUP BY ds.source, dt.source
+),
+hosts AS (SELECT source AS host, CAST(count(*) AS BIGINT) AS n_pages
+          FROM documents GROUP BY source),
+outw AS (SELECT src_host AS host, CAST(sum(w) AS BIGINT) AS out_w
+         FROM hedges GROUP BY src_host),
+inw AS (SELECT dst_host AS host, CAST(sum(w) AS BIGINT) AS in_w
+        FROM hedges GROUP BY dst_host),
+msgs AS (
+  SELECT h.src_host, h.dst_host, h.w, o.out_w
+  FROM hedges h JOIN outw o ON o.host = h.src_host
+  UNION ALL
+  SELECT host, host, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM hosts
+),
+hr AS (
+  SELECT 0 AS iter, host, CAST({TR_UNIT} AS BIGINT) AS r FROM hosts
+  UNION ALL
+  SELECT hr.iter + 1, m.dst_host AS host,
+         CAST(({15 * TR_UNIT} + 85 * sum((hr.r * m.w) // m.out_w)) // 100
+              AS BIGINT) AS r
+  FROM hr JOIN msgs m ON m.src_host = hr.host
+  WHERE hr.iter < {HOST_ITERS}
+  GROUP BY hr.iter + 1, m.dst_host
+)
+SELECT hr.host, h.n_pages,
+       CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+       CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_w,
+       round(hr.r / 1000000.0, 6) AS authority
+FROM hr
+JOIN hosts h ON h.host = hr.host
+LEFT JOIN outw o ON o.host = hr.host
+LEFT JOIN inw i ON i.host = hr.host
+WHERE hr.iter = {HOST_ITERS}
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -8379,6 +8623,8 @@ QUERIES_TD = {
     "crawl_schedule": q_crawl_schedule,
     "pagerank_convergence": q_pagerank_convergence,
     "feature_correlation": q_feature_correlation,
+    "textrank_keywords": q_textrank_keywords,
+    "host_authority": q_host_authority,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -8493,6 +8739,8 @@ ORACLES_TD = {
     "crawl_schedule": SQL_CRAWL_SCHEDULE,
     "pagerank_convergence": SQL_PAGERANK_CONVERGENCE,
     "feature_correlation": SQL_FEATURE_CORRELATION,
+    "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
+    "host_authority": SQL_HOST_AUTHORITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,

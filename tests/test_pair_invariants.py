@@ -661,6 +661,13 @@ DRIVERLIKE_QUERIES = [
     "pagerank_convergence",
     # pure-BIGINT power sums -> one Pearson sqrt expression under ANSI
     "feature_correlation",
+    # fixed-point integer TextRank: div-floor messages + damping mix
+    # under ANSI (an overflow would raise, never wrap), window-lag
+    # adjacency under 200 shuffle partitions
+    "textrank_keywords",
+    # host-contracted weighted fixed-point recurrence, uniform-key
+    # contraction joins under ANSI + 200 partitions
+    "host_authority",
 ]
 
 
