@@ -8600,6 +8600,193 @@ WHERE hr.iter = {HOST_ITERS}
 """
 
 
+# --------------------------------------------------------------------------
+# Posting-gap codec comparison: total coded size of the corpus's doc-id
+# gap stream under byte-aligned varint (the shipped codec — `codec.py`,
+# paired in postings_bytes), Elias gamma, and Elias delta — the
+# codec-choice audit that turns gap_histogram's distribution into
+# bytes-on-disk. Every formula is a pure-integer function of
+# L = length(bin(gap)) = floor(log2 gap)+1 (the gap_histogram trick):
+# varint bytes = ((L-1) div 7)+1, gamma bits = 2L-1, delta bits =
+# (L-1) + 2*length(bin(L))-1. First posting encodes doc_id+1 (prev = -1)
+# so every gap >= 1 and the totals cover whole lists. One distinct +
+# one per-term window + one aggregate; reported per scheme.
+# --------------------------------------------------------------------------
+def q_codec_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = td.select(
+        (
+            F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        ).alias("g")
+    ).select(F.length(F.bin("g")).cast("long").alias("bl"))
+    m = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("8 * (((bl - 1) div 7) + 1)")).cast("long").alias("vb"),
+        F.sum(F.expr("2 * bl - 1")).cast("long").alias("gb"),
+        F.sum(
+            F.expr("(bl - 1) + 2 * length(bin(bl)) - 1")
+        ).cast("long").alias("db"),
+    )
+    parts = [
+        m.select(
+            F.lit(s).alias("scheme"),
+            F.col("n").alias("n_postings"),
+            F.col(c).alias("total_bits"),
+            F.round(F.col(c) / F.col("n"), 6).alias("bits_per_posting"),
+        )
+        for s, c in (("varint", "vb"), ("gamma", "gb"), ("delta", "db"))
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+SQL_CODEC_COMPARE = f"""
+WITH td AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  )
+),
+gaps AS (
+  SELECT CAST(length(bin(
+           doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                               ORDER BY doc_id), -1)
+         )) AS BIGINT) AS bl
+  FROM td
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(8 * (((bl - 1) // 7) + 1)) AS BIGINT) AS vb,
+         CAST(sum(2 * bl - 1) AS BIGINT) AS gb,
+         CAST(sum((bl - 1) + 2 * length(bin(bl)) - 1) AS BIGINT) AS db
+  FROM gaps
+)
+SELECT 'varint' AS scheme, n AS n_postings, vb AS total_bits,
+       round(vb / n, 6) AS bits_per_posting FROM m
+UNION ALL
+SELECT 'gamma', n, gb, round(gb / n, 6) FROM m
+UNION ALL
+SELECT 'delta', n, db, round(db / n, 6) FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Term-dictionary front-coding audit (the Lucene/stdlib block prefix
+# compression every fulltext index applies to its sorted term
+# dictionary): for block sizes 8/16/64, the coded size when each block
+# restart stores the full term (1 length byte) and every other term
+# stores (lcp byte, suffix-length byte, suffix). LCP with the
+# lexicographic predecessor is computed as the COUNT of equal prefixes
+# (prefix-match is monotone, so the count IS the longest match) — a
+# bounded per-term expression, no UDF. The vocabulary relation is
+# aggregated FIRST, so the global-order window ranks |V| rows, not the
+# token stream (the length_quantiles single-partition precedent:
+# vocabulary-bounded by construction).
+# --------------------------------------------------------------------------
+FC_BLOCKS = (8, 16, 64)
+
+_LCP_SPARK = (
+    "CASE WHEN prev IS NULL THEN 0 ELSE size(filter("
+    "sequence(1, least(length(prev), length(term))),"
+    " i -> substring(prev, 1, i) = substring(term, 1, i))) END"
+)
+
+
+def q_dict_frontcoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term")
+    ).distinct()
+    w = Window.orderBy("term")
+    coded = vocab.select(
+        "term",
+        F.lag("term").over(w).alias("prev"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    ).select(
+        "rn",
+        F.length("term").cast("long").alias("len"),
+        F.expr(_LCP_SPARK).cast("long").alias("lcp"),
+    )
+    parts = []
+    for b in FC_BLOCKS:
+        parts.append(
+            coded.agg(
+                F.lit(b).cast("long").alias("block_size"),
+                F.count(F.lit(1)).cast("long").alias("n_terms"),
+                F.sum(F.expr("1 + len")).cast("long").alias("raw_bytes"),
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN rn % {b} = 0 THEN 1 + len"
+                        " ELSE 2 + len - lcp END"
+                    )
+                ).cast("long").alias("fc_bytes"),
+            ).select(
+                "block_size",
+                "n_terms",
+                "raw_bytes",
+                "fc_bytes",
+                F.round(F.col("fc_bytes") / F.col("raw_bytes"), 6).alias(
+                    "size_ratio"
+                ),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def _frontcoding_sql() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS BIGINT) AS block_size,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(1 + len) AS BIGINT) AS raw_bytes,
+       CAST(sum(CASE WHEN rn % {b} = 0 THEN 1 + len
+                     ELSE 2 + len - lcp END) AS BIGINT) AS fc_bytes,
+       round(sum(CASE WHEN rn % {b} = 0 THEN 1 + len
+                      ELSE 2 + len - lcp END)
+             / sum(1 + len), 6) AS size_ratio
+FROM coded"""
+        for b in FC_BLOCKS
+    )
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}'))
+         AS term
+  FROM documents
+),
+ordered AS (
+  SELECT term, lag(term) OVER (ORDER BY term) AS prev,
+         row_number() OVER (ORDER BY term) - 1 AS rn
+  FROM vocab
+),
+coded AS (
+  SELECT rn, CAST(length(term) AS BIGINT) AS len,
+         CAST(CASE WHEN prev IS NULL THEN 0 ELSE len(list_filter(
+           range(1, least(length(prev), length(term)) + 1),
+           i -> substr(prev, 1, i) = substr(term, 1, i))) END
+         AS BIGINT) AS lcp
+  FROM ordered
+)
+{branches}
+"""
+
+
+SQL_DICT_FRONTCODING = _frontcoding_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -8625,6 +8812,8 @@ QUERIES_TD = {
     "feature_correlation": q_feature_correlation,
     "textrank_keywords": q_textrank_keywords,
     "host_authority": q_host_authority,
+    "codec_compare": q_codec_compare,
+    "dict_frontcoding": q_dict_frontcoding,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -8741,6 +8930,8 @@ ORACLES_TD = {
     "feature_correlation": SQL_FEATURE_CORRELATION,
     "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "host_authority": SQL_HOST_AUTHORITY,
+    "codec_compare": SQL_CODEC_COMPARE,
+    "dict_frontcoding": SQL_DICT_FRONTCODING,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,

@@ -668,6 +668,12 @@ DRIVERLIKE_QUERIES = [
     # host-contracted weighted fixed-point recurrence, uniform-key
     # contraction joins under ANSI + 200 partitions
     "host_authority",
+    # pure-integer bin-length codec formulas + per-term lag windows
+    # under ANSI + 200 shuffle partitions
+    "codec_compare",
+    # vocabulary-bounded global window + monotone prefix-count LCP
+    # expression under ANSI
+    "dict_frontcoding",
 ]
 
 
