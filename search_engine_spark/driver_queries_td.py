@@ -8787,6 +8787,225 @@ coded AS (
 SQL_DICT_FRONTCODING = _frontcoding_sql()
 
 
+# --------------------------------------------------------------------------
+# Consistent-hashing rebalance audit (Karger et al. 1997): when the doc
+# store grows 16 -> 17 shards, what fraction of keys move under naive
+# mod-N placement vs a 16-vnode hash ring? The classic result — mod
+# reshuffles ~N/(N+1) of all keys, the ring moves ~1/(N+1) — is the
+# reason term_bucket-style mod layouts (invariant 7) need full rebuilds
+# while a ring grows incrementally. Hashes are the repo's md5 hex-prefix
+# ints (invariant 2: bit-identical in DuckDB). Ring ownership: smallest
+# token >= key, wrapping to the global min — ONE row_number pick over
+# (wrap-priority, token, shard) on a broadcast-token cross join, so the
+# per-key fan-out is bounded by the constant token count at any corpus
+# size.
+# --------------------------------------------------------------------------
+RING_SHARDS = 16
+RING_VNODES = 16
+
+
+def _hash32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _ring_owner(keys: DataFrame, tokens: DataFrame) -> DataFrame:
+    """keys(doc_id, kh) x tokens(tok, shard) -> (doc_id, shard)."""
+    cand = keys.crossJoin(F.broadcast(tokens)).select(
+        "doc_id",
+        F.when(F.col("tok") >= F.col("kh"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("pri"),
+        "tok",
+        "shard",
+    )
+    w = Window.partitionBy("doc_id").orderBy("pri", "tok", "shard")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "shard")
+    )
+
+
+def _ring_tokens(spark: SparkSession, n_shards: int) -> DataFrame:
+    grid = spark.createDataFrame(
+        [(s, v) for s in range(n_shards) for v in range(RING_VNODES)],
+        "shard: long, vnode: long",
+    )
+    return grid.select(
+        _hash32(
+            F.concat(
+                F.lit("shard:"),
+                F.col("shard").cast("string"),
+                F.lit(":"),
+                F.col("vnode").cast("string"),
+            )
+        ).alias("tok"),
+        "shard",
+    )
+
+
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id",
+        _hash32(F.concat(F.lit("key:"), F.col("doc_id").cast("string"))).alias(
+            "kh"
+        ),
+    ).localCheckpoint(eager=True)
+    n, n2 = RING_SHARDS, RING_SHARDS + 1
+    mod_moved = keys.select(
+        (F.pmod(F.col("kh"), F.lit(n)) != F.pmod(F.col("kh"), F.lit(n2)))
+        .cast("long")
+        .alias("mv")
+    )
+    old = _ring_owner(keys, _ring_tokens(spark, n))
+    new = _ring_owner(keys, _ring_tokens(spark, n2)).withColumnRenamed(
+        "shard", "shard2"
+    )
+    ring_moved = old.join(new, "doc_id").select(
+        (F.col("shard") != F.col("shard2")).cast("long").alias("mv")
+    )
+    parts = [
+        df.agg(
+            F.lit(s).alias("scheme"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("mv").cast("long").alias("n_moved"),
+        ).select(
+            "scheme",
+            "n_keys",
+            "n_moved",
+            F.round(F.col("n_moved") / F.col("n_keys"), 6).alias(
+                "moved_fraction"
+            ),
+        )
+        for s, df in (("mod", mod_moved), ("ring", ring_moved))
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _ring_sql() -> str:
+    n, n2 = RING_SHARDS, RING_SHARDS + 1
+
+    def owner(cte: str, n_shards: int) -> str:
+        return f"""{cte} AS (
+  SELECT doc_id, shard FROM (
+    SELECT k.doc_id,
+           CASE WHEN t.tok >= k.kh THEN 0 ELSE 1 END AS pri,
+           t.tok, t.shard,
+           row_number() OVER (
+             PARTITION BY k.doc_id
+             ORDER BY CASE WHEN t.tok >= k.kh THEN 0 ELSE 1 END,
+                      t.tok, t.shard) AS rn
+    FROM keys k, (
+      SELECT CAST('0x' || substr(md5('shard:' || CAST(s AS VARCHAR) || ':'
+                                     || CAST(v AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS tok,
+             CAST(s AS BIGINT) AS shard
+      FROM range(0, {n_shards}) AS rs(s), range(0, {RING_VNODES}) AS rv(v)
+    ) t
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH keys AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('key:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS kh
+  FROM documents
+),
+{owner("own_old", n)},
+{owner("own_new", n2)}
+SELECT 'mod' AS scheme, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN kh % {n} <> kh % {n2} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved,
+       round(sum(CASE WHEN kh % {n} <> kh % {n2} THEN 1 ELSE 0 END)
+             / count(*), 6) AS moved_fraction
+FROM keys
+UNION ALL
+SELECT 'ring', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.shard <> nw.shard THEN 1 ELSE 0 END) AS BIGINT),
+       round(sum(CASE WHEN o.shard <> nw.shard THEN 1 ELSE 0 END)
+             / count(*), 6)
+FROM own_old o JOIN own_new nw USING (doc_id)
+"""
+
+
+SQL_SHARD_REBALANCE = _ring_sql()
+
+
+# --------------------------------------------------------------------------
+# Query-result cache hit-rate model: treating the corpus token stream as
+# the Zipf query log (each occurrence = one query), the steady-state
+# hit rate of a static top-c cache (the LFU fixed point) for capacities
+# 1/2/4/8/16 — hits = occurrences of the top-c queries minus their c
+# compulsory misses. The ranking is the aggregated-vocabulary window
+# (ctf desc, term asc — next_word's discipline); the grand total rides
+# in-plan. All BIGINT until the one final rate divide.
+# --------------------------------------------------------------------------
+CACHE_CAPS = (1, 2, 4, 8, 16)
+
+
+def q_query_cache_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term")
+    )
+    ctf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    w = Window.orderBy(F.desc("ctf"), F.asc("term"))
+    ranked = ctf.withColumn("rk", F.row_number().over(w))
+    total = toks.agg(F.sum(F.lit(1)).cast("long").alias("_t"))
+    parts = [
+        ranked.filter(F.col("rk") <= c)
+        .agg(
+            F.lit(c).cast("long").alias("capacity"),
+            F.count(F.lit(1)).cast("long").alias("n_cached_terms"),
+            (F.sum("ctf") - F.count(F.lit(1))).cast("long").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "capacity",
+            "n_cached_terms",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("_t"), 6).alias("hit_rate"),
+        )
+        for c in CACHE_CAPS
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def _cache_sql() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT CAST({c} AS BIGINT) AS capacity,
+       CAST(count(*) AS BIGINT) AS n_cached_terms,
+       CAST(sum(ctf) - count(*) AS BIGINT) AS n_hits,
+       round((sum(ctf) - count(*)) / (SELECT t FROM tot), 6) AS hit_rate
+FROM ranked WHERE rk <= {c}"""
+        for c in CACHE_CAPS
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+ctfs AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM toks GROUP BY term),
+ranked AS (
+  SELECT term, ctf,
+         row_number() OVER (ORDER BY ctf DESC, term) AS rk
+  FROM ctfs
+),
+tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t FROM ctfs)
+{branches}
+"""
+
+
+SQL_QUERY_CACHE_MODEL = _cache_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -8814,6 +9033,8 @@ QUERIES_TD = {
     "host_authority": q_host_authority,
     "codec_compare": q_codec_compare,
     "dict_frontcoding": q_dict_frontcoding,
+    "shard_rebalance": q_shard_rebalance,
+    "query_cache_model": q_query_cache_model,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -8932,6 +9153,8 @@ ORACLES_TD = {
     "host_authority": SQL_HOST_AUTHORITY,
     "codec_compare": SQL_CODEC_COMPARE,
     "dict_frontcoding": SQL_DICT_FRONTCODING,
+    "shard_rebalance": SQL_SHARD_REBALANCE,
+    "query_cache_model": SQL_QUERY_CACHE_MODEL,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,

@@ -674,6 +674,11 @@ DRIVERLIKE_QUERIES = [
     # vocabulary-bounded global window + monotone prefix-count LCP
     # expression under ANSI
     "dict_frontcoding",
+    # md5 hex-prefix hash ints (invariant 2) + wrap-priority row_number
+    # ring pick over a broadcast token cross join under 200 partitions
+    "shard_rebalance",
+    # aggregated-vocab LFU ranking + in-plan grand total, one rate divide
+    "query_cache_model",
 ]
 
 
