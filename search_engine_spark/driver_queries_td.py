@@ -9006,6 +9006,234 @@ tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t FROM ctfs)
 SQL_QUERY_CACHE_MODEL = _cache_sql()
 
 
+# --------------------------------------------------------------------------
+# Term-association matrix (Salton/Ochiai): for term pairs co-occurring at
+# the DOCUMENT level, the incidence-vector cosine cooc/sqrt(df_a*df_b) —
+# the thesaurus-construction statistic behind classical query expansion
+# (vs bigram_pmi's ADJACENCY association and selectivity_estimates'
+# independence audit). Pair generation follows the market_basket
+# discipline: per-doc distinct-term self-join, fan-out bounded by doc
+# vocabulary (never df²); cooc/df are exact BIGINTs, the cosine is ONE
+# sqrt+divide on identical integers in both engines (invariant 4 —
+# IEEE-pure, no accumulation), ranking on the rounded value with a full
+# lexicographic tiebreak. Top-30.
+# --------------------------------------------------------------------------
+ASSOC_TOP = 30
+
+
+def q_term_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    td = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    ).distinct()
+    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = td.select("doc_id", F.col("term").alias("term_a"))
+    b = td.select("doc_id", F.col("term").alias("term_b"))
+    cooc = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+    )
+    dfa = dfreq.select(
+        F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    dfb = dfreq.select(
+        F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    return (
+        cooc.join(F.broadcast(dfa), "term_a")
+        .join(F.broadcast(dfb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "cooc",
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.round(
+                F.col("cooc")
+                / F.sqrt((F.col("df_a") * F.col("df_b")).cast("double")),
+                6,
+            ).alias("ochiai"),
+        )
+        .orderBy(F.desc("ochiai"), "term_a", "term_b")
+        .limit(ASSOC_TOP)
+    )
+
+
+SQL_TERM_ASSOCIATION = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  )
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY term),
+cooc AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(count(*) AS BIGINT) AS cooc
+  FROM td a JOIN td b ON b.doc_id = a.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT term_a, term_b, cooc, fa.df AS df_a, fb.df AS df_b,
+       round(cooc / sqrt(CAST(fa.df * fb.df AS DOUBLE)), 6) AS ochiai
+FROM cooc
+JOIN dfreq fa ON fa.term = term_a
+JOIN dfreq fb ON fb.term = term_b
+ORDER BY ochiai DESC, term_a, term_b
+LIMIT {ASSOC_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# k-truss edge support: per-edge triangle count over the undirected
+# _TRI_GENS graph (the edge-level companion to triangle_counts' node
+# view and k_core's peeling), reported as the support histogram with the
+# descending cumulative edge count — cum_edges_ge(s) is exactly the edge
+# set a (s+2)-truss peel would START from, the sizing input for
+# community-detection passes. Triangles enumerate once via the same
+# degree-ordered orientation as triangle_counts (each triangle
+# materializes exactly once; fan-out bounded by oriented out-degree);
+# each contributes its three canonical (least,greatest) edges to one
+# union + groupBy. All BIGINT; the cumulative window runs over the
+# support LEVELS (bounded), not the edges.
+# --------------------------------------------------------------------------
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    und = (
+        edges.select(
+            F.least("source_doc_id", "target_doc_id").alias("ua"),
+            F.greatest("source_doc_id", "target_doc_id").alias("ub"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("ua").alias("v"))
+        .unionByName(und.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("ub"), F.col("d").alias("db"))
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ua") < F.col("ub"))
+    )
+    o = (
+        und.join(da, "ua")
+        .join(db, "ub")
+        .select(
+            F.when(lower, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+            F.when(lower, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+            F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x, y, z = o.alias("x"), o.alias("y"), o.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("y.src") == F.col("x.src"))
+            & (
+                (F.col("x.dd") < F.col("y.dd"))
+                | (
+                    (F.col("x.dd") == F.col("y.dd"))
+                    & (F.col("x.dst") < F.col("y.dst"))
+                )
+            ),
+        )
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst"))
+            & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .select(
+            F.col("x.src").alias("u"),
+            F.col("x.dst").alias("v"),
+            F.col("y.dst").alias("w"),
+        )
+    )
+    erefs = (
+        tri.select(F.least("u", "v").alias("ea"), F.greatest("u", "v").alias("eb"))
+        .unionByName(
+            tri.select(
+                F.least("u", "w").alias("ea"), F.greatest("u", "w").alias("eb")
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.least("v", "w").alias("ea"), F.greatest("v", "w").alias("eb")
+            )
+        )
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    per_edge = und.join(
+        erefs, (und.ua == erefs.ea) & (und.ub == erefs.eb), "left"
+    ).select(F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+    hist = per_edge.groupBy("support").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    w = Window.orderBy(F.desc("support")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "support",
+        "n_edges",
+        F.sum("n_edges").over(w).cast("long").alias("cum_edges_ge"),
+    )
+
+
+SQL_EDGE_SUPPORT = f"""
+WITH {_edges_cte(_TRI_GENS)},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS ua,
+                  greatest(source_doc_id, target_doc_id) AS ub
+  FROM edges
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT ua AS v FROM und UNION ALL SELECT ub FROM und
+  ) GROUP BY v
+),
+o AS (
+  SELECT CASE WHEN (da.d, u.ua) < (db.d, u.ub) THEN u.ua ELSE u.ub END AS src,
+         CASE WHEN (da.d, u.ua) < (db.d, u.ub) THEN u.ub ELSE u.ua END AS dst,
+         CASE WHEN (da.d, u.ua) < (db.d, u.ub) THEN db.d ELSE da.d END AS dd
+  FROM und u JOIN deg da ON da.v = u.ua JOIN deg db ON db.v = u.ub
+),
+tri AS (
+  SELECT x.src AS u, x.dst AS v, y.dst AS w
+  FROM o x JOIN o y ON y.src = x.src AND ((x.dd, x.dst) < (y.dd, y.dst))
+  JOIN o z ON z.src = x.dst AND z.dst = y.dst
+),
+erefs AS (
+  SELECT ea, eb, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT least(u, v) AS ea, greatest(u, v) AS eb FROM tri
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri
+  ) GROUP BY ea, eb
+),
+per_edge AS (
+  SELECT CAST(COALESCE(e.support, 0) AS BIGINT) AS support
+  FROM und u LEFT JOIN erefs e ON e.ea = u.ua AND e.eb = u.ub
+),
+hist AS (
+  SELECT support, CAST(count(*) AS BIGINT) AS n_edges
+  FROM per_edge GROUP BY support
+)
+SELECT support, n_edges,
+       CAST(sum(n_edges) OVER (ORDER BY support DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_edges_ge
+FROM hist
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -9035,6 +9263,8 @@ QUERIES_TD = {
     "dict_frontcoding": q_dict_frontcoding,
     "shard_rebalance": q_shard_rebalance,
     "query_cache_model": q_query_cache_model,
+    "term_association": q_term_association,
+    "edge_support": q_edge_support,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -9155,6 +9385,8 @@ ORACLES_TD = {
     "dict_frontcoding": SQL_DICT_FRONTCODING,
     "shard_rebalance": SQL_SHARD_REBALANCE,
     "query_cache_model": SQL_QUERY_CACHE_MODEL,
+    "term_association": SQL_TERM_ASSOCIATION,
+    "edge_support": SQL_EDGE_SUPPORT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,

@@ -679,6 +679,12 @@ DRIVERLIKE_QUERIES = [
     "shard_rebalance",
     # aggregated-vocab LFU ranking + in-plan grand total, one rate divide
     "query_cache_model",
+    # doc-bounded pair fan-out + one sqrt of exact-int product, ranked
+    # on the rounded value under 200 shuffle partitions
+    "term_association",
+    # degree-ordered triangle orientation -> canonical edge refs, all
+    # BIGINT, bounded-level cumulative window under ANSI
+    "edge_support",
 ]
 
 
