@@ -9234,6 +9234,313 @@ FROM hist
 """
 
 
+# --------------------------------------------------------------------------
+# Rocchio feedback expansion (Rocchio 1971, SMART): the vector-space
+# counterpart to q_prf_expansion's RM1. Rank the corpus with the same
+# integer-exact tf*idf6 score (the reference's tf*idf scoring,
+# search_service.py:13-40, quantized per invariant 4), take Dr = top
+# PRF_FB_DOCS (score desc, doc_id asc) and Dnr = the bottom PRF_FB_DOCS of
+# the REMAINING matched docs (score asc, doc_id asc — negative feedback
+# from the weakest hits). Expansion weight per non-query term w is the
+# classic beta/gamma combination with alpha=1.0, beta=0.75, gamma=0.15
+# folded with the 1/|Dr| and 1/|Dnr| normalizers into exact integers:
+#   rocchio_i6 = idf6(w) * (75 * sum_Dr tf - 15 * sum_Dnr tf)
+# (x1000 weight scale * x1e6 idf scale; idf factors out of the per-doc
+# sum, so the whole score is BIGINT arithmetic — aggregation-order-free,
+# invariant 4). Scale shape: two TakeOrdered top-k's pick Dr/Dnr, both
+# feedback sets broadcast (<=10 ids each); the only corpus-wide work is
+# the same df aggregation the index build materializes
+# (doc_frequencies two-phase, invariant 6).
+# --------------------------------------------------------------------------
+ROCCHIO_B1000 = 75  # beta 0.75 / |Dr|=10, x1000
+ROCCHIO_G1000 = 15  # gamma 0.15 / |Dnr|=10, x1000
+
+
+def q_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    ).filter(~F.col("term").isin(_TD_STOPWORDS))
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    dfd = F.col("doc_frequency").cast("double")
+    qidf6 = (
+        doc_frequencies(qtoks)
+        .crossJoin(F.broadcast(scalar_count(docs)))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("idf6"),
+        )
+    )
+    tf_q = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    scored = (
+        tf_q.join(F.broadcast(qidf6), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf6")).cast("long").alias("score6"))
+    )
+    fb = (
+        scored.orderBy(F.desc("score6"), F.asc("doc_id"))
+        .limit(PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    nfb = (
+        scored.join(F.broadcast(fb), "doc_id", "left_anti")
+        .orderBy(F.asc("score6"), F.asc("doc_id"))
+        .limit(PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    r_sum = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("r_df"),
+            F.sum("tf").cast("long").alias("r_tf"),
+        )
+    )
+    n_sum = (
+        toks.join(F.broadcast(nfb), "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tf"))
+    )
+    idf6_all = (
+        doc_frequencies(toks)
+        .crossJoin(F.broadcast(scalar_count(docs)))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("idf6"),
+        )
+    )
+    merged = r_sum.join(n_sum, "term", "full_outer").join(idf6_all, "term")
+    rocchio_i6 = (
+        F.col("idf6")
+        * (
+            F.lit(ROCCHIO_B1000) * F.coalesce(F.col("r_tf"), F.lit(0))
+            - F.lit(ROCCHIO_G1000) * F.coalesce(F.col("n_tf"), F.lit(0))
+        )
+    ).cast("long")
+    return (
+        merged.filter(~F.col("term").isin(NEWS_QUERY_TERMS))
+        .select(
+            "term",
+            F.coalesce(F.col("r_df"), F.lit(0)).cast("long").alias("r_df"),
+            rocchio_i6.alias("rocchio_i6"),
+            (rocchio_i6.cast("double") / F.lit(1000000000.0)).alias(
+                "rocchio_weight"
+            ),
+        )
+        .orderBy(F.desc("rocchio_i6"), F.asc("term"))
+        .limit(PRF_TOP)
+    )
+
+
+def _rocchio_sql() -> str:
+    qterms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH ftoks AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  ) WHERE term NOT IN ({_SQL_TD_STOPWORD_LIST})
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+qidf6 AS (
+  SELECT term,
+         CAST(round(ln((n.n - count(DISTINCT doc_id) + 0.5)
+                       / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                    * 1000000.0) AS BIGINT) AS idf6
+  FROM ftoks, n WHERE term IN ({qterms}) GROUP BY term, n.n
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ftoks WHERE term IN ({qterms}) GROUP BY 1, 2
+),
+scored AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf * qidf6.idf6) AS BIGINT) AS score6
+  FROM tf JOIN qidf6 USING (term) GROUP BY tf.doc_id
+),
+fb AS (SELECT doc_id FROM scored ORDER BY score6 DESC, doc_id LIMIT {PRF_FB_DOCS}),
+nfb AS (
+  SELECT doc_id FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM fb)
+  ORDER BY score6 ASC, doc_id LIMIT {PRF_FB_DOCS}
+),
+idf6 AS (
+  SELECT term,
+         CAST(round(ln((n.n - count(DISTINCT doc_id) + 0.5)
+                       / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                    * 1000000.0) AS BIGINT) AS idf6
+  FROM ftoks, n GROUP BY term, n.n
+),
+r_sum AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS r_df,
+         CAST(count(*) AS BIGINT) AS r_tf
+  FROM ftoks WHERE doc_id IN (SELECT doc_id FROM fb) GROUP BY term
+),
+n_sum AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_tf
+  FROM ftoks WHERE doc_id IN (SELECT doc_id FROM nfb) GROUP BY term
+)
+SELECT term,
+       CAST(COALESCE(r_sum.r_df, 0) AS BIGINT) AS r_df,
+       CAST(idf6.idf6 * ({ROCCHIO_B1000} * COALESCE(r_sum.r_tf, 0)
+                         - {ROCCHIO_G1000} * COALESCE(n_sum.n_tf, 0))
+            AS BIGINT) AS rocchio_i6,
+       CAST(idf6.idf6 * ({ROCCHIO_B1000} * COALESCE(r_sum.r_tf, 0)
+                         - {ROCCHIO_G1000} * COALESCE(n_sum.n_tf, 0))
+            AS BIGINT) / 1000000000.0 AS rocchio_weight
+FROM r_sum FULL OUTER JOIN n_sum USING (term) JOIN idf6 USING (term)
+WHERE term NOT IN ({qterms})
+ORDER BY rocchio_i6 DESC, term
+LIMIT {PRF_TOP}
+"""
+
+
+SQL_ROCCHIO_EXPANSION = _rocchio_sql()
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization audit (the faiss-SQ8 compression story for the
+# ANN family): per-dimension train min/max over the embeddings table,
+# quantize each value to an 8-bit code
+#   code = floor((x - mn) / (mx - mn) * 255.0 + 0.5)
+# and report, per dimension, the trained range, the number of DISTINCT
+# codes actually used (codebook utilization), and the reconstruction
+# error of the dequantized mn + code*(mx-mn)/255 — the go/no-go table
+# for swapping 4-byte floats for 1-byte codes (4x smaller index) ahead
+# of the exact-rerank stage. Determinism: min/max/max-err are
+# order-free, the error SUM is floor-quantized to 1e-9 BIGINT per
+# element (invariant 4), every IEEE expression is spelled identically
+# in both engines, and the distinct-code count is two-phase
+# (dim, code)-grouped on the Spark side (invariant 6 shape; dim is
+# uniform and codes are <=256 so phase 2 is trivially bounded).
+# --------------------------------------------------------------------------
+def q_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select(F.col("dim").cast("long").alias("dim"), "x")
+    stats = vals.groupBy("dim").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    coded = (
+        vals.join(F.broadcast(stats), "dim")
+        .withColumn(
+            "code",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(255.0)
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("x")
+                - (
+                    F.col("mn")
+                    + F.col("code").cast("double")
+                    * (F.col("mx") - F.col("mn"))
+                    / F.lit(255.0)
+                )
+            ),
+        )
+    )
+    n_codes = (
+        coded.groupBy("dim", "code")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_codes"))
+    )
+    errs = coded.groupBy("dim").agg(
+        F.sum(F.floor(F.col("err") * F.lit(1000000000.0)).cast("long"))
+        .cast("long")
+        .alias("abs_err_sum9"),
+        F.max("err").alias("_maxe"),
+    )
+    return (
+        stats.join(n_codes, "dim")
+        .join(errs, "dim")
+        .select(
+            "dim",
+            F.round("mn", 6).alias("dim_min"),
+            F.round("mx", 6).alias("dim_max"),
+            "n_codes",
+            "abs_err_sum9",
+            F.round(
+                F.col("abs_err_sum9").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000000.0)),
+                6,
+            ).alias("mean_abs_err"),
+            F.round("_maxe", 6).alias("max_abs_err"),
+        )
+        .orderBy("dim")
+    )
+
+
+SQL_SQ8_QUANTIZATION = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
+vals AS (
+  SELECT CAST(d.i - 1 AS BIGINT) AS dim, e.v[d.i] AS x FROM e, dims d
+),
+stats AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS n
+  FROM vals GROUP BY dim
+),
+coded AS (
+  SELECT v.dim, v.x, s.mn, s.mx, s.n,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(floor((v.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                        AS BIGINT) END AS code
+  FROM vals v JOIN stats s USING (dim)
+),
+errs AS (
+  SELECT dim, code, n, mn, mx,
+         abs(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0)) AS err
+  FROM coded
+)
+SELECT dim, round(mn, 6) AS dim_min, round(mx, 6) AS dim_max,
+       CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+       CAST(sum(CAST(floor(err * 1000000000.0) AS BIGINT)) AS BIGINT)
+         AS abs_err_sum9,
+       round(CAST(sum(CAST(floor(err * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000000.0), 6) AS mean_abs_err,
+       round(max(err), 6) AS max_abs_err
+FROM errs
+GROUP BY dim, n, mn, mx
+ORDER BY dim
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -9265,6 +9572,8 @@ QUERIES_TD = {
     "query_cache_model": q_query_cache_model,
     "term_association": q_term_association,
     "edge_support": q_edge_support,
+    "rocchio_expansion": q_rocchio_expansion,
+    "sq8_quantization": q_sq8_quantization,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -9387,6 +9696,8 @@ ORACLES_TD = {
     "query_cache_model": SQL_QUERY_CACHE_MODEL,
     "term_association": SQL_TERM_ASSOCIATION,
     "edge_support": SQL_EDGE_SUPPORT,
+    "rocchio_expansion": SQL_ROCCHIO_EXPANSION,
+    "sq8_quantization": SQL_SQ8_QUANTIZATION,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
