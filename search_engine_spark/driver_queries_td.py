@@ -9541,6 +9541,262 @@ ORDER BY dim
 """
 
 
+# --------------------------------------------------------------------------
+# Harmonic centrality from a seed sample (Boldi & Vigna 2014's preferred
+# closeness variant — handles disconnected graphs without the 1/inf
+# convention): H(v) = sum over seeds s of 1/d(s, v), estimated exactly by
+# per-seed-tagged BFS from the doc_id%97 sample to a 6-hop horizon.
+# Invariant 4 by integer construction: hop distances are BIGINTs and every
+# reciprocal is scaled by LCM(1..6)=60, so 60/d is EXACT integer
+# arithmetic and the centrality sum is a BIGINT (h60) with ONE display
+# division. Scale shape: frontier rows are (seed, node) pairs — the exact
+# small-seed-set verifier; the sketch path for all-sources harmonic at
+# 10^9 nodes is HyperBall (HLL per node, see hll_distinct for the sketch
+# primitive). Each round anti-joins the checkpointed visited set — no
+# lineage blowup, bounded rounds.
+# --------------------------------------------------------------------------
+HARM_SEED_MOD = 97
+HARM_ITERS = 6
+HARM_LCM = 60  # lcm(1..6): every 60/d below is an exact integer
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, edges = _edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+    visited = (
+        docs.filter(F.col("doc_id") % HARM_SEED_MOD == 0)
+        .select(
+            F.col("doc_id").alias("seed"),
+            F.col("doc_id").alias("doc_id"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for i in range(1, HARM_ITERS + 1):
+        nxt = (
+            frontier.join(
+                edges, frontier["doc_id"] == edges["source_doc_id"]
+            )
+            .select(
+                "seed",
+                F.col("target_doc_id").alias("doc_id"),
+                F.lit(i).cast("long").alias("dist"),
+            )
+            .distinct()
+            .join(visited.select("seed", "doc_id"), ["seed", "doc_id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seeds"),
+            F.sum((F.lit(float(HARM_LCM)) / F.col("dist")).cast("long"))
+            .cast("long")
+            .alias("h60"),
+        )
+        .select(
+            "doc_id",
+            "n_seeds",
+            "h60",
+            F.round(F.col("h60").cast("double") / F.lit(float(HARM_LCM)), 6).alias(
+                "harmonic"
+            ),
+        )
+    )
+
+
+SQL_HARMONIC_CENTRALITY = f"""
+WITH RECURSIVE {_EDGES_CTE},
+msgs AS (
+  SELECT source_doc_id AS from_node, target_doc_id AS to_node, 1 AS w
+  FROM edges
+  UNION ALL
+  SELECT doc_id, doc_id, 0 FROM documents
+),
+bfs AS (
+  SELECT 0 AS iter, doc_id AS seed, doc_id, CAST(0 AS BIGINT) AS dist
+  FROM documents WHERE doc_id % {HARM_SEED_MOD} = 0
+  UNION ALL
+  SELECT b.iter + 1, b.seed, m.to_node AS doc_id,
+         CAST(min(b.dist + m.w) AS BIGINT) AS dist
+  FROM bfs b JOIN msgs m ON m.from_node = b.doc_id
+  WHERE b.iter < {HARM_ITERS}
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seeds,
+       CAST(sum(CAST({HARM_LCM}.0 / dist AS BIGINT)) AS BIGINT) AS h60,
+       round(CAST(sum(CAST({HARM_LCM}.0 / dist AS BIGINT)) AS BIGINT)
+             / {HARM_LCM}.0, 6) AS harmonic
+FROM bfs WHERE iter = {HARM_ITERS} AND dist > 0
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cluster-quality audit (simplified silhouette, centroid form — Rousseeuw
+# 1987 statistic with the O(n^2) point-pair mean replaced by the
+# O(n*k*d) centroid distance, the standard large-n variant): per embeddings
+# `label`, how separable the cluster is — a(v) = dist to own centroid,
+# b(v) = dist to nearest OTHER centroid, s(v) = (b-a)/max(a,b). The
+# go/no-go table for trusting `label` as a curation stratifier (cf.
+# stratified_sample) or an IVF partition prior. Determinism: centroids are
+# fixed6-integer means (ONE shared division per (label,dim)); per-element
+# squared diffs are round-quantized to 1e-12 BIGINTs and integer-summed
+# (invariant 4 — a groupBy double sum would be order-unspecified); sqrt
+# and the silhouette ratio are computed on identical BIGINT-derived
+# doubles in both engines, then per-vector s is fixed6-quantized before
+# the per-label mean. Scale shape: k*d centroid table broadcast (640
+# rows); the fan-out is n*k rows of BIGINTs — the same shape as IVF
+# assignment.
+# --------------------------------------------------------------------------
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select(
+        "vec_id", "label", F.col("dim").cast("long").alias("dim"), "x"
+    )
+    cent = (
+        vals.groupBy("label", "dim")
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(1000000.0), 0).cast("long"))
+            .cast("long")
+            .alias("c6"),
+            F.count(F.lit(1)).cast("long").alias("cn"),
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            "dim",
+            (
+                F.col("c6").cast("double")
+                / (F.col("cn").cast("double") * F.lit(1000000.0))
+            ).alias("c"),
+        )
+    )
+    sq = vals.join(F.broadcast(cent), "dim").select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+            * F.lit(1000000000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("sq12"),
+    )
+    per = sq.groupBy("vec_id", "label", "clabel").agg(
+        F.sum("sq12").cast("long").alias("d12")
+    )
+    ab = per.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("d12"))
+        ).alias("a12"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("d12"))
+        ).alias("b12"),
+    )
+    a = F.sqrt(F.col("a12").cast("double") / F.lit(1000000000000.0))
+    b = F.sqrt(F.col("b12").cast("double") / F.lit(1000000000000.0))
+    s6 = (
+        F.when(F.greatest("a12", "b12") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round((b - a) / F.greatest(a, b) * F.lit(1000000.0), 0).cast(
+                "long"
+            )
+        )
+        .alias("s6")
+    )
+    sil = ab.select("label", s6)
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("s6").cast("long").alias("sil_sum6"),
+            F.min("s6").cast("long").alias("_min6"),
+            F.max("s6").cast("long").alias("_max6"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("sil_sum6").cast("double")
+                / (F.col("n_vecs").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("mean_silhouette"),
+            F.round(F.col("_min6").cast("double") / F.lit(1000000.0), 6).alias(
+                "min_silhouette"
+            ),
+            F.round(F.col("_max6").cast("double") / F.lit(1000000.0), 6).alias(
+                "max_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_CLUSTER_QUALITY = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
+vals AS (
+  SELECT e.vec_id, e.label, CAST(d.i - 1 AS BIGINT) AS dim, e.v[d.i] AS x
+  FROM e, dims d
+),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT)
+           / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c
+  FROM vals GROUP BY label, dim
+),
+sq AS (
+  SELECT v.vec_id, v.label, c.clabel,
+         CAST(round((v.x - c.c) * (v.x - c.c) * 1000000000000.0) AS BIGINT)
+           AS sq12
+  FROM vals v JOIN cent c USING (dim)
+),
+per AS (
+  SELECT vec_id, label, clabel, CAST(sum(sq12) AS BIGINT) AS d12
+  FROM sq GROUP BY vec_id, label, clabel
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN d12 END) AS a12,
+         min(CASE WHEN clabel <> label THEN d12 END) AS b12
+  FROM per GROUP BY vec_id, label
+),
+sil AS (
+  SELECT label,
+         CASE WHEN greatest(a12, b12) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(
+                (sqrt(CAST(b12 AS DOUBLE) / 1000000000000.0)
+                 - sqrt(CAST(a12 AS DOUBLE) / 1000000000000.0))
+                / greatest(sqrt(CAST(a12 AS DOUBLE) / 1000000000000.0),
+                           sqrt(CAST(b12 AS DOUBLE) / 1000000000000.0))
+                * 1000000.0) AS BIGINT) END AS s6
+  FROM ab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(s6) AS BIGINT)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_silhouette,
+       round(CAST(min(s6) AS BIGINT) / 1000000.0, 6) AS min_silhouette,
+       round(CAST(max(s6) AS BIGINT) / 1000000.0, 6) AS max_silhouette
+FROM sil
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -9574,6 +9830,8 @@ QUERIES_TD = {
     "edge_support": q_edge_support,
     "rocchio_expansion": q_rocchio_expansion,
     "sq8_quantization": q_sq8_quantization,
+    "harmonic_centrality": q_harmonic_centrality,
+    "cluster_quality": q_cluster_quality,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -9698,6 +9956,8 @@ ORACLES_TD = {
     "edge_support": SQL_EDGE_SUPPORT,
     "rocchio_expansion": SQL_ROCCHIO_EXPANSION,
     "sq8_quantization": SQL_SQ8_QUANTIZATION,
+    "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
+    "cluster_quality": SQL_CLUSTER_QUALITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
