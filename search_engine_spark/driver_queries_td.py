@@ -9797,6 +9797,261 @@ ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# Block-max postings audit (Ding & Suel 2011, Block-Max WAND): per term,
+# split the doc_id-ordered posting list into 32-posting blocks, record
+# each block's max impact (tf*idf6 — integer, the same quantized impact
+# family as impact_quantization), and report per-term pruning headroom:
+# 1 - mean(block_max)/global_max — the fraction of the term's WAND upper
+# bound a block-max refinement shaves on an average block (0 = flat
+# impacts, block-max useless; -> 1 = spiky, deep skips). This is the
+# audit table for the engine's executor-side block-max WAND
+# (query/postings_search.py); production builds it sharded by
+# (term_bucket) in operators/postings.py — here the row_number window per
+# term IS the posting-layout shape. All BIGINT; displays via identical
+# double expressions (invariant 4).
+# --------------------------------------------------------------------------
+BLOCK_K = 32
+BLOCK_MIN_BLOCKS = 4
+BLOCK_TOP = 40
+
+
+def q_block_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir, mutated=False)
+    docs = _read(spark, sf_dir, "documents")
+    dfd = F.col("df").cast("double")
+    idf6 = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(scalar_count(docs)))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("idf6"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    imp = tf.join(idf6, "term").select(
+        "term",
+        "doc_id",
+        (F.col("tf") * F.col("idf6")).cast("long").alias("impact6"),
+        F.row_number().over(w).alias("rn"),
+    )
+    blocks = (
+        imp.withColumn(
+            "blk", ((F.col("rn") - 1) / F.lit(BLOCK_K)).cast("long")
+        )
+        .groupBy("term", "blk")
+        .agg(
+            F.max("impact6").cast("long").alias("bmax"),
+            F.count(F.lit(1)).cast("long").alias("bn"),
+        )
+    )
+    return (
+        blocks.groupBy("term")
+        .agg(
+            F.sum("bn").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.max("bmax").cast("long").alias("global_max6"),
+            F.sum("bmax").cast("long").alias("_bsum"),
+        )
+        .filter(F.col("n_blocks") >= BLOCK_MIN_BLOCKS)
+        .select(
+            "term",
+            "df",
+            "n_blocks",
+            "global_max6",
+            F.round(
+                F.col("_bsum").cast("double")
+                / F.col("n_blocks").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_block_max"),
+            F.round(
+                F.lit(1.0)
+                - F.col("_bsum").cast("double")
+                / F.col("n_blocks").cast("double")
+                / F.col("global_max6").cast("double"),
+                6,
+            ).alias("prune_headroom"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(BLOCK_TOP)
+    )
+
+
+SQL_BLOCK_MAX_SCORES = f"""
+WITH {_tf_cte("documents")},
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+idf6 AS (
+  SELECT term,
+         CAST(round(ln((n.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
+                    * 1000000.0) AS BIGINT) AS idf6
+  FROM tf, n GROUP BY term, n.n
+),
+imp AS (
+  SELECT tf.term, tf.doc_id,
+         CAST(tf.tf * idf6.idf6 AS BIGINT) AS impact6,
+         row_number() OVER (PARTITION BY tf.term ORDER BY tf.doc_id) AS rn
+  FROM tf JOIN idf6 USING (term)
+),
+blocks AS (
+  SELECT term, CAST((rn - 1) // {BLOCK_K} AS BIGINT) AS blk,
+         CAST(max(impact6) AS BIGINT) AS bmax,
+         CAST(count(*) AS BIGINT) AS bn
+  FROM imp GROUP BY term, blk
+)
+SELECT term, CAST(sum(bn) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(bmax) AS BIGINT) AS global_max6,
+       round(CAST(sum(bmax) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1000000.0, 6) AS mean_block_max,
+       round(1.0 - CAST(sum(bmax) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / CAST(max(bmax) AS DOUBLE), 6) AS prune_headroom
+FROM blocks GROUP BY term
+HAVING count(*) >= {BLOCK_MIN_BLOCKS}
+ORDER BY df DESC, term
+LIMIT {BLOCK_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Sparse tf-idf cosine near-dup pairs (the weighted companion to
+# ngram_jaccard_pairs' set semantics) over the mutated corpus: candidate
+# pairs are blocked on shared RARE terms (corpus df <= 10 — the
+# rare-term blocking of Bayardo et al.'s AllPairs family: a pair sharing
+# no rare term is out of scope BY DEFINITION of the operator, and both
+# engines apply the identical block), then the full tf*idf3 cosine is
+# computed on candidates only. Integer-exact per invariant 4: weights
+# are tf*idf3 BIGINTs (1e3 idf scale keeps squared sums far from BIGINT
+# range), dot products and squared norms are integer sums, the cosine is
+# ONE identical double expression quantized to c6 = round(cos*1e6)
+# BEFORE the threshold compare (no double-vs-DECIMAL literal compare),
+# emitted when c6 >= 600000. Ids-only candidate join (invariant 6);
+# unordered output — no tie-sensitive LIMIT.
+# --------------------------------------------------------------------------
+SPARSE_RARE_DF = 10
+SPARSE_COS6_MIN = 600000
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir, mutated=True)
+    docs = _mut_docs(spark, sf_dir)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dfd = F.col("df").cast("double")
+    idf3 = dfreq.crossJoin(F.broadcast(scalar_count(docs))).select(
+        "term",
+        "df",
+        F.round(
+            F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+            * F.lit(1000.0),
+            0,
+        )
+        .cast("long")
+        .alias("idf3"),
+    )
+    tfw = tf.join(idf3, "term").select(
+        "doc_id", "term", "df", (F.col("tf") * F.col("idf3")).cast("long").alias("w3")
+    )
+    norms = tfw.groupBy("doc_id").agg(
+        F.sum(F.col("w3") * F.col("w3")).cast("long").alias("n2")
+    )
+    rare = tfw.filter(F.col("df") <= SPARSE_RARE_DF).select("doc_id", "term")
+    cand = (
+        rare.select("term", F.col("doc_id").alias("id_a"))
+        .join(rare.select("term", F.col("doc_id").alias("id_b")), "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tfw.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("w3").alias("wa")
+    )
+    tb = tfw.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("w3").alias("wb")
+    )
+    dots = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    c6 = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", c6.alias("cosine6"))
+        .filter(F.col("cosine6") >= SPARSE_COS6_MIN)
+        .select(
+            "id_a",
+            "id_b",
+            "cosine6",
+            F.round(F.col("cosine6").cast("double") / F.lit(1000000.0), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+SQL_SPARSE_COSINE_PAIRS = f"""
+WITH {_MUT_DOCS_CTE}, {_tf_cte("corpus")},
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM corpus),
+idf3 AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(round(ln((n.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
+                    * 1000.0) AS BIGINT) AS idf3
+  FROM tf, n GROUP BY term, n.n
+),
+tfw AS (
+  SELECT tf.doc_id, tf.term, idf3.df,
+         CAST(tf.tf * idf3.idf3 AS BIGINT) AS w3
+  FROM tf JOIN idf3 USING (term)
+),
+norms AS (
+  SELECT doc_id, CAST(sum(w3 * w3) AS BIGINT) AS n2 FROM tfw GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tfw a JOIN tfw b ON b.term = a.term AND a.doc_id < b.doc_id
+  WHERE a.df <= {SPARSE_RARE_DF} AND b.df <= {SPARSE_RARE_DF}
+),
+dots AS (
+  SELECT c.id_a, c.id_b, CAST(sum(ta.w3 * tb.w3) AS BIGINT) AS dot
+  FROM cand c
+  JOIN tfw ta ON ta.doc_id = c.id_a
+  JOIN tfw tb ON tb.doc_id = c.id_b AND tb.term = ta.term
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT d.id_a, d.id_b,
+         CAST(round(CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS cosine6
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.id_a
+  JOIN norms nb ON nb.doc_id = d.id_b
+)
+SELECT id_a, id_b, cosine6,
+       round(CAST(cosine6 AS DOUBLE) / 1000000.0, 6) AS cosine
+FROM scored WHERE cosine6 >= {SPARSE_COS6_MIN}
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -9832,6 +10087,8 @@ QUERIES_TD = {
     "sq8_quantization": q_sq8_quantization,
     "harmonic_centrality": q_harmonic_centrality,
     "cluster_quality": q_cluster_quality,
+    "block_max_scores": q_block_max_scores,
+    "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -9958,6 +10215,8 @@ ORACLES_TD = {
     "sq8_quantization": SQL_SQ8_QUANTIZATION,
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "cluster_quality": SQL_CLUSTER_QUALITY,
+    "block_max_scores": SQL_BLOCK_MAX_SCORES,
+    "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
