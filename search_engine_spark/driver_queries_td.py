@@ -10052,6 +10052,135 @@ FROM scored WHERE cosine6 >= {SPARSE_COS6_MIN}
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape (order priority checking) adapted to this schema: the
+# benchmark's l_commitdate < l_receiptdate violation predicate does not
+# exist here, so "late" is datediff(o_orderdate -> l_shipdate) > 90 days
+# — same EXISTS-semijoin skeleton (the decorrelated-EXISTS planning
+# exercise is the point of Q4), pure integer DATE arithmetic (tz-
+# invariant per invariant 3). Orders in a one-quarter window; one count
+# per priority. Spark plans the EXISTS as distinct-late-ids + left-semi —
+# the broadcastable shape at any SF (the quarter window prunes orders
+# first).
+# --------------------------------------------------------------------------
+TPCH_Q4_START = "1996-01-01 00:00:00"
+TPCH_Q4_END = "1996-04-01 00:00:00"
+TPCH_LATE_DAYS = 90
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ntz(TPCH_Q4_START))
+            & (F.col("o_orderdate") < _ntz(TPCH_Q4_END))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_ids = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            > TPCH_LATE_DAYS
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late_ids, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{TPCH_Q4_START}'
+  AND o.o_orderdate < TIMESTAMP '{TPCH_Q4_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND datediff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) > {TPCH_LATE_DAYS}
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape (shipping modes / order priority) adapted: no
+# l_shipmode column, so the group key is the ship-delay bucket
+# least(delay_days // 30, 5) — the operational latency-class report with
+# Q12's exact high/low priority split semantics (high = 1-URGENT or
+# 2-HIGH counted separately from the rest, both as conditional sums in
+# one pass). Lineitems shipped in one year; integer DATE arithmetic
+# only. The synthetic ship dates are independent of order dates, so
+# delays (and buckets) can be negative — both engines spell the bucket
+# as floor(days / 30.0) explicitly because DuckDB's integer // TRUNCATES
+# toward zero for negatives while floor() floors (off-by-one on every
+# negative bucket otherwise — found by the sf0.001 parity run).
+# --------------------------------------------------------------------------
+TPCH_Q12_START = "1996-01-01 00:00:00"
+TPCH_Q12_END = "1997-01-01 00:00:00"
+TPCH_Q12_BUCKET_DAYS = 30
+TPCH_Q12_BUCKET_CAP = 5
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz(TPCH_Q12_START))
+            & (F.col("l_shipdate") < _ntz(TPCH_Q12_END))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = F.least(
+        F.floor(delay / F.lit(TPCH_Q12_BUCKET_DAYS)),
+        F.lit(TPCH_Q12_BUCKET_CAP),
+    ).cast("long")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(bucket.alias("delay_bucket"), high.alias("_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+SQL_SHIPMODE_PRIORITY = f"""
+SELECT CAST(least(floor(datediff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE))
+                        / {TPCH_Q12_BUCKET_DAYS}.0),
+                  {TPCH_Q12_BUCKET_CAP}) AS BIGINT) AS delay_bucket,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{TPCH_Q12_START}'
+  AND l.l_shipdate < TIMESTAMP '{TPCH_Q12_END}'
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -10089,6 +10218,8 @@ QUERIES_TD = {
     "cluster_quality": q_cluster_quality,
     "block_max_scores": q_block_max_scores,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
+    "order_priority_check": q_order_priority_check,
+    "shipmode_priority": q_shipmode_priority,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -10217,6 +10348,8 @@ ORACLES_TD = {
     "cluster_quality": SQL_CLUSTER_QUALITY,
     "block_max_scores": SQL_BLOCK_MAX_SCORES,
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
+    "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
+    "shipmode_priority": SQL_SHIPMODE_PRIORITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
