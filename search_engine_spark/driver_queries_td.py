@@ -10181,6 +10181,116 @@ ORDER BY delay_bucket
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q13 (customer order distribution): LEFT join customers to orders
+# with the exclusion predicate INSIDE the join condition (the planning
+# point of Q13 — zero-order customers must survive), two-level count:
+# orders per customer, then customers per order-count. The o_comment
+# NOT LIKE filter has no column here; the exclusion twist is
+# o_orderpriority <> '5-LOW'. Pure counts; deterministic order by
+# (custdist desc, c_count desc) — both keys integer.
+# --------------------------------------------------------------------------
+TPCH_Q13_EXCLUDE = "5-LOW"
+
+
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != TPCH_Q13_EXCLUDE),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_CUST_ORDER_DIST = f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '{TPCH_Q13_EXCLUDE}'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+# orders below 20% of a part's average quantity moved to scheduled
+# replenishment — the correlated-scalar-subquery exercise, planned here
+# as brand-pruned broadcast join + per-part stats + rejoin. The
+# threshold compare is INTEGER-EXACT: qty < 0.2*avg(qty) rewritten as
+# 5*qty*cnt < sum(qty) (quantities are integral; no float avg, no 0.2
+# literal crossing the DuckDB DECIMAL path — invariant 1/4). Revenue is
+# the fixed6 BIGINT sum with ONE display division by 1e6 then 7.0.
+# --------------------------------------------------------------------------
+TPCH_Q17_BRAND = "Brand#13"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == TPCH_Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("lq"),
+        "l_extendedprice",
+    )
+    lj = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    stats = lj.groupBy("l_partkey").agg(
+        F.sum("lq").cast("long").alias("sumq"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    return (
+        lj.join(stats, "l_partkey")
+        .filter(F.lit(5) * F.col("lq") * F.col("cnt") < F.col("sumq"))
+        .agg(
+            F.sum(fixed6_long(F.col("l_extendedprice")))
+            .cast("long")
+            .alias("rev6")
+        )
+        .select(
+            F.round(
+                F.col("rev6").cast("double") / F.lit(1000000.0) / F.lit(7.0), 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = f"""
+WITH p AS (SELECT p_partkey FROM part WHERE p_brand = '{TPCH_Q17_BRAND}'),
+lj AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS lq, l.l_extendedprice
+  FROM lineitem l JOIN p ON p.p_partkey = l.l_partkey
+),
+stats AS (
+  SELECT l_partkey, CAST(sum(lq) AS BIGINT) AS sumq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lj GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 / 7.0, 6) AS avg_yearly
+FROM lj JOIN stats USING (l_partkey)
+WHERE 5 * lq * cnt < sumq
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -10220,6 +10330,8 @@ QUERIES_TD = {
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "order_priority_check": q_order_priority_check,
     "shipmode_priority": q_shipmode_priority,
+    "cust_order_dist": q_cust_order_dist,
+    "small_qty_revenue": q_small_qty_revenue,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -10350,6 +10462,8 @@ ORACLES_TD = {
     "sparse_cosine_pairs": SQL_SPARSE_COSINE_PAIRS,
     "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
     "shipmode_priority": SQL_SHIPMODE_PRIORITY,
+    "cust_order_dist": SQL_CUST_ORDER_DIST,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
