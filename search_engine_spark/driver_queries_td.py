@@ -10291,6 +10291,231 @@ WHERE 5 * lq * cnt < sumq
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q7 (volume shipping): bilateral revenue between two nations by
+# ship year — lineitem joins BOTH dimension chains (supplier->nation and
+# orders->customer->nation) with the symmetric nation-pair disjunction,
+# the classic multi-chain join-reordering exercise. Both nation sides
+# broadcast; year via to_date field extraction (tz-invariant); revenue
+# is the fixed6 BIGINT sum (invariant 4).
+# --------------------------------------------------------------------------
+TPCH_Q7_N1 = "NATION_12"
+TPCH_Q7_N2 = "NATION_11"
+TPCH_Q7_START = "1996-01-01 00:00:00"
+TPCH_Q7_END = "1998-01-01 00:00:00"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz(TPCH_Q7_START))
+            & (F.col("l_shipdate") < _ntz(TPCH_Q7_END))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year(F.to_date("l_shipdate")).cast("long").alias("l_year"),
+            fixed6_long(_disc_price()).alias("d6"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == TPCH_Q7_N1)
+        & (F.col("cust_nation") == TPCH_Q7_N2)
+    ) | (
+        (F.col("supp_nation") == TPCH_Q7_N2)
+        & (F.col("cust_nation") == TPCH_Q7_N1)
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("d6").cast("long").alias("rev6"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+       round(CAST(sum(CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                                 * 1000000.0) AS BIGINT)) AS BIGINT)
+             / 1000000.0, 6) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '{TPCH_Q7_START}'
+  AND l.l_shipdate < TIMESTAMP '{TPCH_Q7_END}'
+  AND ((sn.n_name = '{TPCH_Q7_N1}' AND cn.n_name = '{TPCH_Q7_N2}')
+       OR (sn.n_name = '{TPCH_Q7_N2}' AND cn.n_name = '{TPCH_Q7_N1}'))
+GROUP BY sn.n_name, cn.n_name, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Product-quantization audit (Jegou et al. 2011 PQ, the codebook family
+# next to sq8_quantization's scalar path): 8 subspaces x 8 dims, 16-entry
+# codebook per subspace taken as the sub-vectors of the 16 md5-smallest
+# vec_ids (the same deterministic no-RNG seeding as train_ivf_centroids;
+# production would Lloyd-refine — this audits the assignment/distortion
+# machinery and the compression story: 64 floats -> 8 bytes). Per
+# (vector, subspace): argmin squared L2 over the 16 codes with
+# per-element diffs quantized to 1e-12 BIGINTs and integer-summed
+# (invariant 4), ties broken on code id (lexicographic min-struct in
+# Spark = ORDER BY d12, code in SQL). Reports per subspace the codebook
+# utilization and the total/mean distortion. Fan-out is n x K x d rows
+# of BIGINTs — the PQ-assignment shape; the codebook is a 1024-row
+# broadcast.
+# --------------------------------------------------------------------------
+PQ_M = 8
+PQ_SUB = _EMB_DIM // PQ_M
+PQ_K = 16
+
+
+def q_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "x")
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .withColumn("code", F.row_number().over(w).cast("long") - 1)
+        .filter(F.col("code") < PQ_K)
+    )
+    cb = seeds.select(
+        "code",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "c"
+        ),
+    ).select(
+        "code",
+        F.col("dim").cast("long").alias("dim"),
+        (F.col("dim").cast("long") / F.lit(PQ_SUB)).cast("long").alias("m"),
+        "c",
+    )
+    dists = (
+        vals.join(F.broadcast(cb), "dim")
+        .groupBy("vec_id", "code", "m")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                    * F.lit(1000000000000.0),
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("d12")
+        )
+    )
+    best = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d12", "code")).alias("_b"))
+        .select("vec_id", "m", F.col("_b.code").alias("code"), F.col("_b.d12").alias("d12"))
+    )
+    util = (
+        best.groupBy("m", "code")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_codes_used"))
+    )
+    dist = best.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("d12").cast("long").alias("distortion_sum12"),
+    )
+    return (
+        dist.join(util, "m")
+        .select(
+            "m",
+            "n_vecs",
+            "n_codes_used",
+            "distortion_sum12",
+            F.round(
+                F.col("distortion_sum12").cast("double")
+                / (F.col("n_vecs").cast("double") * F.lit(1000000000000.0)),
+                6,
+            ).alias("mean_distortion"),
+        )
+        .orderBy("m")
+    )
+
+
+SQL_PQ_AUDIT = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ranked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS code
+  FROM e
+),
+seeds AS (SELECT CAST(code AS BIGINT) AS code, v FROM ranked WHERE code < {PQ_K}),
+dims AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
+cb AS (
+  SELECT s.code, CAST(d.i - 1 AS BIGINT) AS dim,
+         CAST((d.i - 1) // {PQ_SUB} AS BIGINT) AS m, s.v[d.i] AS c
+  FROM seeds s, dims d
+),
+vals AS (
+  SELECT e.vec_id, CAST(d.i - 1 AS BIGINT) AS dim, e.v[d.i] AS x
+  FROM e, dims d
+),
+dists AS (
+  SELECT v.vec_id, cb.code, cb.m,
+         CAST(sum(CAST(round((v.x - cb.c) * (v.x - cb.c)
+                             * 1000000000000.0) AS BIGINT)) AS BIGINT) AS d12
+  FROM vals v JOIN cb USING (dim)
+  GROUP BY v.vec_id, cb.code, cb.m
+),
+best AS (
+  SELECT vec_id, m, code, d12 FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d12, code) = 1
+)
+SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used,
+       CAST(sum(d12) AS BIGINT) AS distortion_sum12,
+       round(CAST(sum(d12) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000000000.0), 6)
+         AS mean_distortion
+FROM best
+GROUP BY m
+ORDER BY m
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -10332,6 +10557,8 @@ QUERIES_TD = {
     "shipmode_priority": q_shipmode_priority,
     "cust_order_dist": q_cust_order_dist,
     "small_qty_revenue": q_small_qty_revenue,
+    "volume_shipping": q_volume_shipping,
+    "pq_audit": q_pq_audit,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -10464,6 +10691,8 @@ ORACLES_TD = {
     "shipmode_priority": SQL_SHIPMODE_PRIORITY,
     "cust_order_dist": SQL_CUST_ORDER_DIST,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "pq_audit": SQL_PQ_AUDIT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
