@@ -10516,6 +10516,172 @@ ORDER BY m
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q8 (national market share): for PROMO-type parts sold to AFRICA
+# customers, the target supplier nation's share of yearly revenue —
+# conditional-sum-over-sum with BOTH sums as fixed6 BIGINTs and the
+# share as ONE ratio of the exact integers (invariant 4; no
+# float-accumulated numerator/denominator). The five-table join chain
+# with two nation lookups is the Q8 planning exercise; dimension sides
+# broadcast.
+# --------------------------------------------------------------------------
+TPCH_Q8_REGION = "AFRICA"
+TPCH_Q8_TYPE = "PROMO"
+TPCH_Q8_NATION = "NATION_12"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _read(spark, sf_dir, "region").filter(
+        F.col("r_name") == TPCH_Q8_REGION
+    )
+    nation = _read(spark, sf_dir, "nation")
+    cnat = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    cust = _read(spark, sf_dir, "customer").join(
+        F.broadcast(cnat), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey")
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_type") == TPCH_Q8_TYPE)
+        .select("p_partkey")
+    )
+    supp = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"),
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        fixed6_long(_disc_price()).alias("d6"),
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == TPCH_Q8_NATION, F.col("d6")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("nat6"),
+            F.sum("d6").cast("long").alias("tot6"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nat6") / F.lit(1000000.0), 6).alias("nation_revenue"),
+            F.round(F.col("tot6") / F.lit(1000000.0), 6).alias("total_revenue"),
+            F.round(
+                F.col("nat6").cast("double") / F.col("tot6").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH g AS (
+  SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         CAST(sum(CASE WHEN sn.n_name = '{TPCH_Q8_NATION}'
+                       THEN CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                                       * 1000000.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS nat6,
+         CAST(sum(CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS tot6
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{TPCH_Q8_REGION}' AND p.p_type = '{TPCH_Q8_TYPE}'
+  GROUP BY o_year
+)
+SELECT o_year,
+       round(nat6 / 1000000.0, 6) AS nation_revenue,
+       round(tot6 / 1000000.0, 6) AS total_revenue,
+       round(CAST(nat6 AS DOUBLE) / CAST(tot6 AS DOUBLE), 6) AS mkt_share
+FROM g ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 (discounted revenue, disjunctive predicates): three
+# brand/size/quantity conjunct arms OR-ed together — the
+# pushdown-through-disjunction exercise (the part filter cannot prune to
+# one brand; Catalyst pushes the brand IN-superset and re-applies the
+# arms post-join). Quantity compares are on CAST-to-BIGINT integers;
+# revenue fixed6.
+# --------------------------------------------------------------------------
+TPCH_Q19_ARMS = [
+    ("Brand#13", 1, 11, 1, 20),
+    ("Brand#22", 10, 20, 1, 30),
+    ("Brand#25", 20, 30, 1, 50),
+]
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("lq"),
+        fixed6_long(_disc_price()).alias("d6"),
+    )
+    arm = None
+    for brand, q1, q2, s1, s2 in TPCH_Q19_ARMS:
+        a = (
+            (F.col("p_brand") == brand)
+            & (F.col("lq") >= q1)
+            & (F.col("lq") <= q2)
+            & (F.col("p_size") >= s1)
+            & (F.col("p_size") <= s2)
+        )
+        arm = a if arm is None else (arm | a)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(arm)
+        .agg(F.sum("d6").cast("long").alias("rev6"))
+        .select(
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue")
+        )
+    )
+
+
+def _q19_sql() -> str:
+    arms = " OR ".join(
+        f"(p.p_brand = '{b}' AND CAST(l.l_quantity AS BIGINT) BETWEEN {q1} AND {q2}"
+        f" AND p.p_size BETWEEN {s1} AND {s2})"
+        for b, q1, q2, s1, s2 in TPCH_Q19_ARMS
+    )
+    return f"""
+SELECT round(CAST(sum(CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                                 * 1000000.0) AS BIGINT)) AS BIGINT)
+             / 1000000.0, 6) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {arms}
+"""
+
+
+SQL_DISJUNCTIVE_REVENUE = _q19_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -10559,6 +10725,8 @@ QUERIES_TD = {
     "small_qty_revenue": q_small_qty_revenue,
     "volume_shipping": q_volume_shipping,
     "pq_audit": q_pq_audit,
+    "market_share": q_market_share,
+    "disjunctive_revenue": q_disjunctive_revenue,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -10693,6 +10861,8 @@ ORACLES_TD = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "volume_shipping": SQL_VOLUME_SHIPPING,
     "pq_audit": SQL_PQ_AUDIT,
+    "market_share": SQL_MARKET_SHARE,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
