@@ -10682,6 +10682,116 @@ WHERE {arms}
 SQL_DISJUNCTIVE_REVENUE = _q19_sql()
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q6 (forecasting revenue change): the pure scan-and-filter
+# aggregate — one year of shipments, discount in [5%, 7%], quantity
+# < 24. The discount band compares CAST(round(l_discount*100) AS BIGINT)
+# BETWEEN 5 AND 7 — never a 0.05 float literal (which DuckDB would route
+# through DECIMAL, invariant 1); quantity is an integer compare; revenue
+# = sum of fixed6(price*discount) BIGINTs. The plan to want: filters
+# fully pushed to the parquet scan, no shuffle but the final 1-row
+# partial-agg merge.
+# --------------------------------------------------------------------------
+TPCH_Q6_START = "1996-01-01 00:00:00"
+TPCH_Q6_END = "1997-01-01 00:00:00"
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    d100 = F.round(F.col("l_discount") * F.lit(100.0), 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ntz(TPCH_Q6_START))
+            & (F.col("l_shipdate") < _ntz(TPCH_Q6_END))
+            & (d100 >= 5)
+            & (d100 <= 7)
+            & (F.col("l_quantity").cast("long") < 24)
+        )
+        .agg(
+            F.sum(
+                fixed6_long(F.col("l_extendedprice") * F.col("l_discount"))
+            )
+            .cast("long")
+            .alias("rev6")
+        )
+        .select(
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue")
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = f"""
+SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 1000000.0)
+                          AS BIGINT)) AS BIGINT) / 1000000.0, 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{TPCH_Q6_START}'
+  AND l_shipdate < TIMESTAMP '{TPCH_Q6_END}'
+  AND CAST(round(l_discount * 100.0) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(l_quantity AS BIGINT) < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape (parts/supplier relationship): distinct suppliers per
+# (p_brand, p_size) — the schema has no partsupp, so the relation is the
+# distinct (l_partkey, l_suppkey) observed in lineitem; exclusions are
+# p_brand <> 'Brand#13' and negative-balance suppliers (the complaints
+# stand-in) via broadcast anti-join. The distinct count is the TWO-PHASE
+# shape (group the (brand,size,supp) triple first — invariant 6; the
+# (brand,size) key space is bounded so no Expand, no skewed reducer).
+# --------------------------------------------------------------------------
+TPCH_Q16_EXCL_BRAND = "Brand#13"
+TPCH_Q16_TOP = 30
+
+
+def q_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != TPCH_Q16_EXCL_BRAND)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("_bad"))
+    )
+    rel = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("_bad"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        rel.groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(TPCH_Q16_TOP)
+    )
+
+
+SQL_SUPPLIER_RELATION_COUNT = f"""
+WITH rel AS (
+  SELECT DISTINCT p.p_brand, p.p_size, l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand <> '{TPCH_Q16_EXCL_BRAND}'
+    AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+)
+SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt
+FROM rel GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+LIMIT {TPCH_Q16_TOP}
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -10727,6 +10837,8 @@ QUERIES_TD = {
     "pq_audit": q_pq_audit,
     "market_share": q_market_share,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "forecast_revenue": q_forecast_revenue,
+    "supplier_relation_count": q_supplier_relation_count,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -10863,6 +10975,8 @@ ORACLES_TD = {
     "pq_audit": SQL_PQ_AUDIT,
     "market_share": SQL_MARKET_SHARE,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "supplier_relation_count": SQL_SUPPLIER_RELATION_COUNT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
