@@ -10792,6 +10792,212 @@ LIMIT {TPCH_Q16_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# Spearman rank agreement between PageRank and in-degree (the classic
+# "is the expensive iteration buying anything over a degree count?"
+# audit — Fortunato et al. 2008 report rho ~0.9 on the web graph, and a
+# LOW value is precisely when PageRank earns its 20 iterations): rank
+# both centralities with row_number over (value desc, doc_id) — the
+# deterministic-tiebreak variant, so ranks are a permutation and
+# Spearman collapses to the exact-integer 1 - 6*sum(d^2)/(n(n^2-1)).
+# PageRank is ranked on its ROUND-9 value (the pair-proven grid both
+# engines agree on bit-for-bit; ranking raw doubles could flip
+# sub-1e-9-apart neighbors between engines).
+# --------------------------------------------------------------------------
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagerank import build_document_authority
+
+    docs, edges = _edges(spark, sf_dir)
+    auth = build_document_authority(docs, edges).select(
+        "doc_id",
+        F.round("pagerank", 9).alias("pr"),
+        F.col("inlink_count").cast("long").alias("inlinks"),
+    )
+    wpr = Window.orderBy(F.desc("pr"), "doc_id")
+    win = Window.orderBy(F.desc("inlinks"), "doc_id")
+    ranked = auth.select(
+        (F.row_number().over(wpr).cast("long")
+         - F.row_number().over(win).cast("long")).alias("d")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sum_d2").cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") * F.col("n") - F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+SQL_RANK_CORRELATION = f"""
+WITH RECURSIVE {_EDGES_CTE},
+outdeg AS (SELECT source_doc_id AS src, count(*)::DOUBLE AS od
+           FROM edges GROUP BY source_doc_id),
+edges_w AS (
+  SELECT e.source_doc_id AS src, e.target_doc_id AS dst, 1.0 / o.od AS w
+  FROM edges e JOIN outdeg o ON o.src = e.source_doc_id
+  UNION ALL
+  SELECT doc_id, doc_id, 0.0 FROM documents
+),
+pr AS (
+  SELECT 0 AS iter, doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, e.dst AS doc_id,
+         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(pr.rank * e.w) AS rank
+  FROM pr JOIN edges_w e ON e.src = pr.doc_id
+  WHERE pr.iter < 20
+  GROUP BY pr.iter + 1, e.dst
+),
+ind AS (SELECT target_doc_id AS doc_id, CAST(count(*) AS BIGINT) AS inlinks
+        FROM edges GROUP BY target_doc_id),
+auth AS (
+  SELECT pr.doc_id, round(pr.rank, 9) AS pr,
+         CAST(COALESCE(i.inlinks, 0) AS BIGINT) AS inlinks
+  FROM pr LEFT JOIN ind i ON i.doc_id = pr.doc_id
+  WHERE pr.iter = 20
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY pr DESC, doc_id) AS BIGINT)
+         - CAST(row_number() OVER (ORDER BY inlinks DESC, doc_id) AS BIGINT)
+           AS d
+  FROM auth
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d * d) AS BIGINT) AS sum_d2,
+       round(1.0 - 6.0 * CAST(sum(d * d) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE)
+                * CAST(count(*) * count(*) - 1 AS DOUBLE)), 6)
+         AS spearman_rho
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain (the long-run
+# companion to event_transitions' one-step matrix): 20 power iterations
+# of v'=vP from the uniform start, next to the empirical type share —
+# how far the chain's equilibrium sits from the raw frequency (equal
+# only if the chain were already mixed). Same iterative-double +
+# terminal-round discipline as the pagerank pair (sums are <=K terms; the
+# oracle replays the identical recursion); the transition matrix is
+# exact-rational n/row_total.
+# --------------------------------------------------------------------------
+MARKOV_ITERS = 20
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    steps = (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            ntz_epoch_us(F.col("ts")).alias("_us"),
+        )
+        .select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    p = (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    types = events.select("event_type").distinct()
+    k = scalar_count(types, as_double=True)
+    v = types.crossJoin(F.broadcast(k)).select(
+        F.col("event_type").alias("t"), (F.lit(1.0) / F.col("_n")).alias("v")
+    )
+    for _ in range(MARKOV_ITERS):
+        v = (
+            v.join(p, v["t"] == p["prev_type"])
+            .groupBy("next_type")
+            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
+            .select(F.col("next_type").alias("t"), "v")
+        )
+    emp = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = scalar_count(events, as_double=True)
+    return (
+        v.join(emp, v["t"] == emp["event_type"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("t").alias("event_type"),
+            F.round("v", 6).alias("stationary"),
+            F.round(F.col("cnt").cast("double") / F.col("_n"), 6).alias(
+                "empirical"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MARKOV_STATIONARY = f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM counts GROUP BY prev_type
+),
+p AS (
+  SELECT counts.prev_type, counts.next_type,
+         CAST(counts.n AS DOUBLE) / totals.row_total AS p
+  FROM counts JOIN totals USING (prev_type)
+),
+k AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS k FROM events),
+vt AS (
+  SELECT 0 AS iter, event_type AS t, 1.0 / (SELECT k FROM k) AS v
+  FROM (SELECT DISTINCT event_type FROM events)
+  UNION ALL
+  SELECT vt.iter + 1, p.next_type AS t, sum(vt.v * p.p) AS v
+  FROM vt JOIN p ON p.prev_type = vt.t
+  WHERE vt.iter < {MARKOV_ITERS}
+  GROUP BY 1, 2
+),
+emp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events)
+SELECT vt.t AS event_type, round(vt.v, 6) AS stationary,
+       round(emp.cnt / tot.n, 6) AS empirical
+FROM vt JOIN emp ON emp.event_type = vt.t, tot
+WHERE vt.iter = {MARKOV_ITERS}
+ORDER BY event_type
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -10839,6 +11045,8 @@ QUERIES_TD = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "forecast_revenue": q_forecast_revenue,
     "supplier_relation_count": q_supplier_relation_count,
+    "rank_correlation": q_rank_correlation,
+    "markov_stationary": q_markov_stationary,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -10977,6 +11185,8 @@ ORACLES_TD = {
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "forecast_revenue": SQL_FORECAST_REVENUE,
     "supplier_relation_count": SQL_SUPPLIER_RELATION_COUNT,
+    "rank_correlation": SQL_RANK_CORRELATION,
+    "markov_stationary": SQL_MARKOV_STATIONARY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
