@@ -10998,6 +10998,262 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Discrete churn-hazard table (the life-table form of Kaplan-Meier —
+# chosen over the survival CURVE precisely because it needs no
+# cumulative float product, invariant 4: every cell is an integer count
+# and the hazard is ONE ratio per row): per observed-lifetime bucket t,
+# n_at_risk(t) = users whose lifetime >= t (descending cumulative over
+# the bounded bucket levels), churned(t) = users who churned AT t, hazard
+# = churned/n_at_risk. Churn = last event > 12 hours before the global
+# observation end (users active near the end are censored — they leave
+# the risk set after their observed lifetime, never counted as deaths).
+# Buckets are 6-hour units sized to the synthetic events table (~1-month
+# span, event-dense users: a weekly/14-day-gap table degenerates to one
+# row with zero churners — probed before fixing the constants). BIGINT
+# epoch-us arithmetic (ntz_epoch_us, invariant 3) and integer
+# floor-division on positive operands (DuckDB // agrees with div there).
+# --------------------------------------------------------------------------
+LIFE_BUCKET_US = 6 * 3_600_000_000
+CHURN_GAP_US = 12 * 3_600_000_000
+
+
+def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    us = events.select(
+        "user_id", ntz_epoch_us(F.col("ts")).alias("us")
+    )
+    end = us.agg(F.max("us").cast("long").alias("_end"))
+    users = (
+        us.groupBy("user_id")
+        .agg(
+            F.min("us").cast("long").alias("first_us"),
+            F.max("us").cast("long").alias("last_us"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.expr(f"(last_us - first_us) div {LIFE_BUCKET_US}").alias("lw"),
+            F.when(
+                F.col("_end") - F.col("last_us") > CHURN_GAP_US, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("churned"),
+        )
+    )
+    hist = users.groupBy("lw").agg(
+        F.count(F.lit(1)).cast("long").alias("ended_here"),
+        F.sum("churned").cast("long").alias("churned"),
+    )
+    w = Window.orderBy(F.desc("lw")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.select(
+            F.col("lw").cast("long").alias("bucket"),
+            F.sum("ended_here").over(w).cast("long").alias("n_at_risk"),
+            "churned",
+        )
+        .withColumn(
+            "hazard",
+            F.round(
+                F.col("churned").cast("double")
+                / F.col("n_at_risk").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_CHURN_HAZARD = f"""
+WITH us AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+ends AS (SELECT CAST(max(us) AS BIGINT) AS e FROM us),
+users AS (
+  SELECT CAST((max(us) - min(us)) // {LIFE_BUCKET_US} AS BIGINT) AS lw,
+         CASE WHEN (SELECT e FROM ends) - max(us) > {CHURN_GAP_US}
+              THEN 1 ELSE 0 END AS churned
+  FROM us GROUP BY user_id
+),
+hist AS (
+  SELECT lw, CAST(count(*) AS BIGINT) AS ended_here,
+         CAST(sum(churned) AS BIGINT) AS churned
+  FROM users GROUP BY lw
+)
+SELECT lw AS bucket,
+       CAST(sum(ended_here) OVER (ORDER BY lw DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+       churned,
+       round(CAST(churned AS DOUBLE)
+             / CAST(sum(ended_here) OVER (ORDER BY lw DESC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS DOUBLE), 6)
+         AS hazard
+FROM hist
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Hub-knockout robustness (Albert, Jeong & Barabasi 2000's targeted-
+# attack experiment): component census of the undirected link graph
+# before and after deleting the 10 highest-degree nodes — the
+# scale-free-network fragility audit. Spark side runs the EXACT
+# large-star/small-star connected components (training_data/
+# dedup.connected_components — convergence-checked, never truncates);
+# the oracle replays min-label propagation for 96 fixed rounds (state
+# is n rows per round, not the transitive closure — bounded; 96 >> the
+# LCG graph's diameter at any test SF, and a shortfall would surface as
+# a red pair, not a silent pass). Hubs picked by (degree desc, id asc)
+# top-k — deterministic.
+# --------------------------------------------------------------------------
+KNOCKOUT_HUBS = 10
+KNOCKOUT_LP_ROUNDS = 96
+
+
+def q_hub_knockout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.dedup import connected_components
+
+    docs, edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("source_doc_id", "target_doc_id").alias("id_a"),
+            F.greatest("source_doc_id", "target_doc_id").alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("id_a").alias("v"))
+        .unionByName(und.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hubs = (
+        deg.orderBy(F.desc("d"), "v")
+        .limit(KNOCKOUT_HUBS)
+        .select(F.col("v").alias("hub"))
+        .localCheckpoint(eager=True)
+    )
+
+    def census(phase, nodes, pairs):
+        comp = connected_components(pairs, nodes=nodes, id_col="doc_id")
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("ne"))
+        return (
+            sizes.agg(
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.max("sz").cast("long").alias("largest_component"),
+                F.sum("sz").cast("long").alias("n_nodes"),
+            )
+            .crossJoin(F.broadcast(n_edges))
+            .select(
+                F.lit(phase).alias("phase"),
+                "n_nodes",
+                F.col("ne").alias("n_edges"),
+                "n_components",
+                "largest_component",
+            )
+        )
+
+    full = census("full", docs, und)
+    kn_nodes = docs.join(
+        F.broadcast(hubs), docs["doc_id"] == hubs["hub"], "left_anti"
+    )
+    kn_pairs = (
+        und.join(F.broadcast(hubs), und["id_a"] == hubs["hub"], "left_anti")
+        .join(F.broadcast(hubs), F.col("id_b") == hubs["hub"], "left_anti")
+    )
+    knocked = census("knocked", kn_nodes, kn_pairs)
+    return full.unionByName(knocked).orderBy("phase")
+
+
+SQL_HUB_KNOCKOUT = f"""
+WITH RECURSIVE {_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS id_a,
+                  greatest(source_doc_id, target_doc_id) AS id_b
+  FROM edges
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT id_a AS v FROM und UNION ALL SELECT id_b FROM und
+  ) GROUP BY v
+),
+hubs AS (SELECT v AS hub FROM deg ORDER BY d DESC, v LIMIT {KNOCKOUT_HUBS}),
+kn_und AS (
+  SELECT * FROM und
+  WHERE id_a NOT IN (SELECT hub FROM hubs)
+    AND id_b NOT IN (SELECT hub FROM hubs)
+),
+msgs_f AS (
+  SELECT id_a AS src, id_b AS dst FROM und
+  UNION ALL SELECT id_b, id_a FROM und
+  UNION ALL SELECT doc_id, doc_id FROM documents
+),
+lp_f AS (
+  SELECT 0 AS iter, doc_id AS node, doc_id AS lbl FROM documents
+  UNION ALL
+  SELECT lp.iter + 1, m.dst, min(lp.lbl)
+  FROM lp_f lp JOIN msgs_f m ON m.src = lp.node
+  WHERE lp.iter < {KNOCKOUT_LP_ROUNDS}
+  GROUP BY 1, 2
+),
+comp_f AS (
+  SELECT node, lbl AS component FROM lp_f
+  WHERE iter = {KNOCKOUT_LP_ROUNDS}
+),
+kn_nodes AS (
+  SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT hub FROM hubs)
+),
+msgs_k AS (
+  SELECT id_a AS src, id_b AS dst FROM kn_und
+  UNION ALL SELECT id_b, id_a FROM kn_und
+  UNION ALL SELECT doc_id, doc_id FROM kn_nodes
+),
+lp_k AS (
+  SELECT 0 AS iter, doc_id AS node, doc_id AS lbl FROM kn_nodes
+  UNION ALL
+  SELECT lp.iter + 1, m.dst, min(lp.lbl)
+  FROM lp_k lp JOIN msgs_k m ON m.src = lp.node
+  WHERE lp.iter < {KNOCKOUT_LP_ROUNDS}
+  GROUP BY 1, 2
+),
+comp_k AS (
+  SELECT node, lbl AS component FROM lp_k
+  WHERE iter = {KNOCKOUT_LP_ROUNDS}
+),
+sizes_f AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS sz
+  FROM comp_f GROUP BY component
+),
+sizes_k AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS sz
+  FROM comp_k GROUP BY component
+),
+cen_f AS (
+  SELECT 'full' AS phase,
+         CAST(sum(sz) AS BIGINT) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+         CAST(count(*) AS BIGINT) AS n_components,
+         CAST(max(sz) AS BIGINT) AS largest_component
+  FROM sizes_f
+),
+cen_k AS (
+  SELECT 'knocked' AS phase,
+         CAST(sum(sz) AS BIGINT) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM kn_und) AS n_edges,
+         CAST(count(*) AS BIGINT) AS n_components,
+         CAST(max(sz) AS BIGINT) AS largest_component
+  FROM sizes_k
+)
+SELECT * FROM cen_f UNION ALL SELECT * FROM cen_k
+ORDER BY phase
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -11047,6 +11303,8 @@ QUERIES_TD = {
     "supplier_relation_count": q_supplier_relation_count,
     "rank_correlation": q_rank_correlation,
     "markov_stationary": q_markov_stationary,
+    "churn_hazard": q_churn_hazard,
+    "hub_knockout": q_hub_knockout,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -11187,6 +11445,8 @@ ORACLES_TD = {
     "supplier_relation_count": SQL_SUPPLIER_RELATION_COUNT,
     "rank_correlation": SQL_RANK_CORRELATION,
     "markov_stationary": SQL_MARKOV_STATIONARY,
+    "churn_hazard": SQL_CHURN_HAZARD,
+    "hub_knockout": SQL_HUB_KNOCKOUT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
