@@ -11254,6 +11254,566 @@ ORDER BY phase
 """
 
 
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (the triplet-mining
+# staple — Schroff et al. 2015 FaceNet semi-hard selection, batch-level
+# form): per probe vector, the most similar SAME-label neighbor (the
+# positive) and the most similar DIFFERENT-label neighbor (the hard
+# negative), with the triplet margin pos_cos - neg_cos — the table a
+# curation pipeline exports to train embedding models on its own corpus.
+# Cosines via the ordered-fold cosine_similarity_col (invariant 4) on
+# the ROUND-6 grid BEFORE the per-class argmax (ties then break on
+# neighbor id — identical in both engines); brute-force probe broadcast
+# (the knn_join verifier shape, documented).
+# --------------------------------------------------------------------------
+HARD_NEG_PROBE_MOD = 25
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.similarity import cosine_similarity_col
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label")
+    )
+    probes = emb.filter(F.col("vec_id") % HARD_NEG_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("_pv"),
+        F.col("label").alias("p_label"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("_cv"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cands, F.col("probe_id") != F.col("nn_id"))
+        .select(
+            "probe_id",
+            "nn_id",
+            (F.col("p_label") == F.col("c_label")).alias("same"),
+            F.round(
+                cosine_similarity_col(F.col("_pv"), F.col("_cv")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id", "same").orderBy(
+        F.desc("cos"), F.asc("nn_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos = top.filter(F.col("same")).select(
+        "probe_id",
+        F.col("nn_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = top.filter(~F.col("same")).select(
+        "probe_id",
+        F.col("nn_id").alias("neg_id"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return (
+        pos.join(neg, "probe_id")
+        .select(
+            "probe_id",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS nn_id,
+         (p.label = c.label) AS same,
+         round(list_sum(list_transform(list_zip(p.v, c.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cos
+  FROM e p JOIN e c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id % {HARD_NEG_PROBE_MOD} = 0
+),
+top AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY probe_id, same
+                             ORDER BY cos DESC, nn_id) = 1
+)
+SELECT pos.probe_id, pos.nn_id AS pos_id, pos.cos AS pos_cos,
+       neg.nn_id AS neg_id, neg.cos AS neg_cos,
+       round(pos.cos - neg.cos, 6) AS margin
+FROM top pos JOIN top neg
+  ON neg.probe_id = pos.probe_id AND pos.same AND NOT neg.same
+ORDER BY pos.probe_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup-detector evaluation against planted ground truth: the mutated
+# corpus plants exactly one near-dup per doc_id%10==0 (30-char prefix
+# strip), so precision/recall of the SimHash radius-3 detector are
+# computable EXACTLY — TP = detected planted pairs, FP = detected
+# non-planted pairs (organic near-dups in the synthetic corpus land
+# here by definition of the planted truth), FN = planted pairs missed
+# (tokenization-invisible mutations). All integer counts; precision/
+# recall/F1 are single ratios (F1 = 2TP/(pred+truth) — exact, no
+# harmonic-mean float chain). The eval every dedup deployment runs
+# before trusting a detector at corpus scale.
+# --------------------------------------------------------------------------
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = D.simhash_near_dup(
+        _tf(spark, sf_dir, mutated=True), max_hamming=3
+    ).select("id_a", "id_b")
+    docs = _read(spark, sf_dir, "documents")
+    truth = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + MUT_OFFSET).alias("id_b"),
+    )
+    tp = pred.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    np_ = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        tp.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "tp",
+            (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+            F.round(
+                F.col("tp").cast("double") / F.col("n_pred").cast("double"), 6
+            ).alias("precision"),
+            F.round(
+                F.col("tp").cast("double") / F.col("n_truth").cast("double"),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.lit(2.0)
+                * F.col("tp").cast("double")
+                / (F.col("n_pred") + F.col("n_truth")).cast("double"),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
+SQL_DEDUP_EVAL = f"""
+WITH {_MUT_DOCS_CTE}, {_tf_cte("corpus")}, {_SIMHASH_CORE_CTE},
+pred AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+truth AS (
+  SELECT doc_id AS id_a, doc_id + {MUT_OFFSET} AS id_b
+  FROM documents WHERE doc_id % 10 = 0
+),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pred) AS np,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS nt,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM pred JOIN truth USING (id_a, id_b)) AS tp
+)
+SELECT tp, CAST(np - tp AS BIGINT) AS fp, CAST(nt - tp AS BIGINT) AS fn,
+       round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS recall,
+       round(2.0 * CAST(tp AS DOUBLE) / CAST(np + nt AS DOUBLE), 6) AS f1
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH cluster-transitivity audit: how many intra-cluster pairs exist only
+# through CHAINED merges (A~B, B~C but A!~C) vs direct LSH hits — the
+# dedup-quality number that decides whether connected-components
+# clustering over-merges (Gyawali et al. 2020 report chaining as the #1
+# CC failure mode at corpus scale; a high chained share at small
+# cluster sizes is benign, at large sizes it means topic collapse).
+# Reports per cluster size: cluster count, direct pairs, possible pairs
+# s(s-1)/2, chained = possible - direct. Pure integers; the CC is the
+# convergence-checked star contraction on the Spark side and the reach
+# closure in the oracle (cluster sizes bounded by construction).
+# --------------------------------------------------------------------------
+def q_lsh_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mut_docs(spark, sf_dir)
+    sig = D.minhash_signatures(D.shingles(corpus), num_perm=9)
+    pairs = D.lsh_candidate_pairs(sig, rows_per_band=3).localCheckpoint(
+        eager=True
+    )
+    comps = D.connected_components(pairs).localCheckpoint(eager=True)
+    ca = comps.select(
+        F.col("doc_id").alias("id_a"), F.col("component").alias("comp")
+    )
+    direct = (
+        pairs.join(ca, "id_a")
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("dp"))
+    )
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    ).select(F.col("component").alias("comp"), "sz")
+    per = sizes.join(direct, "comp", "left").select(
+        "sz",
+        F.coalesce("dp", F.lit(0)).cast("long").alias("dp"),
+        F.expr("(sz * (sz - 1)) div 2").cast("long").alias("poss"),
+    )
+    return (
+        per.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("dp").cast("long").alias("direct_pairs"),
+            F.sum("poss").cast("long").alias("possible_pairs"),
+            F.sum(F.col("poss") - F.col("dp")).cast("long").alias(
+                "chained_pairs"
+            ),
+        )
+        .orderBy("sz")
+    )
+
+
+SQL_LSH_TRANSITIVITY = f"""
+WITH RECURSIVE {_MUT_DOCS_CTE}, {_shingle_cte()},
+sig AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range(9))::INT AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // 3)::INT AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 3
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS peer FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS component
+  FROM reach GROUP BY node
+),
+direct AS (
+  SELECT c.component AS comp, CAST(count(*) AS BIGINT) AS dp
+  FROM pairs p JOIN comp c ON c.doc_id = p.id_a GROUP BY 1
+),
+sizes AS (
+  SELECT component AS comp, CAST(count(*) AS BIGINT) AS sz
+  FROM comp GROUP BY 1
+),
+per AS (
+  SELECT s.sz, CAST(COALESCE(d.dp, 0) AS BIGINT) AS dp,
+         CAST((s.sz * (s.sz - 1)) // 2 AS BIGINT) AS poss
+  FROM sizes s LEFT JOIN direct d USING (comp)
+)
+SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(dp) AS BIGINT) AS direct_pairs,
+       CAST(sum(poss) AS BIGINT) AS possible_pairs,
+       CAST(sum(poss - dp) AS BIGINT) AS chained_pairs
+FROM per GROUP BY sz ORDER BY sz
+"""
+
+
+# --------------------------------------------------------------------------
+# Event path trigrams (the order-3 companion to event_transitions'
+# one-step matrix — the clickstream path-mining staple): consecutive
+# (a -> b -> c) triples per user stream, top 20 by count with full-path
+# tie-break. Same tz-invariant (epoch-us, event_id) ordering as every
+# temporal pair (invariant 3); pure counts.
+# --------------------------------------------------------------------------
+PATH_TRIGRAM_TOP = 20
+
+
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    tri = (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            ntz_epoch_us(F.col("ts")).alias("_us"),
+        )
+        .select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+    )
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(PATH_TRIGRAM_TOP)
+    )
+
+
+SQL_PATH_TRIGRAMS = f"""
+WITH ordered AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS t1,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS t2,
+         event_type AS t3
+  FROM events
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM ordered WHERE t1 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT {PATH_TRIGRAM_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# ROLLUP subtotal report (the OLAP grouping-sets surface — Spark's
+# Expand-based rollup vs DuckDB's GROUP BY ROLLUP): revenue + row counts
+# at (flag, status), per-flag subtotal, and grand total in ONE pass.
+# Subtotal NULLs are coalesced to 'ALL' (the real values are single
+# letters, so no collision — and the driver's row-sort compare cannot
+# order raw NULLs). fixed6 BIGINT money (invariant 4).
+# --------------------------------------------------------------------------
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", fixed6_long(_disc_price()).alias("d6")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("d6").cast("long").alias("rev6"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "n_rows",
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue"),
+        )
+        .orderBy("return_flag", "line_status")
+    )
+
+
+SQL_ROLLUP_REPORT = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS return_flag,
+       COALESCE(l_linestatus, 'ALL') AS line_status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(round({_SQL_DISC_PRICE} * 1000000.0) AS BIGINT))
+                  AS BIGINT) / 1000000.0, 6) AS revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY return_flag, line_status
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivoted weekday x event-type matrix (the DataFrame .pivot() surface —
+# Spark plans it as a single pass with one aggregate per pivot value;
+# the oracle spells the same thing as portable conditional sums): event
+# counts per integer weekday (epoch-day arithmetic, tz-invariant per
+# invariant 3; 1970-01-01 was a Thursday, +4 aligns 0=Sunday) with one
+# column per type plus the row total. The pivot value list is pinned to
+# the generator's five types — a new type would surface as a column
+# mismatch, not silent data loss.
+# --------------------------------------------------------------------------
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    dow = (
+        events.select(ntz_epoch_us(F.col("ts")).alias("_us"), "event_type")
+        .select(
+            ((F.expr(f"_us DIV {US_PER_DAY_DIV}") + 4) % 7)
+            .cast("long")
+            .alias("dow"),
+            "event_type",
+        )
+    )
+    pivoted = (
+        dow.groupBy("dow")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    cols = [F.col("dow")]
+    total = None
+    for t in PIVOT_TYPES:
+        c = F.coalesce(F.col(t), F.lit(0)).cast("long")
+        cols.append(c.alias(f"n_{t}"))
+        total = c if total is None else (total + c)
+    cols.append(total.cast("long").alias("n_total"))
+    return pivoted.select(*cols).orderBy("dow")
+
+
+def _pivot_sql() -> str:
+    cases = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    return f"""
+SELECT CAST((epoch_us(ts) // {US_PER_DAY_DIV} + 4) % 7 AS BIGINT) AS dow,
+       {cases},
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY dow
+ORDER BY dow
+"""
+
+
+SQL_PIVOT_REPORT = _pivot_sql()
+
+
+# --------------------------------------------------------------------------
+# SimHash bit-balance audit (hash-quality check behind the
+# simhash_near_dup family: Charikar's guarantee needs each fingerprint
+# bit to be an unbiased hyperplane — a skewed bit inflates band
+# collisions and the candidate fan-out): per bit position, the fraction
+# of corpus fingerprints with the bit set and its deviation from 0.5.
+# Bit extraction via the same sign-safe mask CASE as the fingerprint
+# builder (bit 63 is MIN_LONG — never a 64-bit shift); pure integer
+# counts, two identical display ratios.
+# --------------------------------------------------------------------------
+def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = D.simhash_fingerprints(_tf(spark, sf_dir, mutated=False))
+    bits = fps.select(
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
+    ).select(
+        "p",
+        F.expr(
+            "CASE WHEN p = 63"
+            " THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT)"
+            " ELSE shiftleft(CAST(1 AS BIGINT), p) END"
+        ).alias("mask"),
+        "simhash",
+    )
+    return (
+        bits.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("simhash").bitwiseAND(F.col("mask")) != 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ones"),
+        )
+        .select(
+            F.col("p").cast("long").alias("p"),
+            "n_docs",
+            "ones",
+            F.round(
+                F.col("ones").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("ones_share"),
+            F.round(
+                F.abs(
+                    F.col("ones").cast("double")
+                    / F.col("n_docs").cast("double")
+                    - 0.5
+                ),
+                6,
+            ).alias("bias"),
+        )
+        .orderBy("p")
+    )
+
+
+SQL_SIMHASH_BIT_BALANCE = f"""
+WITH {_tf_cte("documents")}, {_SIMHASH_CORE_CTE},
+bits AS (
+  SELECT b.p,
+         CASE WHEN b.p = 63 THEN {MIN_LONG_SQL}
+              ELSE 1::BIGINT << b.p END AS mask,
+         fp.simhash
+  FROM fp, (SELECT unnest(range(64))::INT AS p) b
+)
+SELECT CAST(p AS BIGINT) AS p,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN (simhash & mask) <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ones,
+       round(CAST(sum(CASE WHEN (simhash & mask) <> 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ones_share,
+       round(abs(CAST(sum(CASE WHEN (simhash & mask) <> 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) - 0.5), 6) AS bias
+FROM bits
+GROUP BY p
+ORDER BY p
+"""
+
+
+# --------------------------------------------------------------------------
+# Expansion-method agreement (meta-evaluation over two shipped
+# operators): how much of the RM1 (prf_expansion) top-15 the Rocchio
+# top-15 reproduces — the standard sanity check before swapping
+# expansion models in a ranking stack (high overlap = interchangeable,
+# low = the relevance models genuinely disagree and an A/B is needed).
+# Reuses BOTH pair definitions verbatim on each side (Spark calls the
+# pair functions; the oracle embeds both pair SQLs as derived tables),
+# so agreement here is also a consistency proof across four
+# implementations. Pure set counts + one Jaccard ratio.
+# --------------------------------------------------------------------------
+def q_expansion_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prf = q_prf_expansion(spark, sf_dir).select("term")
+    roc = q_rocchio_expansion(spark, sf_dir).select("term")
+    common = prf.join(roc, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    np_ = prf.agg(F.count(F.lit(1)).cast("long").alias("n_prf"))
+    nr = roc.agg(F.count(F.lit(1)).cast("long").alias("n_rocchio"))
+    return (
+        common.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "n_prf",
+            "n_rocchio",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_prf") + F.col("n_rocchio") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_EXPANSION_AGREEMENT = f"""
+WITH prf AS ({SQL_PRF_EXPANSION}),
+roc AS ({SQL_ROCCHIO_EXPANSION}),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM prf) AS n_prf,
+         (SELECT CAST(count(*) AS BIGINT) FROM roc) AS n_rocchio,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM prf JOIN roc USING (term)) AS n_common
+)
+SELECT n_prf, n_rocchio, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(n_prf + n_rocchio - n_common AS DOUBLE), 6) AS jaccard
+FROM c
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -11305,6 +11865,14 @@ QUERIES_TD = {
     "markov_stationary": q_markov_stationary,
     "churn_hazard": q_churn_hazard,
     "hub_knockout": q_hub_knockout,
+    "hard_negatives": q_hard_negatives,
+    "dedup_eval": q_dedup_eval,
+    "lsh_transitivity": q_lsh_transitivity,
+    "path_trigrams": q_path_trigrams,
+    "rollup_report": q_rollup_report,
+    "pivot_report": q_pivot_report,
+    "simhash_bit_balance": q_simhash_bit_balance,
+    "expansion_agreement": q_expansion_agreement,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -11447,6 +12015,14 @@ ORACLES_TD = {
     "markov_stationary": SQL_MARKOV_STATIONARY,
     "churn_hazard": SQL_CHURN_HAZARD,
     "hub_knockout": SQL_HUB_KNOCKOUT,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "dedup_eval": SQL_DEDUP_EVAL,
+    "lsh_transitivity": SQL_LSH_TRANSITIVITY,
+    "path_trigrams": SQL_PATH_TRIGRAMS,
+    "rollup_report": SQL_ROLLUP_REPORT,
+    "pivot_report": SQL_PIVOT_REPORT,
+    "simhash_bit_balance": SQL_SIMHASH_BIT_BALANCE,
+    "expansion_agreement": SQL_EXPANSION_AGREEMENT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
