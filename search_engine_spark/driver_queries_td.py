@@ -11814,6 +11814,237 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# SRP (signed random projection) distortion audit — the Johnson-
+# Lindenstrauss/Charikar estimator-quality check behind ann_lsh_topk and
+# embedding_near_dup: over a deterministic pseudo-random pair sample
+# ((v, (37v+11) mod n) for v%5==0), the TRUE ordered-fold cosine vs the
+# 64-plane sign-agreement estimate cos(pi*hamming/64). Hamming counts
+# are exact integers; the ONLY libm call is cos() over the FIXED 65-value
+# grid pi*k/64 (data-independent — both engines' libm agree to well
+# under the round-6 grid there). Per-pair error column; signs replicate
+# srp_banded bit-for-bit (md5 hyperplanes, ordered folds — invariant 4).
+# --------------------------------------------------------------------------
+SRP_DIST_PLANES = 64
+SRP_DIST_MOD = 5
+
+
+def q_srp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.similarity import cosine_similarity_col
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    signed = S.srp_signs(
+        emb, n_planes=SRP_DIST_PLANES, dim=_EMB_DIM
+    ).select("vec_id", "embedding", "srp_bits")
+    n = scalar_count(emb, as_double=False)
+    a = (
+        signed.filter(F.col("vec_id") % SRP_DIST_MOD == 0)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("vec_id").alias("id_a"),
+            ((F.col("vec_id") * 37 + 11) % F.col("_n")).alias("id_b"),
+            F.col("embedding").alias("va"),
+            F.col("srp_bits").alias("ba"),
+        )
+    )
+    b = signed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("srp_bits").alias("bb"),
+    )
+    ham = F.aggregate(
+        F.zip_with(F.col("ba"), F.col("bb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    true_cos = F.round(
+        cosine_similarity_col(F.col("va"), F.col("vb")), 6
+    )
+    est_cos = F.round(
+        F.cos(
+            F.lit(math.pi) * ham.cast("double") / F.lit(float(SRP_DIST_PLANES))
+        ),
+        6,
+    )
+    return (
+        a.join(b, "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            ham.alias("hamming"),
+            true_cos.alias("true_cos"),
+            est_cos.alias("est_cos"),
+            F.round(est_cos - true_cos, 6).alias("err"),
+        )
+        .orderBy("id_a")
+    )
+
+
+SQL_SRP_DISTORTION = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_srp_cte("e", SRP_DIST_PLANES, 8)},
+n AS (SELECT count(*) AS n FROM embeddings),
+pp AS (
+  SELECT vec_id AS id_a,
+         CAST((vec_id * 37 + 11) % (SELECT n FROM n) AS BIGINT) AS id_b
+  FROM e WHERE vec_id % {SRP_DIST_MOD} = 0
+),
+ham AS (
+  SELECT p.id_a, p.id_b, CAST(sum(abs(xa.bit - xb.bit)) AS BIGINT) AS hamming
+  FROM pp p
+  JOIN bits xa ON xa.vec_id = p.id_a
+  JOIN bits xb ON xb.vec_id = p.id_b AND xb.p = xa.p
+  WHERE p.id_a <> p.id_b
+  GROUP BY 1, 2
+)
+SELECT h.id_a, h.id_b, h.hamming,
+       round(list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 6) AS true_cos,
+       round(cos(pi() * CAST(h.hamming AS DOUBLE)
+                 / {SRP_DIST_PLANES}.0), 6) AS est_cos,
+       round(round(cos(pi() * CAST(h.hamming AS DOUBLE)
+                       / {SRP_DIST_PLANES}.0), 6)
+             - round(list_sum(list_transform(list_zip(ea.v, eb.v),
+                                             z -> z[1] * z[2]))
+               / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 6), 6)
+         AS err
+FROM ham h
+JOIN e ea ON ea.vec_id = h.id_a
+JOIN e eb ON eb.vec_id = h.id_b
+ORDER BY h.id_a
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25F top-k (Robertson, Zaragoza & Taylor 2004, the simple-variant
+# field-weighted BM25 — the standard title-boost ranking the reference's
+# 3.2/1.7/1.0 field weights approximate): the document's first 60 chars
+# act as the title field (weight 2) and the rest as body (weight 1);
+# weighted tf and weighted doc length are exact INTEGERS (2*tf_t + tf_b),
+# then the usual k1/b saturation over the weighted stats. Field split by
+# identical substring() in both engines (a token straddling the 60-char
+# boundary splits identically on both sides — a documented artifact of
+# the synthetic field boundary, not a parity risk). Same relaxed
+# <=3-term double-sum + round-6 discipline as the pair-proven bm25_topk.
+# --------------------------------------------------------------------------
+BM25F_TITLE_CHARS = 60
+BM25F_TITLE_W = 2
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tok_t = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.expr(f"substring(text, 1, {BM25F_TITLE_CHARS})")),
+                F.lit(TOKEN_RUN),
+                F.lit(0),
+            )
+        ).alias("term"),
+        F.lit(BM25F_TITLE_W).alias("w"),
+    )
+    tok_b = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.expr(f"substring(text, {BM25F_TITLE_CHARS + 1})")),
+                F.lit(TOKEN_RUN),
+                F.lit(0),
+            )
+        ).alias("term"),
+        F.lit(1).alias("w"),
+    )
+    toks = tok_t.unionByName(tok_b)
+    wdl = toks.groupBy("doc_id").agg(F.sum("w").cast("long").alias("wdl"))
+    avgdl_df = wdl.agg(F.avg(F.col("wdl").cast("double")).alias("_avgdl"))
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    dfd = F.col("doc_frequency").cast("double")
+    stats = (
+        doc_frequencies(qtoks)
+        .crossJoin(F.broadcast(scalar_count(docs)))
+        .withColumn(
+            "idf", F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+        )
+        .select("term", "idf")
+    )
+    wtf = qtoks.groupBy("doc_id", "term").agg(
+        F.sum("w").cast("long").alias("wtf")
+    )
+    tfd = F.col("wtf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        1.0
+        - BM25_B
+        + F.lit(BM25_B) * F.col("wdl").cast("double") / F.col("_avgdl")
+    )
+    contrib = F.coalesce("idf", F.lit(1.0)) * (
+        tfd * (BM25_K1 + 1.0) / (tfd + norm)
+    )
+    return (
+        wtf.join(F.broadcast(stats), "term", "left")
+        .join(wdl, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25f_score"),
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        )
+        .orderBy(F.desc("bm25f_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25f_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           lower(substring(text, 1, {BM25F_TITLE_CHARS})), '{TOKEN_RUN}')) AS term,
+         {BM25F_TITLE_W} AS w
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           lower(substring(text, {BM25F_TITLE_CHARS + 1})), '{TOKEN_RUN}')) AS term,
+         1 AS w
+  FROM documents
+),
+wdl AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wdl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT avg(CAST(wdl AS DOUBLE)) AS a FROM wdl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+stats AS (
+  SELECT term, ln((n.n - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+  FROM toks, n WHERE term IN ({terms}) GROUP BY term, n.n
+),
+wtf AS (
+  SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS wtf
+  FROM toks WHERE term IN ({terms}) GROUP BY 1, 2
+)
+SELECT wtf.doc_id,
+       round(sum(COALESCE(stats.idf, 1.0)
+                 * (CAST(wtf.wtf AS DOUBLE) * ({BM25_K1} + 1.0)
+                    / (CAST(wtf.wtf AS DOUBLE)
+                       + {BM25_K1} * (1.0 - {BM25_B}
+                          + {BM25_B} * CAST(wdl.wdl AS DOUBLE) / avgdl.a)))),
+             6) AS bm25f_score,
+       CAST(count(*) AS BIGINT) AS matched_terms
+FROM wtf
+LEFT JOIN stats USING (term)
+JOIN wdl USING (doc_id), avgdl
+GROUP BY wtf.doc_id
+ORDER BY bm25f_score DESC, wtf.doc_id ASC
+LIMIT 20
+"""
+
+
+SQL_BM25F_TOPK = _bm25f_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -11873,6 +12104,8 @@ QUERIES_TD = {
     "pivot_report": q_pivot_report,
     "simhash_bit_balance": q_simhash_bit_balance,
     "expansion_agreement": q_expansion_agreement,
+    "srp_distortion": q_srp_distortion,
+    "bm25f_topk": q_bm25f_topk,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -12023,6 +12256,8 @@ ORACLES_TD = {
     "pivot_report": SQL_PIVOT_REPORT,
     "simhash_bit_balance": SQL_SIMHASH_BIT_BALANCE,
     "expansion_agreement": SQL_EXPANSION_AGREEMENT,
+    "srp_distortion": SQL_SRP_DISTORTION,
+    "bm25f_topk": SQL_BM25F_TOPK,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
