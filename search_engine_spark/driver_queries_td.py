@@ -12045,6 +12045,160 @@ LIMIT 20
 SQL_BM25F_TOPK = _bm25f_sql()
 
 
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier (Borzsony, Kossmann & Stocker 2001's SKYLINE
+# operator): parts minimizing retail price while maximizing size — kept
+# iff no part is cheaper-or-equal AND bigger-or-equal with one strict.
+# Planned as the SORT-SWEEP, not the naive O(n^2) dominance self-join:
+# collapse to (price_cents -> max size), then one range-frame window
+# (RANGE UNBOUNDED PRECEDING TO 1 PRECEDING on price) gives the best
+# size among STRICTLY cheaper parts; a price level survives iff it
+# beats that. Prices integer cents (round once — invariant 4); the
+# window orders on an integer key, identical in both engines.
+# --------------------------------------------------------------------------
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    best = part.groupBy("price_cents").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = best.withColumn(
+        "cheaper_best", F.max("best_size").over(w)
+    ).filter(
+        F.col("best_size") > F.coalesce(F.col("cheaper_best"), F.lit(-1))
+    )
+    return (
+        part.join(
+            frontier.select("price_cents", "best_size"), ["price_cents"]
+        )
+        .filter(F.col("p_size") == F.col("best_size"))
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+SQL_SKYLINE_FRONTIER = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100.0) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+),
+best AS (
+  SELECT price_cents, max(p_size) AS best_size FROM p GROUP BY price_cents
+),
+frontier AS (
+  SELECT price_cents, best_size
+  FROM (
+    SELECT price_cents, best_size,
+           max(best_size) OVER (ORDER BY price_cents
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS cheaper_best
+    FROM best
+  )
+  WHERE best_size > COALESCE(cheaper_best, -1)
+)
+SELECT p.p_partkey, p.price_cents, p.p_size
+FROM p JOIN frontier f
+  ON f.price_cents = p.price_cents AND p.p_size = f.best_size
+ORDER BY p.price_cents, p.p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# ABC inventory analysis (the 80/95 Pareto classification every
+# warehouse report ships, the actionable companion to order_gini's
+# inequality index): parts ranked by revenue, class A while cumulative
+# revenue <= 80% of total, B to 95%, else C. ENTIRELY integer: revenue
+# is the fixed6 BIGINT sum, the class boundaries compare cum6*100
+# against total6*80/95 (no percentage floats), cumulative window over
+# (rev desc, partkey) — deterministic tiebreak.
+# --------------------------------------------------------------------------
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", fixed6_long(_disc_price()).alias("d6")
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("d6").cast("long").alias("rev6"))
+    total = rev.agg(F.sum("rev6").cast("long").alias("_tot6"))
+    w = Window.orderBy(F.desc("rev6"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = (
+        rev.withColumn("cum6", F.sum("rev6").over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rev6",
+            F.when(
+                F.col("cum6") * 100 <= F.col("_tot6") * 80, F.lit("A")
+            )
+            .when(F.col("cum6") * 100 <= F.col("_tot6") * 95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "_tot6",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev6").cast("long").alias("class_rev6"),
+            F.max("_tot6").alias("_tot6"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.round(F.col("class_rev6") / F.lit(1000000.0), 6).alias(
+                "class_revenue"
+            ),
+            F.round(
+                F.col("class_rev6").cast("double")
+                / F.col("_tot6").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+SQL_ABC_ANALYSIS = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round({_SQL_DISC_PRICE} * 1000000.0) AS BIGINT))
+              AS BIGINT) AS rev6
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(rev6) AS BIGINT) AS t6 FROM rev),
+classed AS (
+  SELECT rev6,
+         CASE WHEN CAST(sum(rev6) OVER (ORDER BY rev6 DESC, l_partkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) * 100
+                   <= (SELECT t6 FROM tot) * 80 THEN 'A'
+              WHEN CAST(sum(rev6) OVER (ORDER BY rev6 DESC, l_partkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) * 100
+                   <= (SELECT t6 FROM tot) * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM rev
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(rev6) AS BIGINT) / 1000000.0, 6) AS class_revenue,
+       round(CAST(sum(rev6) AS DOUBLE)
+             / CAST((SELECT t6 FROM tot) AS DOUBLE), 6) AS revenue_share
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -12106,6 +12260,8 @@ QUERIES_TD = {
     "expansion_agreement": q_expansion_agreement,
     "srp_distortion": q_srp_distortion,
     "bm25f_topk": q_bm25f_topk,
+    "skyline_frontier": q_skyline_frontier,
+    "abc_analysis": q_abc_analysis,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -12258,6 +12414,8 @@ ORACLES_TD = {
     "expansion_agreement": SQL_EXPANSION_AGREEMENT,
     "srp_distortion": SQL_SRP_DISTORTION,
     "bm25f_topk": SQL_BM25F_TOPK,
+    "skyline_frontier": SQL_SKYLINE_FRONTIER,
+    "abc_analysis": SQL_ABC_ANALYSIS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
