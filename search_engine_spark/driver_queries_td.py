@@ -12199,6 +12199,178 @@ ORDER BY abc_class
 """
 
 
+# --------------------------------------------------------------------------
+# ANN recall@10 evaluation (the number that decides whether the LSH index
+# ships — upgraded from the unit suite to a PAIRED operator so the
+# oracle independently replays BOTH the detector and the ground truth):
+# per probe (vec_id%100==0), exact brute-force top-10 vs the top-10
+# among SRP band-collision candidates (same 16-plane/4-band config as
+# ann_lsh_topk), recall = overlap/10. Cosines on the round-6 grid with
+# id tie-break before every top-k (cross-engine rank stability); bucket
+# bits replicate srp_banded bit-for-bit. Also reports the candidate-set
+# size — the recall-vs-cost tradeoff in one table.
+# --------------------------------------------------------------------------
+ANN_RECALL_MOD = 100
+ANN_RECALL_K = 10
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    banded = S.srp_banded(
+        emb, n_planes=ANN_PLANES, bands=ANN_BANDS, dim=_EMB_DIM
+    ).localCheckpoint(eager=True)
+    pb = banded.filter(F.col("id") % ANN_RECALL_MOD == 0).select(
+        F.col("id").alias("probe_id"), "band", "bucket"
+    )
+    cand = (
+        pb.join(banded, ["band", "bucket"])
+        .filter(F.col("id") != F.col("probe_id"))
+        .select("probe_id", F.col("id").alias("vec_id"))
+        .distinct()
+    )
+    pv = emb.filter(F.col("vec_id") % ANN_RECALL_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pv")
+    )
+    cos6 = F.round(
+        S.cosine_similarity_col(F.col("_pv"), F.col("embedding")), 6
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = (
+        F.broadcast(pv)
+        .join(emb, F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", cos6.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    ann = (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(emb, "vec_id")
+        .select("probe_id", "vec_id", cos6.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    ncand = cand.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hits = exact.join(ann, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    return (
+        ncand.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_candidates",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.lit(float(ANN_RECALL_K)),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_srp_cte("e", ANN_PLANES, ANN_PLANES // ANN_BANDS)},
+pb AS (
+  SELECT vec_id AS probe_id, band, bucket FROM buckets
+  WHERE vec_id % {ANN_RECALL_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, b.vec_id
+  FROM pb p JOIN buckets b ON b.band = p.band AND b.bucket = p.bucket
+  WHERE b.vec_id <> p.probe_id
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id,
+         round(list_sum(list_transform(list_zip(p.v, c.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cos
+  FROM e p JOIN e c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id % {ANN_RECALL_MOD} = 0
+),
+exact AS (
+  SELECT probe_id, vec_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cos DESC, vec_id) <= {ANN_RECALL_K}
+),
+ann AS (
+  SELECT s.probe_id, s.vec_id FROM scored s
+  JOIN cand USING (probe_id, vec_id)
+  QUALIFY row_number() OVER (PARTITION BY s.probe_id
+                             ORDER BY s.cos DESC, s.vec_id) <= {ANN_RECALL_K}
+),
+ncand AS (
+  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM cand GROUP BY probe_id
+),
+hits AS (
+  SELECT probe_id, CAST(count(*) AS BIGINT) AS hits
+  FROM exact JOIN ann USING (probe_id, vec_id) GROUP BY probe_id
+)
+SELECT n.probe_id, n.n_candidates,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {ANN_RECALL_K}.0, 6)
+         AS recall_at_10
+FROM ncand n LEFT JOIN hits h ON h.probe_id = n.probe_id
+ORDER BY n.probe_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram of the events value column (the optimizer-
+# statistics companion to value_histogram's equi-WIDTH buckets —
+# equi-depth is what selectivity estimators actually store): ntile(10)
+# over a TOTAL order (value6, event_id — the integer grid + unique key
+# makes the tiling identical in both engines despite ntile's
+# arbitrary-split reputation), then per bucket min/max/count and the
+# fixed6 sum. Values quantized to integer micros once (invariant 4).
+# --------------------------------------------------------------------------
+EQUIDEPTH_BUCKETS = 10
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events").select(
+        "event_id", fixed6_long(F.col("value")).alias("v6")
+    )
+    w = Window.orderBy("v6", "event_id")
+    tiled = events.withColumn(
+        "bucket", F.ntile(EQUIDEPTH_BUCKETS).over(w).cast("long")
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("v6") / F.lit(1000000.0), 6).alias("min_value"),
+            F.round(F.max("v6") / F.lit(1000000.0), 6).alias("max_value"),
+            F.round(F.sum("v6") / F.lit(1000000.0), 6).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_EQUIDEPTH_HISTOGRAM = f"""
+WITH t AS (
+  SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v6,
+         ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY
+           CAST(round(value * 1000000.0) AS BIGINT), event_id) AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(v6) / 1000000.0, 6) AS min_value,
+       round(max(v6) / 1000000.0, 6) AS max_value,
+       round(CAST(sum(v6) AS BIGINT) / 1000000.0, 6) AS sum_value
+FROM t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -12262,6 +12434,8 @@ QUERIES_TD = {
     "bm25f_topk": q_bm25f_topk,
     "skyline_frontier": q_skyline_frontier,
     "abc_analysis": q_abc_analysis,
+    "ann_recall": q_ann_recall,
+    "equidepth_histogram": q_equidepth_histogram,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -12416,6 +12590,8 @@ ORACLES_TD = {
     "bm25f_topk": SQL_BM25F_TOPK,
     "skyline_frontier": SQL_SKYLINE_FRONTIER,
     "abc_analysis": SQL_ABC_ANALYSIS,
+    "ann_recall": SQL_ANN_RECALL,
+    "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
