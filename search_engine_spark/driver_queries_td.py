@@ -12371,6 +12371,120 @@ ORDER BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Interpolated (type-7 / PERCENTILE_CONT) group percentiles — the
+# SQL-standard-surface companion to length_quantiles' type-1 integer
+# quantiles: per event type, p25/p50/p75/p90 of the value column via
+# Spark percentile() vs DuckDB quantile_cont(). Values are quantized to
+# the fixed6 grid FIRST, so the interpolation runs on integral doubles
+# where a last-bit implementation difference (x+(y-x)*f vs x*(1-f)+y*f)
+# sits ~8 orders below the round-6 display grid. The 0.25/0.5/0.75
+# fractions are dyadic-exact; 0.9 is the same IEEE literal both sides.
+# --------------------------------------------------------------------------
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events").select(
+        "event_type", fixed6_long(F.col("value")).alias("v6")
+    )
+    def pq(p):
+        return F.round(
+            F.expr(f"percentile(v6, {p}D)") / F.lit(1000000.0), 6
+        )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            pq(0.25).alias("p25"),
+            pq(0.5).alias("p50"),
+            pq(0.75).alias("p75"),
+            pq(0.9).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_GROUP_PERCENTILES = """
+WITH t AS (
+  SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v6
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(v6, 0.25) / 1000000.0, 6) AS p25,
+       round(quantile_cont(v6, 0.5) / 1000000.0, 6) AS p50,
+       round(quantile_cont(v6, 0.75) / 1000000.0, 6) AS p75,
+       round(quantile_cont(v6, 0.9) / 1000000.0, 6) AS p90
+FROM t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Top nations per region WITH TIES (the dense_rank surface — every other
+# top-k pair uses row_number's arbitrary-ties-cut; rank-with-ties is the
+# semantics reports actually want): customer-side revenue per
+# (region, nation), dense_rank <= 2 per region on the EXACT fixed6
+# BIGINT revenue (integer ties rank identically in both engines).
+# --------------------------------------------------------------------------
+def q_region_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", fixed6_long(_disc_price()).alias("d6")
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("d6").cast("long").alias("rev6"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("rev6"))
+    return (
+        rev.withColumn("rk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "rk",
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue"),
+        )
+        .orderBy("region", "rk", "nation")
+    )
+
+
+SQL_REGION_TOP_NATIONS = f"""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(round({_SQL_DISC_PRICE.replace("l_", "l.l_")}
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS rev6
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+       CAST(dense_rank() OVER (PARTITION BY region ORDER BY rev6 DESC)
+            AS BIGINT) AS rk,
+       round(rev6 / 1000000.0, 6) AS revenue
+FROM rev
+QUALIFY rk <= 2
+ORDER BY region, rk, nation
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -12436,6 +12550,8 @@ QUERIES_TD = {
     "abc_analysis": q_abc_analysis,
     "ann_recall": q_ann_recall,
     "equidepth_histogram": q_equidepth_histogram,
+    "group_percentiles": q_group_percentiles,
+    "region_top_nations": q_region_top_nations,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -12592,6 +12708,8 @@ ORACLES_TD = {
     "abc_analysis": SQL_ABC_ANALYSIS,
     "ann_recall": SQL_ANN_RECALL,
     "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
+    "group_percentiles": SQL_GROUP_PERCENTILES,
+    "region_top_nations": SQL_REGION_TOP_NATIONS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
