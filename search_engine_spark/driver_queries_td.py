@@ -10894,7 +10894,11 @@ FROM ranked
 MARKOV_ITERS = 20
 
 
-def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _markov_chain(spark: SparkSession, sf_dir: str):
+    """(p, v): the exact-rational transition matrix DataFrame and the
+    20-iteration power-method stationary vector (shared by
+    q_markov_stationary and q_entropy_rate — identical recursion both
+    pairs' oracles replay)."""
     events = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("_us", "event_id")
     steps = (
@@ -10937,6 +10941,12 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
             .select(F.col("next_type").alias("t"), "v")
         )
+    return p, v
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    _, v = _markov_chain(spark, sf_dir)
     emp = events.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -10955,8 +10965,7 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MARKOV_STATIONARY = f"""
-WITH RECURSIVE ordered AS (
+_MARKOV_CTES = f"""ordered AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY epoch_us(ts), event_id) AS prev_type
@@ -10985,7 +10994,11 @@ vt AS (
   FROM vt JOIN p ON p.prev_type = vt.t
   WHERE vt.iter < {MARKOV_ITERS}
   GROUP BY 1, 2
-),
+)"""
+
+
+SQL_MARKOV_STATIONARY = f"""
+WITH RECURSIVE {_MARKOV_CTES},
 emp AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
 ),
@@ -12485,6 +12498,133 @@ ORDER BY region, rk, nation
 """
 
 
+# --------------------------------------------------------------------------
+# MAD-based robust outlier gate (Leys et al. 2013's recommended
+# replacement for the z-score — the median absolute deviation ignores
+# the outliers it hunts, unlike events_anomaly's mean/stddev): per event
+# type, median(v), MAD = median(|v - median|), and the count of events
+# beyond 3*MAD. Medians are type-7 interpolated on the fixed6 integer
+# grid (exact halves — the same grid-safety argument as
+# group_percentiles); the 3*MAD threshold compare happens on those
+# half-grid doubles, exactly representable in both engines. No 1.4826
+# consistency constant (a non-exact float literal) — the raw-MAD rule is
+# documented as such.
+# --------------------------------------------------------------------------
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events").select(
+        "event_type", fixed6_long(F.col("value")).alias("v6")
+    )
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(v6, 0.5D)").alias("med6")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "v6",
+        "med6",
+        F.abs(F.col("v6").cast("double") - F.col("med6")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5D)").alias("mad6")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("med6") / F.lit(1000000.0), 6).alias("median"),
+            F.round(F.max("mad6") / F.lit(1000000.0), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3.0 * F.col("mad6"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH t AS (
+  SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v6
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(v6, 0.5) AS med6 FROM t GROUP BY event_type
+),
+dev AS (
+  SELECT t.event_type, t.v6, med.med6,
+         abs(CAST(t.v6 AS DOUBLE) - med.med6) AS dev
+  FROM t JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad6
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(max(dev.med6) / 1000000.0, 6) AS median,
+       round(max(mad.mad6) / 1000000.0, 6) AS mad,
+       CAST(sum(CASE WHEN dev.dev > 3.0 * mad.mad6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Markov entropy rate of the event chain (Shannon 1948's H(X) for a
+# stationary Markov source — the compressibility floor of the event
+# stream, the info-theoretic companion to behavior_entropy's iid
+# per-user entropy): H = -sum_a pi_a sum_b P_ab log2 P_ab with pi from
+# the SAME 20-iteration power method as markov_stationary (shared
+# helper; the oracle replays the identical recursion), next to the
+# stationary entropy H(pi) (iid upper bound) and their gap = the
+# sequential-predictability payoff. <=k^2 double terms, round-6.
+# --------------------------------------------------------------------------
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, v = _markov_chain(spark, sf_dir)
+    joint = v.join(p, v["t"] == p["prev_type"]).select(
+        (
+            F.col("v")
+            * F.col("p")
+            * F.log2(F.col("p"))
+        ).alias("term"),
+        (F.col("v") * F.log2(F.col("v"))).alias("_pi_term"),
+        "t",
+    )
+    hrate = joint.agg(
+        F.round(-F.sum("term"), 6).alias("entropy_rate_bits")
+    )
+    hpi = (
+        v.select((F.col("v") * F.log2(F.col("v"))).alias("pt"))
+        .agg(F.round(-F.sum("pt"), 6).alias("stationary_entropy_bits"))
+    )
+    return hrate.crossJoin(F.broadcast(hpi)).select(
+        "entropy_rate_bits",
+        "stationary_entropy_bits",
+        F.round(
+            F.col("stationary_entropy_bits") - F.col("entropy_rate_bits"), 6
+        ).alias("predictability_gain_bits"),
+    )
+
+
+SQL_ENTROPY_RATE = f"""
+WITH RECURSIVE {_MARKOV_CTES},
+pi AS (SELECT t, v FROM vt WHERE iter = {MARKOV_ITERS}),
+hrate AS (
+  SELECT round(-sum(pi.v * p.p * log2(p.p)), 6) AS entropy_rate_bits
+  FROM pi JOIN p ON p.prev_type = pi.t
+),
+hpi AS (
+  SELECT round(-sum(v * log2(v)), 6) AS stationary_entropy_bits FROM pi
+)
+SELECT entropy_rate_bits, stationary_entropy_bits,
+       round(stationary_entropy_bits - entropy_rate_bits, 6)
+         AS predictability_gain_bits
+FROM hrate, hpi
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -12552,6 +12692,8 @@ QUERIES_TD = {
     "equidepth_histogram": q_equidepth_histogram,
     "group_percentiles": q_group_percentiles,
     "region_top_nations": q_region_top_nations,
+    "mad_outliers": q_mad_outliers,
+    "entropy_rate": q_entropy_rate,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -12710,6 +12852,8 @@ ORACLES_TD = {
     "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "region_top_nations": SQL_REGION_TOP_NATIONS,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "entropy_rate": SQL_ENTROPY_RATE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
