@@ -12625,6 +12625,216 @@ FROM hrate, hpi
 """
 
 
+# --------------------------------------------------------------------------
+# Learning-to-rank feature export (the table an LTR trainer consumes —
+# Liu 2009's standard feature families joined in one pass): for the
+# fixed query's top-20 candidates (exact integer tf*idf6 ranking, the
+# PRF/Rocchio feedback selection), the lexical features (score6,
+# matched terms, tf sum, doc length) joined with the GRAPH features
+# (round-9 PageRank + in-degree over the synthetic link graph). The
+# showcase composition pair: retrieval, statistics, and graph pipelines
+# feeding one training table; the oracle independently replays ALL of
+# them (idf aggregation + the 20-iteration PageRank recursion).
+# --------------------------------------------------------------------------
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pagerank import build_document_authority
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    ).filter(~F.col("term").isin(_TD_STOPWORDS))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    dfd = F.col("doc_frequency").cast("double")
+    idf6 = (
+        doc_frequencies(qtoks)
+        .crossJoin(F.broadcast(scalar_count(docs)))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("idf6"),
+        )
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    top = (
+        tf.join(F.broadcast(idf6), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf6")).cast("long").alias("score6"),
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+        )
+        .orderBy(F.desc("score6"), F.asc("doc_id"))
+        .limit(20)
+    )
+    gdocs, edges = _edges(spark, sf_dir)
+    auth = build_document_authority(gdocs, edges).select(
+        "doc_id",
+        F.round("pagerank", 9).alias("pagerank"),
+        F.col("inlink_count").cast("long").alias("inlinks"),
+    )
+    return (
+        top.join(dl, "doc_id")
+        .join(auth, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score6",
+            "matched_terms",
+            "tf_sum",
+            "dl",
+            F.coalesce("pagerank", F.lit(0.0)).alias("pagerank"),
+            F.coalesce("inlinks", F.lit(0)).cast("long").alias("inlinks"),
+        )
+        .orderBy(F.desc("score6"), "doc_id")
+    )
+
+
+def _ltr_sql() -> str:
+    qterms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH RECURSIVE {_EDGES_CTE},
+ftoks AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  ) WHERE term NOT IN ({_SQL_TD_STOPWORD_LIST})
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ftoks GROUP BY doc_id),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+idf6 AS (
+  SELECT term,
+         CAST(round(ln((nd.n - count(DISTINCT doc_id) + 0.5)
+                       / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                    * 1000000.0) AS BIGINT) AS idf6
+  FROM ftoks, nd WHERE term IN ({qterms}) GROUP BY term, nd.n
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ftoks WHERE term IN ({qterms}) GROUP BY 1, 2
+),
+top AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf * idf6.idf6) AS BIGINT) AS score6,
+         CAST(count(*) AS BIGINT) AS matched_terms,
+         CAST(sum(tf.tf) AS BIGINT) AS tf_sum
+  FROM tf JOIN idf6 USING (term)
+  GROUP BY tf.doc_id
+  ORDER BY score6 DESC, tf.doc_id
+  LIMIT 20
+),
+outdeg AS (SELECT source_doc_id AS src, count(*)::DOUBLE AS od
+           FROM edges GROUP BY source_doc_id),
+edges_w AS (
+  SELECT e.source_doc_id AS src, e.target_doc_id AS dst, 1.0 / o.od AS w
+  FROM edges e JOIN outdeg o ON o.src = e.source_doc_id
+  UNION ALL
+  SELECT doc_id, doc_id, 0.0 FROM documents
+),
+pr AS (
+  SELECT 0 AS iter, doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM documents
+  UNION ALL
+  SELECT pr.iter + 1, e.dst AS doc_id,
+         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(pr.rank * e.w) AS rank
+  FROM pr JOIN edges_w e ON e.src = pr.doc_id
+  WHERE pr.iter < 20
+  GROUP BY pr.iter + 1, e.dst
+),
+ind AS (SELECT target_doc_id AS doc_id, CAST(count(*) AS BIGINT) AS inlinks
+        FROM edges GROUP BY target_doc_id),
+auth AS (
+  SELECT pr.doc_id, round(pr.rank, 9) AS pagerank,
+         CAST(COALESCE(i.inlinks, 0) AS BIGINT) AS inlinks
+  FROM pr LEFT JOIN ind i ON i.doc_id = pr.doc_id
+  WHERE pr.iter = 20
+)
+SELECT t.doc_id, t.score6, t.matched_terms, t.tf_sum, dl.dl,
+       COALESCE(a.pagerank, 0.0) AS pagerank,
+       CAST(COALESCE(a.inlinks, 0) AS BIGINT) AS inlinks
+FROM top t
+JOIN dl USING (doc_id)
+LEFT JOIN auth a ON a.doc_id = t.doc_id
+ORDER BY t.score6 DESC, t.doc_id
+"""
+
+
+SQL_LTR_FEATURES = _ltr_sql()
+
+
+# --------------------------------------------------------------------------
+# Conversion lag (time-to-first-purchase — the activation-funnel timing
+# metric next to event_funnel's step counts): per user, microseconds
+# from first event to first 'purchase' (converted users only), reported
+# as conversion rate + interpolated p50/p90 of the lag in integer
+# MINUTES (epoch-us arithmetic per invariant 3; positive floor-division;
+# quantile_cont on the integer grid per the group_percentiles argument).
+# --------------------------------------------------------------------------
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    us = events.select(
+        "user_id", "event_type", ntz_epoch_us(F.col("ts")).alias("us")
+    )
+    per_user = us.groupBy("user_id").agg(
+        F.min("us").cast("long").alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us")))
+        .cast("long")
+        .alias("first_purchase_us"),
+    )
+    lag = per_user.select(
+        "first_purchase_us",
+        F.expr(
+            f"(first_purchase_us - first_us) div {US_PER_MINUTE_DIV}"
+        ).alias("lag_min"),
+    )
+    return lag.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("first_purchase_us").cast("long").alias("n_converted"),
+        F.round(
+            F.count("first_purchase_us").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("conversion_rate"),
+        F.round(F.expr("percentile(lag_min, 0.5D)"), 6).alias("p50_lag_min"),
+        F.round(F.expr("percentile(lag_min, 0.9D)"), 6).alias("p90_lag_min"),
+    )
+
+
+US_PER_MINUTE_DIV = 60_000_000
+
+
+SQL_CONVERSION_LAG = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+         CAST(min(CASE WHEN event_type = 'purchase'
+                       THEN epoch_us(ts) END) AS BIGINT) AS first_purchase_us
+  FROM events GROUP BY user_id
+),
+lag AS (
+  SELECT first_purchase_us,
+         (first_purchase_us - first_us) // {US_PER_MINUTE_DIV} AS lag_min
+  FROM per_user
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(first_purchase_us) AS BIGINT) AS n_converted,
+       round(CAST(count(first_purchase_us) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS conversion_rate,
+       round(quantile_cont(lag_min, 0.5), 6) AS p50_lag_min,
+       round(quantile_cont(lag_min, 0.9), 6) AS p90_lag_min
+FROM lag
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -12694,6 +12904,8 @@ QUERIES_TD = {
     "region_top_nations": q_region_top_nations,
     "mad_outliers": q_mad_outliers,
     "entropy_rate": q_entropy_rate,
+    "ltr_features": q_ltr_features,
+    "conversion_lag": q_conversion_lag,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -12854,6 +13066,8 @@ ORACLES_TD = {
     "region_top_nations": SQL_REGION_TOP_NATIONS,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "entropy_rate": SQL_ENTROPY_RATE,
+    "ltr_features": SQL_LTR_FEATURES,
+    "conversion_lag": SQL_CONVERSION_LAG,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
