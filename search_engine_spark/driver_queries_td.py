@@ -12835,6 +12835,236 @@ FROM lag
 """
 
 
+# --------------------------------------------------------------------------
+# Global transitivity (Newman's C = 3*triangles/wedges — the one-number
+# global companion to triangle_counts' per-node clustering): triangles
+# via the same degree-ordered orientation (each counted once), wedges =
+# sum d(d-1)/2 over undirected degrees — ALL integers, one final ratio.
+# Over the triangle-closing generator graph (_TRI_GENS, as
+# triangle_counts/edge_support).
+# --------------------------------------------------------------------------
+def q_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _edges(spark, sf_dir, gens=_TRI_GENS)
+    und = (
+        edges.select(
+            F.least("source_doc_id", "target_doc_id").alias("ua"),
+            F.greatest("source_doc_id", "target_doc_id").alias("ub"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("ua").alias("v"))
+        .unionByName(und.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges"),
+    )
+    da = deg.select(F.col("v").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("ub"), F.col("d").alias("db"))
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ua") < F.col("ub"))
+    )
+    o = (
+        und.join(da, "ua")
+        .join(db, "ub")
+        .select(
+            F.when(lower, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+            F.when(lower, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+            F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x, y, z = o.alias("x"), o.alias("y"), o.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("y.src") == F.col("x.src"))
+            & (
+                (F.col("x.dd") < F.col("y.dd"))
+                | (
+                    (F.col("x.dd") == F.col("y.dd"))
+                    & (F.col("x.dst") < F.col("y.dst"))
+                )
+            ),
+        )
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst"))
+            & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        wedges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+SQL_GLOBAL_TRANSITIVITY = f"""
+WITH {_edges_cte(_TRI_GENS)},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS ua,
+                  greatest(source_doc_id, target_doc_id) AS ub
+  FROM edges
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT ua AS v FROM und UNION ALL SELECT ub FROM und
+  ) GROUP BY v
+),
+o AS (
+  SELECT CASE WHEN (da.d, u.ua) < (db.d, u.ub) THEN u.ua ELSE u.ub END AS src,
+         CASE WHEN (da.d, u.ua) < (db.d, u.ub) THEN u.ub ELSE u.ua END AS dst,
+         CASE WHEN (da.d, u.ua) < (db.d, u.ub) THEN db.d ELSE da.d END AS dd
+  FROM und u JOIN deg da ON da.v = u.ua JOIN deg db ON db.v = u.ub
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM o x JOIN o y ON y.src = x.src AND ((x.dd, x.dst) < (y.dd, y.dst))
+  JOIN o z ON z.src = x.dst AND z.dst = y.dst
+),
+w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+SELECT w.n_nodes, ne.n_edges, tri.n_triangles, w.n_wedges,
+       round(3.0 * CAST(tri.n_triangles AS DOUBLE)
+             / CAST(w.n_wedges AS DOUBLE), 6) AS transitivity
+FROM w, tri, ne
+"""
+
+
+# --------------------------------------------------------------------------
+# Bow-tie structure census (Broder et al. 2000, "Graph structure in the
+# web" — THE web-graph macro-structure analysis): pick the max-in-degree
+# hub (id tiebreak), run 8-hop forward BFS (reachable FROM the hub) and
+# backward BFS (nodes REACHING the hub), classify every node CORE
+# (both), IN (reaches only), OUT (reached only), OTHER. True SCC-based
+# bow-tie needs unbounded closure; the 8-hop horizon is the documented
+# bounded variant (identical in both engines — a horizon shortfall
+# would show as identical class shifts on both sides, never a silent
+# divergence). Pure integer BFS, bounded rounds, visited-set anti-joins.
+# --------------------------------------------------------------------------
+BOWTIE_HOPS = 8
+
+
+def q_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, edges = _edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+    ind = edges.groupBy("target_doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    hub = (
+        ind.orderBy(F.desc("d"), "target_doc_id")
+        .limit(1)
+        .select(F.col("target_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    def reach(edge_df, src_col, dst_col):
+        visited = hub
+        frontier = hub
+        for _ in range(BOWTIE_HOPS):
+            nxt = (
+                frontier.join(
+                    edge_df, frontier["doc_id"] == edge_df[src_col]
+                )
+                .select(F.col(dst_col).alias("doc_id"))
+                .distinct()
+                .join(visited, "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited
+
+    fwd = reach(edges, "source_doc_id", "target_doc_id").select(
+        "doc_id", F.lit(1).alias("_f")
+    )
+    bwd = reach(edges, "target_doc_id", "source_doc_id").select(
+        "doc_id", F.lit(1).alias("_b")
+    )
+    classed = (
+        docs.join(fwd, "doc_id", "left")
+        .join(bwd, "doc_id", "left")
+        .select(
+            F.when((F.col("_f") == 1) & (F.col("_b") == 1), F.lit("CORE"))
+            .when(F.col("_b") == 1, F.lit("IN"))
+            .when(F.col("_f") == 1, F.lit("OUT"))
+            .otherwise(F.lit("OTHER"))
+            .alias("component")
+        )
+    )
+    return (
+        classed.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("component")
+    )
+
+
+SQL_BOWTIE_STRUCTURE = f"""
+WITH RECURSIVE {_EDGES_CTE},
+ind AS (SELECT target_doc_id AS v, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY target_doc_id),
+hub AS (SELECT v AS doc_id FROM ind ORDER BY d DESC, v LIMIT 1),
+fmsgs AS (
+  SELECT source_doc_id AS src, target_doc_id AS dst FROM edges
+  UNION ALL SELECT doc_id, doc_id FROM documents
+),
+fwd AS (
+  SELECT 0 AS iter, doc_id FROM hub
+  UNION ALL
+  SELECT f.iter + 1, m.dst
+  FROM fwd f JOIN fmsgs m ON m.src = f.doc_id
+  WHERE f.iter < {BOWTIE_HOPS}
+  GROUP BY 1, 2
+),
+freach AS (SELECT DISTINCT doc_id FROM fwd),
+bmsgs AS (
+  SELECT target_doc_id AS src, source_doc_id AS dst FROM edges
+  UNION ALL SELECT doc_id, doc_id FROM documents
+),
+bwd AS (
+  SELECT 0 AS iter, doc_id FROM hub
+  UNION ALL
+  SELECT b.iter + 1, m.dst
+  FROM bwd b JOIN bmsgs m ON m.src = b.doc_id
+  WHERE b.iter < {BOWTIE_HOPS}
+  GROUP BY 1, 2
+),
+breach AS (SELECT DISTINCT doc_id FROM bwd)
+SELECT CASE WHEN f.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 'CORE'
+            WHEN b.doc_id IS NOT NULL THEN 'IN'
+            WHEN f.doc_id IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS component,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM documents d
+LEFT JOIN freach f ON f.doc_id = d.doc_id
+LEFT JOIN breach b ON b.doc_id = d.doc_id
+GROUP BY component
+ORDER BY component
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -12906,6 +13136,8 @@ QUERIES_TD = {
     "entropy_rate": q_entropy_rate,
     "ltr_features": q_ltr_features,
     "conversion_lag": q_conversion_lag,
+    "global_transitivity": q_global_transitivity,
+    "bowtie_structure": q_bowtie_structure,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -13068,6 +13300,8 @@ ORACLES_TD = {
     "entropy_rate": SQL_ENTROPY_RATE,
     "ltr_features": SQL_LTR_FEATURES,
     "conversion_lag": SQL_CONVERSION_LAG,
+    "global_transitivity": SQL_GLOBAL_TRANSITIVITY,
+    "bowtie_structure": SQL_BOWTIE_STRUCTURE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
