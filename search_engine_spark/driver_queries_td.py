@@ -13065,6 +13065,183 @@ ORDER BY component
 """
 
 
+# --------------------------------------------------------------------------
+# Sessionization gap-sensitivity sweep (the parameter-robustness audit
+# behind event_sessions' single 30-min gap — if session counts swing
+# wildly across 5/15/30/60-min thresholds, the downstream metrics are
+# threshold artifacts): ONE pass computes the inter-event gaps (same
+# tz-invariant ordering as every temporal pair), a 4-way explode then
+# counts breaks per threshold; n_sessions = n_users + breaks. Pure
+# integers + one events-per-session ratio per row.
+# --------------------------------------------------------------------------
+SESSION_SWEEP_MIN = [5, 15, 30, 60]
+
+
+def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_id", ntz_epoch_us(F.col("ts")).alias("_us")
+        )
+        .select(
+            "user_id",
+            (F.col("_us") - F.lag("_us").over(w)).alias("gap_us"),
+        )
+    )
+    scalars = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("gap_us").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_users"),
+    )
+    swept = (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .select(
+            "gap_us",
+            F.explode(
+                F.array(*[F.lit(m) for m in SESSION_SWEEP_MIN])
+            ).alias("gap_min"),
+        )
+        .groupBy("gap_min")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_us")
+                    > F.col("gap_min").cast("long") * F.lit(60000000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("breaks")
+        )
+    )
+    return (
+        swept.crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("gap_min").cast("long").alias("gap_min"),
+            (F.col("n_users") + F.col("breaks")).cast("long").alias(
+                "n_sessions"
+            ),
+            F.round(
+                F.col("n_events").cast("double")
+                / (F.col("n_users") + F.col("breaks")).cast("double"),
+                6,
+            ).alias("events_per_session"),
+        )
+        .orderBy("gap_min")
+    )
+
+
+def _session_sweep_sql() -> str:
+    mins = ", ".join(str(m) for m in SESSION_SWEEP_MIN)
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+),
+scalars AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users
+  FROM gaps
+),
+swept AS (
+  SELECT m.gap_min,
+         CAST(sum(CASE WHEN g.gap_us > CAST(m.gap_min AS BIGINT) * 60000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS breaks
+  FROM gaps g, (SELECT unnest([{mins}]) AS gap_min) m
+  WHERE g.gap_us IS NOT NULL
+  GROUP BY m.gap_min
+)
+SELECT CAST(s.gap_min AS BIGINT) AS gap_min,
+       CAST(sc.n_users + s.breaks AS BIGINT) AS n_sessions,
+       round(CAST(sc.n_events AS DOUBLE)
+             / CAST(sc.n_users + s.breaks AS DOUBLE), 6)
+         AS events_per_session
+FROM swept s, scalars sc
+ORDER BY gap_min
+"""
+
+
+SQL_SESSION_GAP_SWEEP = _session_sweep_sql()
+
+
+# --------------------------------------------------------------------------
+# Negative-sampling distribution (word2vec's unigram^0.75 table —
+# Mikolov et al. 2013; the sampling prior every embedding trainer builds
+# from corpus counts): per term, p proportional to ctf^0.75 vs the raw
+# unigram share. The 3/4 power is spelled sqrt(ctf * sqrt(ctf)) in BOTH
+# engines — sqrt is IEEE-754 correctly rounded everywhere, so the value
+# is bit-identical cross-engine, unlike pow(x, 0.75) (Java Math.pow is
+# only 1-ulp-accurate — a last-bit difference could flip the 1e-9
+# quantization boundary). Quantized to fixed9 BIGINTs, integer-summed Z
+# (invariant 4), ONE division per row. Top 30 by ctf (integer order).
+# --------------------------------------------------------------------------
+NEG_SAMPLE_TOP = 30
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term")
+    ).filter(~F.col("term").isin(_TD_STOPWORDS))
+    ctf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ctf"))
+    c = F.col("ctf").cast("double")
+    pow9 = F.round(F.sqrt(c * F.sqrt(c)) * F.lit(1000000000.0), 0).cast(
+        "long"
+    )
+    weighted = ctf.select("term", "ctf", pow9.alias("p9"))
+    z = weighted.agg(
+        F.sum("p9").cast("long").alias("_z9"),
+        F.sum("ctf").cast("long").alias("_tot"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(z))
+        .select(
+            "term",
+            "ctf",
+            (F.col("p9").cast("double") / F.col("_z9").cast("double")).alias(
+                "sample_p"
+            ),
+            (F.col("ctf").cast("double") / F.col("_tot").cast("double")).alias(
+                "unigram_p"
+            ),
+        )
+        .orderBy(F.desc("ctf"), "term")
+        .limit(NEG_SAMPLE_TOP)
+    )
+
+
+SQL_NEGATIVE_SAMPLING = f"""
+WITH toks AS (
+  SELECT * FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  ) WHERE term NOT IN ({_SQL_TD_STOPWORD_LIST})
+),
+ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM toks GROUP BY term),
+weighted AS (
+  SELECT term, ctf,
+         CAST(round(sqrt(CAST(ctf AS DOUBLE) * sqrt(CAST(ctf AS DOUBLE)))
+                    * 1000000000.0) AS BIGINT) AS p9
+  FROM ctf
+),
+z AS (SELECT CAST(sum(p9) AS BIGINT) AS z9,
+             CAST(sum(ctf) AS BIGINT) AS tot FROM weighted)
+SELECT term, ctf,
+       CAST(p9 AS DOUBLE) / CAST(z.z9 AS DOUBLE) AS sample_p,
+       CAST(ctf AS DOUBLE) / CAST(z.tot AS DOUBLE) AS unigram_p
+FROM weighted, z
+ORDER BY ctf DESC, term
+LIMIT {NEG_SAMPLE_TOP}
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -13138,6 +13315,8 @@ QUERIES_TD = {
     "conversion_lag": q_conversion_lag,
     "global_transitivity": q_global_transitivity,
     "bowtie_structure": q_bowtie_structure,
+    "session_gap_sweep": q_session_gap_sweep,
+    "negative_sampling": q_negative_sampling,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -13302,6 +13481,8 @@ ORACLES_TD = {
     "conversion_lag": SQL_CONVERSION_LAG,
     "global_transitivity": SQL_GLOBAL_TRANSITIVITY,
     "bowtie_structure": SQL_BOWTIE_STRUCTURE,
+    "session_gap_sweep": SQL_SESSION_GAP_SWEEP,
+    "negative_sampling": SQL_NEGATIVE_SAMPLING,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
