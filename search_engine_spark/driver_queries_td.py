@@ -13242,6 +13242,173 @@ LIMIT {NEG_SAMPLE_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# UCB1 bandit scores (Auer, Cesa-Bianchi & Fischer 2002 — the
+# deterministic exploration policy; Thompson sampling needs RNG and is
+# deliberately out of scope): arm = event type, reward = the value
+# column; UCB = mean_reward + sqrt(2 ln N / n_arm). Mean from fixed6
+# BIGINT sums (invariant 4); ln on an exact integer (the same libm
+# surface every idf pair exercises) and correctly-rounded sqrt; one
+# round-6 display per arm. The table a ranking/crawl scheduler reads to
+# pick the next arm.
+# --------------------------------------------------------------------------
+def q_ucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events").select(
+        "event_type", fixed6_long(F.col("value")).alias("v6")
+    )
+    arms = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v6").cast("long").alias("s6"),
+    )
+    total = arms.agg(F.sum("n").cast("long").alias("_big_n"))
+    mean = F.col("s6").cast("double") / (
+        F.col("n").cast("double") * F.lit(1000000.0)
+    )
+    bonus = F.sqrt(
+        F.lit(2.0)
+        * F.log(F.col("_big_n").cast("double"))
+        / F.col("n").cast("double")
+    )
+    return (
+        arms.crossJoin(F.broadcast(total))
+        .select(
+            F.col("event_type").alias("arm"),
+            "n",
+            F.round(mean, 6).alias("mean_reward"),
+            F.round(mean + bonus, 6).alias("ucb1"),
+        )
+        .orderBy("arm")
+    )
+
+
+SQL_UCB_SCORES = """
+WITH arms AS (
+  SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS s6
+  FROM events GROUP BY event_type
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM arms)
+SELECT arm, n,
+       round(CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+         AS mean_reward,
+       round(CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+             + sqrt(2.0 * ln(CAST(total.big_n AS DOUBLE))
+                    / CAST(n AS DOUBLE)), 6) AS ucb1
+FROM arms, total
+ORDER BY arm
+"""
+
+
+# --------------------------------------------------------------------------
+# A/B conversion z-test (the two-proportion test every experimentation
+# platform ships): users split by md5(user_id) first-nibble parity (the
+# repo's standard deterministic hash-split device), conversion = any
+# BIG-TICKET purchase (value > 150 — the synthetic users are so
+# event-dense that plain any-purchase converts 100% and degenerates the
+# pooled variance to zero; probed before fixing the threshold); z = (pA - pB)/sqrt(p(1-p)(1/nA + 1/nB)) built ENTIRELY
+# from integer counts (one identical double expression), significance
+# decided on the ROUND-6 z grid against the 1.96 two-sided bound as an
+# integer compare (|z6| >= 1960000 — no non-dyadic 1.96 literal crossing
+# the DuckDB DECIMAL path, invariant 1).
+# --------------------------------------------------------------------------
+AB_CONV_VALUE6 = 150 * 1_000_000
+
+
+def q_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    grp = F.expr(
+        "CAST(conv(substring(md5(cast(user_id as string)), 1, 1), 16, 10)"
+        " AS INT) % 2"
+    )
+    g = users.select(grp.alias("grp"), "conv")
+    agg = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    a = agg.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = agg.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z6 = F.round(z * F.lit(1000000.0), 0).cast("long")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z6) >= 1960000).alias("significant_95"),
+    )
+
+
+SQL_AB_TEST_Z = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT ((strpos('0123456789abcdef',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2) AS grp,
+         conv
+  FROM users
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM g GROUP BY grp
+),
+ab AS (
+  SELECT (SELECT n FROM agg WHERE grp = 0) AS n_a,
+         (SELECT c FROM agg WHERE grp = 0) AS conv_a,
+         (SELECT n FROM agg WHERE grp = 1) AS n_b,
+         (SELECT c FROM agg WHERE grp = 1) AS conv_b
+),
+calc AS (
+  SELECT *,
+         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+  FROM ab
+),
+zc AS (
+  SELECT *,
+         (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt(pool * (1.0 - pool)
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           AS z
+  FROM calc
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round(z, 6) AS z_score,
+       (abs(CAST(round(z * 1000000.0) AS BIGINT)) >= 1960000)
+         AS significant_95
+FROM zc
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -13317,6 +13484,8 @@ QUERIES_TD = {
     "bowtie_structure": q_bowtie_structure,
     "session_gap_sweep": q_session_gap_sweep,
     "negative_sampling": q_negative_sampling,
+    "ucb_scores": q_ucb_scores,
+    "ab_test_z": q_ab_test_z,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -13483,6 +13652,8 @@ ORACLES_TD = {
     "bowtie_structure": SQL_BOWTIE_STRUCTURE,
     "session_gap_sweep": SQL_SESSION_GAP_SWEEP,
     "negative_sampling": SQL_NEGATIVE_SAMPLING,
+    "ucb_scores": SQL_UCB_SCORES,
+    "ab_test_z": SQL_AB_TEST_Z,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
