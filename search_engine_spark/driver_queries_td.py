@@ -13409,6 +13409,203 @@ FROM zc
 """
 
 
+# --------------------------------------------------------------------------
+# Rich-club coefficient (Zhou & Mondragon 2004; Colizza 2006 made it the
+# standard hub-interconnection audit): for each degree threshold k in a
+# fixed sweep, phi(k) = 2*E_k / (n_k*(n_k-1)) where n_k = nodes with
+# degree > k and E_k = undirected edges with BOTH endpoints above k —
+# do hubs link to each other more than chance? One pass: explode the
+# k-sweep over the degree-annotated edge list, conditional integer
+# counts, one ratio per row. Complements hub_knockout (what happens if
+# hubs die) with how tightly the club is wired while alive.
+# --------------------------------------------------------------------------
+RICH_CLUB_KS = [2, 3, 4, 5, 6, 8]
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("source_doc_id", "target_doc_id").alias("ua"),
+            F.greatest("source_doc_id", "target_doc_id").alias("ub"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("ua").alias("v"))
+        .unionByName(und.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in RICH_CLUB_KS])).alias("k")
+    nk = (
+        deg.select("d", ks)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_k")
+        )
+    )
+    da = deg.select(F.col("v").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("ub"), F.col("d").alias("db"))
+    ek = (
+        und.join(da, "ua")
+        .join(db, "ub")
+        .select("da", "db", ks)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("da") > F.col("k")) & (F.col("db") > F.col("k")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("e_k")
+        )
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_k",
+            "e_k",
+            F.when(
+                F.col("n_k") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.col("e_k").cast("double")
+                    / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+def _rich_club_sql() -> str:
+    klist = ", ".join(str(k) for k in RICH_CLUB_KS)
+    return f"""
+WITH {_EDGES_CTE.replace("nn AS", "nn AS")},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS ua,
+                  greatest(source_doc_id, target_doc_id) AS ub
+  FROM edges
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT ua AS v FROM und UNION ALL SELECT ub FROM und
+  ) GROUP BY v
+),
+ks AS (SELECT unnest([{klist}]) AS k),
+nk AS (
+  SELECT ks.k,
+         CAST(sum(CASE WHEN deg.d > ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_k
+  FROM deg, ks GROUP BY ks.k
+),
+ek AS (
+  SELECT ks.k,
+         CAST(sum(CASE WHEN da.d > ks.k AND db.d > ks.k
+                       THEN 1 ELSE 0 END) AS BIGINT) AS e_k
+  FROM und u JOIN deg da ON da.v = u.ua JOIN deg db ON db.v = u.ub, ks
+  GROUP BY ks.k
+)
+SELECT CAST(nk.k AS BIGINT) AS k, nk.n_k, ek.e_k,
+       CASE WHEN nk.n_k >= 2 THEN
+         round(2.0 * CAST(ek.e_k AS DOUBLE)
+               / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE), 6)
+       ELSE 0.0 END AS phi
+FROM nk JOIN ek ON ek.k = nk.k
+ORDER BY k
+"""
+
+
+SQL_RICH_CLUB = _rich_club_sql()
+
+
+# --------------------------------------------------------------------------
+# Inter-purchase regularity (the RFM-adjacent periodicity signal —
+# coefficient of variation of per-user purchase gaps; CV < 1 means
+# habit-like regularity, > 1 bursty): gaps in integer MINUTES (epoch-us
+# per invariant 3; minute granularity keeps the sum of squares far from
+# BIGINT range), CV computed from the EXACT integer (n, sum, sum-of-
+# squares) triple as sqrt(n*ssq - s^2)/s — one identical expression.
+# Top 20 users by purchase count (id tiebreak).
+# --------------------------------------------------------------------------
+def q_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_id", ntz_epoch_us(F.col("ts")).alias("_us")
+        )
+        .select(
+            "user_id",
+            (
+                F.expr(f"(_us - lag(_us) OVER (PARTITION BY user_id"
+                       f" ORDER BY _us, event_id)) div {US_PER_MINUTE_DIV}")
+            ).alias("gap_min"),
+        )
+        .filter(F.col("gap_min").isNotNull())
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_min").cast("long").alias("s"),
+        F.sum(F.col("gap_min") * F.col("gap_min")).cast("long").alias("ssq"),
+    )
+    n, s, ssq = (
+        F.col("n_gaps").cast("double"),
+        F.col("s").cast("double"),
+        F.col("ssq").cast("double"),
+    )
+    return (
+        stats.filter((F.col("n_gaps") >= 2) & (F.col("s") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(s / n, 6).alias("mean_gap_min"),
+            F.round(F.sqrt(n * ssq - s * s) / s, 6).alias("cv"),
+        )
+        .orderBy(F.desc("n_gaps"), "user_id")
+        .limit(20)
+    )
+
+
+SQL_PURCHASE_REGULARITY = f"""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id)) // {US_PER_MINUTE_DIV}
+           AS gap_min
+  FROM events WHERE event_type = 'purchase'
+),
+stats AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_min) AS BIGINT) AS s,
+         CAST(sum(gap_min * gap_min) AS BIGINT) AS ssq
+  FROM gaps WHERE gap_min IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_min,
+       round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(ssq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / CAST(s AS DOUBLE), 6) AS cv
+FROM stats
+WHERE n_gaps >= 2 AND s > 0
+ORDER BY n_gaps DESC, user_id
+LIMIT 20
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -13486,6 +13683,8 @@ QUERIES_TD = {
     "negative_sampling": q_negative_sampling,
     "ucb_scores": q_ucb_scores,
     "ab_test_z": q_ab_test_z,
+    "rich_club": q_rich_club,
+    "purchase_regularity": q_purchase_regularity,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -13654,6 +13853,8 @@ ORACLES_TD = {
     "negative_sampling": SQL_NEGATIVE_SAMPLING,
     "ucb_scores": SQL_UCB_SCORES,
     "ab_test_z": SQL_AB_TEST_Z,
+    "rich_club": SQL_RICH_CLUB,
+    "purchase_regularity": SQL_PURCHASE_REGULARITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
