@@ -13606,6 +13606,169 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Label modularity on the similarity graph (Newman 2004's Q for the
+# label partition over SRP bucket-collision edges — does the `label`
+# column explain the embedding neighborhood structure? The graph-side
+# twin of cluster_quality's geometric silhouette): Q = intra/m -
+# sum(deg_l^2)/(4m^2), computed from THREE exact BIGINTs (intra-edge
+# count, total edges, sum of squared label degrees) — no per-label float
+# accumulation at all. Edges are the deterministic 32-plane/4-band SRP
+# collisions (same machinery as embedding_near_dup).
+# --------------------------------------------------------------------------
+def q_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label")
+    )
+    banded = S.srp_banded(
+        emb, n_planes=ND_PLANES, bands=ND_BANDS, dim=_EMB_DIM
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    la = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lab_a"))
+    lb = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lab_b"))
+    lp = pairs.join(F.broadcast(la), "id_a").join(F.broadcast(lb), "id_b")
+    scalars = lp.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("lab_a") == F.col("lab_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("intra"),
+    )
+    degs = (
+        lp.select(F.col("lab_a").alias("lab"))
+        .unionByName(lp.select(F.col("lab_b").alias("lab")))
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .agg(F.sum(F.col("deg") * F.col("deg")).cast("long").alias("degsq"))
+    )
+    md, intra, degsq = (
+        F.col("m").cast("double"),
+        F.col("intra").cast("double"),
+        F.col("degsq").cast("double"),
+    )
+    return scalars.crossJoin(F.broadcast(degs)).select(
+        "m",
+        "intra",
+        "degsq",
+        F.round(
+            intra / md - degsq / (F.lit(4.0) * md * md), 6
+        ).alias("modularity"),
+    )
+
+
+SQL_LABEL_MODULARITY = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+{_srp_cte("e", ND_PLANES, ND_PLANES // ND_BANDS)},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket
+                AND a.vec_id < b.vec_id
+),
+lp AS (
+  SELECT ea.label AS lab_a, eb.label AS lab_b
+  FROM pairs p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+),
+scalars AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN lab_a = lab_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS intra
+  FROM lp
+),
+degs AS (
+  SELECT CAST(sum(deg * deg) AS BIGINT) AS degsq FROM (
+    SELECT lab, CAST(count(*) AS BIGINT) AS deg FROM (
+      SELECT lab_a AS lab FROM lp UNION ALL SELECT lab_b FROM lp
+    ) GROUP BY lab
+  )
+)
+SELECT m, intra, degsq,
+       round(CAST(intra AS DOUBLE) / CAST(m AS DOUBLE)
+             - CAST(degsq AS DOUBLE)
+               / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+         AS modularity
+FROM scalars, degs
+"""
+
+
+# --------------------------------------------------------------------------
+# Discount-quantity elasticity (does a bigger discount move volume?):
+# Pearson correlation per return-flag group from the EXACT integer
+# six-tuple (n, Sx, Sy, Sxy, Sxx, Syy) — discounts quantized to integer
+# percent, quantities integral, every sum a BIGINT, the correlation ONE
+# identical expression (the integer-exact counterpart of
+# feature_correlation's fixed6 document features).
+# --------------------------------------------------------------------------
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [
+        F.col(c).cast("double") for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    ]
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_disc_pct"),
+        F.round(sy / n, 6).alias("mean_qty"),
+        F.round(corr, 6).alias("pearson_r"),
+    ).orderBy("l_returnflag")
+
+
+SQL_DISCOUNT_ELASTICITY = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(round(l_discount * 100.0) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+stats AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_disc_pct,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS pearson_r
+FROM stats
+ORDER BY l_returnflag
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -13685,6 +13848,8 @@ QUERIES_TD = {
     "ab_test_z": q_ab_test_z,
     "rich_club": q_rich_club,
     "purchase_regularity": q_purchase_regularity,
+    "label_modularity": q_label_modularity,
+    "discount_elasticity": q_discount_elasticity,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -13855,6 +14020,8 @@ ORACLES_TD = {
     "ab_test_z": SQL_AB_TEST_Z,
     "rich_club": SQL_RICH_CLUB,
     "purchase_regularity": SQL_PURCHASE_REGULARITY,
+    "label_modularity": SQL_LABEL_MODULARITY,
+    "discount_elasticity": SQL_DISCOUNT_ELASTICITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
