@@ -13769,6 +13769,130 @@ ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# Fano factor of hourly event counts (the dispersion index — Poisson
+# traffic has F=1, F>1 flags bursty/clustered arrivals; the
+# distribution-shape companion to events_anomaly's per-window z-scores):
+# per event type over OBSERVED hourly buckets (documented — empty hours
+# excluded), F = var/mean = (n*Sc2 - S^2)/(n*S) from the exact BIGINT
+# (n, S, Sc2) triple. Hour keys via integer epoch-us division
+# (invariant 3).
+# --------------------------------------------------------------------------
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    hourly = events.select(
+        "event_type",
+        F.floor(
+            ntz_epoch_us(F.col("ts")) / F.lit(US_PER_HOUR_DIV)
+        )
+        .cast("long")
+        .alias("hour"),
+    )
+    counts = hourly.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    n, s, sc2 = (
+        F.col("n_hours").cast("double"),
+        F.col("s").cast("double"),
+        F.col("sc2").cast("double"),
+    )
+    return stats.select(
+        "event_type",
+        "n_hours",
+        F.round(s / n, 6).alias("mean_per_hour"),
+        F.round((n * sc2 - s * s) / (n * s), 6).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+SQL_FANO_FACTOR = f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {US_PER_HOUR_DIV} AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM counts GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       round(CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) AS mean_per_hour,
+       round((CAST(n_hours AS DOUBLE) * CAST(sc2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n_hours AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+         AS fano_factor
+FROM stats
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Simpson diversity of the vocabulary per source (1 - lambda, the
+# probability two random tokens differ — the concentration-side
+# companion to lexical_diversity's TTR and chao1_vocab's richness
+# estimator; dominated-by-few-terms sources score low): lambda =
+# sum n_i(n_i-1) / (N(N-1)) — EVERY quantity an exact BIGINT, one ratio.
+# --------------------------------------------------------------------------
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    tc = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("pairs"),
+    )
+    lam = F.col("pairs").cast("double") / (
+        F.col("big_n").cast("double") * (F.col("big_n") - 1).cast("double")
+    )
+    return stats.select(
+        "source",
+        "n_terms",
+        F.col("big_n").alias("n_tokens"),
+        F.round(lam, 6).alias("simpson_lambda"),
+        F.round(F.lit(1.0) - lam, 6).alias("simpson_diversity"),
+    ).orderBy("source")
+
+
+SQL_SIMPSON_DIVERSITY = f"""
+WITH tc AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  ) GROUP BY source, term
+),
+stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(n) AS BIGINT) AS big_n,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS pairs
+  FROM tc GROUP BY source
+)
+SELECT source, n_terms, big_n AS n_tokens,
+       round(CAST(pairs AS DOUBLE)
+             / (CAST(big_n AS DOUBLE) * CAST(big_n - 1 AS DOUBLE)), 6)
+         AS simpson_lambda,
+       round(1.0 - CAST(pairs AS DOUBLE)
+             / (CAST(big_n AS DOUBLE) * CAST(big_n - 1 AS DOUBLE)), 6)
+         AS simpson_diversity
+FROM stats
+ORDER BY source
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -13850,6 +13974,8 @@ QUERIES_TD = {
     "purchase_regularity": q_purchase_regularity,
     "label_modularity": q_label_modularity,
     "discount_elasticity": q_discount_elasticity,
+    "fano_factor": q_fano_factor,
+    "simpson_diversity": q_simpson_diversity,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -14022,6 +14148,8 @@ ORACLES_TD = {
     "purchase_regularity": SQL_PURCHASE_REGULARITY,
     "label_modularity": SQL_LABEL_MODULARITY,
     "discount_elasticity": SQL_DISCOUNT_ELASTICITY,
+    "fano_factor": SQL_FANO_FACTOR,
+    "simpson_diversity": SQL_SIMPSON_DIVERSITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
