@@ -13893,6 +13893,143 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Circadian profile (circular statistics — Fisher 1993: hour-of-day is
+# an angle, so arithmetic means lie; the resultant vector doesn't): per
+# event type, hourly counts weight the 24 FIXED unit vectors
+# (cos/sin of 2*pi*h/24 — libm on data-INDEPENDENT inputs), giving the
+# mean resultant length R (1 = all traffic at one hour, 0 = uniform)
+# and the peak hour via atan2, all displayed round-6 (the only
+# data-dependent libm call, atan2, is 1-ulp-tight ~10 orders below the
+# grid). Integer hour-of-day keys from epoch-us arithmetic (invariant 3).
+# --------------------------------------------------------------------------
+def q_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    hod = events.select(
+        "event_type",
+        (
+            F.floor(ntz_epoch_us(F.col("ts")) / F.lit(US_PER_HOUR_DIV))
+            % 24
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    counts = hod.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ang = F.lit(2.0 * math.pi) * F.col("h").cast("double") / F.lit(24.0)
+    stats = counts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("double") * F.cos(ang)).alias("cs"),
+        F.sum(F.col("c").cast("double") * F.sin(ang)).alias("sn"),
+    )
+    r = F.sqrt(F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn")) / F.col(
+        "n"
+    ).cast("double")
+    peak = (
+        F.atan2(F.col("sn"), F.col("cs"))
+        * F.lit(24.0)
+        / F.lit(2.0 * math.pi)
+        + 24.0
+    ) % 24.0
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(r, 6).alias("resultant_length"),
+        F.round(peak, 6).alias("peak_hour"),
+    ).orderBy("event_type")
+
+
+SQL_CIRCADIAN_PROFILE = f"""
+WITH counts AS (
+  SELECT event_type, (epoch_us(ts) // {US_PER_HOUR_DIV}) % 24 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c AS DOUBLE) * cos(2.0 * pi() * CAST(h AS DOUBLE) / 24.0))
+           AS cs,
+         sum(CAST(c AS DOUBLE) * sin(2.0 * pi() * CAST(h AS DOUBLE) / 24.0))
+           AS sn
+  FROM counts GROUP BY event_type
+)
+SELECT event_type, n,
+       round(sqrt(cs * cs + sn * sn) / CAST(n AS DOUBLE), 6)
+         AS resultant_length,
+       round(fmod(atan2(sn, cs) * 24.0 / (2.0 * pi()) + 24.0, 24.0), 6)
+         AS peak_hour
+FROM stats
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Reorder interval by market segment (inventory-turn behavioral metric):
+# per customer, day gaps between consecutive orders (DATE-level integer
+# arithmetic, deterministic (date, orderkey) ordering); per segment the
+# exact mean and the interpolated median on the integer-day grid
+# (quantile_cont parity per the group_percentiles argument).
+# --------------------------------------------------------------------------
+def q_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(F.col("od"), F.lag("od").over(w)).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"]
+        )
+        .select("c_mktsegment", F.col("gap_days").cast("long").alias("g"))
+    )
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(
+                F.sum("g").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_gap_days"),
+            F.round(F.expr("percentile(g, 0.5D)"), 6).alias(
+                "median_gap_days"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_REORDER_INTERVAL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS g
+  FROM orders
+),
+seg AS (
+  SELECT c.c_mktsegment, CAST(g.g AS BIGINT) AS g
+  FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.g IS NOT NULL
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_gap_days,
+       round(quantile_cont(g, 0.5), 6) AS median_gap_days
+FROM seg
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -13976,6 +14113,8 @@ QUERIES_TD = {
     "discount_elasticity": q_discount_elasticity,
     "fano_factor": q_fano_factor,
     "simpson_diversity": q_simpson_diversity,
+    "circadian_profile": q_circadian_profile,
+    "reorder_interval": q_reorder_interval,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -14150,6 +14289,8 @@ ORACLES_TD = {
     "discount_elasticity": SQL_DISCOUNT_ELASTICITY,
     "fano_factor": SQL_FANO_FACTOR,
     "simpson_diversity": SQL_SIMPSON_DIVERSITY,
+    "circadian_profile": SQL_CIRCADIAN_PROFILE,
+    "reorder_interval": SQL_REORDER_INTERVAL,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
