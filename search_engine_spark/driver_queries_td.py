@@ -14030,6 +14030,132 @@ ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Character entropy per source (Shannon bits/char — the storage-planning
+# compressibility floor and a data-quality fingerprint; the CHARACTER-
+# level companion to lexical_diversity/lm_quality's token-level views):
+# per source, H = -sum p_c log2 p_c over lowercase character counts.
+# Counts are exact BIGINTs; the per-character p log p terms are <=
+# alphabet-size doubles summed once, displayed round-6.
+# --------------------------------------------------------------------------
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    chars = docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("alphabet"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent = (
+        counts.join(F.broadcast(totals), "source")
+        .select("source", "n", "alphabet", (p * F.log2(p)).alias("t"))
+        .groupBy("source", "n", "alphabet")
+        .agg(F.round(-F.sum("t"), 6).alias("entropy_bits_per_char"))
+    )
+    return ent.select(
+        "source", F.col("n").alias("n_chars"), "alphabet",
+        "entropy_bits_per_char",
+    ).orderBy("source")
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT source, unnest(string_split(lower(text), '')) AS ch FROM documents
+),
+counts AS (
+  SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY source, ch
+),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS alphabet
+  FROM counts GROUP BY source
+)
+SELECT counts.source, totals.n AS n_chars, totals.alphabet,
+       round(-sum((CAST(c AS DOUBLE) / CAST(totals.n AS DOUBLE))
+                  * log2(CAST(c AS DOUBLE) / CAST(totals.n AS DOUBLE))), 6)
+         AS entropy_bits_per_char
+FROM counts JOIN totals USING (source)
+GROUP BY counts.source, totals.n, totals.alphabet
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit of the events value column (Newcomb-Benford
+# law — the classic fabricated-data / unit-mixing detector in financial
+# and telemetry QA): observed first-significant-digit counts vs the
+# n*log10(1+1/d) expectation (log10 on NINE data-independent inputs) and
+# each digit's chi-square contribution. Digit extracted from the fixed6
+# integer's decimal string — pure string/int ops, no float log of data.
+# --------------------------------------------------------------------------
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events").select(
+        fixed6_long(F.col("value")).alias("v6")
+    ).filter(F.col("v6") > 0)
+    digits = events.select(
+        F.substring(F.col("v6").cast("string"), 1, 1).cast("long").alias("d")
+    )
+    obs = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    n = obs.agg(F.sum("observed").cast("long").alias("_n"))
+    exp = (
+        F.col("_n").cast("double")
+        * F.log2(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double"))
+        / F.log2(F.lit(10.0))
+    )
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            "observed",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                (F.col("observed").cast("double") - exp)
+                * (F.col("observed").cast("double") - exp)
+                / exp,
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("d")
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH v AS (
+  SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v6 FROM events
+),
+digits AS (
+  SELECT CAST(substring(CAST(v6 AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM v WHERE v6 > 0
+),
+obs AS (SELECT d, CAST(count(*) AS BIGINT) AS observed FROM digits GROUP BY d),
+n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
+SELECT d, observed,
+       round(CAST(n.n AS DOUBLE)
+             * log2(1.0 + 1.0 / CAST(d AS DOUBLE)) / log2(10.0), 6)
+         AS expected,
+       round((CAST(observed AS DOUBLE)
+              - CAST(n.n AS DOUBLE)
+                * log2(1.0 + 1.0 / CAST(d AS DOUBLE)) / log2(10.0))
+             * (CAST(observed AS DOUBLE)
+                - CAST(n.n AS DOUBLE)
+                  * log2(1.0 + 1.0 / CAST(d AS DOUBLE)) / log2(10.0))
+             / (CAST(n.n AS DOUBLE)
+                * log2(1.0 + 1.0 / CAST(d AS DOUBLE)) / log2(10.0)), 6)
+         AS chi2_contrib
+FROM obs, n
+ORDER BY d
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -14115,6 +14241,8 @@ QUERIES_TD = {
     "simpson_diversity": q_simpson_diversity,
     "circadian_profile": q_circadian_profile,
     "reorder_interval": q_reorder_interval,
+    "char_entropy": q_char_entropy,
+    "benford_audit": q_benford_audit,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -14291,6 +14419,8 @@ ORACLES_TD = {
     "simpson_diversity": SQL_SIMPSON_DIVERSITY,
     "circadian_profile": SQL_CIRCADIAN_PROFILE,
     "reorder_interval": SQL_REORDER_INTERVAL,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "benford_audit": SQL_BENFORD_AUDIT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
