@@ -14156,6 +14156,155 @@ ORDER BY d
 """
 
 
+# --------------------------------------------------------------------------
+# Traffic autocorrelation (Box-Jenkins ACF at the two lags that matter
+# for capacity planning — 1 h persistence and 24 h daily cycle): per
+# event type, Pearson r between the hourly-count series and its lagged
+# self over the aligned integer hour grid (self-join on hour - lag;
+# hours with zero events are absent on BOTH sides identically —
+# documented observed-grid semantics). The correlation comes from the
+# exact integer six-tuple like discount_elasticity.
+# --------------------------------------------------------------------------
+ACF_LAGS = [1, 24]
+
+
+def q_traffic_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    counts = (
+        events.select(
+            "event_type",
+            F.floor(
+                ntz_epoch_us(F.col("ts")) / F.lit(US_PER_HOUR_DIV)
+            )
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    lags = F.explode(F.array(*[F.lit(x) for x in ACF_LAGS])).alias("lag")
+    a = counts.select("event_type", "hour", F.col("c").alias("x"), lags)
+    b = counts.select(
+        F.col("event_type").alias("et2"),
+        F.col("hour").alias("h2"),
+        F.col("c").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("h2") == F.col("hour") - F.col("lag").cast("long")),
+    )
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [
+        F.col(c).cast("double") for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    ]
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return stats.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag_hours"),
+        "n",
+        F.round(r, 6).alias("acf"),
+    ).orderBy("event_type", "lag_hours")
+
+
+def _acf_sql() -> str:
+    lag_list = ", ".join(str(x) for x in ACF_LAGS)
+    return f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {US_PER_HOUR_DIV} AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+  FROM counts a, (SELECT unnest([{lag_list}]) AS lag) l
+  JOIN counts b ON b.event_type = a.event_type
+               AND b.hour = a.hour - l.lag
+),
+stats AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag_hours, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS acf
+FROM stats
+ORDER BY event_type, lag_hours
+"""
+
+
+SQL_TRAFFIC_AUTOCORR = _acf_sql()
+
+
+# --------------------------------------------------------------------------
+# Monthly revenue seasonality (the 12-row seasonal-index report —
+# index(m) = share(m)*12, 1.0 = no seasonality): order-month extraction
+# is a DATE field read (tz-invariant), revenue the fixed6 BIGINT sum,
+# share/index each ONE ratio of exact integers.
+# --------------------------------------------------------------------------
+def q_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.month(F.to_date("o_orderdate")).cast("long").alias("m"),
+        fixed6_long(F.col("o_totalprice")).alias("p6"),
+    )
+    monthly = orders.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("p6").cast("long").alias("rev6"),
+    )
+    total = monthly.agg(F.sum("rev6").cast("long").alias("_t6"))
+    share = F.col("rev6").cast("double") / F.col("_t6").cast("double")
+    return (
+        monthly.crossJoin(F.broadcast(total))
+        .select(
+            F.col("m").alias("month"),
+            "n_orders",
+            F.round(F.col("rev6") / F.lit(1000000.0), 6).alias("revenue"),
+            F.round(share, 6).alias("revenue_share"),
+            F.round(share * F.lit(12.0), 6).alias("seasonal_index"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_MONTHLY_SEASONALITY = """
+WITH monthly AS (
+  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS rev6
+  FROM orders GROUP BY m
+),
+tot AS (SELECT CAST(sum(rev6) AS BIGINT) AS t6 FROM monthly)
+SELECT m AS month, n_orders,
+       round(rev6 / 1000000.0, 6) AS revenue,
+       round(CAST(rev6 AS DOUBLE) / CAST(tot.t6 AS DOUBLE), 6)
+         AS revenue_share,
+       round(CAST(rev6 AS DOUBLE) / CAST(tot.t6 AS DOUBLE) * 12.0, 6)
+         AS seasonal_index
+FROM monthly, tot
+ORDER BY month
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -14243,6 +14392,8 @@ QUERIES_TD = {
     "reorder_interval": q_reorder_interval,
     "char_entropy": q_char_entropy,
     "benford_audit": q_benford_audit,
+    "traffic_autocorr": q_traffic_autocorr,
+    "monthly_seasonality": q_monthly_seasonality,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -14421,6 +14572,8 @@ ORACLES_TD = {
     "reorder_interval": SQL_REORDER_INTERVAL,
     "char_entropy": SQL_CHAR_ENTROPY,
     "benford_audit": SQL_BENFORD_AUDIT,
+    "traffic_autocorr": SQL_TRAFFIC_AUTOCORR,
+    "monthly_seasonality": SQL_MONTHLY_SEASONALITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
