@@ -14305,6 +14305,169 @@ ORDER BY month
 """
 
 
+# --------------------------------------------------------------------------
+# Power-law degree MLE (Clauset, Shalizi & Newman 2009 — the estimator
+# that replaced eyeballed log-log slopes): alpha_hat = 1 + n/sum ln(d/dmin)
+# over undirected degrees >= dmin=2, the continuous-approximation MLE
+# the paper recommends reporting alongside n. ln on integer degrees is
+# the same data-dependent libm surface every idf pair proves; the sum's
+# order jitter sits ~10 orders below the round-6 grid.
+# --------------------------------------------------------------------------
+POWERLAW_DMIN = 2
+
+
+def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("source_doc_id", "target_doc_id").alias("ua"),
+            F.greatest("source_doc_id", "target_doc_id").alias("ub"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("ua").alias("v"))
+        .unionByName(und.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .filter(F.col("d") >= POWERLAW_DMIN)
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(
+            F.log(F.col("d").cast("double") / F.lit(float(POWERLAW_DMIN)))
+        ).alias("slog"),
+        F.max("d").cast("long").alias("d_max"),
+    )
+    return stats.select(
+        "n_tail",
+        "d_max",
+        F.round(
+            F.lit(1.0) + F.col("n_tail").cast("double") / F.col("slog"), 6
+        ).alias("alpha_hat"),
+    )
+
+
+SQL_POWERLAW_FIT = f"""
+WITH {_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS ua,
+                  greatest(source_doc_id, target_doc_id) AS ub
+  FROM edges
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT ua AS v FROM und UNION ALL SELECT ub FROM und
+  ) GROUP BY v
+  HAVING count(*) >= {POWERLAW_DMIN}
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tail,
+         sum(ln(CAST(d AS DOUBLE) / {POWERLAW_DMIN}.0)) AS slog,
+         CAST(max(d) AS BIGINT) AS d_max
+  FROM deg
+)
+SELECT n_tail, d_max,
+       round(1.0 + CAST(n_tail AS DOUBLE) / slog, 6) AS alpha_hat
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
+# Source x language independence test (Pearson chi-square over the
+# contingency table + Cramer's V effect size — the "is lang identically
+# distributed across sources?" gate a mixing policy checks before
+# stratifying on either): expected counts are exact-rational
+# row*col/n from BIGINTs, each cell contributes one identical double
+# expression; V = sqrt(chi2/(n*min(r-1,c-1))). Cell sum order jitter
+# ~1e-16 relative, round-6 displayed.
+# --------------------------------------------------------------------------
+def q_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy("source").agg(
+        F.sum("o").cast("long").alias("rn")
+    )
+    cols = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("cn"))
+    n = cells.agg(F.sum("o").cast("long").alias("_n"))
+    # distinct source/lang counts read off the marginals — no two-column
+    # countDistinct (which would plan an Expand; invariant-6 guard)
+    dims = rows.agg(F.count(F.lit(1)).cast("long").alias("_r")).crossJoin(
+        F.broadcast(cols.agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    )
+    e = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("_n").cast("double")
+    )
+    contrib = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    chi2 = (
+        cells.join(F.broadcast(rows), "source")
+        .join(F.broadcast(cols), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(contrib.alias("t"), "_n")
+        .groupBy("_n")
+        .agg(F.sum("t").alias("chi2"))
+    )
+    return (
+        chi2.crossJoin(F.broadcast(dims))
+        .select(
+            F.col("_n").alias("n_docs"),
+            ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("_n").cast("double")
+                        * F.least(F.col("_r") - 1, F.col("_c") - 1).cast(
+                            "double"
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+SQL_CONTINGENCY_CHI2 = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+),
+rows_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY source),
+cols_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY lang),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+dims AS (
+  SELECT CAST(count(DISTINCT source) AS BIGINT) AS r,
+         CAST(count(DISTINCT lang) AS BIGINT) AS c
+  FROM cells
+),
+chi AS (
+  SELECT sum((CAST(o AS DOUBLE)
+              - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+                - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                  / CAST(n.n AS DOUBLE))
+             / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                / CAST(n.n AS DOUBLE))) AS chi2
+  FROM cells JOIN rows_ USING (source) JOIN cols_ USING (lang), n
+)
+SELECT n.n AS n_docs,
+       CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+       round(chi.chi2, 6) AS chi2,
+       round(sqrt(chi.chi2 / (CAST(n.n AS DOUBLE)
+                              * CAST(least(dims.r - 1, dims.c - 1)
+                                     AS DOUBLE))), 6) AS cramers_v
+FROM chi, n, dims
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -14394,6 +14557,8 @@ QUERIES_TD = {
     "benford_audit": q_benford_audit,
     "traffic_autocorr": q_traffic_autocorr,
     "monthly_seasonality": q_monthly_seasonality,
+    "powerlaw_fit": q_powerlaw_fit,
+    "contingency_chi2": q_contingency_chi2,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -14574,6 +14739,8 @@ ORACLES_TD = {
     "benford_audit": SQL_BENFORD_AUDIT,
     "traffic_autocorr": SQL_TRAFFIC_AUTOCORR,
     "monthly_seasonality": SQL_MONTHLY_SEASONALITY,
+    "powerlaw_fit": SQL_POWERLAW_FIT,
+    "contingency_chi2": SQL_CONTINGENCY_CHI2,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
