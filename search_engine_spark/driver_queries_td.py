@@ -14468,6 +14468,189 @@ FROM chi, n, dims
 """
 
 
+# --------------------------------------------------------------------------
+# Theil index decomposition (Theil 1967 — the inequality measure
+# order_gini cannot give you: it decomposes EXACTLY into between-group
+# + within-group terms, here across customer nations): per-customer
+# revenue x_i, T = sum (x_i/X) ln(x_i / (X/n)); T_between uses group
+# totals, T_within = T - T_between (exact identity, computed
+# independently on both engines as the same expressions). Revenues are
+# fixed6 BIGINTs; ln on their ratios is the idf-proven libm surface;
+# sums of per-row doubles display round-6.
+# --------------------------------------------------------------------------
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", fixed6_long(F.col("o_totalprice")).alias("p6")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("p6").cast("long").alias("x6"))
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("n_name", "x6")
+        .localCheckpoint(eager=True)
+    )
+    tot = per_cust.agg(
+        F.sum("x6").cast("long").alias("_x"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    xi, xt, nt = (
+        F.col("x6").cast("double"),
+        F.col("_x").cast("double"),
+        F.col("_n").cast("double"),
+    )
+    t_total = (
+        per_cust.crossJoin(F.broadcast(tot))
+        .select(((xi / xt) * F.log(xi * nt / xt)).alias("t"))
+        .agg(F.sum("t").alias("t_total"))
+    )
+    grp = per_cust.groupBy("n_name").agg(
+        F.sum("x6").cast("long").alias("g6"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    gx, gn = F.col("g6").cast("double"), F.col("gn").cast("double")
+    t_between = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(((gx / xt) * F.log(gx * nt / (xt * gn))).alias("t"))
+        .agg(F.sum("t").alias("t_between"))
+    )
+    return (
+        t_total.crossJoin(F.broadcast(t_between))
+        .select(
+            F.round("t_total", 6).alias("theil_total"),
+            F.round("t_between", 6).alias("theil_between"),
+            F.round(F.col("t_total") - F.col("t_between"), 6).alias(
+                "theil_within"
+            ),
+        )
+    )
+
+
+SQL_THEIL_DECOMPOSITION = """
+WITH per_cust AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(round(o.o_totalprice * 1000000.0) AS BIGINT))
+              AS BIGINT) AS x6
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY o.o_custkey, n.n_name
+),
+tot AS (SELECT CAST(sum(x6) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS n
+        FROM per_cust),
+tt AS (
+  SELECT sum((CAST(x6 AS DOUBLE) / CAST(tot.x AS DOUBLE))
+             * ln(CAST(x6 AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                  / CAST(tot.x AS DOUBLE))) AS t_total
+  FROM per_cust, tot
+),
+grp AS (
+  SELECT n_name, CAST(sum(x6) AS BIGINT) AS g6,
+         CAST(count(*) AS BIGINT) AS gn
+  FROM per_cust GROUP BY n_name
+),
+tb AS (
+  SELECT sum((CAST(g6 AS DOUBLE) / CAST(tot.x AS DOUBLE))
+             * ln(CAST(g6 AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                  / (CAST(tot.x AS DOUBLE) * CAST(gn AS DOUBLE)))) AS t_between
+  FROM grp, tot
+)
+SELECT round(tt.t_total, 6) AS theil_total,
+       round(tb.t_between, 6) AS theil_between,
+       round(tt.t_total - tb.t_between, 6) AS theil_within
+FROM tt, tb
+"""
+
+
+# --------------------------------------------------------------------------
+# Traffic burst detection (threshold variant of Kleinberg 2002's burst
+# model — runs of hot hours, found with the pure-integer
+# islands-and-gaps trick the streaks/sessions pairs already use): per
+# event type, a burst is a maximal run of CONSECUTIVE hours whose count
+# exceeds 1.5x the type's median hourly count (median interpolated on the
+# integer grid); report burst count, longest burst, and total burst
+# hours. Island key = hour - row_number over the hot hours (exact
+# integers; consecutive hot hours share it).
+# --------------------------------------------------------------------------
+def q_traffic_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    counts = (
+        events.select(
+            "event_type",
+            F.floor(
+                ntz_epoch_us(F.col("ts")) / F.lit(US_PER_HOUR_DIV)
+            )
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    med = counts.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5D)").alias("med")
+    )
+    hot = counts.join(F.broadcast(med), "event_type").filter(
+        F.col("c").cast("double") > F.lit(1.5) * F.col("med")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    islands = hot.select(
+        "event_type",
+        (F.col("hour") - F.row_number().over(w).cast("long")).alias("isl"),
+    )
+    runs = islands.groupBy("event_type", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bursts"),
+            F.max("run_len").cast("long").alias("longest_burst_hours"),
+            F.sum("run_len").cast("long").alias("total_burst_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TRAFFIC_BURSTS = f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {US_PER_HOUR_DIV} AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS med
+  FROM counts GROUP BY event_type
+),
+hot AS (
+  SELECT counts.event_type, counts.hour
+  FROM counts JOIN med USING (event_type)
+  WHERE CAST(c AS DOUBLE) > 1.5 * med.med
+),
+islands AS (
+  SELECT event_type,
+         hour - row_number() OVER (PARTITION BY event_type ORDER BY hour)
+           AS isl
+  FROM hot
+),
+runs AS (
+  SELECT event_type, isl, CAST(count(*) AS BIGINT) AS run_len
+  FROM islands GROUP BY event_type, isl
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_bursts,
+       CAST(max(run_len) AS BIGINT) AS longest_burst_hours,
+       CAST(sum(run_len) AS BIGINT) AS total_burst_hours
+FROM runs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -14559,6 +14742,8 @@ QUERIES_TD = {
     "monthly_seasonality": q_monthly_seasonality,
     "powerlaw_fit": q_powerlaw_fit,
     "contingency_chi2": q_contingency_chi2,
+    "theil_decomposition": q_theil_decomposition,
+    "traffic_bursts": q_traffic_bursts,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -14741,6 +14926,8 @@ ORACLES_TD = {
     "monthly_seasonality": SQL_MONTHLY_SEASONALITY,
     "powerlaw_fit": SQL_POWERLAW_FIT,
     "contingency_chi2": SQL_CONTINGENCY_CHI2,
+    "theil_decomposition": SQL_THEIL_DECOMPOSITION,
+    "traffic_bursts": SQL_TRAFFIC_BURSTS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
