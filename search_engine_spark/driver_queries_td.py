@@ -14651,6 +14651,202 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Kendall tau-b rank agreement (Kendall 1938, the tie-corrected form) between
+# customer revenue and order count, over the top-100 revenue customers —
+# the rank-correlation complement to the Spearman pair: tau counts
+# concordant/discordant PAIRS, so every comparison is pure integer sign
+# arithmetic on fixed6 revenue and BIGINT counts; only the final
+# normalization touches doubles. The self-join is bounded at 100 rows by
+# construction (top-k first), so the 4,950-pair cross is broadcast-cheap
+# at any corpus scale.
+# --------------------------------------------------------------------------
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", fixed6_long(F.col("o_totalprice")).alias("p6")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("p6").cast("long").alias("rev6"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("rev6").desc(), F.col("o_custkey").asc())
+    top = (
+        per_cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("o_custkey", "rev6", "n_orders")
+        .localCheckpoint(eager=True)
+    )
+    a, b = top.alias("a"), top.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.o_custkey") < F.col("b.o_custkey")
+    ).select(
+        (F.col("a.rev6") - F.col("b.rev6")).alias("dx"),
+        (F.col("a.n_orders") - F.col("b.n_orders")).alias("dy"),
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(
+            F.when(F.signum("dx") * F.signum("dy") > 0, 1).otherwise(0)
+        ).cast("long").alias("conc"),
+        F.sum(
+            F.when(F.signum("dx") * F.signum("dy") < 0, 1).otherwise(0)
+        ).cast("long").alias("disc"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).cast("long").alias("tx"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).cast("long").alias("ty"),
+    )
+    n0, c, d = (
+        F.col("n0").cast("double"),
+        F.col("conc").cast("double"),
+        F.col("disc").cast("double"),
+    )
+    return stats.select(
+        "n0",
+        "conc",
+        "disc",
+        "tx",
+        "ty",
+        F.round(
+            (c - d)
+            / F.sqrt(
+                (n0 - F.col("tx").cast("double"))
+                * (n0 - F.col("ty").cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+SQL_KENDALL_TAU = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum({SQL_FIXED6_LONG.format(col="o_totalprice")}) AS BIGINT)
+           AS rev6,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+top AS (
+  SELECT o_custkey, rev6, n_orders
+  FROM (SELECT *, row_number() OVER (ORDER BY rev6 DESC, o_custkey ASC)
+               AS rn
+        FROM per_cust)
+  WHERE rn <= 100
+),
+pairs AS (
+  SELECT a.rev6 - b.rev6 AS dx, a.n_orders - b.n_orders AS dy
+  FROM top a JOIN top b ON a.o_custkey < b.o_custkey
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN sign(dx) * sign(dy) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS conc,
+         CAST(sum(CASE WHEN sign(dx) * sign(dy) < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS disc,
+         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM pairs
+)
+SELECT n0, conc, disc, tx, ty,
+       round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+                    * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))), 6)
+         AS tau_b
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (Smirnov 1939) between the hourly
+# activity distributions of click vs purchase events: D = max |ECDF_1 -
+# ECDF_2| over the union hour grid. Cumulative counts are BIGINT window
+# sums (CAST in DuckDB — window sum of BIGINT is HUGEINT, invariant 1);
+# the ECDF difference divides identical BIGINT operands on both engines,
+# and max over doubles is order-free. Also reports the scaled statistic
+# sqrt(n1*n2/(n1+n2))*D used for significance lookup.
+# --------------------------------------------------------------------------
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    counts = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.floor(ntz_epoch_us(F.col("ts")) / F.lit(US_PER_HOUR_DIV))
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum1").cast("double") / F.col("n1").cast("double")
+            - F.col("cum2").cast("double") / F.col("n2").cast("double")
+        ).alias("diff"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return d.groupBy("n1", "n2").agg(
+        F.round(F.max("diff"), 6).alias("ks_d"),
+        F.round(
+            F.sqrt(n1d * n2d / (n1d + n2d)) * F.max("diff"), 6
+        ).alias("ks_scaled"),
+    )
+
+
+SQL_KS_TWO_SAMPLE = f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR_DIV} AS hour,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+cum AS (
+  SELECT CAST(sum(c1) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum2
+  FROM counts
+),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM counts)
+SELECT n1, n2,
+       round(max(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6)
+         AS ks_d,
+       round(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+             * max(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6)
+         AS ks_scaled
+FROM cum, tot
+GROUP BY n1, n2
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -14744,6 +14940,8 @@ QUERIES_TD = {
     "contingency_chi2": q_contingency_chi2,
     "theil_decomposition": q_theil_decomposition,
     "traffic_bursts": q_traffic_bursts,
+    "kendall_tau": q_kendall_tau,
+    "ks_two_sample": q_ks_two_sample,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -14928,6 +15126,8 @@ ORACLES_TD = {
     "contingency_chi2": SQL_CONTINGENCY_CHI2,
     "theil_decomposition": SQL_THEIL_DECOMPOSITION,
     "traffic_bursts": SQL_TRAFFIC_BURSTS,
+    "kendall_tau": SQL_KENDALL_TAU,
+    "ks_two_sample": SQL_KS_TWO_SAMPLE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
