@@ -643,9 +643,20 @@ from .driver_queries_curation import ORACLES_CUR, QUERIES_CUR  # noqa: E402
 from .driver_queries_news import ORACLES_NEWS, QUERIES_NEWS  # noqa: E402
 from .driver_queries_td import ORACLES_TD, QUERIES_TD  # noqa: E402
 
-QUERIES.update(QUERIES_TD)
-ORACLES.update(ORACLES_TD)
-QUERIES.update(QUERIES_NEWS)
-ORACLES.update(ORACLES_NEWS)
-QUERIES.update(QUERIES_CUR)
-ORACLES.update(ORACLES_CUR)
+def _merge_disjoint(dst: dict, src: dict, what: str) -> None:
+    # a duplicate pair name across modules silently shadows one side's
+    # definition (the oracle can come from one module and the Spark
+    # callable from another) — fail loudly at import instead
+    clash = dst.keys() & src.keys()
+    if clash:
+        raise ValueError(f"duplicate {what} pair names across modules: {sorted(clash)}")
+    dst.update(src)
+
+
+for _q, _o, _tag in (
+    (QUERIES_TD, ORACLES_TD, "td"),
+    (QUERIES_NEWS, ORACLES_NEWS, "news"),
+    (QUERIES_CUR, ORACLES_CUR, "curation"),
+):
+    _merge_disjoint(QUERIES, _q, _tag)
+    _merge_disjoint(ORACLES, _o, _tag)

@@ -14847,6 +14847,220 @@ GROUP BY n1, n2
 """
 
 
+# --------------------------------------------------------------------------
+# CUSUM change-point detection (Page 1954; argmax |CUSUM| is the MLE for a
+# single mean shift under squared loss): over daily order revenue, S_t =
+# cum_t - t*total/n. Computed EXACTLY in integers by scaling both sides by
+# n: n*S_t = n*cum_t - t*total, with revenue in CENTS (not fixed6 — the
+# n_days * total product must stay inside BIGINT; cents buy 4 orders of
+# magnitude of headroom). Tie-break on the max is (ns_abs DESC, day ASC)
+# — exact integers, so both engines pick the same day.
+# --------------------------------------------------------------------------
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("rev").over(w).cast("long").alias("cum"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    tot = daily.agg(
+        F.sum("rev").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cum",
+        "t",
+        "total",
+        "n",
+        F.abs(
+            F.col("n") * F.col("cum") - F.col("t") * F.col("total")
+        ).alias("ns_abs"),
+    )
+    pick = Window.orderBy(F.col("ns_abs").desc(), F.col("day").asc())
+    best = (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+    )
+    td, nd = F.col("t").cast("double"), F.col("n").cast("double")
+    cumd, totd = F.col("cum").cast("double"), F.col("total").cast("double")
+    return best.select(
+        F.col("day").alias("change_day"),
+        F.round(
+            F.col("ns_abs").cast("double") / (nd * totd), 6
+        ).alias("cusum_rel"),
+        F.round(cumd / td / F.lit(100.0), 6).alias("mean_before"),
+        F.round(
+            F.when(
+                F.col("n") > F.col("t"),
+                (totd - cumd) / (nd - td) / F.lit(100.0),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_after"),
+        F.col("n").alias("n_days"),
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT day,
+         CAST(sum(rev) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+),
+tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n FROM daily),
+scored AS (
+  SELECT day, cum, t, total, n, abs(n * cum - t * total) AS ns_abs
+  FROM cum, tot
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY ns_abs DESC, day ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT day AS change_day,
+       round(CAST(ns_abs AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS cusum_rel,
+       round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+             / CAST('100.0' AS DOUBLE), 6) AS mean_before,
+       round(CASE WHEN n > t
+                  THEN (CAST(total AS DOUBLE) - CAST(cum AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+                       / CAST('100.0' AS DOUBLE)
+                  ELSE 0.0 END, 6) AS mean_after,
+       n AS n_days
+FROM best
+"""
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across day-of-week revenue groups (Fisher 1925) — the
+# F-test completes the paired hypothesis-test family (chi-square,
+# two-proportion z, KS): does mean daily revenue differ by weekday?
+# Group sums/counts are exact BIGINT cents; SS_between and SS_within use
+# the sum-of-squares identity on per-GROUP totals (7 rows) plus one
+# per-day double square summed and rounded 6 (the theil/autocorr
+# precedent for per-row double sums). Day-of-week from the epoch-day
+# integer ((day + 4) % 7 — 1970-01-01 was a Thursday), timezone-free.
+# --------------------------------------------------------------------------
+def q_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .select(
+            ((F.col("day") + 4) % 7).cast("long").alias("dow"),
+            "rev",
+        )
+        .localCheckpoint(eager=True)
+    )
+    revd = F.col("rev").cast("double")
+    grp = daily.groupBy("dow").agg(
+        F.sum("rev").cast("long").alias("gsum"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum(revd * revd).alias("gss"),
+    )
+    tot = grp.agg(
+        F.sum("gsum").cast("long").alias("tsum"),
+        F.sum("gn").cast("long").alias("tn"),
+        F.sum("gss").alias("tss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("gsum").cast("double")
+            * F.col("gsum").cast("double")
+            / F.col("gn").cast("double")
+        ).alias("between_raw"),
+    )
+    tsum, tn = F.col("tsum").cast("double"), F.col("tn").cast("double")
+    kd = F.col("k").cast("double")
+    ss_between = F.col("between_raw") - tsum * tsum / tn
+    ss_within = F.col("tss") - F.col("between_raw")
+    f_stat = (ss_between / (kd - F.lit(1.0))) / (
+        ss_within / (tn - kd)
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("tn").alias("n_days"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("tn") - F.col("k")).cast("long").alias("df2"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(
+            ss_between / (F.col("tss") - tsum * tsum / tn), 6
+        ).alias("eta_sq"),
+    )
+
+
+SQL_ANOVA_DOW = f"""
+WITH daily AS (
+  SELECT (epoch_us(o_orderdate) // {US_PER_DAY_DIV} + 4) % 7 AS dow,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY epoch_us(o_orderdate) // {US_PER_DAY_DIV}
+),
+grp AS (
+  SELECT dow, CAST(sum(rev) AS BIGINT) AS gsum,
+         CAST(count(*) AS BIGINT) AS gn,
+         sum(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS gss
+  FROM daily GROUP BY dow
+),
+tot AS (
+  SELECT CAST(sum(gsum) AS BIGINT) AS tsum, CAST(sum(gn) AS BIGINT) AS tn,
+         sum(gss) AS tss, CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(gsum AS DOUBLE) * CAST(gsum AS DOUBLE)
+             / CAST(gn AS DOUBLE)) AS between_raw
+  FROM grp
+)
+SELECT k AS n_groups, tn AS n_days,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(tn - k AS BIGINT) AS df2,
+       round(((between_raw - CAST(tsum AS DOUBLE) * CAST(tsum AS DOUBLE)
+                             / CAST(tn AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1.0))
+             / ((tss - between_raw) / (CAST(tn AS DOUBLE)
+                                       - CAST(k AS DOUBLE))), 6) AS f_stat,
+       round((between_raw - CAST(tsum AS DOUBLE) * CAST(tsum AS DOUBLE)
+                            / CAST(tn AS DOUBLE))
+             / (tss - CAST(tsum AS DOUBLE) * CAST(tsum AS DOUBLE)
+                      / CAST(tn AS DOUBLE)), 6) AS eta_sq
+FROM tot
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -14942,6 +15156,8 @@ QUERIES_TD = {
     "traffic_bursts": q_traffic_bursts,
     "kendall_tau": q_kendall_tau,
     "ks_two_sample": q_ks_two_sample,
+    "cusum_changepoint": q_cusum_changepoint,
+    "anova_dow": q_anova_dow,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -15128,6 +15344,8 @@ ORACLES_TD = {
     "traffic_bursts": SQL_TRAFFIC_BURSTS,
     "kendall_tau": SQL_KENDALL_TAU,
     "ks_two_sample": SQL_KS_TWO_SAMPLE,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "anova_dow": SQL_ANOVA_DOW,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
