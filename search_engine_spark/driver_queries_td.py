@@ -15061,6 +15061,187 @@ FROM tot
 """
 
 
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (1940) for randomness of daily revenue around
+# its median: sign each day (+ above / - below the interpolated median,
+# exact-equal days dropped per the standard prescription), count maximal
+# same-sign runs with a lag over the day order, and normalize. Signs and
+# the run count R are pure integers; only the final z-score touches
+# doubles. Complements the paired test family (chi2, z, KS, F) with a
+# sequential-dependence test.
+# --------------------------------------------------------------------------
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    med = daily.agg(F.expr("percentile(rev, 0.5D)").alias("med"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            "day",
+            F.when(F.col("rev").cast("double") > F.col("med"), 1)
+            .when(F.col("rev").cast("double") < F.col("med"), -1)
+            .otherwise(0)
+            .alias("s"),
+        )
+        .filter(F.col("s") != 0)
+    )
+    w = Window.orderBy("day")
+    flagged = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.col("s") != F.lag("s").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flagged.agg(
+        F.sum("new_run").cast("long").alias("runs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    two = F.lit(2.0) * n1d * n2d
+    mu = two / nd + F.lit(1.0)
+    var = two * (two - nd) / (nd * nd * (nd - F.lit(1.0)))
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        F.round((F.col("runs").cast("double") - mu) / F.sqrt(var), 6).alias(
+            "z"
+        ),
+    )
+
+
+SQL_RUNS_TEST = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+med AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+signed AS (
+  SELECT day,
+         CASE WHEN CAST(rev AS DOUBLE) > med THEN 1
+              WHEN CAST(rev AS DOUBLE) < med THEN -1 ELSE 0 END AS s
+  FROM daily, med
+),
+nz AS (SELECT day, s FROM signed WHERE s <> 0),
+flagged AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                   OR s <> lag(s) OVER (ORDER BY day)
+              THEN 1 ELSE 0 END AS new_run
+  FROM nz
+),
+agg AS (
+  SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM flagged
+)
+SELECT n1, n2, runs,
+       round((CAST(runs AS DOUBLE)
+              - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+             / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))),
+             6) AS z
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator (Hill 1975) on order prices: alpha_hat =
+# k / sum_{i<=k} ln(x_(i) / x_(k+1)) over the k=100 largest order
+# totals. The top-(k+1) order statistics are selected with an exact
+# integer tiebreak (price DESC, orderkey ASC), packed into ONE in-plan
+# array sorted by rank, and the log-sum is an ORDERED FOLD (invariant 4:
+# aggregate() in Spark, list_sum(list_transform(...)) in DuckDB) so both
+# engines add the same 100 doubles in the same order.
+# --------------------------------------------------------------------------
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("p")
+    )
+    w = Window.orderBy(F.col("p").desc(), F.col("o_orderkey").asc())
+    top = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 101)
+        .select("rn", "p")
+    )
+    arr = top.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn"), F.col("p")))
+        ).alias("a")
+    )
+    return arr.select(
+        F.lit(100).cast("long").alias("k"),
+        F.round(F.expr("element_at(a, 101).p"), 6).alias("x_k1"),
+        F.round(
+            F.expr(
+                "aggregate(slice(a, 1, 100), cast(0.0 as double),"
+                " (acc, x) -> acc + ln(x.p / element_at(a, 101).p))"
+            ),
+            6,
+        ).alias("log_sum"),
+        F.round(
+            F.lit(100.0)
+            / F.expr(
+                "aggregate(slice(a, 1, 100), cast(0.0 as double),"
+                " (acc, x) -> acc + ln(x.p / element_at(a, 101).p))"
+            ),
+            6,
+        ).alias("hill_alpha"),
+    )
+
+
+SQL_HILL_TAIL_INDEX = """
+WITH ranked AS (
+  SELECT o_totalprice AS p,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn
+  FROM orders
+),
+arr AS (
+  SELECT list(p ORDER BY rn) AS a FROM ranked WHERE rn <= 101
+)
+SELECT CAST(100 AS BIGINT) AS k,
+       round(a[101], 6) AS x_k1,
+       round(list_sum(list_transform(a[1:100], x -> ln(x / a[101]))), 6)
+         AS log_sum,
+       round(100.0
+             / list_sum(list_transform(a[1:100], x -> ln(x / a[101]))), 6)
+         AS hill_alpha
+FROM arr
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -15158,6 +15339,8 @@ QUERIES_TD = {
     "ks_two_sample": q_ks_two_sample,
     "cusum_changepoint": q_cusum_changepoint,
     "anova_dow": q_anova_dow,
+    "runs_test": q_runs_test,
+    "hill_tail_index": q_hill_tail_index,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -15346,6 +15529,8 @@ ORACLES_TD = {
     "ks_two_sample": SQL_KS_TWO_SAMPLE,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "anova_dow": SQL_ANOVA_DOW,
+    "runs_test": SQL_RUNS_TEST,
+    "hill_tail_index": SQL_HILL_TAIL_INDEX,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
