@@ -15242,6 +15242,244 @@ FROM arr
 """
 
 
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (Mann 1945, Kendall 1975) on daily revenue:
+# S = sum over day pairs i<j of sign(rev_j - rev_i) — a PURE-INTEGER
+# statistic over the day-pair self-join (pairs are time-bounded, not
+# corpus-bounded: the join fans out on days², never on rows²). The
+# variance carries the standard tie correction sum t(t-1)(2t+5), also
+# exact integers; only the final z (with the +-1 continuity correction)
+# is a double.
+# --------------------------------------------------------------------------
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("b.rev") - F.col("a.rev")).cast("double")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n_row = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    joined = s_stat.crossJoin(F.broadcast(n_row)).crossJoin(
+        F.broadcast(ties)
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "n",
+        "s_stat",
+        "tie_term",
+        F.round(var, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+SQL_MANN_KENDALL = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY rev)
+  WHERE t > 1
+)
+SELECT n, s_stat, tie_term,
+       round((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+              * (2.0 * CAST(n AS DOUBLE) + 5.0)
+              - CAST(tie_term AS DOUBLE)) / 18.0, 6) AS var_s,
+       round(CASE
+         WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+           / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                   * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                   - CAST(tie_term AS DOUBLE)) / 18.0)
+         WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+           / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                   * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                   - CAST(tie_term AS DOUBLE)) / 18.0)
+         ELSE 0.0 END, 6) AS z
+FROM s, nn, ties
+"""
+
+
+# --------------------------------------------------------------------------
+# Mutual information between event type and hour-of-day (Shannon 1948;
+# the feature-relevance complement to the chi-square pair — chi2 tests
+# departure from independence, MI measures it in nats): MI = sum_ij
+# p_ij ln(p_ij N / (n_i n_j)) over the (type x 24h) contingency table.
+# All counts are exact BIGINTs; the per-cell doubles are bounded at
+# |types| x 24 cells (the chi2 precedent) and display round-6. Also
+# reports both marginal entropies and the sqrt-normalized NMI.
+# --------------------------------------------------------------------------
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            (
+                F.floor(
+                    ntz_epoch_us(F.col("ts")) / F.lit(US_PER_HOUR_DIV)
+                )
+                % 24
+            )
+            .cast("long")
+            .alias("hod"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    row_m = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("rm")
+    )
+    col_m = cells.groupBy("hod").agg(F.sum("c").cast("long").alias("cm"))
+    tot = cells.agg(F.sum("c").cast("long").alias("nn"))
+    cd = F.col("c").cast("double")
+    nd = F.col("nn").cast("double")
+    mi = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "hod")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (cd / nd)
+                * F.log(
+                    cd
+                    * nd
+                    / (
+                        F.col("rm").cast("double")
+                        * F.col("cm").cast("double")
+                    )
+                )
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("mi"))
+    )
+    h_type = (
+        row_m.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("rm").cast("double") / nd)
+                * F.log(F.col("rm").cast("double") / nd)
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("h_type"))
+    )
+    h_hour = (
+        col_m.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("cm").cast("double") / nd)
+                * F.log(F.col("cm").cast("double") / nd)
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("h_hour"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(h_type))
+        .crossJoin(F.broadcast(h_hour))
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_hour", 6).alias("h_hour"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_type") * F.col("h_hour")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+SQL_MUTUAL_INFORMATION = f"""
+WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // {US_PER_HOUR_DIV}) % 24 AS hod,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+row_m AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS rm
+          FROM cells GROUP BY event_type),
+col_m AS (SELECT hod, CAST(sum(c) AS BIGINT) AS cm FROM cells GROUP BY hod),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+mi AS (
+  SELECT sum((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)
+                  / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)))) AS mi
+  FROM cells
+  JOIN row_m USING (event_type)
+  JOIN col_m USING (hod), tot
+),
+ht AS (
+  SELECT sum(-(CAST(rm AS DOUBLE) / CAST(nn AS DOUBLE))
+             * ln(CAST(rm AS DOUBLE) / CAST(nn AS DOUBLE))) AS h_type
+  FROM row_m, tot
+),
+hh AS (
+  SELECT sum(-(CAST(cm AS DOUBLE) / CAST(nn AS DOUBLE))
+             * ln(CAST(cm AS DOUBLE) / CAST(nn AS DOUBLE))) AS h_hour
+  FROM col_m, tot
+)
+SELECT round(mi.mi, 6) AS mi_nats,
+       round(ht.h_type, 6) AS h_type,
+       round(hh.h_hour, 6) AS h_hour,
+       round(mi.mi / sqrt(ht.h_type * hh.h_hour), 6) AS nmi
+FROM mi, ht, hh
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -15341,6 +15579,8 @@ QUERIES_TD = {
     "anova_dow": q_anova_dow,
     "runs_test": q_runs_test,
     "hill_tail_index": q_hill_tail_index,
+    "mann_kendall": q_mann_kendall,
+    "mutual_information": q_mutual_information,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -15531,6 +15771,8 @@ ORACLES_TD = {
     "anova_dow": SQL_ANOVA_DOW,
     "runs_test": SQL_RUNS_TEST,
     "hill_tail_index": SQL_HILL_TAIL_INDEX,
+    "mann_kendall": SQL_MANN_KENDALL,
+    "mutual_information": SQL_MUTUAL_INFORMATION,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
