@@ -15480,6 +15480,181 @@ FROM mi, ht, hh
 """
 
 
+# --------------------------------------------------------------------------
+# Cohen's kappa (Cohen 1960) between the n-gram language-ID heuristic and
+# the corpus's recorded lang label — the chance-corrected agreement
+# score a curation pipeline reports before trusting an automatic
+# classifier. Reuses the language_id pair's classifier on both sides
+# (X.language_id / _lang_sql), so the confusion matrix is exact integer
+# counts; po, pe, kappa are one double expression each over bounded
+# (|langs|²) cells.
+# --------------------------------------------------------------------------
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pred = X.language_id(docs).select("lang", "pred_lang")
+    conf = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    tot = conf.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    rows = conf.groupBy("lang").agg(F.sum("c").cast("long").alias("rm"))
+    cols = conf.groupBy("pred_lang").agg(
+        F.sum("c").cast("long").alias("cm")
+    )
+    pe_sum = (
+        rows.join(
+            cols, rows["lang"] == cols["pred_lang"], "inner"
+        )
+        .agg(
+            F.sum(F.col("rm").cast("double") * F.col("cm").cast("double"))
+            .alias("pe_raw")
+        )
+    )
+    nd = F.col("nn").cast("double")
+    po = F.col("agree").cast("double") / nd
+    pe = F.col("pe_raw") / (nd * nd)
+    return (
+        tot.crossJoin(F.broadcast(pe_sum))
+        .select(
+            F.col("nn").alias("n_docs"),
+            "agree",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+def _sql_cohen_kappa() -> str:
+    return f"""
+WITH conf AS (
+  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS c
+  FROM ({_lang_sql()}) p
+  JOIN documents d USING (doc_id)
+  GROUP BY d.lang, p.pred_lang
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nn,
+         CAST(sum(CASE WHEN lang = pred_lang THEN c ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM conf
+),
+rm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rm FROM conf GROUP BY lang),
+cm AS (SELECT pred_lang, CAST(sum(c) AS BIGINT) AS cm
+       FROM conf GROUP BY pred_lang),
+pe AS (
+  SELECT sum(CAST(rm.rm AS DOUBLE) * CAST(cm.cm AS DOUBLE)) AS pe_raw
+  FROM rm JOIN cm ON rm.lang = cm.pred_lang
+)
+SELECT nn AS n_docs, agree,
+       round(CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+       round(pe_raw / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS pe,
+       round((CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE)
+              - pe_raw / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+             / (1.0 - pe_raw / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))),
+             6) AS kappa
+FROM tot, pe
+"""
+
+
+SQL_COHEN_KAPPA = _sql_cohen_kappa()
+
+
+# --------------------------------------------------------------------------
+# Gumbel block-maxima fit (Gumbel 1958, method of moments) on weekly
+# maxima of daily revenue: block max is an EXACT BIGINT (max of summed
+# cents), so the only float work is the moment pass (exact integer sum +
+# the anova-precedent double sum of squares) and the closed-form MOM
+# inversion beta = s*sqrt(6)/pi, mu = xbar - gamma*beta. Reports the
+# 52-week return level mu - beta*ln(-ln(1 - 1/52)); constants enter via
+# CAST('...' AS DOUBLE) (invariant 1).
+# --------------------------------------------------------------------------
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    weekly = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .groupBy((F.col("day") / 7).cast("long").alias("week"))
+        .agg(F.max("rev").cast("long").alias("wmax"))
+    )
+    xd = F.col("wmax").cast("double")
+    mom = weekly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("wmax").cast("long").alias("xsum"),
+        F.sum(xd * xd).alias("xsq"),
+    )
+    nd = F.col("n_weeks").cast("double")
+    mean = F.col("xsum").cast("double") / nd
+    var = (F.col("xsq") - nd * mean * mean) / (nd - F.lit(1.0))
+    beta = F.sqrt(var * F.lit(6.0)) / F.lit(math.pi)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    ret52 = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(52.0)))
+    cents = F.lit(100.0)
+    return mom.select(
+        "n_weeks",
+        F.round(mean / cents, 6).alias("mean_weekly_max"),
+        F.round(beta / cents, 6).alias("gumbel_beta"),
+        F.round(mu / cents, 6).alias("gumbel_mu"),
+        F.round(ret52 / cents, 6).alias("return_level_52w"),
+    )
+
+
+SQL_GUMBEL_MAXIMA = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+weekly AS (
+  SELECT day // 7 AS week, CAST(max(rev) AS BIGINT) AS wmax
+  FROM daily GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+         CAST(sum(wmax) AS BIGINT) AS xsum,
+         sum(CAST(wmax AS DOUBLE) * CAST(wmax AS DOUBLE)) AS xsq
+  FROM weekly
+),
+d AS (
+  SELECT n_weeks,
+         CAST(xsum AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS mean,
+         (xsq - CAST(n_weeks AS DOUBLE)
+                * (CAST(xsum AS DOUBLE) / CAST(n_weeks AS DOUBLE))
+                * (CAST(xsum AS DOUBLE) / CAST(n_weeks AS DOUBLE)))
+           / (CAST(n_weeks AS DOUBLE) - 1.0) AS var
+  FROM mom
+),
+fit AS (
+  SELECT n_weeks, mean,
+         sqrt(var * 6.0) / pi() AS beta
+  FROM d
+)
+SELECT n_weeks,
+       round(mean / CAST('100.0' AS DOUBLE), 6) AS mean_weekly_max,
+       round(beta / CAST('100.0' AS DOUBLE), 6) AS gumbel_beta,
+       round((mean - CAST('0.5772156649015329' AS DOUBLE) * beta)
+             / CAST('100.0' AS DOUBLE), 6) AS gumbel_mu,
+       round((mean - CAST('0.5772156649015329' AS DOUBLE) * beta
+              - beta * ln(-ln(1.0 - 1.0 / 52.0)))
+             / CAST('100.0' AS DOUBLE), 6) AS return_level_52w
+FROM fit
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -15581,6 +15756,8 @@ QUERIES_TD = {
     "hill_tail_index": q_hill_tail_index,
     "mann_kendall": q_mann_kendall,
     "mutual_information": q_mutual_information,
+    "cohen_kappa": q_cohen_kappa,
+    "gumbel_maxima": q_gumbel_maxima,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -15773,6 +15950,8 @@ ORACLES_TD = {
     "hill_tail_index": SQL_HILL_TAIL_INDEX,
     "mann_kendall": SQL_MANN_KENDALL,
     "mutual_information": SQL_MUTUAL_INFORMATION,
+    "cohen_kappa": SQL_COHEN_KAPPA,
+    "gumbel_maxima": SQL_GUMBEL_MAXIMA,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
