@@ -15655,6 +15655,133 @@ FROM fit
 """
 
 
+# --------------------------------------------------------------------------
+# User accumulation curve (the growth report every analytics stack ships):
+# per hour, how many users appear for the FIRST time, and the running
+# total. Two-phase shape (skew discipline, invariant 6): min(hour) per
+# user first — a uniform-key aggregate — then a bounded hour-grid count +
+# cumulative window (CAST in DuckDB: window sum of BIGINT is HUGEINT).
+# Pure integers end to end.
+# --------------------------------------------------------------------------
+def q_user_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(ntz_epoch_us(F.col("ts")) / F.lit(US_PER_HOUR_DIV))
+        .cast("long")
+        .alias("hour"),
+    )
+    first_seen = events.groupBy("user_id").agg(
+        F.min("hour").cast("long").alias("first_hour")
+    )
+    per_hour = first_seen.groupBy("first_hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("first_hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_hour.select(
+        F.col("first_hour").alias("hour"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    ).orderBy("hour")
+
+
+SQL_USER_ACCUMULATION = f"""
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts) // {US_PER_HOUR_DIV}) AS BIGINT)
+           AS first_hour
+  FROM events GROUP BY user_id
+),
+per_hour AS (
+  SELECT first_hour, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY first_hour
+)
+SELECT first_hour AS hour, n_new,
+       CAST(sum(n_new) OVER (ORDER BY first_hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM per_hour
+ORDER BY hour
+"""
+
+
+# --------------------------------------------------------------------------
+# Lorenz decile table (Lorenz 1905 — the CURVE behind the order_gini
+# scalar): customers ranked by revenue into NTILE(10) deciles with a
+# total (rev6 ASC, custkey ASC) tiebreak, per-decile revenue share and
+# cumulative share. Revenue stays fixed6 BIGINT through both sums; the
+# two ratios divide identical integer operands on both engines.
+# --------------------------------------------------------------------------
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", fixed6_long(F.col("o_totalprice")).alias("p6")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("p6").cast("long").alias("rev6")
+    )
+    w = Window.orderBy(F.col("rev6").asc(), F.col("o_custkey").asc())
+    tiled = per_cust.select(
+        "rev6", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    per_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("rev6").cast("long").alias("dec_rev6"),
+    )
+    tot = per_dec.agg(F.sum("dec_rev6").cast("long").alias("tot6"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_cust",
+            F.round(
+                F.col("dec_rev6").cast("double")
+                / F.col("tot6").cast("double"),
+                6,
+            ).alias("rev_share"),
+            F.round(
+                F.sum("dec_rev6").over(wc).cast("double")
+                / F.col("tot6").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_LORENZ_DECILES = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum({SQL_FIXED6_LONG.format(col="o_totalprice")}) AS BIGINT)
+           AS rev6
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT rev6,
+         CAST(ntile(10) OVER (ORDER BY rev6 ASC, o_custkey ASC) AS BIGINT)
+           AS decile
+  FROM per_cust
+),
+per_dec AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(rev6) AS BIGINT) AS dec_rev6
+  FROM tiled GROUP BY decile
+),
+tot AS (SELECT CAST(sum(dec_rev6) AS BIGINT) AS tot6 FROM per_dec)
+SELECT decile, n_cust,
+       round(CAST(dec_rev6 AS DOUBLE) / CAST(tot6 AS DOUBLE), 6)
+         AS rev_share,
+       round(CAST(CAST(sum(dec_rev6) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS DOUBLE) / CAST(tot6 AS DOUBLE), 6) AS cum_share
+FROM per_dec, tot
+ORDER BY decile
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -15758,6 +15885,8 @@ QUERIES_TD = {
     "mutual_information": q_mutual_information,
     "cohen_kappa": q_cohen_kappa,
     "gumbel_maxima": q_gumbel_maxima,
+    "user_accumulation": q_user_accumulation,
+    "lorenz_deciles": q_lorenz_deciles,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -15952,6 +16081,8 @@ ORACLES_TD = {
     "mutual_information": SQL_MUTUAL_INFORMATION,
     "cohen_kappa": SQL_COHEN_KAPPA,
     "gumbel_maxima": SQL_GUMBEL_MAXIMA,
+    "user_accumulation": SQL_USER_ACCUMULATION,
+    "lorenz_deciles": SQL_LORENZ_DECILES,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
