@@ -15782,6 +15782,223 @@ ORDER BY decile
 """
 
 
+# --------------------------------------------------------------------------
+# Mann-Whitney U test (Mann & Whitney 1947) comparing URGENT vs LOW
+# order totals — the nonparametric two-sample location test of the
+# paired family. Midranks are kept EXACT by doubling: for a tie group
+# the doubled average rank is 2*rank() + count - 1, an integer, so R1,
+# U, and the tie-correction sum t³-t never touch floats; only the final
+# z and the rank-biserial effect size do.
+# --------------------------------------------------------------------------
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(2)
+            .alias("grp"),
+            fixed6_long(F.col("o_totalprice")).alias("x6"),
+        )
+    )
+    wr = Window.orderBy("x6")
+    wt = Window.partitionBy("x6")
+    ranked = orders.select(
+        "grp",
+        (
+            F.lit(2) * F.rank().over(wr).cast("long")
+            + F.count(F.lit(1)).over(wt).cast("long")
+            - F.lit(1)
+        ).alias("dr"),
+        "x6",
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias("r1_doubled"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    ties = (
+        orders.groupBy("x6")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_cubes")
+        )
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    # doubled U for group 1: U2 = R1_doubled - n1*(n1+1)
+    u2 = (
+        F.col("r1_doubled").cast("double")
+        - n1d * (n1d + F.lit(1.0))
+    )
+    var_u = n1d * n2d / F.lit(12.0) * (
+        (nd + F.lit(1.0))
+        - F.col("tie_cubes").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    z = (u2 - n1d * n2d) / (F.lit(2.0) * F.sqrt(var_u))
+    return j.select(
+        "n1",
+        "n2",
+        F.round(u2 / F.lit(2.0), 6).alias("u1"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(1.0) - u2 / (n1d * n2d), 6).alias("rank_biserial"),
+    )
+
+
+SQL_MANN_WHITNEY = f"""
+WITH samp AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+         {SQL_FIXED6_LONG.format(col="o_totalprice")} AS x6
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+ranked AS (
+  SELECT grp,
+         2 * CAST(rank() OVER (ORDER BY x6) AS BIGINT)
+           + CAST(count(*) OVER (PARTITION BY x6) AS BIGINT) - 1 AS dr
+  FROM samp
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN grp = 1 THEN dr ELSE 0 END) AS BIGINT)
+           AS r1_doubled,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM ranked
+),
+ties AS (
+  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_cubes
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM samp GROUP BY x6)
+  WHERE t > 1
+)
+SELECT n1, n2,
+       round((CAST(r1_doubled AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0, 6)
+         AS u1,
+       round(((CAST(r1_doubled AS DOUBLE)
+               - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                   - CAST(tie_cubes AS DOUBLE)
+                     / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                           - 1.0))))), 6) AS z,
+       round(1.0 - (CAST(r1_doubled AS DOUBLE)
+                    - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+         AS rank_biserial
+FROM agg, ties
+"""
+
+
+# --------------------------------------------------------------------------
+# Trimmed and winsorized means (Tukey's robust-location pair — the
+# complement to the MAD outlier gate): order totals ranked exactly
+# (fixed6, orderkey tiebreak), the outer 5% on each side dropped
+# (trimmed) or clamped to the boundary order statistics (winsorized).
+# Cut indices are integer arithmetic on n; all sums stay fixed6 BIGINT
+# (clamping replaces a value with another BIGINT), so both means divide
+# identical integers.
+# --------------------------------------------------------------------------
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", fixed6_long(F.col("o_totalprice")).alias("x6")
+    )
+    w = Window.orderBy(F.col("x6").asc(), F.col("o_orderkey").asc())
+    ranked = orders.select(
+        "x6", F.row_number().over(w).cast("long").alias("rn")
+    ).localCheckpoint(eager=True)
+    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # k = floor(0.05 * n); keep ranks in (k, n-k]
+    withk = ranked.crossJoin(F.broadcast(n_row)).withColumn(
+        "k", F.expr("n div 20")
+    )
+    lo = withk.filter(F.col("rn") == F.col("k") + 1).select(
+        F.col("x6").alias("lo6")
+    )
+    hi = withk.filter(F.col("rn") == F.col("n") - F.col("k")).select(
+        F.col("x6").alias("hi6")
+    )
+    trimmed = withk.filter(
+        (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    ).agg(
+        F.sum("x6").cast("long").alias("tsum6"),
+        F.count(F.lit(1)).cast("long").alias("tn"),
+    )
+    wins = (
+        withk.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.greatest(
+                F.col("lo6"), F.least(F.col("hi6"), F.col("x6"))
+            ).alias("wx6")
+        )
+        .agg(F.sum("wx6").cast("long").alias("wsum6"))
+    )
+    return (
+        trimmed.crossJoin(F.broadcast(wins))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "n",
+            "tn",
+            F.round(
+                F.col("tsum6").cast("double")
+                / F.col("tn").cast("double")
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.col("wsum6").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+SQL_TRIMMED_STATS = f"""
+WITH ranked AS (
+  SELECT {SQL_FIXED6_LONG.format(col="o_totalprice")} AS x6,
+         CAST(row_number() OVER (
+           ORDER BY {SQL_FIXED6_LONG.format(col="o_totalprice")} ASC,
+                    o_orderkey ASC) AS BIGINT) AS rn
+  FROM orders
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+k AS (SELECT n, n // 20 AS k FROM nn),
+lo AS (SELECT x6 AS lo6 FROM ranked, k WHERE rn = k + 1),
+hi AS (SELECT x6 AS hi6 FROM ranked, k WHERE rn = n - k),
+trimmed AS (
+  SELECT CAST(sum(x6) AS BIGINT) AS tsum6, CAST(count(*) AS BIGINT) AS tn
+  FROM ranked, k WHERE rn > k AND rn <= n - k
+),
+wins AS (
+  SELECT CAST(sum(greatest(lo6, least(hi6, x6))) AS BIGINT) AS wsum6
+  FROM ranked, lo, hi
+)
+SELECT n, tn,
+       round(CAST(tsum6 AS DOUBLE) / CAST(tn AS DOUBLE)
+             / CAST('1000000.0' AS DOUBLE), 6) AS trimmed_mean,
+       round(CAST(wsum6 AS DOUBLE) / CAST(n AS DOUBLE)
+             / CAST('1000000.0' AS DOUBLE), 6) AS winsorized_mean
+FROM trimmed, wins, nn
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -15887,6 +16104,8 @@ QUERIES_TD = {
     "gumbel_maxima": q_gumbel_maxima,
     "user_accumulation": q_user_accumulation,
     "lorenz_deciles": q_lorenz_deciles,
+    "mann_whitney": q_mann_whitney,
+    "trimmed_stats": q_trimmed_stats,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -16083,6 +16302,8 @@ ORACLES_TD = {
     "gumbel_maxima": SQL_GUMBEL_MAXIMA,
     "user_accumulation": SQL_USER_ACCUMULATION,
     "lorenz_deciles": SQL_LORENZ_DECILES,
+    "mann_whitney": SQL_MANN_WHITNEY,
+    "trimmed_stats": SQL_TRIMMED_STATS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
