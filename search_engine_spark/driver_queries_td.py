@@ -15999,6 +15999,209 @@ FROM trimmed, wins, nn
 """
 
 
+# --------------------------------------------------------------------------
+# Two-proportion sample-size / power analysis (the experiment-design
+# step upstream of the ab_test_z pair — same md5 cohort split, same
+# conversion predicate, so the two pairs audit one experiment end to
+# end): required n per arm for 80% power at two-sided alpha=0.05,
+# n = (z_a2 + z_b)^2 * (p1 q1 + p2 q2) / (p1 - p2)^2 (Fleiss et al.).
+# The normal quantiles enter as CAST('...' AS DOUBLE) string constants
+# (neither engine has qnorm; invariant 1 forbids bare float literals).
+# --------------------------------------------------------------------------
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    grp = F.expr(
+        "CAST(conv(substring(md5(cast(user_id as string)), 1, 1), 16, 10)"
+        " AS INT) % 2"
+    )
+    agg = users.select(grp.alias("grp"), "conv").groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    a = agg.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = agg.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p1 = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p2 = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    z_a2 = F.lit(1.959963984540054)
+    z_b = F.lit(0.8416212335729143)
+    n_req = (
+        (z_a2 + z_b)
+        * (z_a2 + z_b)
+        * (p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+        / ((p1 - p2) * (p1 - p2))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(n_req, 6).alias("n_required_per_arm"),
+        F.ceil(n_req).cast("long").alias("n_required_ceil"),
+    )
+
+
+SQL_POWER_ANALYSIS = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT ((strpos('0123456789abcdef',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2) AS grp,
+         conv
+  FROM users
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM g GROUP BY grp
+),
+ab AS (
+  SELECT (SELECT n FROM agg WHERE grp = 0) AS n_a,
+         (SELECT c FROM agg WHERE grp = 0) AS conv_a,
+         (SELECT n FROM agg WHERE grp = 1) AS n_b,
+         (SELECT c FROM agg WHERE grp = 1) AS conv_b
+),
+p AS (
+  SELECT n_a, n_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2
+  FROM ab
+),
+calc AS (
+  SELECT n_a, n_b, p1, p2,
+         (CAST('1.959963984540054' AS DOUBLE)
+          + CAST('0.8416212335729143' AS DOUBLE))
+         * (CAST('1.959963984540054' AS DOUBLE)
+            + CAST('0.8416212335729143' AS DOUBLE))
+         * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+         / ((p1 - p2) * (p1 - p2)) AS n_req
+  FROM p
+)
+SELECT n_a, n_b, round(p1, 6) AS p1, round(p2, 6) AS p2,
+       round(n_req, 6) AS n_required_per_arm,
+       CAST(ceil(n_req) AS BIGINT) AS n_required_ceil
+FROM calc
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram LM cross-entropy / perplexity on a held-out split (the
+# standard LM curation metric; Chen & Goodman 1996's baseline): train
+# add-one-smoothed unigram counts on doc_id % 10 != 0, evaluate on the
+# % 10 == 0 held-out docs. p(t) = (c_t + 1)/(N + V + 1) with unseen
+# test terms sharing one OOV type. The log-sum groups test tokens BY
+# TERM first (vocab-bounded doubles: sum m_t * ln(c_t + 1)), and
+# H = (M*ln(N+V+1) - sum) / M. Counts are exact BIGINTs throughout.
+# --------------------------------------------------------------------------
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train_counts = train.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    train_tot = train_counts.agg(
+        F.sum("c").cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    test_counts = test.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    joined = test_counts.join(train_counts, "term", "left").select(
+        "m", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    agg = joined.agg(
+        F.sum("m").cast("long").alias("m_test"),
+        F.sum(F.when(F.col("c") == 0, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+        F.sum(
+            F.col("m").cast("double")
+            * F.log(F.col("c").cast("double") + F.lit(1.0))
+        ).alias("log_sum"),
+    )
+    j = agg.crossJoin(F.broadcast(train_tot))
+    md = F.col("m_test").cast("double")
+    denom = (
+        F.col("n_train").cast("double")
+        + F.col("v").cast("double")
+        + F.lit(1.0)
+    )
+    h = (md * F.log(denom) - F.col("log_sum")) / md
+    return j.select(
+        "n_train",
+        "v",
+        "m_test",
+        "oov_tokens",
+        F.round(h, 6).alias("cross_entropy"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    )
+
+
+SQL_UNIGRAM_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+train_counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE doc_id % 10 <> 0 GROUP BY term
+),
+train_tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_train,
+         CAST(count(*) AS BIGINT) AS v
+  FROM train_counts
+),
+test_counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS m
+  FROM toks WHERE doc_id % 10 = 0 GROUP BY term
+),
+joined AS (
+  SELECT t.m, CAST(coalesce(tc.c, 0) AS BIGINT) AS c
+  FROM test_counts t LEFT JOIN train_counts tc USING (term)
+),
+agg AS (
+  SELECT CAST(sum(m) AS BIGINT) AS m_test,
+         CAST(sum(CASE WHEN c = 0 THEN m ELSE 0 END) AS BIGINT)
+           AS oov_tokens,
+         sum(CAST(m AS DOUBLE) * ln(CAST(c AS DOUBLE) + 1.0)) AS log_sum
+  FROM joined
+)
+SELECT n_train, v, m_test, oov_tokens,
+       round((CAST(m_test AS DOUBLE)
+              * ln(CAST(n_train AS DOUBLE) + CAST(v AS DOUBLE) + 1.0)
+              - log_sum) / CAST(m_test AS DOUBLE), 6) AS cross_entropy,
+       round(exp((CAST(m_test AS DOUBLE)
+                  * ln(CAST(n_train AS DOUBLE) + CAST(v AS DOUBLE) + 1.0)
+                  - log_sum) / CAST(m_test AS DOUBLE)), 6) AS perplexity
+FROM agg, train_tot
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -16106,6 +16309,8 @@ QUERIES_TD = {
     "lorenz_deciles": q_lorenz_deciles,
     "mann_whitney": q_mann_whitney,
     "trimmed_stats": q_trimmed_stats,
+    "power_analysis": q_power_analysis,
+    "unigram_perplexity": q_unigram_perplexity,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -16304,6 +16509,8 @@ ORACLES_TD = {
     "lorenz_deciles": SQL_LORENZ_DECILES,
     "mann_whitney": SQL_MANN_WHITNEY,
     "trimmed_stats": SQL_TRIMMED_STATS,
+    "power_analysis": SQL_POWER_ANALYSIS,
+    "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
