@@ -16202,6 +16202,247 @@ FROM agg, train_tot
 """
 
 
+# --------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies audit (Good 1953) over TRIGRAM
+# types on the same train split as the perplexity pair (the unigram
+# vocabulary saturates — no singletons — so the estimate is taken where
+# it is meaningful, on the sparser trigram space): N1/N estimates the
+# unseen-type mass, c* = 2*N2/N1 the discounted singleton count. All
+# frequency-of-frequency counts are exact BIGINTs from a two-level
+# aggregate (gram counts, then counts-of-counts — both uniform keys).
+# --------------------------------------------------------------------------
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    ).select(
+        F.expr(
+            f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)"
+        ).alias("w")
+    )
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 2, 0)),"
+                " i -> concat(element_at(w, i), ' ',"
+                " element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+            )
+        ).alias("term")
+    )
+    train_counts = grams.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    fof = train_counts.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("nf")
+    )
+    agg = train_counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    n_r = [
+        fof.filter(F.col("c") == r).agg(
+            F.coalesce(F.sum("nf"), F.lit(0)).cast("long").alias(f"n{r}")
+        )
+        for r in (1, 2)
+    ]
+    j = agg.crossJoin(F.broadcast(n_r[0])).crossJoin(F.broadcast(n_r[1]))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    return j.select(
+        "n_tokens",
+        "v",
+        "n1",
+        "n2",
+        F.round(n1d / F.col("n_tokens").cast("double"), 6).alias(
+            "unseen_mass"
+        ),
+        F.round(F.lit(2.0) * n2d / n1d, 6).alias("singleton_cstar"),
+    )
+
+
+SQL_GOOD_TURING = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w
+  FROM documents WHERE doc_id % 10 <> 0
+),
+grams AS (
+  SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS term
+  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+train_counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM grams GROUP BY term
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS v
+  FROM train_counts
+),
+fof AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS nf FROM train_counts GROUP BY c
+),
+n1t AS (SELECT CAST(coalesce(sum(nf), 0) AS BIGINT) AS n1
+        FROM fof WHERE c = 1),
+n2t AS (SELECT CAST(coalesce(sum(nf), 0) AS BIGINT) AS n2
+        FROM fof WHERE c = 2)
+SELECT n_tokens, v, n1, n2,
+       round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS unseen_mass,
+       round(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+         AS singleton_cstar
+FROM agg, n1t, n2t
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-sample Anderson-Darling test (Scholz & Stephens 1987, the
+# tie-adjusted midrank form A²akN) on URGENT vs LOW order totals — the
+# tail-sensitive complement to the KS and Mann-Whitney pairs over the
+# same two samples. Midranks are kept exact by DOUBLING (M2 = 2*cum - f,
+# B2 = 2*cum - l are integers); each distinct value contributes one
+# fixed double expression of those integers, summed and rounded 6.
+# --------------------------------------------------------------------------
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    samp = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(2)
+            .alias("grp"),
+            fixed6_long(F.col("o_totalprice")).alias("x6"),
+        )
+    )
+    cells = (
+        samp.groupBy("x6")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("f1"),
+            F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("f2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("x6").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "f1",
+        "f2",
+        (F.col("f1") + F.col("f2")).alias("l"),
+        F.sum("f1").over(w).cast("long").alias("cum1"),
+        F.sum("f2").over(w).cast("long").alias("cum2"),
+        F.sum(F.col("f1") + F.col("f2")).over(w).cast("long").alias("cumc"),
+    )
+    tot = cells.agg(
+        F.sum("f1").cast("long").alias("n1"),
+        F.sum("f2").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    ld = F.col("l").cast("double")
+    # doubled midrank cumulatives: integer-exact
+    b2 = (F.lit(2) * F.col("cumc") - F.col("l")).cast("double")
+    m2_1 = (F.lit(2) * F.col("cum1") - F.col("f1")).cast("double")
+    m2_2 = (F.lit(2) * F.col("cum2") - F.col("f2")).cast("double")
+    denom = (b2 / F.lit(2.0)) * (nd - b2 / F.lit(2.0)) - nd * ld / F.lit(
+        4.0
+    )
+    def inner(m2, ni):
+        nid = ni.cast("double")
+        num = nd * m2 / F.lit(2.0) - (b2 / F.lit(2.0)) * nid
+        return (ld / nd) * num * num / denom / nid
+    term = F.when(
+        denom > 0, inner(m2_1, F.col("n1")) + inner(m2_2, F.col("n2"))
+    ).otherwise(F.lit(0.0))
+    res = j.select(term.alias("t"), "n1", "n2", "n_distinct").groupBy(
+        "n1", "n2", "n_distinct"
+    ).agg(F.sum("t").alias("a2_raw"))
+    return res.select(
+        "n1",
+        "n2",
+        "n_distinct",
+        F.round(
+            (F.col("n1") + F.col("n2") - 1).cast("double")
+            / (F.col("n1") + F.col("n2")).cast("double")
+            * F.col("a2_raw"),
+            6,
+        ).alias("a2_akn"),
+    )
+
+
+SQL_ANDERSON_DARLING = f"""
+WITH samp AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+         {SQL_FIXED6_LONG.format(col="o_totalprice")} AS x6
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+cells AS (
+  SELECT x6,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM samp GROUP BY x6
+),
+cum AS (
+  SELECT f1, f2, f1 + f2 AS l,
+         CAST(sum(f1) OVER (ORDER BY x6
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum1,
+         CAST(sum(f2) OVER (ORDER BY x6
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum2,
+         CAST(sum(f1 + f2) OVER (ORDER BY x6
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumc
+  FROM cells
+),
+tot AS (
+  SELECT CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f2) AS BIGINT) AS n2,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM cells
+),
+terms AS (
+  SELECT n1, n2, n_distinct,
+         CASE WHEN ((CAST(2 * cumc - l AS DOUBLE) / 2.0)
+                    * (CAST(n1 + n2 AS DOUBLE)
+                       - CAST(2 * cumc - l AS DOUBLE) / 2.0)
+                    - CAST(n1 + n2 AS DOUBLE) * CAST(l AS DOUBLE) / 4.0) > 0
+         THEN
+           (CAST(l AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+           * ((CAST(n1 + n2 AS DOUBLE) * CAST(2 * cum1 - f1 AS DOUBLE) / 2.0
+               - (CAST(2 * cumc - l AS DOUBLE) / 2.0) * CAST(n1 AS DOUBLE))
+              * (CAST(n1 + n2 AS DOUBLE) * CAST(2 * cum1 - f1 AS DOUBLE) / 2.0
+                 - (CAST(2 * cumc - l AS DOUBLE) / 2.0) * CAST(n1 AS DOUBLE))
+              / ((CAST(2 * cumc - l AS DOUBLE) / 2.0)
+                 * (CAST(n1 + n2 AS DOUBLE)
+                    - CAST(2 * cumc - l AS DOUBLE) / 2.0)
+                 - CAST(n1 + n2 AS DOUBLE) * CAST(l AS DOUBLE) / 4.0)
+              / CAST(n1 AS DOUBLE)
+              + (CAST(n1 + n2 AS DOUBLE) * CAST(2 * cum2 - f2 AS DOUBLE) / 2.0
+                 - (CAST(2 * cumc - l AS DOUBLE) / 2.0) * CAST(n2 AS DOUBLE))
+                * (CAST(n1 + n2 AS DOUBLE) * CAST(2 * cum2 - f2 AS DOUBLE)
+                   / 2.0
+                   - (CAST(2 * cumc - l AS DOUBLE) / 2.0)
+                     * CAST(n2 AS DOUBLE))
+                / ((CAST(2 * cumc - l AS DOUBLE) / 2.0)
+                   * (CAST(n1 + n2 AS DOUBLE)
+                      - CAST(2 * cumc - l AS DOUBLE) / 2.0)
+                   - CAST(n1 + n2 AS DOUBLE) * CAST(l AS DOUBLE) / 4.0)
+                / CAST(n2 AS DOUBLE))
+         ELSE 0.0 END AS t
+  FROM cum, tot
+)
+SELECT n1, n2, n_distinct,
+       round(CAST(n1 + n2 - 1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+             * sum(t), 6) AS a2_akn
+FROM terms
+GROUP BY n1, n2, n_distinct
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -16311,6 +16552,8 @@ QUERIES_TD = {
     "trimmed_stats": q_trimmed_stats,
     "power_analysis": q_power_analysis,
     "unigram_perplexity": q_unigram_perplexity,
+    "good_turing": q_good_turing,
+    "anderson_darling": q_anderson_darling,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -16511,6 +16754,8 @@ ORACLES_TD = {
     "trimmed_stats": SQL_TRIMMED_STATS,
     "power_analysis": SQL_POWER_ANALYSIS,
     "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
+    "good_turing": SQL_GOOD_TURING,
+    "anderson_darling": SQL_ANDERSON_DARLING,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
