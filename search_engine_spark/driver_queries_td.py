@@ -16443,6 +16443,177 @@ GROUP BY n1, n2, n_distinct
 """
 
 
+# --------------------------------------------------------------------------
+# Adjusted Pearson residuals (Haberman 1973) for the source x lang
+# contingency table — the cell-level drill-down of the chi-square pair:
+# r_ij = (O - E) / sqrt(E (1 - rn/N)(1 - cn/N)) says WHICH cells drive
+# the dependence, |r| > 2 flagging the anomalous ones. Counts and
+# marginals are exact BIGINTs; each residual is one fixed double
+# expression per bounded cell.
+# --------------------------------------------------------------------------
+def q_pearson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy("source").agg(
+        F.sum("o").cast("long").alias("rn")
+    )
+    cols = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("cn"))
+    n = cells.agg(F.sum("o").cast("long").alias("_n"))
+    j = (
+        cells.join(F.broadcast(rows), "source")
+        .join(F.broadcast(cols), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    od = F.col("o").cast("double")
+    rnd = F.col("rn").cast("double")
+    cnd = F.col("cn").cast("double")
+    nd = F.col("_n").cast("double")
+    e = rnd * cnd / nd
+    adj = (od - e) / F.sqrt(
+        e * (F.lit(1.0) - rnd / nd) * (F.lit(1.0) - cnd / nd)
+    )
+    return j.select(
+        "source",
+        "lang",
+        "o",
+        F.round(e, 6).alias("expected"),
+        F.round(adj, 6).alias("adj_residual"),
+        (F.abs(adj) > F.lit(2.0)).alias("flagged"),
+    ).orderBy("source", "lang")
+
+
+SQL_PEARSON_RESIDUALS = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+),
+rm AS (SELECT source, CAST(sum(o) AS BIGINT) AS rn
+       FROM cells GROUP BY source),
+cm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY lang),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+SELECT source, lang, o,
+       round(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS expected,
+       round((CAST(o AS DOUBLE)
+              - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                    / CAST(n AS DOUBLE)
+                    * (1.0 - CAST(rn AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         AS adj_residual,
+       abs((CAST(o AS DOUBLE)
+            - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                  / CAST(n AS DOUBLE)
+                  * (1.0 - CAST(rn AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)))) > 2.0
+         AS flagged
+FROM cells
+JOIN rm USING (source)
+JOIN cm USING (lang), nn
+ORDER BY source, lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
+# Levene's test with the median center, the robust pre-check for the
+# anova_dow pair's equal-variance assumption): one-way ANOVA F on
+# z = |x - median_g| where median_g is the per-weekday interpolated
+# median of daily revenue. Group medians come from exact integer grids;
+# the deviation ANOVA reuses the anova precedent (exact group counts,
+# per-row double squares summed, round-6 display).
+# --------------------------------------------------------------------------
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .select(
+            ((F.col("day") + 4) % 7).cast("long").alias("dow"), "rev"
+        )
+        .localCheckpoint(eager=True)
+    )
+    med = daily.groupBy("dow").agg(
+        F.expr("percentile(rev, 0.5D)").alias("med")
+    )
+    z = daily.join(F.broadcast(med), "dow").select(
+        "dow", F.abs(F.col("rev").cast("double") - F.col("med")).alias("z")
+    )
+    grp = z.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum("z").alias("gsum"),
+        F.sum(F.col("z") * F.col("z")).alias("gss"),
+    )
+    tot = grp.agg(
+        F.sum("gn").cast("long").alias("tn"),
+        F.sum("gsum").alias("tsum"),
+        F.sum("gss").alias("tss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("gsum") * F.col("gsum") / F.col("gn").cast("double"))
+        .alias("between_raw"),
+    )
+    tnd, kd = F.col("tn").cast("double"), F.col("k").cast("double")
+    ss_between = F.col("between_raw") - F.col("tsum") * F.col(
+        "tsum"
+    ) / tnd
+    ss_within = F.col("tss") - F.col("between_raw")
+    f_stat = (ss_between / (kd - F.lit(1.0))) / (ss_within / (tnd - kd))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("tn").alias("n_days"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("tn") - F.col("k")).cast("long").alias("df2"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+SQL_BROWN_FORSYTHE = f"""
+WITH daily AS (
+  SELECT (epoch_us(o_orderdate) // {US_PER_DAY_DIV} + 4) % 7 AS dow,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY epoch_us(o_orderdate) // {US_PER_DAY_DIV}
+),
+med AS (
+  SELECT dow, quantile_cont(rev, 0.5) AS med FROM daily GROUP BY dow
+),
+z AS (
+  SELECT daily.dow, abs(CAST(rev AS DOUBLE) - med.med) AS z
+  FROM daily JOIN med USING (dow)
+),
+grp AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS gn, sum(z) AS gsum,
+         sum(z * z) AS gss
+  FROM z GROUP BY dow
+),
+tot AS (
+  SELECT CAST(sum(gn) AS BIGINT) AS tn, sum(gsum) AS tsum,
+         sum(gss) AS tss, CAST(count(*) AS BIGINT) AS k,
+         sum(gsum * gsum / CAST(gn AS DOUBLE)) AS between_raw
+  FROM grp
+)
+SELECT k AS n_groups, tn AS n_days,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(tn - k AS BIGINT) AS df2,
+       round(((between_raw - tsum * tsum / CAST(tn AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1.0))
+             / ((tss - between_raw)
+                / (CAST(tn AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+FROM tot
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -16554,6 +16725,8 @@ QUERIES_TD = {
     "unigram_perplexity": q_unigram_perplexity,
     "good_turing": q_good_turing,
     "anderson_darling": q_anderson_darling,
+    "pearson_residuals": q_pearson_residuals,
+    "brown_forsythe": q_brown_forsythe,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -16756,6 +16929,8 @@ ORACLES_TD = {
     "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
     "good_turing": SQL_GOOD_TURING,
     "anderson_darling": SQL_ANDERSON_DARLING,
+    "pearson_residuals": SQL_PEARSON_RESIDUALS,
+    "brown_forsythe": SQL_BROWN_FORSYTHE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
