@@ -16614,6 +16614,241 @@ FROM tot
 """
 
 
+# --------------------------------------------------------------------------
+# Kruskal-Wallis rank test (Kruskal & Wallis 1952) of daily revenue
+# across the 7 weekdays — the nonparametric sibling of anova_dow,
+# sharing the mann_whitney pair's exact-midrank trick: doubled midranks
+# 2*rank() + count_ties - 1 are integers, so per-group rank sums and the
+# tie-correction sum t³-t never touch floats. H (with tie divisor) is
+# one closed double expression at the end.
+# --------------------------------------------------------------------------
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .select(
+            ((F.col("day") + 4) % 7).cast("long").alias("dow"), "rev"
+        )
+        .localCheckpoint(eager=True)
+    )
+    wr = Window.orderBy("rev")
+    wt = Window.partitionBy("rev")
+    ranked = daily.select(
+        "dow",
+        (
+            F.lit(2) * F.rank().over(wr).cast("long")
+            + F.count(F.lit(1)).over(wt).cast("long")
+            - F.lit(1)
+        ).alias("dr"),
+    )
+    grp = ranked.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum("dr").cast("long").alias("r2sum"),
+    )
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_cubes")
+        )
+    )
+    tot = grp.agg(
+        F.sum("gn").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        # sum over groups of (R_g)^2/n_g with doubled ranks: divide by 4
+        F.sum(
+            F.col("r2sum").cast("double")
+            * F.col("r2sum").cast("double")
+            / F.col("gn").cast("double")
+        ).alias("r2_over_n_doubled"),
+    )
+    j = tot.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h_raw = (
+        F.lit(12.0)
+        / (nd * (nd + F.lit(1.0)))
+        * (F.col("r2_over_n_doubled") / F.lit(4.0))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    tie_div = F.lit(1.0) - F.col("tie_cubes").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return j.select(
+        "n",
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        "tie_cubes",
+        F.round(h_raw / tie_div, 6).alias("h_stat"),
+    )
+
+
+SQL_KRUSKAL_WALLIS = f"""
+WITH daily AS (
+  SELECT (epoch_us(o_orderdate) // {US_PER_DAY_DIV} + 4) % 7 AS dow,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY epoch_us(o_orderdate) // {US_PER_DAY_DIV}
+),
+ranked AS (
+  SELECT dow,
+         2 * CAST(rank() OVER (ORDER BY rev) AS BIGINT)
+           + CAST(count(*) OVER (PARTITION BY rev) AS BIGINT) - 1 AS dr
+  FROM daily
+),
+grp AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS gn,
+         CAST(sum(dr) AS BIGINT) AS r2sum
+  FROM ranked GROUP BY dow
+),
+ties AS (
+  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_cubes
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY rev)
+  WHERE t > 1
+),
+tot AS (
+  SELECT CAST(sum(gn) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+             / CAST(gn AS DOUBLE)) AS r2_over_n_doubled
+  FROM grp
+)
+SELECT n, k AS n_groups, CAST(k - 1 AS BIGINT) AS df, tie_cubes,
+       round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+              * (r2_over_n_doubled / 4.0)
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie_cubes AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE))), 6) AS h_stat
+FROM tot, ties
+"""
+
+
+# --------------------------------------------------------------------------
+# Daily-revenue periodogram (Schuster 1898) at the first 10 Fourier
+# frequencies: P_k = (A_k² + B_k²)/n with A_k = sum x_t cos(2πkt/n),
+# B_k likewise — the frequency-domain complement to the autocorrelation
+# pair, read to spot the weekly cycle. x_t are exact cents; cos/sin of
+# the rational angles go through the same libm surface both engines
+# share (the circadian-pair precedent), and the t index is an exact
+# row_number. Power is reported on the log10 scale and as a variance
+# share — both RELATIVE quantities, immune to the last-ulp jitter a
+# raw 1e15-magnitude spectral sum cannot round away (invariant 4).
+# --------------------------------------------------------------------------
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    wt = Window.orderBy("day")
+    indexed = daily.select(
+        "rev",
+        (F.row_number().over(wt) - 1).cast("long").alias("t"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+        F.sum(
+            F.col("rev").cast("double") * F.col("rev").cast("double")
+        ).alias("ss"),
+    )
+    ks = spark.range(1, 11).select(F.col("id").cast("long").alias("k"))
+    xt = F.col("rev").cast("double")
+    nd = F.col("n").cast("double")
+    ang = (
+        F.lit(2.0 * math.pi)
+        * F.col("k").cast("double")
+        * F.col("t").cast("double")
+        / nd
+    )
+    comps = (
+        indexed.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n", "s", "ss")
+        .agg(
+            F.sum(xt * F.cos(ang)).alias("a"),
+            F.sum(xt * F.sin(ang)).alias("b"),
+        )
+    )
+    var_tot = F.col("ss") - F.col("s").cast("double") * F.col("s").cast(
+        "double"
+    ) / nd
+    power = (
+        F.col("a") * F.col("a") + F.col("b") * F.col("b")
+    ) / nd
+    return comps.select(
+        "k",
+        F.round(nd / F.col("k").cast("double"), 6).alias("period_days"),
+        F.round(F.log10(power), 6).alias("log10_power"),
+        F.round(F.lit(2.0) * power / var_tot, 6).alias("var_share"),
+    ).orderBy("k")
+
+
+SQL_PERIODOGRAM = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+indexed AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+  FROM daily
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
+         sum(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS ss
+  FROM daily
+),
+ks AS (SELECT unnest(range(1, 11)) AS k),
+comps AS (
+  SELECT k, n, s, ss,
+         sum(CAST(rev AS DOUBLE)
+             * cos(2.0 * pi() * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+                   / CAST(n AS DOUBLE))) AS a,
+         sum(CAST(rev AS DOUBLE)
+             * sin(2.0 * pi() * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+                   / CAST(n AS DOUBLE))) AS b
+  FROM indexed, ks, tot
+  GROUP BY k, n, s, ss
+)
+SELECT k,
+       round(CAST(n AS DOUBLE) / CAST(k AS DOUBLE), 6) AS period_days,
+       round(log10((a * a + b * b) / CAST(n AS DOUBLE)), 6) AS log10_power,
+       round(2.0 * ((a * a + b * b) / CAST(n AS DOUBLE))
+             / (ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)), 6) AS var_share
+FROM comps
+ORDER BY k
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -16727,6 +16962,8 @@ QUERIES_TD = {
     "anderson_darling": q_anderson_darling,
     "pearson_residuals": q_pearson_residuals,
     "brown_forsythe": q_brown_forsythe,
+    "kruskal_wallis": q_kruskal_wallis,
+    "periodogram": q_periodogram,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -16931,6 +17168,8 @@ ORACLES_TD = {
     "anderson_darling": SQL_ANDERSON_DARLING,
     "pearson_residuals": SQL_PEARSON_RESIDUALS,
     "brown_forsythe": SQL_BROWN_FORSYTHE,
+    "kruskal_wallis": SQL_KRUSKAL_WALLIS,
+    "periodogram": SQL_PERIODOGRAM,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
