@@ -16849,6 +16849,210 @@ ORDER BY k
 """
 
 
+# --------------------------------------------------------------------------
+# Jarque-Bera normality test (Jarque & Bera 1980) on daily revenue:
+# JB = n/6 (S² + (K-3)²/4) from the sample skewness and kurtosis. TWO
+# PASS on purpose: the mean comes from the exact BIGINT cents sum, then
+# central powers (x-mean)^k are formed per row BEFORE summing — raw
+# moments of 1e8-scale values would cancel catastrophically. All
+# reported values are scale-free ratios (invariant 4 robustness).
+# --------------------------------------------------------------------------
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    dev = F.col("rev").cast("double") - F.col("mean")
+    cent = (
+        daily.crossJoin(F.broadcast(tot.select("n", mean.alias("mean"))))
+        .select(
+            "n",
+            dev.alias("d"),
+        )
+        .groupBy("n")
+        .agg(
+            F.sum(F.col("d") * F.col("d")).alias("m2s"),
+            F.sum(F.col("d") * F.col("d") * F.col("d")).alias("m3s"),
+            F.sum(
+                F.col("d") * F.col("d") * F.col("d") * F.col("d")
+            ).alias("m4s"),
+        )
+    )
+    nd2 = F.col("n").cast("double")
+    m2 = F.col("m2s") / nd2
+    m3 = F.col("m3s") / nd2
+    m4 = F.col("m4s") / nd2
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2)
+    jb = nd2 / F.lit(6.0) * (
+        skew * skew
+        + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+    )
+    return cent.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+    )
+
+
+SQL_JARQUE_BERA = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s
+  FROM daily
+),
+cent AS (
+  SELECT n,
+         sum((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           AS m2s,
+         sum((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           AS m3s,
+         sum((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           AS m4s
+  FROM daily, tot
+  GROUP BY n
+)
+SELECT n,
+       round((m3s / CAST(n AS DOUBLE))
+             / sqrt((m2s / CAST(n AS DOUBLE)) * (m2s / CAST(n AS DOUBLE))
+                    * (m2s / CAST(n AS DOUBLE))), 6) AS skewness,
+       round((m4s / CAST(n AS DOUBLE))
+             / ((m2s / CAST(n AS DOUBLE)) * (m2s / CAST(n AS DOUBLE))), 6)
+         AS kurtosis,
+       round(CAST(n AS DOUBLE) / 6.0
+             * (((m3s / CAST(n AS DOUBLE))
+                 / sqrt((m2s / CAST(n AS DOUBLE))
+                        * (m2s / CAST(n AS DOUBLE))
+                        * (m2s / CAST(n AS DOUBLE))))
+                * ((m3s / CAST(n AS DOUBLE))
+                   / sqrt((m2s / CAST(n AS DOUBLE))
+                          * (m2s / CAST(n AS DOUBLE))
+                          * (m2s / CAST(n AS DOUBLE))))
+                + ((m4s / CAST(n AS DOUBLE))
+                   / ((m2s / CAST(n AS DOUBLE)) * (m2s / CAST(n AS DOUBLE)))
+                   - 3.0)
+                  * ((m4s / CAST(n AS DOUBLE))
+                     / ((m2s / CAST(n AS DOUBLE))
+                        * (m2s / CAST(n AS DOUBLE))) - 3.0) / 4.0), 6)
+         AS jb_stat
+FROM cent
+"""
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson statistic (Durbin & Watson 1950) on mean-centered daily
+# revenue: DW = sum (e_t - e_{t-1})² / sum e_t² — the econometric
+# serial-correlation check completing the time-series audit family
+# (autocorrelation, runs, Mann-Kendall). Both sums are over the same
+# exact-integer-derived doubles and the statistic is their ratio, so
+# round-6 is stable. DW ~ 2(1 - rho1).
+# --------------------------------------------------------------------------
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    w = Window.orderBy("day")
+    e = F.col("rev").cast("double") - F.col("mean")
+    centered = daily.crossJoin(
+        F.broadcast(tot.select("n", mean.alias("mean")))
+    ).select("day", "n", e.alias("e"))
+    lagged = centered.select(
+        "n", "e", F.lag("e").over(w).alias("ep")
+    )
+    agg = lagged.groupBy("n").agg(
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
+            ).otherwise(F.lit(0.0))
+        ).alias("ssd"),
+    )
+    dw = F.col("ssd") / F.col("sse")
+    return agg.select(
+        "n",
+        F.round(dw, 6).alias("dw"),
+        F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho1_approx"),
+    )
+
+
+SQL_DURBIN_WATSON = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s
+  FROM daily
+),
+centered AS (
+  SELECT day, n,
+         CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS e
+  FROM daily, tot
+),
+lagged AS (
+  SELECT n, e, lag(e) OVER (ORDER BY day) AS ep FROM centered
+),
+agg AS (
+  SELECT n, sum(e * e) AS sse,
+         sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+                  ELSE 0.0 END) AS ssd
+  FROM lagged GROUP BY n
+)
+SELECT n, round(ssd / sse, 6) AS dw,
+       round(1.0 - (ssd / sse) / 2.0, 6) AS rho1_approx
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -16964,6 +17168,8 @@ QUERIES_TD = {
     "brown_forsythe": q_brown_forsythe,
     "kruskal_wallis": q_kruskal_wallis,
     "periodogram": q_periodogram,
+    "jarque_bera": q_jarque_bera,
+    "durbin_watson": q_durbin_watson,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -17170,6 +17376,8 @@ ORACLES_TD = {
     "brown_forsythe": SQL_BROWN_FORSYTHE,
     "kruskal_wallis": SQL_KRUSKAL_WALLIS,
     "periodogram": SQL_PERIODOGRAM,
+    "jarque_bera": SQL_JARQUE_BERA,
+    "durbin_watson": SQL_DURBIN_WATSON,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
