@@ -17053,6 +17053,209 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend estimator (Theil 1950, Sen 1968) on daily
+# revenue: the median of all pairwise slopes — the ESTIMATE companion to
+# the Mann-Kendall trend TEST (same day-pair fan-out, time-bounded, not
+# corpus-bounded). Each slope is one double from exact integer cents and
+# day differences, computed identically on both engines; the median
+# interpolates the same sorted multiset. The intercept is the median of
+# (x_t - slope*t) in a second pass with the slope as an in-plan scalar.
+# --------------------------------------------------------------------------
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.day") - F.col("a.day")).cast("double")
+        ).alias("slope")
+    )
+    med_slope = slopes.agg(
+        F.expr("percentile(slope, 0.5D)").alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = daily.crossJoin(F.broadcast(med_slope)).select(
+        "n_pairs",
+        "slope",
+        (
+            F.col("rev").cast("double")
+            - F.col("slope") * F.col("day").cast("double")
+        ).alias("r"),
+    )
+    return resid.groupBy("n_pairs", "slope").agg(
+        F.expr("percentile(r, 0.5D)").alias("icept")
+    ).select(
+        "n_pairs",
+        F.round(F.col("slope") / F.lit(100.0), 6).alias(
+            "slope_dollars_per_day"
+        ),
+        F.round(F.col("icept") / F.lit(100.0), 6).alias(
+            "intercept_dollars"
+        ),
+    )
+
+
+SQL_THEIL_SEN = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+           AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+med AS (
+  SELECT quantile_cont(slope, 0.5) AS slope,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM slopes
+),
+resid AS (
+  SELECT n_pairs, slope,
+         CAST(rev AS DOUBLE) - slope * CAST(day AS DOUBLE) AS r
+  FROM daily, med
+)
+SELECT n_pairs,
+       round(slope / CAST('100.0' AS DOUBLE), 6) AS slope_dollars_per_day,
+       round(quantile_cont(r, 0.5) / CAST('100.0' AS DOUBLE), 6)
+         AS intercept_dollars
+FROM resid
+GROUP BY n_pairs, slope
+"""
+
+
+# --------------------------------------------------------------------------
+# Pettitt change-point test (Pettitt 1979) on daily revenue — the RANK
+# companion to the cusum_changepoint pair (level-shift vs distribution-
+# shift): U_t = 2*R_t - t*(n+1) over the day order, where R_t sums
+# midranks of the first t days. With the doubled-midrank trick
+# (dr = 2*rank + ties - 1), U_t = cumsum(dr) - t*(n+1) is EXACTLY
+# integer; K = max|U_t| and its day resolve ties by (|U| DESC, day ASC).
+# The significance approximation 2*exp(-6K²/(n³+n²)) is the only float.
+# --------------------------------------------------------------------------
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    wr = Window.orderBy("rev")
+    wt = Window.partitionBy("rev")
+    ranked = daily.select(
+        "day",
+        (
+            F.lit(2) * F.rank().over(wr).cast("long")
+            + F.count(F.lit(1)).over(wt).cast("long")
+            - F.lit(1)
+        ).alias("dr"),
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ranked.select(
+        "day",
+        F.sum("dr").over(wd).cast("long").alias("r2"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    u = cum.crossJoin(F.broadcast(tot)).filter(
+        F.col("t") < F.col("n")
+    ).select(
+        "day",
+        "n",
+        F.abs(
+            F.col("r2") - F.col("t") * (F.col("n") + F.lit(1))
+        ).alias("u_abs"),
+    )
+    pick = Window.orderBy(F.col("u_abs").desc(), F.col("day").asc())
+    best = u.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    kd = F.col("u_abs").cast("double")
+    nd = F.col("n").cast("double")
+    return best.select(
+        F.col("day").alias("change_day"),
+        F.col("u_abs").alias("k_stat"),
+        "n",
+        F.round(
+            F.lit(2.0)
+            * F.exp(
+                -F.lit(6.0) * kd * kd / (nd * nd * nd + nd * nd)
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+SQL_PETTITT_TEST = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT day,
+         2 * CAST(rank() OVER (ORDER BY rev) AS BIGINT)
+           + CAST(count(*) OVER (PARTITION BY rev) AS BIGINT) - 1 AS dr
+  FROM daily
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+cum AS (
+  SELECT day,
+         CAST(sum(dr) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r2,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM ranked
+),
+u AS (
+  SELECT day, n, abs(r2 - t * (n + 1)) AS u_abs
+  FROM cum, nn WHERE t < n
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY u_abs DESC, day ASC) AS rn
+    FROM u)
+  WHERE rn = 1
+)
+SELECT day AS change_day, u_abs AS k_stat, n,
+       round(2.0 * exp(-6.0 * CAST(u_abs AS DOUBLE) * CAST(u_abs AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(n AS DOUBLE)
+                          + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         AS p_approx
+FROM best
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -17170,6 +17373,8 @@ QUERIES_TD = {
     "periodogram": q_periodogram,
     "jarque_bera": q_jarque_bera,
     "durbin_watson": q_durbin_watson,
+    "theil_sen": q_theil_sen,
+    "pettitt_test": q_pettitt_test,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -17378,6 +17583,8 @@ ORACLES_TD = {
     "periodogram": SQL_PERIODOGRAM,
     "jarque_bera": SQL_JARQUE_BERA,
     "durbin_watson": SQL_DURBIN_WATSON,
+    "theil_sen": SQL_THEIL_SEN,
+    "pettitt_test": SQL_PETTITT_TEST,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
