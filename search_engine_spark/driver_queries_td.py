@@ -17256,6 +17256,232 @@ FROM best
 """
 
 
+# --------------------------------------------------------------------------
+# Grubbs outlier test (Grubbs 1950) on daily revenue: G = max|x - mean|/s
+# with the flagged day — the parametric single-outlier companion to the
+# MAD gate. Mean from the exact BIGINT sum; s from the anova-precedent
+# double sum of squares; the argmax day resolves ties exactly because
+# |x - mean| ranks by the same doubles on both engines with a day ASC
+# tiebreak.
+# --------------------------------------------------------------------------
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    xd = F.col("rev").cast("double")
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+        F.sum(xd * xd).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (F.col("ss") - nd * mean * mean) / (nd - F.lit(1.0))
+    dev = F.abs(F.col("rev").cast("double") - F.col("mean"))
+    scored = daily.crossJoin(
+        F.broadcast(
+            tot.select(
+                "n", mean.alias("mean"), F.sqrt(var).alias("sd")
+            )
+        )
+    ).select("day", "n", "mean", "sd", dev.alias("dev"))
+    pick = Window.orderBy(F.col("dev").desc(), F.col("day").asc())
+    best = scored.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        F.col("day").alias("outlier_day"),
+        "n",
+        F.round(F.col("mean") / F.lit(100.0), 6).alias("mean_daily"),
+        F.round(F.col("sd") / F.lit(100.0), 6).alias("sd_daily"),
+        F.round(F.col("dev") / F.col("sd"), 6).alias("g_stat"),
+    )
+
+
+SQL_GRUBBS_TEST = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
+         sum(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS ss
+  FROM daily
+),
+param AS (
+  SELECT n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt((ss - CAST(n AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM tot
+),
+scored AS (
+  SELECT day, n, mean, sd,
+         abs(CAST(rev AS DOUBLE) - mean) AS dev
+  FROM daily, param
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY dev DESC, day ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT day AS outlier_day, n,
+       round(mean / CAST('100.0' AS DOUBLE), 6) AS mean_daily,
+       round(sd / CAST('100.0' AS DOUBLE), 6) AS sd_daily,
+       round(dev / sd, 6) AS g_stat
+FROM best
+"""
+
+
+# --------------------------------------------------------------------------
+# Friedman blocked-rank test (Friedman 1937): weeks are blocks, the 7
+# weekdays are treatments, daily revenue ranks WITHIN each complete week
+# (incomplete calendar-edge weeks are dropped — the blocked design
+# requires k=7 observations per block). Midranks are doubled integers
+# per block; per-treatment rank sums stay BIGINT, and the chi-square
+# statistic with the standard tie correction is the only double.
+# --------------------------------------------------------------------------
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .select(
+            (F.col("day") / 7).cast("long").alias("week"),
+            ((F.col("day") + 4) % 7).cast("long").alias("dow"),
+            "rev",
+        )
+        .localCheckpoint(eager=True)
+    )
+    full_weeks = daily.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).filter(F.col("c") == 7).select("week")
+    blocked = daily.join(F.broadcast(full_weeks), "week")
+    wr = Window.partitionBy("week").orderBy("rev")
+    wt = Window.partitionBy("week", "rev")
+    ranked = blocked.select(
+        "week",
+        "dow",
+        "rev",
+        (
+            F.lit(2) * F.rank().over(wr).cast("long")
+            + F.count(F.lit(1)).over(wt).cast("long")
+            - F.lit(1)
+        ).alias("dr"),
+    )
+    treat = ranked.groupBy("dow").agg(
+        F.sum("dr").cast("long").alias("r2sum")
+    )
+    blocks = full_weeks.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    ties = (
+        ranked.groupBy("week", "rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t")).cast("long")
+            .alias("t3_sum")
+        )
+    )
+    stat = treat.agg(
+        F.sum(
+            F.col("r2sum").cast("double") * F.col("r2sum").cast("double")
+        ).alias("r2_sq_sum_doubled")
+    )
+    j = stat.crossJoin(F.broadcast(blocks)).crossJoin(F.broadcast(ties))
+    k = F.lit(7.0)
+    bd = F.col("b").cast("double")
+    # doubled rank sums divide out by 4
+    sum_r_sq = F.col("r2_sq_sum_doubled") / F.lit(4.0)
+    # chi2 = 12/(b k (k+1)) * sum R_j^2 - 3 b (k+1), divided by the tie
+    # correction (1 - sum(t^3 - t)/(b k (k^2 - 1)))
+    h_raw = (
+        F.lit(12.0) / (bd * k * (k + F.lit(1.0))) * sum_r_sq
+        - F.lit(3.0) * bd * (k + F.lit(1.0))
+    )
+    tie_div = F.lit(1.0) - (
+        F.col("t3_sum").cast("double") - bd * k
+    ) / (bd * k * (k * k - F.lit(1.0)))
+    return j.select(
+        F.col("b").alias("n_blocks"),
+        F.lit(7).cast("long").alias("k_treatments"),
+        F.lit(6).cast("long").alias("df"),
+        F.round(h_raw / tie_div, 6).alias("chi2_stat"),
+    )
+
+
+SQL_FRIEDMAN_TEST = f"""
+WITH daily AS (
+  SELECT day // 7 AS week, (day + 4) % 7 AS dow, rev
+  FROM (
+    SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS rev
+    FROM orders GROUP BY 1)
+),
+full_weeks AS (
+  SELECT week FROM daily GROUP BY week HAVING count(*) = 7
+),
+blocked AS (
+  SELECT d.week, d.dow, d.rev FROM daily d JOIN full_weeks USING (week)
+),
+ranked AS (
+  SELECT week, dow,
+         2 * CAST(rank() OVER (PARTITION BY week ORDER BY rev) AS BIGINT)
+           + CAST(count(*) OVER (PARTITION BY week, rev) AS BIGINT) - 1
+           AS dr,
+         rev
+  FROM blocked
+),
+treat AS (
+  SELECT dow, CAST(sum(dr) AS BIGINT) AS r2sum FROM ranked GROUP BY dow
+),
+blocks AS (SELECT CAST(count(*) AS BIGINT) AS b FROM full_weeks),
+ties AS (
+  SELECT CAST(sum(t * t * t) AS BIGINT) AS t3_sum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        FROM ranked GROUP BY week, rev)
+),
+stat AS (
+  SELECT sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE))
+           AS r2_sq_sum_doubled
+  FROM treat
+)
+SELECT b AS n_blocks, CAST(7 AS BIGINT) AS k_treatments,
+       CAST(6 AS BIGINT) AS df,
+       round((12.0 / (CAST(b AS DOUBLE) * 7.0 * 8.0)
+              * (r2_sq_sum_doubled / 4.0)
+              - 3.0 * CAST(b AS DOUBLE) * 8.0)
+             / (1.0 - (CAST(t3_sum AS DOUBLE) - CAST(b AS DOUBLE) * 7.0)
+                / (CAST(b AS DOUBLE) * 7.0 * 48.0)), 6) AS chi2_stat
+FROM stat, blocks, ties
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -17375,6 +17601,8 @@ QUERIES_TD = {
     "durbin_watson": q_durbin_watson,
     "theil_sen": q_theil_sen,
     "pettitt_test": q_pettitt_test,
+    "grubbs_test": q_grubbs_test,
+    "friedman_test": q_friedman_test,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -17585,6 +17813,8 @@ ORACLES_TD = {
     "durbin_watson": SQL_DURBIN_WATSON,
     "theil_sen": SQL_THEIL_SEN,
     "pettitt_test": SQL_PETTITT_TEST,
+    "grubbs_test": SQL_GRUBBS_TEST,
+    "friedman_test": SQL_FRIEDMAN_TEST,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
