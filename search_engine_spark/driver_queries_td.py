@@ -17482,6 +17482,183 @@ FROM stat, blocks, ties
 """
 
 
+# --------------------------------------------------------------------------
+# Customer segment migration matrix (the retention-marketing report
+# behind every "movers and shakers" dashboard): customers are binned
+# into revenue terciles separately for the first and second half of the
+# order timeline (split at the exact integer midpoint day), with
+# segment 0 for customers inactive in that half; the output is the
+# (from, to) transition matrix. NTILE terciles use a total
+# (rev6, custkey) order, so every count is reproducible integer work.
+# --------------------------------------------------------------------------
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        fixed6_long(F.col("o_totalprice")).alias("p6"),
+    )
+    rng = orders.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    halves = orders.crossJoin(F.broadcast(rng)).select(
+        "o_custkey",
+        F.when(F.col("day") <= F.col("mid"), 1).otherwise(2).alias("half"),
+        "p6",
+    )
+    per = halves.groupBy("o_custkey", "half").agg(
+        F.sum("p6").cast("long").alias("rev6")
+    ).localCheckpoint(eager=True)
+    wt = Window.partitionBy("half").orderBy(
+        F.col("rev6").asc(), F.col("o_custkey").asc()
+    )
+    seg = per.select(
+        "o_custkey", "half", F.ntile(3).over(wt).cast("long").alias("seg")
+    )
+    h1 = seg.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_from")
+    )
+    h2 = seg.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("seg").alias("seg_to")
+    )
+    both = h1.join(h2, "o_custkey", "full").select(
+        F.coalesce("seg_from", F.lit(0)).cast("long").alias("seg_from"),
+        F.coalesce("seg_to", F.lit(0)).cast("long").alias("seg_to"),
+    )
+    return (
+        both.groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+SQL_SEGMENT_MIGRATION = f"""
+WITH orders_d AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         {SQL_FIXED6_LONG.format(col="o_totalprice")} AS p6
+  FROM orders
+),
+rng AS (SELECT (min(day) + max(day)) // 2 AS mid FROM orders_d),
+per AS (
+  SELECT o_custkey,
+         CASE WHEN day <= mid THEN 1 ELSE 2 END AS half,
+         CAST(sum(p6) AS BIGINT) AS rev6
+  FROM orders_d, rng
+  GROUP BY o_custkey, CASE WHEN day <= mid THEN 1 ELSE 2 END
+),
+seg AS (
+  SELECT o_custkey, half,
+         CAST(ntile(3) OVER (PARTITION BY half
+               ORDER BY rev6 ASC, o_custkey ASC) AS BIGINT) AS seg
+  FROM per
+),
+h1 AS (SELECT o_custkey, seg AS seg_from FROM seg WHERE half = 1),
+h2 AS (SELECT o_custkey, seg AS seg_to FROM seg WHERE half = 2),
+merged AS (
+  SELECT CAST(coalesce(seg_from, 0) AS BIGINT) AS seg_from,
+         CAST(coalesce(seg_to, 0) AS BIGINT) AS seg_to
+  FROM h1 FULL JOIN h2 USING (o_custkey)
+)
+SELECT seg_from, seg_to, CAST(count(*) AS BIGINT) AS n_cust
+FROM merged GROUP BY seg_from, seg_to
+ORDER BY seg_from, seg_to
+"""
+
+
+# --------------------------------------------------------------------------
+# Supplier concentration per part brand (Herfindahl-Hirschman index —
+# the supply-chain-risk audit; 1/HHI is the "effective supplier count"):
+# revenue share of each supplier within a brand from lineitem joined to
+# the part dim (broadcast — dims are small), HHI = sum share², top 20
+# brands by revenue with a brand-ASC tiebreak. Revenue stays fixed6
+# BIGINT until the share ratios.
+# --------------------------------------------------------------------------
+def q_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        fixed6_long(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("r6"),
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cell = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("r6").cast("long").alias("sup6"))
+        .localCheckpoint(eager=True)
+    )
+    brand = cell.groupBy("p_brand").agg(
+        F.sum("sup6").cast("long").alias("brand6"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("sup6").cast("double") / F.col("brand6").cast("double")
+    hhi = (
+        cell.join(F.broadcast(brand), "p_brand")
+        .select("p_brand", "brand6", "n_suppliers", (share * share).alias("s2"))
+        .groupBy("p_brand", "brand6", "n_suppliers")
+        .agg(F.sum("s2").alias("hhi"))
+    )
+    pick = Window.orderBy(F.col("brand6").desc(), F.col("p_brand").asc())
+    return (
+        hhi.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "p_brand",
+            "n_suppliers",
+            F.round(
+                F.col("brand6").cast("double") / F.lit(1_000_000.0), 6
+            ).alias("brand_revenue"),
+            F.round("hhi", 6).alias("hhi"),
+            F.round(F.lit(1.0) / F.col("hhi"), 6).alias(
+                "effective_suppliers"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_BRAND_CONCENTRATION = f"""
+WITH cell AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(sum({SQL_FIXED6_LONG.format(
+             col="l.l_extendedprice * (1.0 - l.l_discount)")}) AS BIGINT)
+           AS sup6
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand, l.l_suppkey
+),
+brand AS (
+  SELECT p_brand, CAST(sum(sup6) AS BIGINT) AS brand6,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM cell GROUP BY p_brand
+),
+hhi AS (
+  SELECT c.p_brand, b.brand6, b.n_suppliers,
+         sum((CAST(c.sup6 AS DOUBLE) / CAST(b.brand6 AS DOUBLE))
+             * (CAST(c.sup6 AS DOUBLE) / CAST(b.brand6 AS DOUBLE))) AS hhi
+  FROM cell c JOIN brand b USING (p_brand)
+  GROUP BY c.p_brand, b.brand6, b.n_suppliers
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY brand6 DESC, p_brand ASC) AS rn
+    FROM hhi)
+  WHERE rn <= 20
+)
+SELECT p_brand, n_suppliers,
+       round(CAST(brand6 AS DOUBLE) / CAST('1000000.0' AS DOUBLE), 6)
+         AS brand_revenue,
+       round(hhi, 6) AS hhi,
+       round(1.0 / hhi, 6) AS effective_suppliers
+FROM top
+ORDER BY p_brand
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -17603,6 +17780,8 @@ QUERIES_TD = {
     "pettitt_test": q_pettitt_test,
     "grubbs_test": q_grubbs_test,
     "friedman_test": q_friedman_test,
+    "segment_migration": q_segment_migration,
+    "brand_concentration": q_brand_concentration,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -17815,6 +17994,8 @@ ORACLES_TD = {
     "pettitt_test": SQL_PETTITT_TEST,
     "grubbs_test": SQL_GRUBBS_TEST,
     "friedman_test": SQL_FRIEDMAN_TEST,
+    "segment_migration": SQL_SEGMENT_MIGRATION,
+    "brand_concentration": SQL_BRAND_CONCENTRATION,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
