@@ -17659,6 +17659,191 @@ ORDER BY p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# Peak session concurrency (the interval-stabbing sweep behind every
+# "max concurrent users" dashboard): sessions from the event_sessions
+# gap rule become (+1 at start, -1 past end) deltas; the running sum
+# over (time, delta) order — ends processed before starts at the same
+# instant — peaks at the answer. Everything is integer epoch-micros;
+# the first peak instant breaks ties exactly.
+# --------------------------------------------------------------------------
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.withColumn("_us", ntz_epoch_us(F.col("ts")))
+    gap = F.col("_us") - F.lag("_us").over(w_user)
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("_brk", is_break)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w_user.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("_us").alias("st"),
+            F.max("_us").alias("en"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deltas = sessions.select(
+        F.col("st").alias("t"), F.lit(1).cast("long").alias("d")
+    ).unionAll(
+        sessions.select(
+            F.col("en").alias("t"), F.lit(-1).cast("long").alias("d")
+        )
+    )
+    ws = Window.orderBy(F.col("t").asc(), F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = deltas.select(
+        "t", "d", F.sum("d").over(ws).cast("long").alias("run")
+    )
+    n_sessions = sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    pick = Window.orderBy(
+        F.col("run").desc(), F.col("t").asc(), F.col("d").asc()
+    )
+    best = run.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    return best.crossJoin(F.broadcast(n_sessions)).select(
+        "n_sessions",
+        F.col("run").alias("max_concurrent"),
+        F.col("t").alias("peak_us"),
+    )
+
+
+SQL_MAX_CONCURRENCY = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq,
+         us
+  FROM marked
+),
+bounds AS (
+  SELECT user_id, session_seq,
+         CAST(min(us) AS BIGINT) AS st, CAST(max(us) AS BIGINT) AS en
+  FROM sessions GROUP BY user_id, session_seq
+),
+deltas AS (
+  SELECT st AS t, CAST(1 AS BIGINT) AS d FROM bounds
+  UNION ALL
+  SELECT en AS t, CAST(-1 AS BIGINT) AS d FROM bounds
+),
+run AS (
+  SELECT t, d,
+         CAST(sum(d) OVER (ORDER BY t ASC, d ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run
+  FROM deltas
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM bounds),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY run DESC, t ASC, d ASC) AS rn
+    FROM run)
+  WHERE rn = 1
+)
+SELECT n_sessions, run AS max_concurrent, t AS peak_us
+FROM best, ns
+"""
+
+
+# --------------------------------------------------------------------------
+# Value-at-risk / conditional VaR on daily revenue (the risk-analytics
+# tail report; CVaR a.k.a. expected shortfall): VaR5 is the interpolated
+# 5th percentile of daily revenue; CVaR averages the days at or below
+# it — an EXACT BIGINT sum over an exactly-determined tail set (the
+# threshold comparison pits integer cents against one shared double).
+# --------------------------------------------------------------------------
+def q_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    var5 = daily.agg(
+        F.expr("percentile(rev, 0.05D)").alias("var5"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    tail = (
+        daily.crossJoin(F.broadcast(var5))
+        .filter(F.col("rev").cast("double") <= F.col("var5"))
+        .groupBy("n_days", "var5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tail_days"),
+            F.sum("rev").cast("long").alias("tail6"),
+        )
+    )
+    return tail.select(
+        "n_days",
+        "tail_days",
+        F.round(F.col("var5") / F.lit(100.0), 6).alias("var_5pct"),
+        F.round(
+            F.col("tail6").cast("double")
+            / F.col("tail_days").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("cvar_5pct"),
+    )
+
+
+SQL_VALUE_AT_RISK = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+v AS (
+  SELECT quantile_cont(rev, 0.05) AS var5,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily
+),
+tail AS (
+  SELECT n_days, var5, CAST(count(*) AS BIGINT) AS tail_days,
+         CAST(sum(rev) AS BIGINT) AS tail6
+  FROM daily, v
+  WHERE CAST(rev AS DOUBLE) <= var5
+  GROUP BY n_days, var5
+)
+SELECT n_days, tail_days,
+       round(var5 / CAST('100.0' AS DOUBLE), 6) AS var_5pct,
+       round(CAST(tail6 AS DOUBLE) / CAST(tail_days AS DOUBLE)
+             / CAST('100.0' AS DOUBLE), 6) AS cvar_5pct
+FROM tail
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -17782,6 +17967,8 @@ QUERIES_TD = {
     "friedman_test": q_friedman_test,
     "segment_migration": q_segment_migration,
     "brand_concentration": q_brand_concentration,
+    "max_concurrency": q_max_concurrency,
+    "value_at_risk": q_value_at_risk,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -17996,6 +18183,8 @@ ORACLES_TD = {
     "friedman_test": SQL_FRIEDMAN_TEST,
     "segment_migration": SQL_SEGMENT_MIGRATION,
     "brand_concentration": SQL_BRAND_CONCENTRATION,
+    "max_concurrency": SQL_MAX_CONCURRENCY,
+    "value_at_risk": SQL_VALUE_AT_RISK,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
