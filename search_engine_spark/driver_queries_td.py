@@ -17844,6 +17844,227 @@ FROM tail
 """
 
 
+# --------------------------------------------------------------------------
+# Odds ratio with Wald confidence interval (the epidemiology-style
+# effect size completing the A/B family: ab_test_z decides, power sizes,
+# THIS reports magnitude): OR = (a·d)/(b·c) from the same md5 cohort
+# split and conversion predicate; ln OR ± z·sqrt(1/a+1/b+1/c+1/d). All
+# cell counts exact BIGINTs; z constant via CAST string (invariant 1).
+# --------------------------------------------------------------------------
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    grp = F.expr(
+        "CAST(conv(substring(md5(cast(user_id as string)), 1, 1), 16, 10)"
+        " AS INT) % 2"
+    )
+    agg = users.select(grp.alias("grp"), "conv").agg(
+        F.sum(
+            F.when((F.col("grp") == 0) & (F.col("conv") == 1), 1).otherwise(0)
+        ).cast("long").alias("a"),
+        F.sum(
+            F.when((F.col("grp") == 0) & (F.col("conv") == 0), 1).otherwise(0)
+        ).cast("long").alias("b"),
+        F.sum(
+            F.when((F.col("grp") == 1) & (F.col("conv") == 1), 1).otherwise(0)
+        ).cast("long").alias("c"),
+        F.sum(
+            F.when((F.col("grp") == 1) & (F.col("conv") == 0), 1).otherwise(0)
+        ).cast("long").alias("d"),
+    )
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    dd = F.col("d").cast("double")
+    log_or = F.log(ad * dd / (bd * cd))
+    se = F.sqrt(
+        F.lit(1.0) / ad + F.lit(1.0) / bd + F.lit(1.0) / cd + F.lit(1.0) / dd
+    )
+    z = F.lit(1.959963984540054)
+    return agg.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(ad * dd / (bd * cd), 6).alias("odds_ratio"),
+        F.round(F.exp(log_or - z * se), 6).alias("ci_low"),
+        F.round(F.exp(log_or + z * se), 6).alias("ci_high"),
+    )
+
+
+SQL_ODDS_RATIO = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT ((strpos('0123456789abcdef',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2) AS grp,
+         conv
+  FROM users
+),
+cells AS (
+  SELECT CAST(sum(CASE WHEN grp = 0 AND conv = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN grp = 0 AND conv = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN grp = 1 AND conv = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN grp = 1 AND conv = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM g
+)
+SELECT a, b, c, d,
+       round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+             / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) AS odds_ratio,
+       round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 - CAST('1.959963984540054' AS DOUBLE)
+                   * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                          + 1.0 / CAST(c AS DOUBLE)
+                          + 1.0 / CAST(d AS DOUBLE))), 6) AS ci_low,
+       round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 + CAST('1.959963984540054' AS DOUBLE)
+                   * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                          + 1.0 / CAST(c AS DOUBLE)
+                          + 1.0 / CAST(d AS DOUBLE))), 6) AS ci_high
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
+# Haar wavelet energy decomposition (Haar 1910; the multi-resolution
+# complement to the periodogram): the first 2048 days of revenue run
+# through 3 Haar levels kept as INTEGER pair sums s_k (never averages),
+# so the detail differences Δs_k are exact BIGINTs and level energy
+# E_k = Σ Δs_k² / 2^k touches doubles only at the square. Reported as
+# log10 energy + share of the 3-level detail total (relative quantities,
+# the periodogram lesson).
+# --------------------------------------------------------------------------
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    n_take = 2048
+    wt = Window.orderBy("day")
+    s0 = daily.select(
+        (F.row_number().over(wt) - 1).cast("long").alias("t"),
+        F.col("rev").alias("s"),
+    ).filter(F.col("t") < n_take)
+
+    def level(df):
+        return df.groupBy(F.expr("t div 2").alias("t")).agg(
+            F.sum("s").cast("long").alias("s"),
+            F.sum(
+                F.when(F.col("t") % 2 == 0, F.col("s")).otherwise(-F.col("s"))
+            )
+            .cast("long")
+            .alias("d"),
+        )
+
+    rows = []
+    cur = s0
+    for k in (1, 2, 3):
+        cur = level(cur).localCheckpoint(eager=True)
+        dd = F.col("d").cast("double")
+        rows.append(
+            cur.agg(
+                F.lit(k).cast("long").alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+                (F.sum(dd * dd) / F.lit(float(2**k))).alias("energy"),
+            )
+        )
+        cur = cur.select("t", "s")
+    levels = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    tot = levels.agg(F.sum("energy").alias("etot"))
+    return (
+        levels.crossJoin(F.broadcast(tot))
+        .select(
+            "level",
+            "n_coeffs",
+            F.round(F.log10("energy"), 6).alias("log10_energy"),
+            F.round(F.col("energy") / F.col("etot"), 6).alias(
+                "detail_share"
+            ),
+        )
+        .orderBy("level")
+    )
+
+
+SQL_HAAR_ENERGY = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+s0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t,
+         rev AS s
+  FROM daily QUALIFY t < 2048
+),
+l1 AS (
+  SELECT t // 2 AS t, CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN t % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+  FROM s0 GROUP BY t // 2
+),
+l2 AS (
+  SELECT t // 2 AS t, CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN t % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+  FROM l1 GROUP BY t // 2
+),
+l3 AS (
+  SELECT t // 2 AS t, CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN t % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+  FROM l2 GROUP BY t // 2
+),
+levels AS (
+  SELECT CAST(1 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+         sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) / 2.0 AS energy
+  FROM l1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) / 4.0
+  FROM l2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+         sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) / 8.0
+  FROM l3
+),
+tot AS (SELECT sum(energy) AS etot FROM levels)
+SELECT level, n_coeffs,
+       round(log10(energy), 6) AS log10_energy,
+       round(energy / etot, 6) AS detail_share
+FROM levels, tot
+ORDER BY level
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -17969,6 +18190,8 @@ QUERIES_TD = {
     "brand_concentration": q_brand_concentration,
     "max_concurrency": q_max_concurrency,
     "value_at_risk": q_value_at_risk,
+    "odds_ratio": q_odds_ratio,
+    "haar_energy": q_haar_energy,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -18185,6 +18408,8 @@ ORACLES_TD = {
     "brand_concentration": SQL_BRAND_CONCENTRATION,
     "max_concurrency": SQL_MAX_CONCURRENCY,
     "value_at_risk": SQL_VALUE_AT_RISK,
+    "odds_ratio": SQL_ODDS_RATIO,
+    "haar_energy": SQL_HAAR_ENERGY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
