@@ -18065,6 +18065,150 @@ ORDER BY level
 """
 
 
+# --------------------------------------------------------------------------
+# Negative-binomial dispersion fit of per-customer order counts (the
+# count-model workhorse; Poisson is the var=mean special case):
+# zero-order customers ENTER via left join (their absence is the classic
+# silent bias), dispersion index var/mean tests overdispersion, and the
+# method-of-moments NB parameters r = m²/(v−m), p = m/v. Counts exact
+# BIGINT; moments from the (n, Σ, Σx²) integer triple.
+# --------------------------------------------------------------------------
+def q_nb_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    per = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left"
+    ).select(F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("ss"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s").cast("double") / nd
+    v = (F.col("ss").cast("double") - nd * m * m) / (nd - F.lit(1.0))
+    return agg.select(
+        "n",
+        "n_zero",
+        F.round(m, 6).alias("mean_orders"),
+        F.round(v, 6).alias("var_orders"),
+        F.round(v / m, 6).alias("dispersion_index"),
+        F.round(m * m / (v - m), 6).alias("nb_r"),
+        F.round(m / v, 6).alias("nb_p"),
+    )
+
+
+SQL_NB_DISPERSION = """
+WITH per AS (
+  SELECT CAST(coalesce(o.k, 0) AS BIGINT) AS k
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+             FROM orders GROUP BY o_custkey) o
+    ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS s,
+         CAST(sum(k * k) AS BIGINT) AS ss,
+         CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM per
+)
+SELECT n, n_zero,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_orders,
+       round((CAST(ss AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0), 6) AS var_orders,
+       round(((CAST(ss AS DOUBLE)
+               - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS dispersion_index,
+       round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / ((CAST(ss AS DOUBLE)
+                 - CAST(n AS DOUBLE)
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                / (CAST(n AS DOUBLE) - 1.0)
+                - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS nb_r,
+       round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / ((CAST(ss AS DOUBLE)
+                 - CAST(n AS DOUBLE)
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                / (CAST(n AS DOUBLE) - 1.0)), 6) AS nb_p
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Degree CCDF table (the raw evidence behind the power-law MLE pair —
+# Clauset et al. insist on seeing the complementary cumulative counts,
+# not just alpha-hat): nodes with total degree >= k for k in powers of
+# two. Degrees from the shared synthetic link graph; every output is an
+# exact BIGINT count from one bounded threshold explode.
+# --------------------------------------------------------------------------
+def q_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("source_doc_id").alias("v"))
+        .unionAll(edges.select(F.col("target_doc_id").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    ks = spark.range(0, 9).select(
+        F.pow(F.lit(2.0), F.col("id")).cast("long").alias("k")
+    )
+    tot = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        deg.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("d") >= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ge_k")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_ge_k",
+            F.round(
+                F.col("n_ge_k").cast("double")
+                / F.col("n_nodes").cast("double"),
+                6,
+            ).alias("ccdf"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_DEGREE_CCDF = f"""
+WITH {_EDGES_CTE},
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT source_doc_id AS v FROM edges
+    UNION ALL SELECT target_doc_id FROM edges
+  ) GROUP BY v
+),
+ks AS (SELECT CAST(power(2, unnest(range(0, 9))) AS BIGINT) AS k),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT k,
+       CAST(sum(CASE WHEN d >= k THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_k,
+       round(CAST(sum(CASE WHEN d >= k THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(n_nodes AS DOUBLE), 6) AS ccdf
+FROM deg, ks, tot
+GROUP BY k, n_nodes
+ORDER BY k
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -18192,6 +18336,8 @@ QUERIES_TD = {
     "value_at_risk": q_value_at_risk,
     "odds_ratio": q_odds_ratio,
     "haar_energy": q_haar_energy,
+    "nb_dispersion": q_nb_dispersion,
+    "degree_ccdf": q_degree_ccdf,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -18410,6 +18556,8 @@ ORACLES_TD = {
     "value_at_risk": SQL_VALUE_AT_RISK,
     "odds_ratio": SQL_ODDS_RATIO,
     "haar_energy": SQL_HAAR_ENERGY,
+    "nb_dispersion": SQL_NB_DISPERSION,
+    "degree_ccdf": SQL_DEGREE_CCDF,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
