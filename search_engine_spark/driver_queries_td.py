@@ -18209,6 +18209,200 @@ ORDER BY k
 """
 
 
+# --------------------------------------------------------------------------
+# One-step logistic regression (the first IRLS/Newton step from beta=0,
+# where the update has the CLOSED FORM 4*(X'X)^-1 X'(y-1/2) because the
+# working weights are exactly 1/4): big-purchase conversion regressed on
+# ln(1 + total event value) per user. All sufficient statistics are
+# sums (y integer; x one ln per user), the 2x2 solve is explicit, and
+# the coefficients are scale-free ratios.
+# --------------------------------------------------------------------------
+def q_logistic_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.sum(fixed6_long(F.col("value"))).cast("long").alias("v6"),
+    )
+    feat = users.select(
+        "y",
+        F.log(
+            F.lit(1.0) + F.col("v6").cast("double") / F.lit(1_000_000.0)
+        ).alias("x"),
+    )
+    agg = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y").cast("double")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    g0 = F.col("sy").cast("double") - nd / F.lit(2.0)
+    g1 = F.col("sxy") - F.col("sx") / F.lit(2.0)
+    det = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta0 = F.lit(4.0) * (F.col("sxx") * g0 - F.col("sx") * g1) / det
+    beta1 = F.lit(4.0) * (nd * g1 - F.col("sx") * g0) / det
+    return agg.select(
+        "n",
+        F.col("sy").alias("converted"),
+        F.round(beta0, 6).alias("beta0"),
+        F.round(beta1, 6).alias("beta1"),
+    )
+
+
+SQL_LOGISTIC_STEP = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS v6
+  FROM events GROUP BY user_id
+),
+feat AS (
+  SELECT y,
+         ln(1.0 + CAST(v6 AS DOUBLE) / CAST('1000000.0' AS DOUBLE)) AS x
+  FROM users
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         sum(x) AS sx, sum(x * x) AS sxx,
+         sum(x * CAST(y AS DOUBLE)) AS sxy
+  FROM feat
+)
+SELECT n, sy AS converted,
+       round(4.0 * (sxx * (CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+                    - sx * (sxy - sx / 2.0))
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS beta0,
+       round(4.0 * (CAST(n AS DOUBLE) * (sxy - sx / 2.0)
+                    - sx * (CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) / 2.0))
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS beta1
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# PCA top component via power iteration (Hotelling 1933): 20
+# unnormalized iterations of v <- S v over the 64x64 embedding scatter
+# matrix (the markov_stationary discipline: Spark unrolls the recursion,
+# the oracle replays it as a RECURSIVE CTE with identical arithmetic),
+# then the Rayleigh quotient and its share of the trace. Reported values
+# are RATIOS (the periodogram lesson), immune to the compounding
+# last-ulp jitter of unordered double sums.
+# --------------------------------------------------------------------------
+PCA_ITERS = 20
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "x")
+    mu = xs.groupBy("dim").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("m")
+    )
+    xc = xs.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("x") - F.col("m")).alias("xc")
+    )
+    a, b = xc.alias("a"), xc.alias("b")
+    cov = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+        )
+        .agg(F.sum(F.col("a.xc") * F.col("b.xc")).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    v = mu.select("dim", F.lit(1.0).alias("v"))
+    for _ in range(PCA_ITERS):
+        v = (
+            cov.join(v, cov["j"] == v["dim"])
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("c") * F.col("v")).alias("v"))
+        )
+    v = v.localCheckpoint(eager=True)
+    w = (
+        cov.join(v, cov["j"] == v["dim"])
+        .groupBy(F.col("i").alias("dim"))
+        .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+    )
+    num = (
+        v.join(w, "dim")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("vw"))
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("trace")
+    )
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    lam = F.col("vw") / F.col("vv")
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n_vecs",
+            F.lit(64).cast("long").alias("dim"),
+            F.round(
+                lam / (F.col("n_vecs").cast("double") - F.lit(1.0)), 6
+            ).alias("top_eigenvalue"),
+            F.round(lam / F.col("trace"), 6).alias("var_share"),
+        )
+    )
+
+
+SQL_PCA_POWER = f"""
+WITH RECURSIVE
+xs AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+),
+mu AS (SELECT dim, sum(x) / count(*) AS m FROM xs GROUP BY dim),
+xc AS (
+  SELECT vec_id, xs.dim, x - m AS xc FROM xs JOIN mu USING (dim)
+),
+cov AS (
+  SELECT a.dim AS i, b.dim AS j, sum(a.xc * b.xc) AS c
+  FROM xc a JOIN xc b USING (vec_id) GROUP BY 1, 2
+),
+vt AS (
+  SELECT 0 AS iter, dim, CAST(1.0 AS DOUBLE) AS v FROM mu
+  UNION ALL
+  SELECT vt.iter + 1, cov.i AS dim, sum(cov.c * vt.v) AS v
+  FROM vt JOIN cov ON cov.j = vt.dim
+  WHERE vt.iter < {PCA_ITERS}
+  GROUP BY 1, 2
+),
+vfin AS (SELECT dim, v FROM vt WHERE iter = {PCA_ITERS}),
+w AS (
+  SELECT cov.i AS dim, sum(cov.c * vfin.v) AS w
+  FROM cov JOIN vfin ON cov.j = vfin.dim GROUP BY 1
+),
+num AS (SELECT sum(vfin.v * w.w) AS vw FROM vfin JOIN w USING (dim)),
+den AS (SELECT sum(v * v) AS vv FROM vfin),
+tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings)
+SELECT n_vecs, CAST(64 AS BIGINT) AS dim,
+       round((vw / vv) / (CAST(n_vecs AS DOUBLE) - 1.0), 6)
+         AS top_eigenvalue,
+       round((vw / vv) / trace, 6) AS var_share
+FROM num, den, tr, nn
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -18338,6 +18532,8 @@ QUERIES_TD = {
     "haar_energy": q_haar_energy,
     "nb_dispersion": q_nb_dispersion,
     "degree_ccdf": q_degree_ccdf,
+    "logistic_step": q_logistic_step,
+    "pca_power": q_pca_power,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -18558,6 +18754,8 @@ ORACLES_TD = {
     "haar_energy": SQL_HAAR_ENERGY,
     "nb_dispersion": SQL_NB_DISPERSION,
     "degree_ccdf": SQL_DEGREE_CCDF,
+    "logistic_step": SQL_LOGISTIC_STEP,
+    "pca_power": SQL_PCA_POWER,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
