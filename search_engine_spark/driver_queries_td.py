@@ -18403,6 +18403,244 @@ FROM num, den, tr, nn
 """
 
 
+# --------------------------------------------------------------------------
+# Naive-Bayes language classifier audit (the LEARNED counterpart to the
+# marker-list heuristic the cohen_kappa pair audits): add-one-smoothed
+# per-language unigram likelihoods trained on doc_id % 10 != 0, argmax
+# posterior on the held-out docs, accuracy + per-language recall. The
+# per-(doc, lang) log score is a sum of vocab-bounded doubles ROUNDED to
+# the 6-decimal grid BEFORE the argmax (lang-asc tiebreak), so a
+# last-ulp divergence can never flip a prediction (invariant 4).
+# --------------------------------------------------------------------------
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    train = toks.filter(F.col("doc_id") % 10 != 0)
+    test = toks.filter(F.col("doc_id") % 10 == 0)
+    counts = train.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    lang_tot = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("nl")
+    )
+    vocab = counts.select("term").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    doc_terms = test.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    langs = lang_tot.select(
+        F.col("lang").alias("cand"), "nl"
+    ).crossJoin(F.broadcast(vocab))
+    scored = (
+        doc_terms.crossJoin(F.broadcast(langs))
+        .join(
+            counts.select(
+                F.col("lang").alias("cand"),
+                "term",
+                F.col("c").alias("ct"),
+            ),
+            ["cand", "term"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            (
+                F.col("m").cast("double")
+                * F.log(
+                    (
+                        F.coalesce(F.col("ct"), F.lit(0)).cast("double")
+                        + F.lit(1.0)
+                    )
+                    / (
+                        F.col("nl").cast("double")
+                        + F.col("v").cast("double")
+                    )
+                )
+            ).alias("term_ll"),
+        )
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.round(F.sum("term_ll"), 6).alias("score"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    preds = scored.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    per_lang = preds.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("cand") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("recall"),
+    ).orderBy("lang")
+
+
+SQL_NAIVE_BAYES_LANG = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE doc_id % 10 <> 0 GROUP BY lang, term
+),
+lang_tot AS (
+  SELECT lang AS cand, CAST(sum(c) AS BIGINT) AS nl
+  FROM counts GROUP BY lang
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM counts
+),
+doc_terms AS (
+  SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS m
+  FROM toks WHERE doc_id % 10 = 0 GROUP BY doc_id, lang, term
+),
+scored AS (
+  SELECT d.doc_id, d.lang, lt.cand,
+         round(sum(CAST(d.m AS DOUBLE)
+                   * ln((CAST(coalesce(c2.c, 0) AS DOUBLE) + 1.0)
+                        / (CAST(lt.nl AS DOUBLE) + CAST(v.v AS DOUBLE)))),
+               6) AS score
+  FROM doc_terms d
+  CROSS JOIN lang_tot lt
+  CROSS JOIN vocab v
+  LEFT JOIN counts c2 ON c2.lang = lt.cand AND c2.term = d.term
+  GROUP BY d.doc_id, d.lang, lt.cand
+),
+preds AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, cand ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM preds
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Distribution-free median confidence interval (Thompson 1936 /
+# binomial order-statistic bounds): the 95% CI for median daily revenue
+# is [x_(l), x_(u)] with l = floor((n - 1.96*sqrt(n))/2) and
+# u = n + 1 - l — PURE INTEGER rank selection of exact order statistics
+# (no bootstrap, no RNG); only the rank cutoff computation touches one
+# sqrt, floored identically on both engines.
+# --------------------------------------------------------------------------
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("day").asc())
+    ranked = daily.select(
+        "rev", F.row_number().over(w).cast("long").alias("rn")
+    )
+    nrow = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nd = F.col("n").cast("double")
+    lo_rank = F.floor(
+        (nd - F.lit(1.959963984540054) * F.sqrt(nd)) / F.lit(2.0)
+    ).cast("long")
+    bounds = nrow.select(
+        "n",
+        lo_rank.alias("lo_rn"),
+        (F.col("n") + 1 - lo_rank).alias("hi_rn"),
+    )
+    med = daily.agg(F.expr("percentile(rev, 0.5D)").alias("med"))
+    j = ranked.crossJoin(F.broadcast(bounds))
+    lo = j.filter(F.col("rn") == F.col("lo_rn")).select(
+        "n", F.col("rev").alias("lo6")
+    )
+    hi = j.filter(F.col("rn") == F.col("hi_rn")).select(
+        F.col("rev").alias("hi6")
+    )
+    return (
+        lo.crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n",
+            F.round(F.col("med") / F.lit(100.0), 6).alias("median_daily"),
+            F.round(
+                F.col("lo6").cast("double") / F.lit(100.0), 6
+            ).alias("ci_low"),
+            F.round(
+                F.col("hi6").cast("double") / F.lit(100.0), 6
+            ).alias("ci_high"),
+        )
+    )
+
+
+SQL_MEDIAN_CI = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY rev ASC, day ASC) AS BIGINT)
+           AS rn
+  FROM daily
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+bounds AS (
+  SELECT n,
+         CAST(floor((CAST(n AS DOUBLE)
+                     - CAST('1.959963984540054' AS DOUBLE)
+                       * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)
+           AS lo_rn
+  FROM nn
+),
+med AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily)
+SELECT b.n,
+       round(med.med / CAST('100.0' AS DOUBLE), 6) AS median_daily,
+       round(CAST(lo.rev AS DOUBLE) / CAST('100.0' AS DOUBLE), 6)
+         AS ci_low,
+       round(CAST(hi.rev AS DOUBLE) / CAST('100.0' AS DOUBLE), 6)
+         AS ci_high
+FROM bounds b
+JOIN ranked lo ON lo.rn = b.lo_rn
+JOIN ranked hi ON hi.rn = b.n + 1 - b.lo_rn, med
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -18534,6 +18772,8 @@ QUERIES_TD = {
     "degree_ccdf": q_degree_ccdf,
     "logistic_step": q_logistic_step,
     "pca_power": q_pca_power,
+    "naive_bayes_lang": q_naive_bayes_lang,
+    "median_ci": q_median_ci,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -18756,6 +18996,8 @@ ORACLES_TD = {
     "degree_ccdf": SQL_DEGREE_CCDF,
     "logistic_step": SQL_LOGISTIC_STEP,
     "pca_power": SQL_PCA_POWER,
+    "naive_bayes_lang": SQL_NAIVE_BAYES_LANG,
+    "median_ci": SQL_MEDIAN_CI,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
