@@ -18641,6 +18641,214 @@ JOIN ranked hi ON hi.rn = b.n + 1 - b.lo_rn, med
 """
 
 
+# --------------------------------------------------------------------------
+# SimHash detector operating curve (the radius-sweep generalization of
+# dedup_eval's single radius-3 point): precision/recall of the banded
+# detector at every radius 0..3 — the whole sweep stays inside the
+# pigeonhole-lossless zone of the 4x16-bit banding, so the oracle's
+# brute-force pairs MUST agree detector-for-detector at each radius
+# (the curve doubles as a four-point losslessness proof). All counts
+# exact BIGINTs; zero-prediction radii report precision 0 by convention.
+# --------------------------------------------------------------------------
+def q_dedup_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = D.simhash_near_dup(
+        _tf(spark, sf_dir, mutated=True), max_hamming=3
+    ).select("id_a", "id_b", "hamming").localCheckpoint(eager=True)
+    docs = _read(spark, sf_dir, "documents")
+    truth = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + MUT_OFFSET).alias("id_b"),
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    radii = spark.range(0, 4).select(F.col("id").cast("long").alias("r"))
+    marked = pred.join(
+        truth.withColumn("is_true", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select(
+        "hamming", F.coalesce("is_true", F.lit(0)).cast("long").alias("t")
+    )
+    per_r = (
+        marked.crossJoin(F.broadcast(radii))
+        .filter(F.col("hamming") <= F.col("r"))
+        .groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pred"),
+            F.sum("t").cast("long").alias("tp"),
+        )
+    )
+    filled = radii.join(per_r, "r", "left").select(
+        "r",
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+    )
+    j = filled.crossJoin(F.broadcast(n_truth))
+    return j.select(
+        "r",
+        "n_pred",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.when(
+            F.col("n_pred") > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / F.col("n_pred").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.col("n_truth").cast("double"),
+            6,
+        ).alias("recall"),
+    ).orderBy("r")
+
+
+SQL_DEDUP_ROC = f"""
+WITH {_MUT_DOCS_CTE}, {_tf_cte("corpus")}, {_SIMHASH_CORE_CTE},
+pred AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+truth AS (
+  SELECT doc_id AS id_a, doc_id + {MUT_OFFSET} AS id_b
+  FROM documents WHERE doc_id % 10 = 0
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+marked AS (
+  SELECT p.hamming,
+         CAST(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS t
+  FROM pred p
+  LEFT JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b
+),
+radii AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS r),
+per_r AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_pred,
+         CAST(sum(t) AS BIGINT) AS tp
+  FROM marked, radii WHERE hamming <= r GROUP BY r
+),
+filled AS (
+  SELECT radii.r, CAST(coalesce(per_r.n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(coalesce(per_r.tp, 0) AS BIGINT) AS tp
+  FROM radii LEFT JOIN per_r USING (r)
+)
+SELECT r, n_pred, tp,
+       n_pred - tp AS fp,
+       n_truth - tp AS fn,
+       CASE WHEN n_pred > 0
+            THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+            ELSE 0.0 END AS precision,
+       round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall
+FROM filled, nt
+ORDER BY r
+"""
+
+
+# --------------------------------------------------------------------------
+# Lognormal session-duration fit (the canonical dwell-time model —
+# Liu et al. CHI 2010 found web dwell times lognormal): method of
+# moments on ln(duration) over multi-event sessions from the
+# event_sessions gap rule (single-event sessions have zero duration and
+# are excluded, documented); reports mu/sigma in log-seconds and the
+# implied median exp(mu) and mean exp(mu + sigma²/2) in seconds.
+# Durations are exact integer micros; the ln/moment pass follows the
+# established double-sum precedent with ratio/round-6 outputs.
+# --------------------------------------------------------------------------
+def q_lognormal_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.withColumn("_us", ntz_epoch_us(F.col("ts")))
+    gap = F.col("_us") - F.lag("_us").over(w_user)
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("_brk", is_break)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w_user.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            (F.max("_us") - F.min("_us")).cast("long").alias("dur_us")
+        )
+        .filter(F.col("dur_us") > 0)
+    )
+    y = sessions.select(
+        F.log(
+            F.col("dur_us").cast("double") / F.lit(1_000_000.0)
+        ).alias("y")
+    )
+    agg = y.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sy") / nd
+    var = (F.col("syy") - nd * mu * mu) / (nd - F.lit(1.0))
+    sigma = F.sqrt(var)
+    return agg.select(
+        "n",
+        F.round(mu, 6).alias("mu_log_s"),
+        F.round(sigma, 6).alias("sigma_log_s"),
+        F.round(F.exp(mu), 6).alias("median_s"),
+        F.round(F.exp(mu + var / F.lit(2.0)), 6).alias("mean_s"),
+    )
+
+
+SQL_LOGNORMAL_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq,
+         us
+  FROM marked
+),
+durs AS (
+  SELECT CAST(max(us) - min(us) AS BIGINT) AS dur_us
+  FROM sessions GROUP BY user_id, session_seq
+  HAVING max(us) - min(us) > 0
+),
+y AS (
+  SELECT ln(CAST(dur_us AS DOUBLE) / CAST('1000000.0' AS DOUBLE)) AS y
+  FROM durs
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS sy, sum(y * y) AS syy
+  FROM y
+)
+SELECT n,
+       round(sy / CAST(n AS DOUBLE), 6) AS mu_log_s,
+       round(sqrt((syy - CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE))
+                         * (sy / CAST(n AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) - 1.0)), 6) AS sigma_log_s,
+       round(exp(sy / CAST(n AS DOUBLE)), 6) AS median_s,
+       round(exp(sy / CAST(n AS DOUBLE)
+                 + ((syy - CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE))
+                           * (sy / CAST(n AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) - 1.0)) / 2.0), 6) AS mean_s
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -18774,6 +18982,8 @@ QUERIES_TD = {
     "pca_power": q_pca_power,
     "naive_bayes_lang": q_naive_bayes_lang,
     "median_ci": q_median_ci,
+    "dedup_roc": q_dedup_roc,
+    "lognormal_sessions": q_lognormal_sessions,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -18998,6 +19208,8 @@ ORACLES_TD = {
     "pca_power": SQL_PCA_POWER,
     "naive_bayes_lang": SQL_NAIVE_BAYES_LANG,
     "median_ci": SQL_MEDIAN_CI,
+    "dedup_roc": SQL_DEDUP_ROC,
+    "lognormal_sessions": SQL_LOGNORMAL_SESSIONS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
