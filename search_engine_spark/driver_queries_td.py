@@ -18849,6 +18849,244 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Safety stock / reorder point (the textbook inventory control rule,
+# ROP = mu*L + z*sigma*sqrt(L) at a 95% service level over a 7-day
+# lead time) for the 10 highest-volume parts: per-part daily demand
+# from exact integer quantities over OBSERVED days (zero-demand days
+# excluded, documented — the sparse-SKU convention), moments from the
+# (n, Σ, Σx²) integer triple, z as a CAST string constant.
+# --------------------------------------------------------------------------
+def q_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            ntz_epoch_us(F.col("l_shipdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    daily = li.groupBy("l_partkey", "day").agg(
+        F.sum("q").cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    per_part = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+    )
+    pick = Window.orderBy(F.col("s").desc(), F.col("l_partkey").asc())
+    top = per_part.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") <= 10
+    )
+    nd = F.col("n_days").cast("double")
+    mu = F.col("s").cast("double") / nd
+    var = (F.col("ss").cast("double") - nd * mu * mu) / (nd - F.lit(1.0))
+    lead = F.lit(7.0)
+    z = F.lit(1.6448536269514722)
+    rop = mu * lead + z * F.sqrt(var) * F.sqrt(lead)
+    return top.select(
+        "l_partkey",
+        "n_days",
+        F.round(mu, 6).alias("mean_daily_demand"),
+        F.round(F.sqrt(var), 6).alias("sd_daily_demand"),
+        F.round(rop, 6).alias("reorder_point"),
+    ).orderBy("l_partkey")
+
+
+SQL_SAFETY_STOCK = f"""
+WITH daily AS (
+  SELECT l_partkey, epoch_us(l_shipdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(d) AS BIGINT) AS s, CAST(sum(d * d) AS BIGINT) AS ss
+  FROM daily GROUP BY l_partkey
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY s DESC, l_partkey ASC) AS rn
+    FROM per_part)
+  WHERE rn <= 10
+)
+SELECT l_partkey, n_days,
+       round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         AS mean_daily_demand,
+       round(sqrt((CAST(ss AS DOUBLE)
+                   - CAST(n_days AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                  / (CAST(n_days AS DOUBLE) - 1.0)), 6)
+         AS sd_daily_demand,
+       round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) * 7.0
+             + CAST('1.6448536269514722' AS DOUBLE)
+               * sqrt((CAST(ss AS DOUBLE)
+                       - CAST(n_days AS DOUBLE)
+                         * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                      / (CAST(n_days AS DOUBLE) - 1.0))
+               * sqrt(7.0), 6) AS reorder_point
+FROM top
+ORDER BY l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# EWMA control chart (Roberts 1959) on daily revenue, truncated at a
+# 50-day window (alpha=0.1: the dropped tail weight 0.9^50 < 0.52% —
+# the truncation makes the recursion a FINITE weighted sum, expressible
+# identically on both engines as a bounded day-offset self-join instead
+# of an inexpressible sequential recursion): flags days where the EWMA
+# leaves the ±3σ_ewma band around the global mean. Weights (1-a)^k are
+# the same exact doubles on both engines (integer powers of 0.9).
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.1
+EWMA_WINDOW = 50
+EWMA_WEIGHTS = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** k for k in range(EWMA_WINDOW)]
+_EWMA_WEIGHTS_SQL = ",\n    ".join(
+    f"({k}, CAST('{w!r}' AS DOUBLE))" for k, w in enumerate(EWMA_WEIGHTS)
+)
+
+
+def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    wt = Window.orderBy("day")
+    idx = daily.select(
+        "rev", F.row_number().over(wt).cast("long").alias("t")
+    ).localCheckpoint(eager=True)
+    a, b = idx.alias("a"), idx.alias("b")
+    # weights 0.1*0.9^k precomputed ONCE in Python and inlined as the
+    # same literals on both sides — pow() is only 1-ulp accurate and
+    # differs between Java and C libm (the negative_sampling lesson)
+    warr = F.array(*[F.lit(w) for w in EWMA_WEIGHTS])
+    lag_k = (F.col("a.t") - F.col("b.t")).cast("int")
+    ew = (
+        a.join(
+            b,
+            (F.col("b.t") <= F.col("a.t"))
+            & (F.col("b.t") > F.col("a.t") - EWMA_WINDOW),
+        )
+        .select(
+            F.col("a.t").alias("t"),
+            (
+                F.element_at(warr, lag_k + F.lit(1))
+                * F.col("b.rev").cast("double")
+            ).alias("wterm"),
+            F.element_at(warr, lag_k + F.lit(1)).alias("w"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("wterm").alias("num"),
+            F.sum("w").alias("den"),
+        )
+    )
+    xd = F.col("rev").cast("double")
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+        F.sum(xd * xd).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (F.col("ss") - nd * mean * mean) / (nd - F.lit(1.0))
+    # asymptotic EWMA variance: sigma^2 * a/(2-a)
+    sig_e = F.sqrt(
+        var * F.lit(EWMA_ALPHA) / F.lit(2.0 - EWMA_ALPHA)
+    )
+    j = ew.crossJoin(
+        F.broadcast(
+            stats.select("n", mean.alias("mean"), sig_e.alias("sig_e"))
+        )
+    ).select(
+        "t",
+        (F.col("num") / F.col("den")).alias("ewma"),
+        "n",
+        "mean",
+        "sig_e",
+    )
+    out = j.agg(
+        F.max("n").alias("n_days"),
+        F.sum(
+            F.when(
+                F.abs(F.col("ewma") - F.col("mean"))
+                > F.lit(3.0) * F.col("sig_e"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_out_of_control"),
+        F.round(
+            F.max(F.when(F.col("t") == F.col("n"), F.col("ewma")))
+            / F.lit(100.0),
+            6,
+        ).alias("final_ewma_dollars"),
+    )
+    return out
+
+
+SQL_EWMA_CONTROL = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT rev, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+),
+wts (k, w) AS (
+  VALUES {_EWMA_WEIGHTS_SQL}
+),
+ew AS (
+  SELECT a.t,
+         sum(wts.w * CAST(b.rev AS DOUBLE)) AS num,
+         sum(wts.w) AS den
+  FROM idx a
+  JOIN idx b ON b.t <= a.t AND b.t > a.t - {EWMA_WINDOW}
+  JOIN wts ON wts.k = a.t - b.t
+  GROUP BY a.t
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
+         sum(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS ss
+  FROM daily
+),
+param AS (
+  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(((ss - CAST(n AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 1.0))
+              * CAST('0.1' AS DOUBLE) / CAST('1.9' AS DOUBLE)) AS sig_e
+  FROM stats
+)
+SELECT max(param.n) AS n_days,
+       CAST(sum(CASE WHEN abs(ew.num / ew.den - param.mean)
+                          > 3.0 * param.sig_e
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control,
+       round(max(CASE WHEN ew.t = param.n THEN ew.num / ew.den END)
+             / CAST('100.0' AS DOUBLE), 6) AS final_ewma_dollars
+FROM ew, param
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -18984,6 +19222,8 @@ QUERIES_TD = {
     "median_ci": q_median_ci,
     "dedup_roc": q_dedup_roc,
     "lognormal_sessions": q_lognormal_sessions,
+    "safety_stock": q_safety_stock,
+    "ewma_control": q_ewma_control,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -19210,6 +19450,8 @@ ORACLES_TD = {
     "median_ci": SQL_MEDIAN_CI,
     "dedup_roc": SQL_DEDUP_ROC,
     "lognormal_sessions": SQL_LOGNORMAL_SESSIONS,
+    "safety_stock": SQL_SAFETY_STOCK,
+    "ewma_control": SQL_EWMA_CONTROL,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
