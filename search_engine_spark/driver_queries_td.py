@@ -19087,6 +19087,222 @@ FROM ew, param
 """
 
 
+# --------------------------------------------------------------------------
+# Average precision of the SimHash detector ranking (the ranked-retrieval
+# eval completing the detector-eval family: dedup_eval is one point,
+# dedup_roc the threshold sweep, THIS scores the detector AS A RANKER):
+# pairs ranked by (hamming ASC, ids ASC — exact integers), AP = mean
+# over truth hits of precision@hit via one cumulative window. Every
+# precision@r is a ratio of integers; the mean is over n_truth terms.
+# --------------------------------------------------------------------------
+def q_dedup_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = D.simhash_near_dup(
+        _tf(spark, sf_dir, mutated=True), max_hamming=3
+    ).select("id_a", "id_b", "hamming").localCheckpoint(eager=True)
+    docs = _read(spark, sf_dir, "documents")
+    truth = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + MUT_OFFSET).alias("id_b"),
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    marked = pred.join(
+        truth.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select(
+        "hamming",
+        "id_a",
+        "id_b",
+        F.coalesce("hit", F.lit(0)).cast("long").alias("hit"),
+    )
+    w = Window.orderBy(
+        F.col("hamming").asc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    ranked = marked.select(
+        "hit",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.sum("hit")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("hits_cum"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.sum(
+            F.when(
+                F.col("hit") == 1,
+                F.col("hits_cum").cast("double")
+                / F.col("r").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("ap_sum"),
+    )
+    return agg.crossJoin(F.broadcast(n_truth)).select(
+        "n_pred",
+        "n_truth",
+        "n_hits",
+        F.round(
+            F.col("ap_sum") / F.col("n_truth").cast("double"), 6
+        ).alias("average_precision"),
+    )
+
+
+SQL_DEDUP_AP = f"""
+WITH {_MUT_DOCS_CTE}, {_tf_cte("corpus")}, {_SIMHASH_CORE_CTE},
+pred AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+truth AS (
+  SELECT doc_id AS id_a, doc_id + {MUT_OFFSET} AS id_b
+  FROM documents WHERE doc_id % 10 = 0
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+marked AS (
+  SELECT p.hamming, p.id_a, p.id_b,
+         CAST(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS hit
+  FROM pred p
+  LEFT JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b
+),
+ranked AS (
+  SELECT hit,
+         CAST(row_number() OVER (ORDER BY hamming, id_a, id_b) AS BIGINT)
+           AS r,
+         CAST(sum(hit) OVER (ORDER BY hamming, id_a, id_b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS hits_cum
+  FROM marked
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pred,
+         CAST(sum(hit) AS BIGINT) AS n_hits,
+         sum(CASE WHEN hit = 1
+                  THEN CAST(hits_cum AS DOUBLE) / CAST(r AS DOUBLE)
+                  ELSE 0.0 END) AS ap_sum
+  FROM ranked
+)
+SELECT n_pred, n_truth, n_hits,
+       round(ap_sum / CAST(n_truth AS DOUBLE), 6) AS average_precision
+FROM agg, nt
+"""
+
+
+# --------------------------------------------------------------------------
+# Delete-one-block jackknife (Quenouille 1949 / Tukey 1958 — the
+# RNG-free resampling inference a deterministic pair CAN express, unlike
+# the bootstrap): mean daily revenue with its SE from 10 leave-one-
+# block-out replicates, blocks = day-order NTILE deciles. Block sums
+# and counts are exact BIGINTs, so every replicate mean divides exact
+# integers; only the 10-term variance fold is doubles.
+# --------------------------------------------------------------------------
+def q_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("day")
+    blocks = daily.select(
+        "rev", F.ntile(10).over(w).cast("long").alias("b")
+    )
+    per_b = blocks.groupBy("b").agg(
+        F.sum("rev").cast("long").alias("sb"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    tot = per_b.agg(
+        F.sum("sb").cast("long").alias("s"),
+        F.sum("nb").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    # center each replicate on the exact overall mean BEFORE squaring:
+    # raw second moments of ~1e8-scale near-equal means cancel to a
+    # ~1e13 variance and lose the round-6 digits (observed at sf0.1)
+    loo = per_b.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "s",
+        "n",
+        (
+            (F.col("s") - F.col("sb")).cast("double")
+            / (F.col("n") - F.col("nb")).cast("double")
+            - F.col("s").cast("double") / F.col("n").cast("double")
+        ).alias("m"),
+    )
+    agg = loo.groupBy("g", "s", "n").agg(
+        F.sum("m").alias("sm"), F.sum(F.col("m") * F.col("m")).alias("smm")
+    )
+    gd = F.col("g").cast("double")
+    mbar = F.col("sm") / gd
+    var = (gd - F.lit(1.0)) / gd * (
+        F.col("smm") - gd * mbar * mbar
+    )
+    return agg.select(
+        F.col("g").alias("n_blocks"),
+        F.col("n").alias("n_days"),
+        F.round(
+            F.col("s").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("mean_daily"),
+        F.round(F.sqrt(var) / F.lit(100.0), 6).alias("jackknife_se"),
+    )
+
+
+SQL_JACKKNIFE_SE = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+blocks AS (
+  SELECT rev, CAST(ntile(10) OVER (ORDER BY day) AS BIGINT) AS b
+  FROM daily
+),
+per_b AS (
+  SELECT b, CAST(sum(rev) AS BIGINT) AS sb,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM blocks GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(sb) AS BIGINT) AS s, CAST(sum(nb) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS g
+  FROM per_b
+),
+loo AS (
+  SELECT g, s, n,
+         CAST(s - sb AS DOUBLE) / CAST(n - nb AS DOUBLE)
+           - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+  FROM per_b, tot
+),
+agg AS (
+  SELECT g, s, n, sum(m) AS sm, sum(m * m) AS smm
+  FROM loo GROUP BY g, s, n
+)
+SELECT g AS n_blocks, n AS n_days,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             / CAST('100.0' AS DOUBLE), 6) AS mean_daily,
+       round(sqrt((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+                  * (smm - CAST(g AS DOUBLE) * (sm / CAST(g AS DOUBLE))
+                           * (sm / CAST(g AS DOUBLE))))
+             / CAST('100.0' AS DOUBLE), 6) AS jackknife_se
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -19224,6 +19440,8 @@ QUERIES_TD = {
     "lognormal_sessions": q_lognormal_sessions,
     "safety_stock": q_safety_stock,
     "ewma_control": q_ewma_control,
+    "dedup_ap": q_dedup_ap,
+    "jackknife_se": q_jackknife_se,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -19452,6 +19670,8 @@ ORACLES_TD = {
     "lognormal_sessions": SQL_LOGNORMAL_SESSIONS,
     "safety_stock": SQL_SAFETY_STOCK,
     "ewma_control": SQL_EWMA_CONTROL,
+    "dedup_ap": SQL_DEDUP_AP,
+    "jackknife_se": SQL_JACKKNIFE_SE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
