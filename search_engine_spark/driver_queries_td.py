@@ -19303,6 +19303,193 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Fightin' Words (Monroe, Colaresi & Quinn 2008): z-scored log-odds
+# ratio with an informative Dirichlet prior, comparing term usage in
+# English vs non-English docs — the corpus-comparison method that fixes
+# keyness_llr's variance blindness at rare counts. Prior = the pooled
+# corpus counts scaled to alpha0 = 500. Every count is BIGINT; delta and
+# the variance are fixed expressions of exact integers (ln on integer
+# ratios — the idf-proven surface); top-20 by |z| with term tiebreak on
+# the ROUNDED grid.
+# --------------------------------------------------------------------------
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _read(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("y1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("y2"),
+    ).localCheckpoint(eager=True)
+    tot = counts.agg(
+        F.sum("y1").cast("long").alias("n1"),
+        F.sum("y2").cast("long").alias("n2"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    y1, y2 = F.col("y1").cast("double"), F.col("y2").cast("double")
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    a0 = F.lit(500.0)
+    # prior mass for term w: a0 * (y1+y2)/(n1+n2)
+    aw = a0 * (y1 + y2) / (n1 + n2)
+    t1 = y1 + aw
+    t2 = y2 + aw
+    delta = F.log(t1 / (n1 + a0 - t1)) - F.log(t2 / (n2 + a0 - t2))
+    var = F.lit(1.0) / t1 + F.lit(1.0) / t2
+    z = F.round(delta / F.sqrt(var), 6)
+    scored = j.select(
+        "term", "y1", "y2", F.round(delta, 6).alias("delta"), z.alias("z")
+    )
+    pick = Window.orderBy(F.abs(F.col("z")).desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= 20)
+        .select("term", "y1", "y2", "delta", "z")
+        .orderBy("term")
+    )
+
+
+SQL_FIGHTIN_WORDS = f"""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS y2
+  FROM toks GROUP BY term
+),
+tot AS (
+  SELECT CAST(sum(y1) AS BIGINT) AS n1, CAST(sum(y2) AS BIGINT) AS n2
+  FROM counts
+),
+scored AS (
+  SELECT term, y1, y2,
+         round(ln((CAST(y1 AS DOUBLE)
+                   + 500.0 * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                  / (CAST(n1 AS DOUBLE) + 500.0
+                     - (CAST(y1 AS DOUBLE)
+                        + 500.0 * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                          / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))))
+               - ln((CAST(y2 AS DOUBLE)
+                     + 500.0 * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                    / (CAST(n2 AS DOUBLE) + 500.0
+                       - (CAST(y2 AS DOUBLE)
+                          + 500.0
+                            * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))),
+               6) AS delta,
+         round((ln((CAST(y1 AS DOUBLE)
+                    + 500.0 * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                   / (CAST(n1 AS DOUBLE) + 500.0
+                      - (CAST(y1 AS DOUBLE)
+                         + 500.0
+                           * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))))
+                - ln((CAST(y2 AS DOUBLE)
+                      + 500.0 * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                     / (CAST(n2 AS DOUBLE) + 500.0
+                        - (CAST(y2 AS DOUBLE)
+                           + 500.0
+                             * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))))
+               / sqrt(1.0 / (CAST(y1 AS DOUBLE)
+                             + 500.0
+                               * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                      + 1.0 / (CAST(y2 AS DOUBLE)
+                               + 500.0
+                                 * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+                                 / (CAST(n1 AS DOUBLE)
+                                    + CAST(n2 AS DOUBLE)))), 6) AS z
+  FROM counts, tot
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY abs(z) DESC, term ASC) AS rn
+    FROM scored)
+  WHERE rn <= 20
+)
+SELECT term, y1, y2, delta, z FROM top
+ORDER BY term
+"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (Sweeney 2002 — the data-governance gate a training-
+# data pipeline runs before releasing a table): quasi-identifier =
+# (nation, market segment, account balance bucketed to $1000), report
+# the equivalence-class census and how many customers sit in classes
+# smaller than k=5 (re-identifiable). Pure integer counts; the balance
+# bucket uses round-to-cents-then-divide so the bucket edge is exact.
+# --------------------------------------------------------------------------
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # shift to non-negative cents before the integer divide:
+        # truncation == floor only for positive operands (invariant 3),
+        # and acctbal can be negative
+        F.expr(
+            "(CAST(round(c_acctbal * 100.0) AS BIGINT) + 100000000)"
+            " div 100000"
+        ).alias("bal_bucket"),
+    )
+    classes = cust.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("sz").cast("long").alias("n_customers"),
+        F.min("sz").cast("long").alias("min_class"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_below_k5"),
+        F.round(
+            F.sum(
+                F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)
+            ).cast("double")
+            / F.sum("sz").cast("double"),
+            6,
+        ).alias("risk_fraction"),
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100.0) AS BIGINT) + 100000000)
+           // 100000 AS bal_bucket
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM cust GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(sz) AS BIGINT) AS n_customers,
+       CAST(min(sz) AS BIGINT) AS min_class,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_below_k5,
+       round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+             / CAST(sum(sz) AS DOUBLE), 6) AS risk_fraction
+FROM classes
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -19442,6 +19629,8 @@ QUERIES_TD = {
     "ewma_control": q_ewma_control,
     "dedup_ap": q_dedup_ap,
     "jackknife_se": q_jackknife_se,
+    "fightin_words": q_fightin_words,
+    "k_anonymity": q_k_anonymity,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -19672,6 +19861,8 @@ ORACLES_TD = {
     "ewma_control": SQL_EWMA_CONTROL,
     "dedup_ap": SQL_DEDUP_AP,
     "jackknife_se": SQL_JACKKNIFE_SE,
+    "fightin_words": SQL_FIGHTIN_WORDS,
+    "k_anonymity": SQL_K_ANONYMITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
