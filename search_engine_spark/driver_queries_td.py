@@ -19490,6 +19490,229 @@ FROM classes
 """
 
 
+# --------------------------------------------------------------------------
+# l-diversity audit (Machanavajjhala et al. 2006 — the homogeneity-
+# attack check k-anonymity misses): quasi-identifier = (nation, balance
+# bucket), sensitive attribute = market segment; classes where all
+# members share one segment leak it even at k-anonymous sizes. Distinct
+# segments per class via the two-phase dedupe-then-count shape
+# (invariant 6), everything integer.
+# --------------------------------------------------------------------------
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr(
+            "(CAST(round(c_acctbal * 100.0) AS BIGINT) + 100000000)"
+            " div 100000"
+        ).alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    sizes = cust.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    distinct_seg = (
+        cust.dropDuplicates(["c_nationkey", "bal_bucket", "c_mktsegment"])
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("l"))
+    )
+    cls = sizes.join(distinct_seg, ["c_nationkey", "bal_bucket"])
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("homogeneous_classes"),
+        F.sum(F.when(F.col("l") < 2, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("exposed_customers"),
+        F.min("l").cast("long").alias("min_l"),
+        F.round(
+            F.sum("l").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_l"),
+    )
+
+
+SQL_L_DIVERSITY = """
+WITH cust AS (
+  SELECT c_nationkey,
+         (CAST(round(c_acctbal * 100.0) AS BIGINT) + 100000000)
+           // 100000 AS bal_bucket,
+         c_mktsegment
+  FROM customer
+),
+sizes AS (
+  SELECT c_nationkey, bal_bucket, CAST(count(*) AS BIGINT) AS sz
+  FROM cust GROUP BY 1, 2
+),
+dseg AS (
+  SELECT c_nationkey, bal_bucket, CAST(count(*) AS BIGINT) AS l
+  FROM (SELECT DISTINCT c_nationkey, bal_bucket, c_mktsegment FROM cust)
+  GROUP BY 1, 2
+),
+cls AS (
+  SELECT s.sz, d.l FROM sizes s JOIN dseg d USING (c_nationkey, bal_bucket)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS homogeneous_classes,
+       CAST(sum(CASE WHEN l < 2 THEN sz ELSE 0 END) AS BIGINT)
+         AS exposed_customers,
+       CAST(min(l) AS BIGINT) AS min_l,
+       round(CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_l
+FROM cls
+"""
+
+
+# --------------------------------------------------------------------------
+# Shapley-value channel attribution (Shapley 1953, the 3-player closed
+# form — the game-theoretic alternative to the touch_attribution pair's
+# positional rules): channels = {view, click, signup} exposure before
+# conversion, coalition value v(S) = conversion rate among users whose
+# exposure set is a SUBSET of S (the "can only have been driven by S"
+# convention, documented); phi_i sums the 4 weighted marginals. All 8
+# subset rates are ratios of exact BIGINT counts; marginals divide by
+# the exact doubles 3.0/6.0 identically on both engines.
+# --------------------------------------------------------------------------
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("e1"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("e2"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("long")
+        .alias("e3"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    # mask 1=view 2=click 4=signup; conversion = the big-ticket purchase
+    # predicate (plain any-purchase converts 100% of the event-dense
+    # synthetic users — the ab_test_z lesson — and a constant game
+    # Shapley-splits trivially)
+    masked = users.select(
+        (F.col("e1") + 2 * F.col("e2") + 4 * F.col("e3")).alias("m"),
+        "y",
+    )
+    per_m = masked.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("c"),
+    ).localCheckpoint(eager=True)
+    # v(S) = conversions/users over masks m ⊆ S; 8 coalitions
+    coalitions = spark.range(0, 8).select(
+        F.col("id").cast("long").alias("s")
+    )
+    agg_s = (
+        per_m.crossJoin(F.broadcast(coalitions))
+        .filter(F.expr("(m & ~s) = 0"))
+        .groupBy("s")
+        .agg(
+            F.sum("n").cast("long").alias("ns"),
+            F.sum("c").cast("long").alias("cs"),
+        )
+    )
+    # coalitions with NO subset-mask users (e.g. S=0 when every user has
+    # some exposure) must still appear with v=0, or the pivot yields
+    # NULL phis
+    vs = coalitions.join(agg_s, "s", "left").select(
+        "s",
+        F.when(
+            F.coalesce(F.col("ns"), F.lit(0)) > 0,
+            F.col("cs").cast("double") / F.col("ns").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    # pivot the 8 coalition values into one row
+    row = vs.groupBy().pivot("s", list(range(8))).agg(F.first("v"))
+    v = {k: F.col(f"`{k}`") for k in range(8)}
+
+    # divide each marginal by the EXACT doubles 3.0/6.0 (identical on
+    # both engines) instead of premultiplying by 1/3, whose rounding
+    # differs from a direct division
+    def phi(i_bit, others):
+        o1, o2 = others
+        return (
+            (v[i_bit] - v[0]) / F.lit(3.0)
+            + (v[i_bit | o1] - v[o1]) / F.lit(6.0)
+            + (v[i_bit | o2] - v[o2]) / F.lit(6.0)
+            + (v[7] - v[o1 | o2]) / F.lit(3.0)
+        )
+
+    return row.select(
+        F.round(v[7], 6).alias("overall_rate"),
+        F.round(phi(1, (2, 4)), 6).alias("phi_view"),
+        F.round(phi(2, (1, 4)), 6).alias("phi_click"),
+        F.round(phi(4, (1, 2)), 6).alias("phi_signup"),
+    )
+
+
+SQL_SHAPLEY_ATTRIBUTION = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e1,
+         CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e2,
+         CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e3,
+         CAST(max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+masked AS (SELECT e1 + 2 * e2 + 4 * e3 AS m, y FROM users),
+per_m AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS c
+  FROM masked GROUP BY m
+),
+coalitions AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s),
+agg_s AS (
+  SELECT s, CAST(sum(n) AS BIGINT) AS ns, CAST(sum(c) AS BIGINT) AS cs
+  FROM per_m, coalitions
+  WHERE (m & ~s) = 0
+  GROUP BY s
+),
+vs AS (
+  SELECT coalitions.s,
+         CASE WHEN coalesce(agg_s.ns, 0) > 0
+              THEN CAST(agg_s.cs AS DOUBLE) / CAST(agg_s.ns AS DOUBLE)
+              ELSE 0.0 END AS v
+  FROM coalitions LEFT JOIN agg_s USING (s)
+),
+row_v AS (
+  SELECT max(CASE WHEN s = 0 THEN v END) AS v0,
+         max(CASE WHEN s = 1 THEN v END) AS v1,
+         max(CASE WHEN s = 2 THEN v END) AS v2,
+         max(CASE WHEN s = 3 THEN v END) AS v3,
+         max(CASE WHEN s = 4 THEN v END) AS v4,
+         max(CASE WHEN s = 5 THEN v END) AS v5,
+         max(CASE WHEN s = 6 THEN v END) AS v6,
+         max(CASE WHEN s = 7 THEN v END) AS v7
+  FROM vs
+)
+SELECT round(v7, 6) AS overall_rate,
+       round((v1 - v0) / 3.0 + (v3 - v2) / 6.0
+             + (v5 - v4) / 6.0 + (v7 - v6) / 3.0, 6) AS phi_view,
+       round((v2 - v0) / 3.0 + (v3 - v1) / 6.0
+             + (v6 - v4) / 6.0 + (v7 - v5) / 3.0, 6) AS phi_click,
+       round((v4 - v0) / 3.0 + (v5 - v1) / 6.0
+             + (v6 - v2) / 6.0 + (v7 - v3) / 3.0, 6) AS phi_signup
+FROM row_v
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -19631,6 +19854,8 @@ QUERIES_TD = {
     "jackknife_se": q_jackknife_se,
     "fightin_words": q_fightin_words,
     "k_anonymity": q_k_anonymity,
+    "l_diversity": q_l_diversity,
+    "shapley_attribution": q_shapley_attribution,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -19863,6 +20088,8 @@ ORACLES_TD = {
     "jackknife_se": SQL_JACKKNIFE_SE,
     "fightin_words": SQL_FIGHTIN_WORDS,
     "k_anonymity": SQL_K_ANONYMITY,
+    "l_diversity": SQL_L_DIVERSITY,
+    "shapley_attribution": SQL_SHAPLEY_ATTRIBUTION,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
