@@ -19713,6 +19713,169 @@ FROM row_v
 """
 
 
+# --------------------------------------------------------------------------
+# Threshold-algorithm depth audit (Fagin, Lotem & Naor 2001 — the
+# middleware top-k result): two document rankings (by length, and by an
+# independent md5 order standing in for an uncorrelated signal), exact
+# top-10 by RANK SUM, and for each winner the positions in both lists —
+# the max position is the sorted-access depth a TA scan needs before it
+# can stop. Positions are exact row_numbers with doc_id tiebreaks;
+# everything is integer.
+# --------------------------------------------------------------------------
+def q_threshold_algorithm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wa = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wb = Window.orderBy(F.md5(F.col("doc_id").cast("string")).asc())
+    ranked = docs.select(
+        "doc_id",
+        F.row_number().over(wa).cast("long").alias("pos_a"),
+        F.row_number().over(wb).cast("long").alias("pos_b"),
+    )
+    pick = Window.orderBy(
+        (F.col("pos_a") + F.col("pos_b")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "doc_id",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") + F.col("pos_b")).alias("rank_sum"),
+            F.greatest("pos_a", "pos_b").alias("ta_depth"),
+        )
+        .orderBy("rank_sum", "doc_id")
+    )
+
+
+SQL_THRESHOLD_ALGORITHM = """
+WITH ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+              AS BIGINT) AS pos_a,
+         CAST(row_number() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS BIGINT)
+           AS pos_b
+  FROM documents
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY pos_a + pos_b ASC, doc_id ASC)
+           AS rn
+    FROM ranked)
+  WHERE rn <= 10
+)
+SELECT doc_id, pos_a, pos_b,
+       pos_a + pos_b AS rank_sum,
+       greatest(pos_a, pos_b) AS ta_depth
+FROM top
+ORDER BY rank_sum, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Column encoding audit (the optimizer-statistics pass behind layout
+# decisions — the column-store companion to the postings codec pairs):
+# for three orders columns in o_orderkey storage order, count maximal
+# equal-value RUNS (1 + changes via lag), distinct values, and the
+# RLE compression ratio rows/runs. Pure integer window work per column;
+# low-cardinality sorted-adjacent columns compress, keys do not.
+# --------------------------------------------------------------------------
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .cast("string")
+        .alias("day"),
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("o_orderkey")
+    outs = []
+    for col in ("status", "priority", "day"):
+        runs = orders.select(
+            F.when(
+                F.lag(col).over(w).isNull()
+                | (F.col(col) != F.lag(col).over(w)),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_run"),
+            F.col(col).alias("v"),
+        )
+        outs.append(
+            runs.agg(
+                F.lit(col).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("new_run").cast("long").alias("n_runs"),
+            ).crossJoin(
+                F.broadcast(
+                    orders.select(col)
+                    .distinct()
+                    .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+                )
+            )
+        )
+    res = outs[0].unionAll(outs[1]).unionAll(outs[2])
+    return res.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_runs").cast("double"),
+            6,
+        ).alias("rle_ratio"),
+    ).orderBy("column_name")
+
+
+SQL_ENCODING_AUDIT = f"""
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
+         CAST(epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS VARCHAR) AS day
+  FROM orders
+),
+runs AS (
+  SELECT 'status' AS column_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_runs
+  FROM (SELECT status AS v,
+               lag(status) OVER (ORDER BY o_orderkey) AS prev FROM src)
+  UNION ALL
+  SELECT 'priority',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM (SELECT priority AS v,
+               lag(priority) OVER (ORDER BY o_orderkey) AS prev FROM src)
+  UNION ALL
+  SELECT 'day',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM (SELECT day AS v,
+               lag(day) OVER (ORDER BY o_orderkey) AS prev FROM src)
+),
+dis AS (
+  SELECT 'status' AS column_name,
+         CAST(count(DISTINCT status) AS BIGINT) AS n_distinct FROM src
+  UNION ALL
+  SELECT 'priority', CAST(count(DISTINCT priority) AS BIGINT) FROM src
+  UNION ALL
+  SELECT 'day', CAST(count(DISTINCT day) AS BIGINT) FROM src
+)
+SELECT r.column_name, r.n_rows, d.n_distinct, r.n_runs,
+       round(CAST(r.n_rows AS DOUBLE) / CAST(r.n_runs AS DOUBLE), 6)
+         AS rle_ratio
+FROM runs r JOIN dis d USING (column_name)
+ORDER BY column_name
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -19856,6 +20019,8 @@ QUERIES_TD = {
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
     "shapley_attribution": q_shapley_attribution,
+    "threshold_algorithm": q_threshold_algorithm,
+    "encoding_audit": q_encoding_audit,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -20090,6 +20255,8 @@ ORACLES_TD = {
     "k_anonymity": SQL_K_ANONYMITY,
     "l_diversity": SQL_L_DIVERSITY,
     "shapley_attribution": SQL_SHAPLEY_ATTRIBUTION,
+    "threshold_algorithm": SQL_THRESHOLD_ALGORITHM,
+    "encoding_audit": SQL_ENCODING_AUDIT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
