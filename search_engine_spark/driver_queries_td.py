@@ -19876,6 +19876,265 @@ ORDER BY column_name
 """
 
 
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) over the
+# source x lang cell family: two-sided p-values from the adjusted
+# Pearson residuals via the Abramowitz & Stegun 7.1.26 erfc polynomial
+# — a FIXED five-coefficient approximation inlined with the SAME string
+# constants on both engines (neither ships a normal CDF; invariant 1
+# keeps the coefficients bit-identical). Step-up rule: k* = max k with
+# p_(k) <= k*alpha/m; the sort and k* are exact given identical p.
+# --------------------------------------------------------------------------
+_ERFC_COEFS = (
+    "0.3275911",
+    "0.254829592",
+    "-0.284496736",
+    "1.421413741",
+    "-1.453152027",
+    "1.061405429",
+)
+
+
+def _erfc_col(x):
+    p0, a1, a2, a3, a4, a5 = (F.lit(float(c)) for c in _ERFC_COEFS)
+    t = F.lit(1.0) / (F.lit(1.0) + p0 * x)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return poly * F.exp(-x * x)
+
+
+def _erfc_sql(x: str) -> str:
+    p0, a1, a2, a3, a4, a5 = (
+        f"CAST('{c}' AS DOUBLE)" for c in _ERFC_COEFS
+    )
+    t = f"(1.0 / (1.0 + {p0} * ({x})))"
+    poly = f"({t} * ({a1} + {t} * ({a2} + {t} * ({a3} + {t} * ({a4} + {t} * {a5})))))"
+    return f"({poly} * exp(-({x}) * ({x})))"
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy("source").agg(F.sum("o").cast("long").alias("rn"))
+    cols = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("cn"))
+    n = cells.agg(F.sum("o").cast("long").alias("_n"))
+    j = (
+        cells.join(F.broadcast(rows), "source")
+        .join(F.broadcast(cols), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    od = F.col("o").cast("double")
+    rnd = F.col("rn").cast("double")
+    cnd = F.col("cn").cast("double")
+    nd = F.col("_n").cast("double")
+    e = rnd * cnd / nd
+    z = F.abs(
+        (od - e)
+        / F.sqrt(
+            e * (F.lit(1.0) - rnd / nd) * (F.lit(1.0) - cnd / nd)
+        )
+    )
+    pvals = j.select(
+        "source",
+        "lang",
+        _erfc_col(z / F.sqrt(F.lit(2.0))).alias("p"),
+    ).localCheckpoint(eager=True)
+    wk = Window.orderBy(
+        F.col("p").asc(), F.col("source").asc(), F.col("lang").asc()
+    )
+    m = pvals.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ranked = pvals.select(
+        "p", F.row_number().over(wk).cast("long").alias("k")
+    ).crossJoin(F.broadcast(m))
+    flagged = ranked.select(
+        "m",
+        "k",
+        "p",
+        F.when(
+            F.col("p")
+            <= F.col("k").cast("double")
+            * F.lit(0.05)
+            / F.col("m").cast("double"),
+            F.col("k"),
+        )
+        .otherwise(F.lit(0))
+        .alias("ok_k"),
+    )
+    return flagged.groupBy("m").agg(
+        F.max("ok_k").cast("long").alias("n_rejected"),
+        F.round(F.min("p"), 6).alias("min_p"),
+        F.round(
+            F.max("ok_k").cast("double")
+            * F.lit(0.05)
+            / F.max("m").cast("double"),
+            6,
+        ).alias("bh_threshold"),
+    )
+
+
+SQL_BH_FDR = f"""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+),
+rm AS (SELECT source, CAST(sum(o) AS BIGINT) AS rn
+       FROM cells GROUP BY source),
+cm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY lang),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+pv AS (
+  SELECT source, lang,
+         {_erfc_sql(
+             "abs((CAST(o AS DOUBLE)"
+             " - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)"
+             " / CAST(n AS DOUBLE))"
+             " / sqrt(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)"
+             " / CAST(n AS DOUBLE)"
+             " * (1.0 - CAST(rn AS DOUBLE) / CAST(n AS DOUBLE))"
+             " * (1.0 - CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))))"
+             " / sqrt(2.0)"
+         )} AS p
+  FROM cells
+  JOIN rm USING (source)
+  JOIN cm USING (lang), nn
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+ranked AS (
+  SELECT p,
+         CAST(row_number() OVER (ORDER BY p ASC, source ASC, lang ASC)
+              AS BIGINT) AS k,
+         m.m
+  FROM pv, m
+),
+flagged AS (
+  SELECT m, k, p,
+         CASE WHEN p <= CAST(k AS DOUBLE) * CAST('0.05' AS DOUBLE)
+                        / CAST(m AS DOUBLE)
+              THEN k ELSE 0 END AS ok_k
+  FROM ranked
+)
+SELECT m, CAST(max(ok_k) AS BIGINT) AS n_rejected,
+       round(min(p), 6) AS min_p,
+       round(CAST(max(ok_k) AS DOUBLE) * CAST('0.05' AS DOUBLE)
+             / CAST(max(m) AS DOUBLE), 6) AS bh_threshold
+FROM flagged
+GROUP BY m
+"""
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest with MASE (Hyndman & Koehler 2006 —
+# the scale-free forecast-accuracy standard): predict each day of the
+# second half of the revenue series by the value 7 days earlier, score
+# MAE against actuals, and scale by the in-sample seasonal-naive MAE of
+# the first half. Every error is |BIGINT − BIGINT| — the whole metric
+# is a ratio of exact integer sums.
+# --------------------------------------------------------------------------
+def q_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "rev",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.lag("rev", 7).over(w).alias("pred"),
+    )
+    n_row = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    errs = (
+        idx.crossJoin(F.broadcast(n_row))
+        .filter(F.col("pred").isNotNull())
+        .select(
+            "n",
+            "t",
+            F.abs(F.col("rev") - F.col("pred")).cast("long").alias("ae"),
+            (F.col("t") > F.expr("n div 2")).alias("is_test"),
+        )
+    )
+    agg = errs.groupBy("n").agg(
+        F.sum(F.when(F.col("is_test"), F.col("ae")).otherwise(0))
+        .cast("long")
+        .alias("test_ae"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0))
+        .cast("long")
+        .alias("test_n"),
+        F.sum(F.when(~F.col("is_test"), F.col("ae")).otherwise(0))
+        .cast("long")
+        .alias("train_ae"),
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0))
+        .cast("long")
+        .alias("train_n"),
+    )
+    test_mae = F.col("test_ae").cast("double") / F.col("test_n").cast(
+        "double"
+    )
+    train_mae = F.col("train_ae").cast("double") / F.col(
+        "train_n"
+    ).cast("double")
+    return agg.select(
+        F.col("n").alias("n_days"),
+        "test_n",
+        F.round(test_mae / F.lit(100.0), 6).alias("test_mae_dollars"),
+        F.round(train_mae / F.lit(100.0), 6).alias("train_mae_dollars"),
+        F.round(test_mae / train_mae, 6).alias("mase"),
+    )
+
+
+SQL_MASE_BACKTEST = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         lag(rev, 7) OVER (ORDER BY day) AS pred
+  FROM daily
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+errs AS (
+  SELECT n, t, CAST(abs(rev - pred) AS BIGINT) AS ae,
+         t > n // 2 AS is_test
+  FROM idx, nn WHERE pred IS NOT NULL
+),
+agg AS (
+  SELECT n,
+         CAST(sum(CASE WHEN is_test THEN ae ELSE 0 END) AS BIGINT)
+           AS test_ae,
+         CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+           AS test_n,
+         CAST(sum(CASE WHEN NOT is_test THEN ae ELSE 0 END) AS BIGINT)
+           AS train_ae,
+         CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT)
+           AS train_n
+  FROM errs GROUP BY n
+)
+SELECT n AS n_days, test_n,
+       round(CAST(test_ae AS DOUBLE) / CAST(test_n AS DOUBLE)
+             / CAST('100.0' AS DOUBLE), 6) AS test_mae_dollars,
+       round(CAST(train_ae AS DOUBLE) / CAST(train_n AS DOUBLE)
+             / CAST('100.0' AS DOUBLE), 6) AS train_mae_dollars,
+       round((CAST(test_ae AS DOUBLE) / CAST(test_n AS DOUBLE))
+             / (CAST(train_ae AS DOUBLE) / CAST(train_n AS DOUBLE)), 6)
+         AS mase
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -20021,6 +20280,8 @@ QUERIES_TD = {
     "shapley_attribution": q_shapley_attribution,
     "threshold_algorithm": q_threshold_algorithm,
     "encoding_audit": q_encoding_audit,
+    "bh_fdr": q_bh_fdr,
+    "mase_backtest": q_mase_backtest,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -20257,6 +20518,8 @@ ORACLES_TD = {
     "shapley_attribution": SQL_SHAPLEY_ATTRIBUTION,
     "threshold_algorithm": SQL_THRESHOLD_ALGORITHM,
     "encoding_audit": SQL_ENCODING_AUDIT,
+    "bh_fdr": SQL_BH_FDR,
+    "mase_backtest": SQL_MASE_BACKTEST,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
