@@ -20135,6 +20135,223 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Restricted mean survival time (Royston & Parmar 2013's recommended
+# summary when hazards aren't proportional) over the churn_hazard life
+# table: RMST = sum_t S(t)*delta with S(t) = prod(1 - h_j). The product
+# is exp of an ORDERED cumulative sum of ln((n_r - d)/n_r) — ln on exact
+# integer ratios, accumulated over the BOUNDED bucket grid in bucket
+# order (same order both engines, invariant 4); an absorbing bucket with
+# h=1 pins S=0 thereafter via a cumulative flag instead of ln(0).
+# --------------------------------------------------------------------------
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    us = events.select("user_id", ntz_epoch_us(F.col("ts")).alias("us"))
+    end = us.agg(F.max("us").cast("long").alias("_end"))
+    users = (
+        us.groupBy("user_id")
+        .agg(
+            F.min("us").cast("long").alias("first_us"),
+            F.max("us").cast("long").alias("last_us"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.expr(f"(last_us - first_us) div {LIFE_BUCKET_US}").alias(
+                "lw"
+            ),
+            F.when(
+                F.col("_end") - F.col("last_us") > CHURN_GAP_US, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("churned"),
+        )
+    )
+    hist = users.groupBy("lw").agg(
+        F.count(F.lit(1)).cast("long").alias("ended_here"),
+        F.sum("churned").cast("long").alias("churned"),
+    )
+    wdesc = Window.orderBy(F.desc("lw")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    table = hist.select(
+        F.col("lw").cast("long").alias("bucket"),
+        F.sum("ended_here").over(wdesc).cast("long").alias("nr"),
+        "churned",
+    ).localCheckpoint(eager=True)
+    wasc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        F.col("churned") < F.col("nr"),
+        F.log(
+            (F.col("nr") - F.col("churned")).cast("double")
+            / F.col("nr").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    dead = F.when(F.col("churned") >= F.col("nr"), 1).otherwise(0)
+    surv = table.select(
+        "bucket",
+        F.sum(ln_term).over(wasc).alias("lnsum"),
+        F.sum(dead).over(wasc).cast("long").alias("dead_cum"),
+    ).select(
+        "bucket",
+        F.when(F.col("dead_cum") > 0, F.lit(0.0))
+        .otherwise(F.exp(F.col("lnsum")))
+        .alias("s"),
+    )
+    return surv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.sum(F.col("s") * F.lit(6.0)), 6).alias("rmst_hours"),
+        F.round(F.min("s"), 6).alias("final_survival"),
+    )
+
+
+SQL_RMST = f"""
+WITH us AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+ends AS (SELECT CAST(max(us) AS BIGINT) AS e FROM us),
+users AS (
+  SELECT CAST((max(us) - min(us)) // {LIFE_BUCKET_US} AS BIGINT) AS lw,
+         CASE WHEN (SELECT e FROM ends) - max(us) > {CHURN_GAP_US}
+              THEN 1 ELSE 0 END AS churned
+  FROM us GROUP BY user_id
+),
+hist AS (
+  SELECT lw, CAST(count(*) AS BIGINT) AS ended_here,
+         CAST(sum(churned) AS BIGINT) AS churned
+  FROM users GROUP BY lw
+),
+tab AS (
+  SELECT lw AS bucket,
+         CAST(sum(ended_here) OVER (ORDER BY lw DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS nr,
+         churned
+  FROM hist
+),
+surv AS (
+  SELECT bucket,
+         CASE WHEN CAST(sum(CASE WHEN churned >= nr THEN 1 ELSE 0 END)
+                    OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) > 0
+              THEN 0.0
+              ELSE exp(sum(CASE WHEN churned < nr
+                                THEN ln(CAST(nr - churned AS DOUBLE)
+                                        / CAST(nr AS DOUBLE))
+                                ELSE 0.0 END)
+                       OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW))
+         END AS s
+  FROM tab
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       round(sum(s * 6.0), 6) AS rmst_hours,
+       round(min(s), 6) AS final_survival
+FROM surv
+"""
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences promo uplift (the Card & Krueger design on
+# warehouse data): treatment = PROMO-type parts, periods split at the
+# exact midpoint ship day; DiD = (promo_post − promo_pre) −
+# (other_post − other_pre) on mean revenue per line item. All four cell
+# means are ratios of fixed6 BIGINT sums and exact counts.
+# --------------------------------------------------------------------------
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            ntz_epoch_us(F.col("l_shipdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        fixed6_long(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("r6"),
+    )
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+    rng = li.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    cells = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "is_promo",
+            (F.col("day") > F.col("mid")).alias("is_post"),
+            "r6",
+        )
+        .groupBy("is_promo", "is_post")
+        .agg(
+            F.sum("r6").cast("long").alias("s6"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    m = cells.select(
+        F.concat(
+            F.when(F.col("is_promo"), F.lit("p")).otherwise(F.lit("o")),
+            F.when(F.col("is_post"), F.lit("2")).otherwise(F.lit("1")),
+        ).alias("cell"),
+        (
+            F.col("s6").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("mean_rev"),
+    )
+    row = m.groupBy().pivot("cell", ["p1", "p2", "o1", "o2"]).agg(
+        F.first("mean_rev")
+    )
+    return row.select(
+        F.round("p1", 6).alias("promo_pre"),
+        F.round("p2", 6).alias("promo_post"),
+        F.round("o1", 6).alias("other_pre"),
+        F.round("o2", 6).alias("other_post"),
+        F.round(
+            (F.col("p2") - F.col("p1")) - (F.col("o2") - F.col("o1")), 6
+        ).alias("did_uplift"),
+    )
+
+
+SQL_DIFF_IN_DIFF = f"""
+WITH li AS (
+  SELECT l_partkey, epoch_us(l_shipdate) // {US_PER_DAY_DIV} AS day,
+         {SQL_FIXED6_LONG.format(
+             col="l_extendedprice * (1.0 - l_discount)")} AS r6
+  FROM lineitem
+),
+rng AS (SELECT (min(day) + max(day)) // 2 AS mid FROM li),
+cells AS (
+  SELECT p.p_type LIKE 'PROMO%' AS is_promo, li.day > rng.mid AS is_post,
+         CAST(sum(li.r6) AS BIGINT) AS s6, CAST(count(*) AS BIGINT) AS n
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey, rng
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT (CASE WHEN is_promo THEN 'p' ELSE 'o' END)
+           || (CASE WHEN is_post THEN '2' ELSE '1' END) AS cell,
+         CAST(s6 AS DOUBLE) / CAST(n AS DOUBLE)
+           / CAST('1000000.0' AS DOUBLE) AS mean_rev
+  FROM cells
+),
+row_m AS (
+  SELECT max(CASE WHEN cell = 'p1' THEN mean_rev END) AS p1,
+         max(CASE WHEN cell = 'p2' THEN mean_rev END) AS p2,
+         max(CASE WHEN cell = 'o1' THEN mean_rev END) AS o1,
+         max(CASE WHEN cell = 'o2' THEN mean_rev END) AS o2
+  FROM m
+)
+SELECT round(p1, 6) AS promo_pre, round(p2, 6) AS promo_post,
+       round(o1, 6) AS other_pre, round(o2, 6) AS other_post,
+       round((p2 - p1) - (o2 - o1), 6) AS did_uplift
+FROM row_m
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -20282,6 +20499,8 @@ QUERIES_TD = {
     "encoding_audit": q_encoding_audit,
     "bh_fdr": q_bh_fdr,
     "mase_backtest": q_mase_backtest,
+    "rmst": q_rmst,
+    "diff_in_diff": q_diff_in_diff,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -20520,6 +20739,8 @@ ORACLES_TD = {
     "encoding_audit": SQL_ENCODING_AUDIT,
     "bh_fdr": SQL_BH_FDR,
     "mase_backtest": SQL_MASE_BACKTEST,
+    "rmst": SQL_RMST,
+    "diff_in_diff": SQL_DIFF_IN_DIFF,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
