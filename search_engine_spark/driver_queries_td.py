@@ -20352,6 +20352,276 @@ FROM row_m
 """
 
 
+# --------------------------------------------------------------------------
+# Decision-stump split search (the CART primitive, Breiman et al. 1984):
+# best single threshold on per-user total event value predicting
+# big-ticket conversion, scored by Gini impurity reduction over the 19
+# ventile candidate thresholds (candidate grid from exact integer
+# ranks, not a full value sweep — the scalable histogram-split idiom).
+# Left/right class counts per candidate are exact BIGINTs; the gain is
+# one double expression, argmax on the ROUND-9 grid with threshold-asc
+# tiebreak.
+# --------------------------------------------------------------------------
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.sum(fixed6_long(F.col("value"))).cast("long").alias("x6"),
+    ).localCheckpoint(eager=True)
+    wv = Window.orderBy(F.col("x6").asc(), F.col("user_id").asc())
+    ranked = users.select(
+        "y", "x6", F.ntile(20).over(wv).cast("long").alias("v")
+    )
+    # candidate thresholds: max x6 of each of the first 19 ventiles
+    cands = (
+        ranked.groupBy("v")
+        .agg(F.max("x6").cast("long").alias("thr"))
+        .filter(F.col("v") < 20)
+    )
+    tot = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    split = (
+        users.crossJoin(F.broadcast(cands))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("x6") <= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("nl"),
+            F.sum(
+                F.when(
+                    (F.col("x6") <= F.col("thr")) & (F.col("y") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("pl"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    nld = F.col("nl").cast("double")
+    nrd = nd - nld
+    pld = F.col("pl").cast("double")
+    prd = F.col("pos").cast("double") - pld
+    pd_ = F.col("pos").cast("double")
+
+    def gini(p, m):
+        q = p / m
+        return F.lit(2.0) * q * (F.lit(1.0) - q)
+
+    gain = (
+        gini(pd_, nd)
+        - (nld / nd) * gini(pld, nld)
+        - (nrd / nd) * gini(prd, nrd)
+    )
+    scored = split.filter(
+        (F.col("nl") > 0) & (F.col("nl") < F.col("n"))
+    ).select("thr", "nl", "pl", F.round(gain, 9).alias("gain"))
+    pick = Window.orderBy(F.col("gain").desc(), F.col("thr").asc())
+    best = scored.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    return best.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "pos",
+        F.round(
+            F.col("thr").cast("double") / F.lit(1_000_000.0), 6
+        ).alias("best_threshold"),
+        "nl",
+        "pl",
+        F.round(F.col("gain"), 6).alias("gini_gain"),
+    )
+
+
+SQL_DECISION_STUMP = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS x6
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT y, x6,
+         CAST(ntile(20) OVER (ORDER BY x6 ASC, user_id ASC) AS BIGINT)
+           AS v
+  FROM users
+),
+cands AS (
+  SELECT CAST(max(x6) AS BIGINT) AS thr FROM ranked
+  WHERE v < 20 GROUP BY v
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM users
+),
+split AS (
+  SELECT thr,
+         CAST(sum(CASE WHEN x6 <= thr THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(sum(CASE WHEN x6 <= thr AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pl
+  FROM users, cands GROUP BY thr
+),
+scored AS (
+  SELECT thr, nl, pl,
+         round(2.0 * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+               - (CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (2.0 * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                    * (1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+               - ((CAST(n AS DOUBLE) - CAST(nl AS DOUBLE))
+                  / CAST(n AS DOUBLE))
+                 * (2.0 * ((CAST(pos AS DOUBLE) - CAST(pl AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - CAST(nl AS DOUBLE)))
+                    * (1.0 - (CAST(pos AS DOUBLE) - CAST(pl AS DOUBLE))
+                             / (CAST(n AS DOUBLE)
+                                - CAST(nl AS DOUBLE)))), 9) AS gain
+  FROM split, tot
+  WHERE nl > 0 AND nl < n
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY gain DESC, thr ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT n, pos,
+       round(CAST(thr AS DOUBLE) / CAST('1000000.0' AS DOUBLE), 6)
+         AS best_threshold,
+       nl, pl,
+       round(gain, 6) AS gini_gain
+FROM best, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / lift table (the model-evaluation decile report):
+# users ranked by total event value (the logistic_step feature), decile
+# conversion capture, cumulative capture rate, and lift vs the base
+# rate. NTILE on a total (x6 DESC, user_id) order; every number is a
+# ratio of exact BIGINT counts.
+# --------------------------------------------------------------------------
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.sum(fixed6_long(F.col("value"))).cast("long").alias("x6"),
+    )
+    wd = Window.orderBy(F.col("x6").desc(), F.col("user_id").asc())
+    tiled = users.select(
+        "y", F.ntile(10).over(wd).cast("long").alias("decile")
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("conv"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("conv").cast("long").alias("tc"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "conv",
+            F.sum("conv").over(wc).cast("long").alias("cum_conv"),
+            F.sum("n").over(wc).cast("long").alias("cum_n"),
+            "tn",
+            "tc",
+        )
+        .select(
+            "decile",
+            "n",
+            "conv",
+            F.round(
+                F.col("cum_conv").cast("double")
+                / F.col("tc").cast("double"),
+                6,
+            ).alias("cum_capture"),
+            F.round(
+                (
+                    F.col("cum_conv").cast("double")
+                    / F.col("cum_n").cast("double")
+                )
+                / (F.col("tc").cast("double") / F.col("tn").cast("double")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_GAINS_TABLE = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS x6
+  FROM events GROUP BY user_id
+),
+tiled AS (
+  SELECT y,
+         CAST(ntile(10) OVER (ORDER BY x6 DESC, user_id ASC) AS BIGINT)
+           AS decile
+  FROM users
+),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS conv
+  FROM tiled GROUP BY decile
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(conv) AS BIGINT) AS tc
+  FROM per
+),
+cum AS (
+  SELECT decile, n, conv,
+         CAST(sum(conv) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_conv,
+         CAST(sum(n) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_n,
+         tn, tc
+  FROM per, tot
+)
+SELECT decile, n, conv,
+       round(CAST(cum_conv AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+         AS cum_capture,
+       round((CAST(cum_conv AS DOUBLE) / CAST(cum_n AS DOUBLE))
+             / (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS cum_lift
+FROM cum
+ORDER BY decile
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -20501,6 +20771,8 @@ QUERIES_TD = {
     "mase_backtest": q_mase_backtest,
     "rmst": q_rmst,
     "diff_in_diff": q_diff_in_diff,
+    "decision_stump": q_decision_stump,
+    "gains_table": q_gains_table,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -20741,6 +21013,8 @@ ORACLES_TD = {
     "mase_backtest": SQL_MASE_BACKTEST,
     "rmst": SQL_RMST,
     "diff_in_diff": SQL_DIFF_IN_DIFF,
+    "decision_stump": SQL_DECISION_STUMP,
+    "gains_table": SQL_GAINS_TABLE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
