@@ -20622,6 +20622,245 @@ ORDER BY decile
 """
 
 
+# --------------------------------------------------------------------------
+# ROC AUC of the value ranking (the probabilistic reading of the
+# Mann-Whitney U: AUC = P(score_pos > score_neg) + ties/2): doubled
+# midranks keep every rank sum an exact BIGINT, so AUC = (R1_doubled -
+# n1(n1+1)) / (2 n1 n0) is ONE ratio of exact integers — the
+# threshold-free companion to the gains_table.
+# --------------------------------------------------------------------------
+def q_ranking_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.sum(fixed6_long(F.col("value"))).cast("long").alias("x6"),
+    )
+    wr = Window.orderBy("x6")
+    wt = Window.partitionBy("x6")
+    ranked = users.select(
+        "y",
+        (
+            F.lit(2) * F.rank().over(wr).cast("long")
+            + F.count(F.lit(1)).over(wt).cast("long")
+            - F.lit(1)
+        ).alias("dr"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias("r1d"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    auc = (
+        F.col("r1d").cast("double")
+        - F.col("n1").cast("double")
+        * (F.col("n1").cast("double") + F.lit(1.0))
+    ) / (
+        F.lit(2.0)
+        * F.col("n1").cast("double")
+        * F.col("n0").cast("double")
+    )
+    return agg.select(
+        "n1",
+        "n0",
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini_coeff"),
+    )
+
+
+SQL_RANKING_AUC = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS x6
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT y,
+         2 * CAST(rank() OVER (ORDER BY x6) AS BIGINT)
+           + CAST(count(*) OVER (PARTITION BY x6) AS BIGINT) - 1 AS dr
+  FROM users
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN y = 1 THEN dr ELSE 0 END) AS BIGINT) AS r1d,
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM ranked
+)
+SELECT n1, n0,
+       round((CAST(r1d AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+             / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc,
+       round(2.0 * ((CAST(r1d AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+                    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+             - 1.0, 6) AS gini_coeff
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Calibration / expected calibration error (Guo et al. 2017's ECE) of
+# the one-step logistic model, trained AND evaluated in one plan: the
+# closed-form IRLS-step coefficients score every user with
+# sigmoid(b0 + b1 x), predictions bin into 5 equal-count bins (NTILE on
+# a total order), and each bin compares mean predicted p to observed
+# rate. The betas reuse logistic_step's exact-sum construction; the
+# composition is the showcase — model fit, scoring, and audit as one
+# declarative plan replayed identically in SQL.
+# --------------------------------------------------------------------------
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.sum(fixed6_long(F.col("value"))).cast("long").alias("v6"),
+    ).localCheckpoint(eager=True)
+    feat = users.select(
+        "user_id",
+        "y",
+        F.log(
+            F.lit(1.0) + F.col("v6").cast("double") / F.lit(1_000_000.0)
+        ).alias("x"),
+    )
+    agg = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y").cast("double")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    g0 = F.col("sy").cast("double") - nd / F.lit(2.0)
+    g1 = F.col("sxy") - F.col("sx") / F.lit(2.0)
+    det = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    betas = agg.select(
+        (
+            F.lit(4.0) * (F.col("sxx") * g0 - F.col("sx") * g1) / det
+        ).alias("b0"),
+        (F.lit(4.0) * (nd * g1 - F.col("sx") * g0) / det).alias("b1"),
+    )
+    scored = feat.crossJoin(F.broadcast(betas)).select(
+        "user_id",
+        "y",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))
+            )
+        ).alias("p"),
+    )
+    wb = Window.orderBy(F.col("p").asc(), F.col("user_id").asc())
+    binned = scored.select(
+        "y", "p", F.ntile(5).over(wb).cast("long").alias("bin")
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("conv"),
+        F.sum("p").alias("psum"),
+    )
+    return per.select(
+        "bin",
+        "n",
+        F.round(F.col("psum") / F.col("n").cast("double"), 6).alias(
+            "mean_pred"
+        ),
+        F.round(
+            F.col("conv").cast("double") / F.col("n").cast("double"), 6
+        ).alias("observed"),
+        F.round(
+            F.abs(
+                F.col("psum") / F.col("n").cast("double")
+                - F.col("conv").cast("double") / F.col("n").cast("double")
+            ),
+            6,
+        ).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+SQL_CALIBRATION_ECE = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase'
+                  AND CAST(round(value * 1000000.0) AS BIGINT)
+                      > {AB_CONV_VALUE6}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS v6
+  FROM events GROUP BY user_id
+),
+feat AS (
+  SELECT user_id, y,
+         ln(1.0 + CAST(v6 AS DOUBLE) / CAST('1000000.0' AS DOUBLE)) AS x
+  FROM users
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         sum(x) AS sx, sum(x * x) AS sxx,
+         sum(x * CAST(y AS DOUBLE)) AS sxy
+  FROM feat
+),
+betas AS (
+  SELECT 4.0 * (sxx * (CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+                - sx * (sxy - sx / 2.0))
+         / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b0,
+         4.0 * (CAST(n AS DOUBLE) * (sxy - sx / 2.0)
+                - sx * (CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) / 2.0))
+         / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b1
+  FROM agg
+),
+scored AS (
+  SELECT f.user_id, f.y,
+         1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x))) AS p
+  FROM feat f, betas b
+),
+binned AS (
+  SELECT y, p,
+         CAST(ntile(5) OVER (ORDER BY p ASC, user_id ASC) AS BIGINT)
+           AS bin
+  FROM scored
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS conv, sum(p) AS psum
+  FROM binned GROUP BY bin
+)
+SELECT bin, n,
+       round(psum / CAST(n AS DOUBLE), 6) AS mean_pred,
+       round(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS observed,
+       round(abs(psum / CAST(n AS DOUBLE)
+                 - CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS abs_gap
+FROM per
+ORDER BY bin
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -20773,6 +21012,8 @@ QUERIES_TD = {
     "diff_in_diff": q_diff_in_diff,
     "decision_stump": q_decision_stump,
     "gains_table": q_gains_table,
+    "ranking_auc": q_ranking_auc,
+    "calibration_ece": q_calibration_ece,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -21015,6 +21256,8 @@ ORACLES_TD = {
     "diff_in_diff": SQL_DIFF_IN_DIFF,
     "decision_stump": SQL_DECISION_STUMP,
     "gains_table": SQL_GAINS_TABLE,
+    "ranking_auc": SQL_RANKING_AUC,
+    "calibration_ece": SQL_CALIBRATION_ECE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
