@@ -20861,6 +20861,228 @@ ORDER BY bin
 """
 
 
+# --------------------------------------------------------------------------
+# SPRT stopping audit (Wald 1945): replay the sequential probability
+# ratio test over the daily big-ticket PURCHASE stream — H0 p=0.01 vs
+# H1 p=0.045 ("is the big-ticket rate above 1%?"; the observed ~4.5%
+# event-level rate crosses the upper ln(19) boundary within days at
+# every SF — probed), boundaries ln(19) for alpha=beta=0.05. Daily
+# (conversions, trials) are exact integers; each day's LLR increment is
+# c*ln(p1/p0) + (n-c)*ln(q1/q0) with the ln constants inlined
+# identically, and the cumulative sum runs in day order (invariant 4).
+# --------------------------------------------------------------------------
+SPRT_P0 = 0.01
+SPRT_P1 = 0.045
+
+
+def q_sprt_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(
+                ntz_epoch_us(F.col("ts")) / F.lit(US_PER_DAY_DIV)
+            )
+            .cast("long")
+            .alias("day"),
+            F.when(
+                fixed6_long(F.col("value")) > AB_CONV_VALUE6, 1
+            )
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # ln(p1/p0), ln(q1/q0) precomputed once in Python, inlined
+    lp = F.lit(math.log(SPRT_P1 / SPRT_P0))
+    lq = F.lit(math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0)))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    llr = daily.select(
+        "day",
+        F.sum(
+            F.col("c").cast("double") * lp
+            + (F.col("n") - F.col("c")).cast("double") * lq
+        )
+        .over(w)
+        .alias("llr"),
+    )
+    bound = F.lit(math.log(19.0))
+    crossed = llr.select(
+        "day",
+        "llr",
+        F.when(F.col("llr") >= bound, F.lit("accept_h1"))
+        .when(F.col("llr") <= -bound, F.lit("accept_h0"))
+        .otherwise(F.lit(None))
+        .alias("decision"),
+    ).filter(F.col("decision").isNotNull())
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    pick = Window.orderBy("day")
+    first = crossed.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    return first.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("day").alias("stop_day"),
+        F.round("llr", 6).alias("llr_at_stop"),
+        "decision",
+    )
+
+
+SQL_SPRT_STOP = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {US_PER_DAY_DIV} AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(value * 1000000.0) AS BIGINT)
+                            > {AB_CONV_VALUE6}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+llr AS (
+  SELECT day,
+         sum(CAST(c AS DOUBLE) * CAST('{math.log(SPRT_P1 / SPRT_P0)!r}' AS DOUBLE)
+             + CAST(n - c AS DOUBLE)
+               * CAST('{math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))!r}' AS DOUBLE))
+           OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+  FROM daily
+),
+crossed AS (
+  SELECT day, llr,
+         CASE WHEN llr >= CAST('{math.log(19.0)!r}' AS DOUBLE)
+              THEN 'accept_h1'
+              WHEN llr <= -CAST('{math.log(19.0)!r}' AS DOUBLE)
+              THEN 'accept_h0' END AS decision
+  FROM llr
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+first AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY day) AS rn
+    FROM crossed WHERE decision IS NOT NULL)
+  WHERE rn = 1
+)
+SELECT n_days, day AS stop_day, round(llr, 6) AS llr_at_stop, decision
+FROM first, nn
+"""
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrinkage (Efron & Morris 1975's batting-average
+# estimator, beta-binomial method of moments): per-source English-doc
+# rates shrunk toward the corpus rate with strength alpha+beta fit from
+# the between-source variance. All counts exact BIGINTs; the MOM fit
+# and each shrunk rate are fixed double expressions; variance of the 20
+# source rates centers on the pooled mean BEFORE squaring (jackknife
+# lesson).
+# --------------------------------------------------------------------------
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", F.when(F.col("lang") == "en", 1).otherwise(0).alias("e")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e").cast("long").alias("x"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("x").cast("long").alias("tx"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    mu = F.col("tx").cast("double") / F.col("tn").cast("double")
+    dev = (
+        F.col("x").cast("double") / F.col("n").cast("double")
+        - F.col("mu")
+    )
+    moments = (
+        per.crossJoin(F.broadcast(tot.select("g", mu.alias("mu"))))
+        .select("g", "mu", dev.alias("d"), F.col("n").cast("double").alias("nd"))
+        .groupBy("g", "mu")
+        .agg(
+            F.sum(F.col("d") * F.col("d")).alias("sdd"),
+            F.sum(F.lit(1.0) / F.col("nd")).alias("inv_n"),
+        )
+    )
+    gd = F.col("g").cast("double")
+    var_between = F.col("sdd") / gd
+    # MOM: var = mu(1-mu)/(a+b+1) approx + sampling noise mu(1-mu)*avg(1/n)
+    noise = F.col("mu") * (F.lit(1.0) - F.col("mu")) * F.col(
+        "inv_n"
+    ) / gd
+    tau2 = var_between - noise
+    strength = F.when(
+        tau2 > 0,
+        F.col("mu") * (F.lit(1.0) - F.col("mu")) / tau2 - F.lit(1.0),
+    ).otherwise(F.lit(1000.0))
+    params = moments.select(
+        "mu", F.greatest(strength, F.lit(1.0)).alias("k")
+    )
+    shrunk = per.crossJoin(F.broadcast(params)).select(
+        "source",
+        "n",
+        "x",
+        F.round(
+            F.col("x").cast("double") / F.col("n").cast("double"), 6
+        ).alias("raw_rate"),
+        F.round(
+            (F.col("x").cast("double") + F.col("k") * F.col("mu"))
+            / (F.col("n").cast("double") + F.col("k")),
+            6,
+        ).alias("shrunk_rate"),
+    )
+    return shrunk.orderBy("source")
+
+
+SQL_EB_SHRINKAGE = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(x) AS BIGINT) AS tx,
+         CAST(count(*) AS BIGINT) AS g
+  FROM per
+),
+mom AS (
+  SELECT g, CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE) AS mu,
+         sum((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))
+             * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE))) AS sdd,
+         sum(1.0 / CAST(n AS DOUBLE)) AS inv_n
+  FROM per, tot
+  GROUP BY g, CAST(tx AS DOUBLE) / CAST(tn AS DOUBLE)
+),
+params AS (
+  SELECT mu,
+         greatest(CASE WHEN sdd / CAST(g AS DOUBLE)
+                            - mu * (1.0 - mu) * inv_n / CAST(g AS DOUBLE)
+                            > 0
+                       THEN mu * (1.0 - mu)
+                            / (sdd / CAST(g AS DOUBLE)
+                               - mu * (1.0 - mu) * inv_n
+                                 / CAST(g AS DOUBLE)) - 1.0
+                       ELSE 1000.0 END, 1.0) AS k
+  FROM mom
+)
+SELECT source, n, x,
+       round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+       round((CAST(x AS DOUBLE) + k * mu) / (CAST(n AS DOUBLE) + k), 6)
+         AS shrunk_rate
+FROM per, params
+ORDER BY source
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -21014,6 +21236,8 @@ QUERIES_TD = {
     "gains_table": q_gains_table,
     "ranking_auc": q_ranking_auc,
     "calibration_ece": q_calibration_ece,
+    "sprt_stop": q_sprt_stop,
+    "eb_shrinkage": q_eb_shrinkage,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -21258,6 +21482,8 @@ ORACLES_TD = {
     "gains_table": SQL_GAINS_TABLE,
     "ranking_auc": SQL_RANKING_AUC,
     "calibration_ece": SQL_CALIBRATION_ECE,
+    "sprt_stop": SQL_SPRT_STOP,
+    "eb_shrinkage": SQL_EB_SHRINKAGE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
