@@ -21083,6 +21083,134 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Neyman optimal allocation (Neyman 1934 — the allocation-DESIGN half;
+# the quota/stratified pairs cover selection): distribute a 100-doc
+# sample across sources proportional to N_h * S_h (stratum size times
+# within-stratum sd of doc length), vs plain proportional allocation.
+# Stratum moments from exact integer (n, sum, sum-of-squares) triples;
+# the allocation shares are ratios.
+# --------------------------------------------------------------------------
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    nd = F.col("nh").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (F.col("ss").cast("double") - nd * mean * mean) / (
+        nd - F.lit(1.0)
+    )
+    w = per.select(
+        "source", "nh", (nd * F.sqrt(var)).alias("nsh")
+    )
+    tot = w.agg(
+        F.sum("nh").cast("long").alias("tn"),
+        F.sum("nsh").alias("tnsh"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "nh",
+            F.round(
+                F.lit(100.0)
+                * F.col("nh").cast("double")
+                / F.col("tn").cast("double"),
+                6,
+            ).alias("proportional_n"),
+            F.round(
+                F.lit(100.0) * F.col("nsh") / F.col("tnsh"), 6
+            ).alias("neyman_n"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_NEYMAN_ALLOCATION = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, nh,
+         CAST(nh AS DOUBLE)
+           * sqrt((CAST(ss AS DOUBLE)
+                   - CAST(nh AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(nh AS DOUBLE)))
+                  / (CAST(nh AS DOUBLE) - 1.0)) AS nsh
+  FROM per
+),
+tot AS (SELECT CAST(sum(nh) AS BIGINT) AS tn, sum(nsh) AS tnsh FROM w)
+SELECT source, nh,
+       round(100.0 * CAST(nh AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+         AS proportional_n,
+       round(100.0 * nsh / tnsh, 6) AS neyman_n
+FROM w, tot
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Kish effective sample size (Kish 1965 — the design-effect diagnostic
+# run before trusting any weighted estimate): ESS = (Σw)²/Σw² over
+# per-doc token-count weights. Weights are exact BIGINTs, so both sums
+# are exact; ESS and the efficiency ratio are single double
+# expressions.
+# --------------------------------------------------------------------------
+def q_kish_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        )
+        .cast("long")
+        .alias("w")
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sww"),
+    )
+    ess = (
+        F.col("sw").cast("double")
+        * F.col("sw").cast("double")
+        / F.col("sww").cast("double")
+    )
+    return agg.select(
+        "n",
+        "sw",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n").cast("double"), 6).alias("efficiency"),
+    )
+
+
+SQL_KISH_ESS = f"""
+WITH docs AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_RUN}'))
+              AS BIGINT) AS w
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(w * w) AS BIGINT) AS sww
+  FROM docs
+)
+SELECT n, sw,
+       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sww AS DOUBLE), 6) AS ess,
+       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE), 6) AS efficiency
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -21238,6 +21366,8 @@ QUERIES_TD = {
     "calibration_ece": q_calibration_ece,
     "sprt_stop": q_sprt_stop,
     "eb_shrinkage": q_eb_shrinkage,
+    "neyman_allocation": q_neyman_allocation,
+    "kish_ess": q_kish_ess,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -21484,6 +21614,8 @@ ORACLES_TD = {
     "calibration_ece": SQL_CALIBRATION_ECE,
     "sprt_stop": SQL_SPRT_STOP,
     "eb_shrinkage": SQL_EB_SHRINKAGE,
+    "neyman_allocation": SQL_NEYMAN_ALLOCATION,
+    "kish_ess": SQL_KISH_ESS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
