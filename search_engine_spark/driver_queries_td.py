@@ -21211,6 +21211,284 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Log-rank test (Mantel 1966) between the two md5 user cohorts over the
+# churn life table — the two-group comparison completing the survival
+# family (churn_hazard describes, rmst summarizes, THIS tests): per
+# lifetime bucket, observed group-1 churns vs the hypergeometric
+# expectation d*n1/n with variance d(n-d)n1*n0/(n²(n-1)); all counts are
+# exact BIGINTs per bounded bucket, and the z-score sums bounded per-
+# bucket terms.
+# --------------------------------------------------------------------------
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    us = events.select("user_id", ntz_epoch_us(F.col("ts")).alias("us"))
+    end = us.agg(F.max("us").cast("long").alias("_end"))
+    grp = F.expr(
+        "CAST(conv(substring(md5(cast(user_id as string)), 1, 1), 16, 10)"
+        " AS INT) % 2"
+    )
+    users = (
+        us.groupBy("user_id")
+        .agg(
+            F.min("us").cast("long").alias("first_us"),
+            F.max("us").cast("long").alias("last_us"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            grp.alias("g"),
+            F.expr(f"(last_us - first_us) div {LIFE_BUCKET_US}").alias(
+                "lw"
+            ),
+            F.when(
+                F.col("_end") - F.col("last_us") > CHURN_GAP_US, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("churned"),
+        )
+    )
+    hist = users.groupBy("lw").agg(
+        F.count(F.lit(1)).cast("long").alias("ended"),
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("ended1"),
+        F.sum(F.when((F.col("g") == 1) & (F.col("churned") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+    )
+    w = Window.orderBy(F.desc("lw")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.select(
+        "lw",
+        "d",
+        "d1",
+        F.sum("ended").over(w).cast("long").alias("n"),
+        F.sum("ended1").over(w).cast("long").alias("n1"),
+    ).filter(F.col("d") > 0)
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    dd = F.col("d").cast("double")
+    e1 = dd * n1d / nd
+    var = F.when(
+        F.col("n") > 1,
+        dd
+        * (nd - dd)
+        * n1d
+        * (nd - n1d)
+        / (nd * nd * (nd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e1).alias("e1"),
+        F.sum(var).alias("v"),
+    )
+    return agg.select(
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("v", 6).alias("var_sum"),
+        F.round(
+            (F.col("o1").cast("double") - F.col("e1"))
+            / F.sqrt(F.col("v")),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_LOGRANK_TEST = f"""
+WITH us AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+ends AS (SELECT CAST(max(us) AS BIGINT) AS e FROM us),
+users AS (
+  SELECT ((strpos('0123456789abcdef',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2)
+           AS g,
+         CAST((max(us) - min(us)) // {LIFE_BUCKET_US} AS BIGINT) AS lw,
+         CASE WHEN (SELECT e FROM ends) - max(us) > {CHURN_GAP_US}
+              THEN 1 ELSE 0 END AS churned
+  FROM us GROUP BY user_id
+),
+hist AS (
+  SELECT lw, CAST(count(*) AS BIGINT) AS ended,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ended1,
+         CAST(sum(CASE WHEN g = 1 AND churned = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d1
+  FROM users GROUP BY lw
+),
+risk AS (
+  SELECT lw, d, d1,
+         CAST(sum(ended) OVER (ORDER BY lw DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n,
+         CAST(sum(ended1) OVER (ORDER BY lw DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n1
+  FROM hist
+),
+terms AS (
+  SELECT d1, CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+           AS e1,
+         CASE WHEN n > 1 THEN
+           CAST(d AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+           * CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) - 1.0))
+         ELSE 0.0 END AS v
+  FROM risk WHERE d > 0
+),
+agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(e1) AS e1, sum(v) AS v
+  FROM terms
+)
+SELECT o1, round(e1, 6) AS e1, round(v, 6) AS var_sum,
+       round((CAST(o1 AS DOUBLE) - e1) / sqrt(v), 6) AS z
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Iterative proportional fitting / raking (Deming & Stephan 1940), two
+# full row+column cycles adjusting the source x lang table toward
+# UNIFORM target margins — the survey-weighting workhorse. Each cycle
+# is a bounded-relation join-and-scale executed identically on both
+# engines (fixed iteration count, no convergence float compare);
+# reports the max residual row-margin error and a checksum over the
+# final weights.
+# --------------------------------------------------------------------------
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=True)
+    dims = cells.agg(
+        F.sum("o").cast("long").alias("nn"),
+    ).crossJoin(
+        F.broadcast(
+            cells.select("source").distinct().agg(
+                F.count(F.lit(1)).cast("long").alias("nr")
+            )
+        )
+    ).crossJoin(
+        F.broadcast(
+            cells.select("lang").distinct().agg(
+                F.count(F.lit(1)).cast("long").alias("nc")
+            )
+        )
+    )
+    w = cells.crossJoin(F.broadcast(dims)).select(
+        "source",
+        "lang",
+        F.col("o").cast("double").alias("w"),
+        (F.col("nn").cast("double") / F.col("nr").cast("double")).alias(
+            "row_target"
+        ),
+        (F.col("nn").cast("double") / F.col("nc").cast("double")).alias(
+            "col_target"
+        ),
+    )
+    for _ in range(2):
+        rm = w.groupBy("source").agg(F.sum("w").alias("rsum"))
+        w = (
+            w.join(F.broadcast(rm), "source")
+            .select(
+                "source",
+                "lang",
+                (F.col("w") * F.col("row_target") / F.col("rsum")).alias(
+                    "w"
+                ),
+                "row_target",
+                "col_target",
+            )
+        )
+        cm = w.groupBy("lang").agg(F.sum("w").alias("csum"))
+        w = (
+            w.join(F.broadcast(cm), "lang")
+            .select(
+                "source",
+                "lang",
+                (F.col("w") * F.col("col_target") / F.col("csum")).alias(
+                    "w"
+                ),
+                "row_target",
+                "col_target",
+            )
+        )
+    final_rm = w.groupBy("source", "row_target").agg(
+        F.sum("w").alias("rsum")
+    )
+    return (
+        final_rm.agg(
+            F.round(
+                F.max(F.abs(F.col("rsum") - F.col("row_target"))), 6
+            ).alias("max_row_error")
+        )
+        .crossJoin(
+            F.broadcast(
+                w.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_cells"),
+                    F.round(F.sum(F.col("w") * F.col("w")), 6).alias(
+                        "weight_sq_sum"
+                    ),
+                )
+            )
+        )
+        .select("n_cells", "max_row_error", "weight_sq_sum")
+    )
+
+
+SQL_IPF_RAKING = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+),
+dims AS (
+  SELECT CAST(sum(o) AS BIGINT) AS nn,
+         CAST(count(DISTINCT source) AS BIGINT) AS nr,
+         CAST(count(DISTINCT lang) AS BIGINT) AS nc
+  FROM cells
+),
+w0 AS (
+  SELECT source, lang, CAST(o AS DOUBLE) AS w,
+         CAST(nn AS DOUBLE) / CAST(nr AS DOUBLE) AS row_target,
+         CAST(nn AS DOUBLE) / CAST(nc AS DOUBLE) AS col_target
+  FROM cells, dims
+),
+r1 AS (
+  SELECT w0.source, w0.lang,
+         w0.w * w0.row_target / rm.rsum AS w, row_target, col_target
+  FROM w0 JOIN (SELECT source, sum(w) AS rsum FROM w0 GROUP BY source) rm
+    USING (source)
+),
+c1 AS (
+  SELECT r1.source, r1.lang,
+         r1.w * r1.col_target / cm.csum AS w, row_target, col_target
+  FROM r1 JOIN (SELECT lang, sum(w) AS csum FROM r1 GROUP BY lang) cm
+    USING (lang)
+),
+r2 AS (
+  SELECT c1.source, c1.lang,
+         c1.w * c1.row_target / rm.rsum AS w, row_target, col_target
+  FROM c1 JOIN (SELECT source, sum(w) AS rsum FROM c1 GROUP BY source) rm
+    USING (source)
+),
+c2 AS (
+  SELECT r2.source, r2.lang,
+         r2.w * r2.col_target / cm.csum AS w, row_target, col_target
+  FROM r2 JOIN (SELECT lang, sum(w) AS csum FROM r2 GROUP BY lang) cm
+    USING (lang)
+),
+final_rm AS (
+  SELECT source, row_target, sum(w) AS rsum FROM c2
+  GROUP BY source, row_target
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM c2) AS n_cells,
+       round(max(abs(rsum - row_target)), 6) AS max_row_error,
+       (SELECT round(sum(w * w), 6) FROM c2) AS weight_sq_sum
+FROM final_rm
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -21368,6 +21646,8 @@ QUERIES_TD = {
     "eb_shrinkage": q_eb_shrinkage,
     "neyman_allocation": q_neyman_allocation,
     "kish_ess": q_kish_ess,
+    "logrank_test": q_logrank_test,
+    "ipf_raking": q_ipf_raking,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -21616,6 +21896,8 @@ ORACLES_TD = {
     "eb_shrinkage": SQL_EB_SHRINKAGE,
     "neyman_allocation": SQL_NEYMAN_ALLOCATION,
     "kish_ess": SQL_KISH_ESS,
+    "logrank_test": SQL_LOGRANK_TEST,
+    "ipf_raking": SQL_IPF_RAKING,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
