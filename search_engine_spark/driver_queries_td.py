@@ -21489,6 +21489,257 @@ FROM final_rm
 """
 
 
+# --------------------------------------------------------------------------
+# Bond percolation census (the random-FAILURE complement to
+# hub_knockout's targeted attack; Callaway et al. 2000): delete each
+# undirected edge iff the first hex digit of md5("a_b") is >= '8' — a
+# deterministic, engine-portable 50% coin (invariant 2) — and census
+# the surviving components. Spark runs the exact star-contraction CC;
+# the oracle replays bounded min-label propagation (the hub_knockout
+# discipline). The intact-graph census lives in hub_knockout's
+# 'before' phase — this pair reports the percolated side.
+# --------------------------------------------------------------------------
+def q_edge_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.dedup import connected_components
+
+    docs, edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("source_doc_id", "target_doc_id").alias("id_a"),
+            F.greatest("source_doc_id", "target_doc_id").alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    coin = F.substring(
+        F.md5(
+            F.concat(
+                F.col("id_a").cast("string"),
+                F.lit("_"),
+                F.col("id_b").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    kept = und.filter(coin < F.lit("8")).localCheckpoint(eager=True)
+    n_all = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_kept = kept.agg(F.count(F.lit(1)).cast("long").alias("kept_edges"))
+    comp = connected_components(kept, nodes=docs, id_col="doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("largest_component"),
+            F.sum("sz").cast("long").alias("n_nodes"),
+        )
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(n_kept))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "kept_edges",
+            "n_components",
+            "largest_component",
+            F.round(
+                F.col("largest_component").cast("double")
+                / F.col("n_nodes").cast("double"),
+                6,
+            ).alias("giant_fraction"),
+        )
+    )
+
+
+SQL_EDGE_PERCOLATION = f"""
+WITH RECURSIVE {_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(source_doc_id, target_doc_id) AS id_a,
+                  greatest(source_doc_id, target_doc_id) AS id_b
+  FROM edges
+),
+kept AS (
+  SELECT * FROM und
+  WHERE substring(md5(CAST(id_a AS VARCHAR) || '_'
+                      || CAST(id_b AS VARCHAR)), 1, 1) < '8'
+),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+nk AS (SELECT CAST(count(*) AS BIGINT) AS kept_edges FROM kept),
+msgs AS (
+  SELECT id_a AS src, id_b AS dst FROM kept
+  UNION ALL SELECT id_b, id_a FROM kept
+  UNION ALL SELECT doc_id, doc_id FROM documents
+),
+lp AS (
+  SELECT 0 AS iter, doc_id AS node, doc_id AS lbl FROM documents
+  UNION ALL
+  SELECT lp.iter + 1, m.dst, min(lp.lbl)
+  FROM lp JOIN msgs m ON m.src = lp.node
+  WHERE lp.iter < {KNOCKOUT_LP_ROUNDS}
+  GROUP BY 1, 2
+),
+comp AS (
+  SELECT node, lbl AS component FROM lp WHERE iter = {KNOCKOUT_LP_ROUNDS}
+),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS sz
+  FROM comp GROUP BY component
+),
+census AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_components,
+         CAST(max(sz) AS BIGINT) AS largest_component,
+         CAST(sum(sz) AS BIGINT) AS n_nodes
+  FROM sizes
+)
+SELECT n_nodes, n_edges, kept_edges, n_components, largest_component,
+       round(CAST(largest_component AS DOUBLE) / CAST(n_nodes AS DOUBLE),
+             6) AS giant_fraction
+FROM census, na, nk
+"""
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013 — the
+# experimentation-platform standard): adjust each user's post-period
+# conversion by theta * (pre-period activity - mean), theta = cov/var
+# from the pooled pre-period, and report how much variance the
+# adjustment removes from the treatment-effect estimate. Pre/post split
+# at the exact midpoint; all sufficient statistics are sums of exact
+# integers (counts) and their products.
+# --------------------------------------------------------------------------
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.floor(ntz_epoch_us(F.col("ts")) / F.lit(US_PER_DAY_DIV))
+        .cast("long")
+        .alias("day"),
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (fixed6_long(F.col("value")) > AB_CONV_VALUE6),
+            1,
+        )
+        .otherwise(0)
+        .alias("big"),
+    )
+    rng = ev.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    users = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.max(
+                F.when(
+                    (F.col("day") > F.col("mid")) & (F.col("big") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    ).localCheckpoint(eager=True)
+    agg = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    var_x = F.col("sxx").cast("double") / nd - mx * mx
+    var_y = F.col("syy").cast("double") / nd - my * my
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    theta = cov / var_x
+    var_adj = var_y - cov * cov / var_x
+    return agg.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(var_y, 6).alias("var_raw"),
+        F.round(var_adj, 6).alias("var_cuped"),
+        F.round(F.lit(1.0) - var_adj / var_y, 6).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+SQL_CUPED_ADJUSTMENT = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {US_PER_DAY_DIV} AS day,
+         CASE WHEN event_type = 'purchase'
+                   AND CAST(round(value * 1000000.0) AS BIGINT)
+                       > {AB_CONV_VALUE6}
+              THEN 1 ELSE 0 END AS big
+  FROM events
+),
+rng AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+users AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS x,
+         CAST(max(CASE WHEN day > mid AND big = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM ev, rng GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM users
+)
+SELECT n,
+       round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         AS theta,
+       round(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS var_raw,
+       round(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             - (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         AS var_cuped,
+       round(1.0
+             - (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                - (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+               / (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         AS variance_reduction
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -21648,6 +21899,8 @@ QUERIES_TD = {
     "kish_ess": q_kish_ess,
     "logrank_test": q_logrank_test,
     "ipf_raking": q_ipf_raking,
+    "edge_percolation": q_edge_percolation,
+    "cuped_adjustment": q_cuped_adjustment,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -21898,6 +22151,8 @@ ORACLES_TD = {
     "kish_ess": SQL_KISH_ESS,
     "logrank_test": SQL_LOGRANK_TEST,
     "ipf_raking": SQL_IPF_RAKING,
+    "edge_percolation": SQL_EDGE_PERCOLATION,
+    "cuped_adjustment": SQL_CUPED_ADJUSTMENT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
