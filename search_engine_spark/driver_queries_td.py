@@ -21740,6 +21740,223 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Offered load report (Little's law quantities, Erlang's A = lambda*W):
+# over the event_sessions bounds, total session-time / observation
+# window = time-average concurrent sessions (Erlangs), arrival rate per
+# hour, and mean session duration. All three from exact integer
+# epoch-us sums; Little's identity holds exactly by construction and
+# the pair verifies the bookkeeping.
+# --------------------------------------------------------------------------
+def q_offered_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.withColumn("_us", ntz_epoch_us(F.col("ts")))
+    gap = F.col("_us") - F.lag("_us").over(w_user)
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("_brk", is_break)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w_user.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("_us").alias("st"),
+            F.max("_us").alias("en"),
+        )
+    )
+    agg = sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("en") - F.col("st")).cast("long").alias("busy_us"),
+        F.min("st").cast("long").alias("t0"),
+        F.max("en").cast("long").alias("t1"),
+    )
+    window_us = (F.col("t1") - F.col("t0")).cast("double")
+    erlangs = F.col("busy_us").cast("double") / window_us
+    return agg.select(
+        "n_sessions",
+        F.round(window_us / F.lit(3_600_000_000.0), 6).alias(
+            "window_hours"
+        ),
+        F.round(erlangs, 6).alias("offered_load_erlangs"),
+        F.round(
+            F.col("n_sessions").cast("double")
+            / (window_us / F.lit(3_600_000_000.0)),
+            6,
+        ).alias("arrivals_per_hour"),
+        F.round(
+            F.col("busy_us").cast("double")
+            / F.col("n_sessions").cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mean_session_s"),
+    )
+
+
+SQL_OFFERED_LOAD = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq,
+         us
+  FROM marked
+),
+bounds AS (
+  SELECT CAST(min(us) AS BIGINT) AS st, CAST(max(us) AS BIGINT) AS en
+  FROM sessions GROUP BY user_id, session_seq
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(en - st) AS BIGINT) AS busy_us,
+         CAST(min(st) AS BIGINT) AS t0, CAST(max(en) AS BIGINT) AS t1
+  FROM bounds
+)
+SELECT n_sessions,
+       round(CAST(t1 - t0 AS DOUBLE) / CAST('3600000000.0' AS DOUBLE), 6)
+         AS window_hours,
+       round(CAST(busy_us AS DOUBLE) / CAST(t1 - t0 AS DOUBLE), 6)
+         AS offered_load_erlangs,
+       round(CAST(n_sessions AS DOUBLE)
+             / (CAST(t1 - t0 AS DOUBLE) / CAST('3600000000.0' AS DOUBLE)),
+             6) AS arrivals_per_hour,
+       round(CAST(busy_us AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+             / CAST('1000000.0' AS DOUBLE), 6) AS mean_session_s
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Erlang-B blocking table (Erlang 1917 — capacity planning from the
+# offered load the previous pair measures): B(k, a) = (a^k/k!) /
+# sum_{j<=k} a^j/j! for k = 1..10 servers, with a = the measured
+# offered load. Factorials are EXACT BIGINT literals inlined on both
+# sides (10! fits easily); a^j goes through pow on both engines — a
+# 1-ulp libm divergence lands ~9 orders below the round-6 grid of a
+# probability.
+# --------------------------------------------------------------------------
+_FACTORIALS = [1]
+for _j in range(1, 11):
+    _FACTORIALS.append(_FACTORIALS[-1] * _j)
+_FACT_SQL = ",\n    ".join(
+    f"({j}, CAST({_FACTORIALS[j]} AS BIGINT))" for j in range(11)
+)
+
+
+def q_erlang_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.withColumn("_us", ntz_epoch_us(F.col("ts")))
+    gap = F.col("_us") - F.lag("_us").over(w_user)
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("_brk", is_break)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w_user.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("_us").alias("st"), F.max("_us").alias("en"))
+    )
+    load = sessions.agg(
+        (
+            F.sum(F.col("en") - F.col("st")).cast("double")
+            / (F.max("en") - F.min("st")).cast("double")
+        ).alias("a")
+    )
+    facts = spark.createDataFrame(
+        [(j, _FACTORIALS[j]) for j in range(11)], "j long, fact long"
+    )
+    terms = facts.crossJoin(F.broadcast(load)).select(
+        "j",
+        (
+            F.pow(F.col("a"), F.col("j").cast("double"))
+            / F.col("fact").cast("double")
+        ).alias("t"),
+        "a",
+    )
+    wcum = Window.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = terms.select(
+        "j", "t", "a", F.sum("t").over(wcum).alias("csum")
+    ).filter(F.col("j") >= 1)
+    return cum.select(
+        F.col("j").alias("servers"),
+        F.round("a", 6).alias("offered_load"),
+        F.round(F.col("t") / F.col("csum"), 6).alias("blocking_prob"),
+    ).orderBy("servers")
+
+
+SQL_ERLANG_B = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq,
+         us
+  FROM marked
+),
+bounds AS (
+  SELECT CAST(min(us) AS BIGINT) AS st, CAST(max(us) AS BIGINT) AS en
+  FROM sessions GROUP BY user_id, session_seq
+),
+load AS (
+  SELECT CAST(sum(en - st) AS DOUBLE)
+           / CAST(max(en) - min(st) AS DOUBLE) AS a
+  FROM bounds
+),
+facts (j, fact) AS (
+  VALUES {_FACT_SQL}
+),
+terms AS (
+  SELECT j, power(a, CAST(j AS DOUBLE)) / CAST(fact AS DOUBLE) AS t, a
+  FROM facts, load
+),
+cum AS (
+  SELECT j, t, a,
+         sum(t) OVER (ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+  FROM terms
+)
+SELECT j AS servers, round(a, 6) AS offered_load,
+       round(t / csum, 6) AS blocking_prob
+FROM cum WHERE j >= 1
+ORDER BY servers
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -21901,6 +22118,8 @@ QUERIES_TD = {
     "ipf_raking": q_ipf_raking,
     "edge_percolation": q_edge_percolation,
     "cuped_adjustment": q_cuped_adjustment,
+    "offered_load": q_offered_load,
+    "erlang_b": q_erlang_b,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -22153,6 +22372,8 @@ ORACLES_TD = {
     "ipf_raking": SQL_IPF_RAKING,
     "edge_percolation": SQL_EDGE_PERCOLATION,
     "cuped_adjustment": SQL_CUPED_ADJUSTMENT,
+    "offered_load": SQL_OFFERED_LOAD,
+    "erlang_b": SQL_ERLANG_B,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
