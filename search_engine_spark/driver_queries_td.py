@@ -21957,6 +21957,200 @@ ORDER BY servers
 """
 
 
+# --------------------------------------------------------------------------
+# Content-defined chunking audit (the LBFS/restic boundary scheme,
+# Muthitacharoen et al. 2001): a chunk boundary falls wherever the md5
+# of the 8-char gram starting at that position begins with hex '0'
+# (P=1/16 → ~16-char mean chunks) — the shift-resistant storage-dedup
+# split the fixed-block schemes can't give you. Grams stream map-side
+# (one row per position, the winnowing shape); boundary counts and
+# chunk statistics are exact integers.
+# --------------------------------------------------------------------------
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.length("t").cast("long").alias("len"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(t) - 7, 0)),"
+                " i -> substring(t, i, 8))"
+            )
+        ).alias("g"),
+    )
+    marks = grams.select(
+        "doc_id",
+        "len",
+        F.when(F.substring(F.md5("g"), 1, 1) == "0", 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    per_doc = marks.groupBy("doc_id", "len").agg(
+        F.sum("b").cast("long").alias("boundaries")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("len").cast("long").alias("total_chars"),
+        F.sum("boundaries").cast("long").alias("total_boundaries"),
+        F.round(
+            F.sum("len").cast("double")
+            / (F.sum("boundaries") + F.count(F.lit(1))).cast("double"),
+            6,
+        ).alias("mean_chunk_chars"),
+        F.max("boundaries").cast("long").alias("max_boundaries"),
+    )
+
+
+SQL_CDC_CHUNKING = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS len,
+         substring(t, i, 8) AS g
+  FROM docs, unnest(range(1, greatest(length(t) - 6, 1))) AS u(i)
+),
+marks AS (
+  SELECT doc_id, len,
+         CASE WHEN substring(md5(g), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+  FROM grams
+),
+per_doc AS (
+  SELECT doc_id, len, CAST(sum(b) AS BIGINT) AS boundaries
+  FROM marks GROUP BY doc_id, len
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len) AS BIGINT) AS total_chars,
+       CAST(sum(boundaries) AS BIGINT) AS total_boundaries,
+       round(CAST(sum(len) AS DOUBLE)
+             / CAST(sum(boundaries) + count(*) AS DOUBLE), 6)
+         AS mean_chunk_chars,
+       CAST(max(boundaries) AS BIGINT) AS max_boundaries
+FROM per_doc
+"""
+
+
+# --------------------------------------------------------------------------
+# Session burstiness (Goh & Barabasi 2008's B = (sigma - mu)/(sigma +
+# mu) on inter-session gaps): B -> -1 for periodic, 0 for Poisson, +1
+# for extreme bursts — the named summary of whether users return on a
+# schedule. Per-user gap moments are exact integer (n, Σ, Σx²) triples
+# in minutes; B per user (≥3 sessions) and the corpus mean/quartiles.
+# --------------------------------------------------------------------------
+def q_session_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.withColumn("_us", ntz_epoch_us(F.col("ts")))
+    gap = F.col("_us") - F.lag("_us").over(w_user)
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    starts = (
+        ev.withColumn("_brk", is_break)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w_user.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("_us").cast("long").alias("st"))
+    )
+    ws = Window.partitionBy("user_id").orderBy("st")
+    gaps = starts.select(
+        "user_id",
+        (
+            (F.col("st") - F.lag("st").over(ws))
+            / F.lit(60_000_000)
+        )
+        .cast("long")
+        .alias("gap_min"),
+    ).filter(F.col("gap_min").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_min").cast("long").alias("s"),
+        F.sum(F.col("gap_min") * F.col("gap_min")).cast("long").alias("ss"),
+    ).filter(F.col("n") >= 3)
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - nd * mu * mu) / (nd - F.lit(1.0))
+    )
+    b = (sd - mu) / (sd + mu)
+    scored = per_user.select(F.round(b, 6).alias("b"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("b") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "mean_b"
+        ),
+        F.round(F.expr("percentile(b, 0.25D)"), 6).alias("p25_b"),
+        F.round(F.expr("percentile(b, 0.75D)"), 6).alias("p75_b"),
+    )
+
+
+SQL_SESSION_BURSTINESS = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq,
+         us
+  FROM marked
+),
+starts AS (
+  SELECT user_id, CAST(min(us) AS BIGINT) AS st
+  FROM sessions GROUP BY user_id, session_seq
+),
+gaps AS (
+  SELECT user_id,
+         CAST((st - lag(st) OVER (PARTITION BY user_id ORDER BY st))
+              // 60000000 AS BIGINT) AS gap_min
+  FROM starts
+  QUALIFY gap_min IS NOT NULL
+),
+per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap_min) AS BIGINT) AS s,
+         CAST(sum(gap_min * gap_min) AS BIGINT) AS ss
+  FROM gaps GROUP BY user_id
+  HAVING count(*) >= 3
+),
+scored AS (
+  SELECT round((sqrt((CAST(ss AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(n AS DOUBLE) - 1.0))
+                - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / (sqrt((CAST(ss AS DOUBLE)
+                        - CAST(n AS DOUBLE)
+                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / (CAST(n AS DOUBLE) - 1.0))
+                  + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS b
+  FROM per_user
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(b) / CAST(count(*) AS DOUBLE), 6) AS mean_b,
+       round(quantile_cont(b, 0.25), 6) AS p25_b,
+       round(quantile_cont(b, 0.75), 6) AS p75_b
+FROM scored
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -22120,6 +22314,8 @@ QUERIES_TD = {
     "cuped_adjustment": q_cuped_adjustment,
     "offered_load": q_offered_load,
     "erlang_b": q_erlang_b,
+    "cdc_chunking": q_cdc_chunking,
+    "session_burstiness": q_session_burstiness,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -22374,6 +22570,8 @@ ORACLES_TD = {
     "cuped_adjustment": SQL_CUPED_ADJUSTMENT,
     "offered_load": SQL_OFFERED_LOAD,
     "erlang_b": SQL_ERLANG_B,
+    "cdc_chunking": SQL_CDC_CHUNKING,
+    "session_burstiness": SQL_SESSION_BURSTINESS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
