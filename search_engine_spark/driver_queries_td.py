@@ -22151,6 +22151,270 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled range (Hurst 1951; Mandelbrot & Wallis
+# 1969's R/S analysis): daily revenue split into non-overlapping blocks
+# of 16/32/64/128 days; per block, R = range of cumulative deviations
+# from the block mean, S = block sd, and H = the OLS slope of
+# ln(mean R/S) on ln(block size) over the four sizes. Per-block work is
+# an ORDERED cumulative window inside bounded blocks; the 4-point OLS
+# is closed-form. H≈0.5 is a random walk, >0.5 persistent.
+# --------------------------------------------------------------------------
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    wt = Window.orderBy("day")
+    idx = daily.select(
+        "rev", (F.row_number().over(wt) - 1).cast("long").alias("t")
+    )
+    sizes = spark.createDataFrame(
+        [(16,), (32,), (64,), (128,)], "m long"
+    )
+    blocks = idx.crossJoin(F.broadcast(sizes)).select(
+        "m",
+        F.expr("t div m").alias("blk"),
+        "t",
+        "rev",
+    )
+    # block stats first (mean, sd from exact sums)
+    bstat = blocks.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("bn"),
+        F.sum("rev").cast("long").alias("bs"),
+        F.sum(
+            F.col("rev").cast("double") * F.col("rev").cast("double")
+        ).alias("bss"),
+    ).filter(F.col("bn") == F.col("m"))
+    bmean = F.col("bs").cast("double") / F.col("bn").cast("double")
+    bvar = (F.col("bss") - F.col("bn").cast("double") * bmean * bmean) / (
+        F.col("bn").cast("double") - F.lit(1.0)
+    )
+    bstat = bstat.select(
+        "m", "blk", bmean.alias("mu"), F.sqrt(bvar).alias("sd")
+    )
+    wcum = (
+        Window.partitionBy("m", "blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        blocks.join(bstat, ["m", "blk"])
+        .select(
+            "m",
+            "blk",
+            "sd",
+            F.sum(F.col("rev").cast("double") - F.col("mu"))
+            .over(wcum)
+            .alias("c"),
+        )
+    )
+    rs = cum.groupBy("m", "blk", "sd").agg(
+        (F.max("c") - F.min("c")).alias("r")
+    ).filter(F.col("sd") > 0)
+    per_m = rs.groupBy("m").agg(
+        F.sum(F.col("r") / F.col("sd")).alias("rs_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    ).select(
+        "m",
+        "n_blocks",
+        F.log(
+            F.col("rs_sum") / F.col("n_blocks").cast("double")
+        ).alias("y"),
+        F.log(F.col("m").cast("double")).alias("x"),
+    )
+    ols = per_m.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return ols.select(
+        F.col("k").alias("n_sizes"),
+        F.round(slope, 6).alias("hurst_h"),
+    )
+
+
+SQL_HURST_EXPONENT = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+  FROM daily
+),
+sizes AS (SELECT CAST(unnest([16, 32, 64, 128]) AS BIGINT) AS m),
+blocks AS (
+  SELECT m, t // m AS blk, t, rev FROM idx, sizes
+),
+bstat AS (
+  SELECT m, blk,
+         CAST(sum(rev) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+         sqrt((sum(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE))
+               - CAST(count(*) AS DOUBLE)
+                 * (CAST(sum(rev) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                 * (CAST(sum(rev) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+              / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd
+  FROM blocks GROUP BY m, blk
+  HAVING count(*) = max(m)
+),
+cum AS (
+  SELECT b.m, b.blk, s.sd,
+         sum(CAST(b.rev AS DOUBLE) - s.mu)
+           OVER (PARTITION BY b.m, b.blk ORDER BY b.t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM blocks b JOIN bstat s USING (m, blk)
+),
+rs AS (
+  SELECT m, blk, sd, max(c) - min(c) AS r
+  FROM cum GROUP BY m, blk, sd
+  HAVING sd > 0
+),
+per_m AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+         ln(sum(r / sd) / CAST(count(*) AS DOUBLE)) AS y,
+         ln(CAST(m AS DOUBLE)) AS x
+  FROM rs GROUP BY m
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM per_m
+)
+SELECT k AS n_sizes,
+       round((CAST(k AS DOUBLE) * sxy - sx * sy)
+             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS hurst_h
+FROM ols
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-K membership churn (the ops dashboard behind "are our heavy users
+# the same people week over week?"): per consecutive week pair, the
+# Jaccard overlap of the top-10 users by event count (row_number with
+# user tiebreak — exact integers). Weekly top-10s are bounded, the
+# consecutive-week self-join is bounded, and every overlap count is an
+# exact integer.
+# --------------------------------------------------------------------------
+def q_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    wk = (
+        events.select(
+            (
+                F.floor(
+                    ntz_epoch_us(F.col("ts")) / F.lit(US_PER_DAY_DIV)
+                ).cast("long")
+                / 7
+            )
+            .cast("long")
+            .alias("week"),
+            "user_id",
+        )
+        .groupBy("week", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wr = Window.partitionBy("week").orderBy(
+        F.col("c").desc(), F.col("user_id").asc()
+    )
+    top = wk.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= 10
+    ).select("week", "user_id").localCheckpoint(eager=True)
+    a, b = top.alias("a"), top.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.week") == F.col("a.week") + 1)
+            & (F.col("a.user_id") == F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    sizes = top.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    nxt = sizes.select(
+        (F.col("week") - 1).alias("week"), F.col("k").alias("k_next")
+    )
+    pairs = (
+        sizes.join(nxt, "week")
+        .join(inter, "week", "left")
+        .select(
+            "week",
+            "k",
+            "k_next",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+        )
+    )
+    return pairs.select(
+        "week",
+        "overlap",
+        F.round(
+            F.col("overlap").cast("double")
+            / (F.col("k") + F.col("k_next") - F.col("overlap")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+    ).orderBy("week")
+
+
+SQL_TOPK_CHURN = f"""
+WITH wk AS (
+  SELECT (epoch_us(ts) // {US_PER_DAY_DIV}) // 7 AS week, user_id,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+top AS (
+  SELECT week, user_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY week
+               ORDER BY c DESC, user_id ASC) AS rn
+    FROM wk)
+  WHERE rn <= 10
+),
+inter AS (
+  SELECT a.week, CAST(count(*) AS BIGINT) AS overlap
+  FROM top a JOIN top b
+    ON b.week = a.week + 1 AND a.user_id = b.user_id
+  GROUP BY a.week
+),
+sizes AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS k FROM top GROUP BY week
+),
+pairs AS (
+  SELECT s.week, s.k, n.k AS k_next,
+         CAST(coalesce(i.overlap, 0) AS BIGINT) AS overlap
+  FROM sizes s
+  JOIN sizes n ON n.week = s.week + 1
+  LEFT JOIN inter i ON i.week = s.week
+)
+SELECT week, overlap,
+       round(CAST(overlap AS DOUBLE)
+             / CAST(k + k_next - overlap AS DOUBLE), 6) AS jaccard
+FROM pairs
+ORDER BY week
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -22316,6 +22580,8 @@ QUERIES_TD = {
     "erlang_b": q_erlang_b,
     "cdc_chunking": q_cdc_chunking,
     "session_burstiness": q_session_burstiness,
+    "hurst_exponent": q_hurst_exponent,
+    "topk_churn": q_topk_churn,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -22572,6 +22838,8 @@ ORACLES_TD = {
     "erlang_b": SQL_ERLANG_B,
     "cdc_chunking": SQL_CDC_CHUNKING,
     "session_burstiness": SQL_SESSION_BURSTINESS,
+    "hurst_exponent": SQL_HURST_EXPONENT,
+    "topk_churn": SQL_TOPK_CHURN,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
