@@ -22415,6 +22415,200 @@ ORDER BY week
 """
 
 
+# --------------------------------------------------------------------------
+# Price-volume-mix bridge (the FP&A revenue decomposition): between the
+# two halves of the ship timeline, per-brand ΔRevenue splits EXACTLY
+# into price effect (Δp·q1), volume effect (p1·Δq) and the cross term
+# (Δp·Δq), summed over brands. Quantities and fixed6 revenues are exact
+# integers; unit prices are their ratios; the identity total = price +
+# volume + cross is verified by construction on both engines.
+# --------------------------------------------------------------------------
+def q_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            ntz_epoch_us(F.col("l_shipdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("l_quantity").cast("long").alias("q"),
+        fixed6_long(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("r6"),
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rng = li.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    cells = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .crossJoin(F.broadcast(rng))
+        .groupBy(
+            "p_brand",
+            (F.col("day") > F.col("mid")).alias("is_post"),
+        )
+        .agg(
+            F.sum("q").cast("long").alias("qty"),
+            F.sum("r6").cast("long").alias("rev6"),
+        )
+    )
+    h1 = cells.filter(~F.col("is_post")).select(
+        "p_brand",
+        F.col("qty").alias("q1"),
+        F.col("rev6").alias("r1"),
+    )
+    h2 = cells.filter(F.col("is_post")).select(
+        "p_brand",
+        F.col("qty").alias("q2"),
+        F.col("rev6").alias("r2"),
+    )
+    j = h1.join(h2, "p_brand", "inner")
+    p1 = F.col("r1").cast("double") / F.col("q1").cast("double")
+    p2 = F.col("r2").cast("double") / F.col("q2").cast("double")
+    dq = (F.col("q2") - F.col("q1")).cast("double")
+    dp = p2 - p1
+    eff = j.select(
+        (dp * F.col("q1").cast("double")).alias("price_eff"),
+        (p1 * dq).alias("vol_eff"),
+        (dp * dq).alias("cross_eff"),
+        (F.col("r2") - F.col("r1")).cast("double").alias("delta"),
+    )
+    agg = eff.agg(
+        F.sum("delta").alias("d"),
+        F.sum("price_eff").alias("pe"),
+        F.sum("vol_eff").alias("ve"),
+        F.sum("cross_eff").alias("ce"),
+    )
+    m = F.lit(1_000_000.0)
+    return agg.select(
+        F.round(F.col("d") / m, 6).alias("total_delta"),
+        F.round(F.col("pe") / m, 6).alias("price_effect"),
+        F.round(F.col("ve") / m, 6).alias("volume_effect"),
+        F.round(F.col("ce") / m, 6).alias("cross_effect"),
+    )
+
+
+SQL_PVM_BRIDGE = f"""
+WITH li AS (
+  SELECT l_partkey, epoch_us(l_shipdate) // {US_PER_DAY_DIV} AS day,
+         CAST(l_quantity AS BIGINT) AS q,
+         {SQL_FIXED6_LONG.format(
+             col="l_extendedprice * (1.0 - l_discount)")} AS r6
+  FROM lineitem
+),
+rng AS (SELECT (min(day) + max(day)) // 2 AS mid FROM li),
+cells AS (
+  SELECT p.p_brand, li.day > rng.mid AS is_post,
+         CAST(sum(li.q) AS BIGINT) AS qty,
+         CAST(sum(li.r6) AS BIGINT) AS rev6
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey, rng
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT h1.p_brand, h1.qty AS q1, h1.rev6 AS r1,
+         h2.qty AS q2, h2.rev6 AS r2
+  FROM (SELECT * FROM cells WHERE NOT is_post) h1
+  JOIN (SELECT * FROM cells WHERE is_post) h2 USING (p_brand)
+),
+eff AS (
+  SELECT (CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+          - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+           * CAST(q1 AS DOUBLE) AS price_eff,
+         (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+           * CAST(q2 - q1 AS DOUBLE) AS vol_eff,
+         (CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+          - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+           * CAST(q2 - q1 AS DOUBLE) AS cross_eff,
+         CAST(r2 - r1 AS DOUBLE) AS delta
+  FROM j
+)
+SELECT round(sum(delta) / CAST('1000000.0' AS DOUBLE), 6) AS total_delta,
+       round(sum(price_eff) / CAST('1000000.0' AS DOUBLE), 6)
+         AS price_effect,
+       round(sum(vol_eff) / CAST('1000000.0' AS DOUBLE), 6)
+         AS volume_effect,
+       round(sum(cross_eff) / CAST('1000000.0' AS DOUBLE), 6)
+         AS cross_effect
+FROM eff
+"""
+
+
+# --------------------------------------------------------------------------
+# Rolling order backlog (aging report under an assumed 7-day fulfillment
+# SLA): open orders at day t = orders placed in (t-7, t], computed with
+# a RANGE-frame window over the daily counts — pure integers; reports
+# the peak backlog with its day (exact tie-break) and the mean.
+# --------------------------------------------------------------------------
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day")
+    )
+    daily = orders.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    backlog = daily.select(
+        "day", F.sum("c").over(w).cast("long").alias("open_orders")
+    ).localCheckpoint(eager=True)
+    pick = Window.orderBy(
+        F.col("open_orders").desc(), F.col("day").asc()
+    )
+    best = backlog.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    stats = backlog.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("open_orders").cast("long").alias("s"),
+    )
+    return best.crossJoin(F.broadcast(stats)).select(
+        "n_days",
+        F.col("day").alias("peak_day"),
+        F.col("open_orders").alias("peak_backlog"),
+        F.round(
+            F.col("s").cast("double") / F.col("n_days").cast("double"), 6
+        ).alias("mean_backlog"),
+    )
+
+
+SQL_ORDER_BACKLOG = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+backlog AS (
+  SELECT day,
+         CAST(sum(c) OVER (ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS open_orders
+  FROM daily
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY open_orders DESC, day ASC)
+           AS rn
+    FROM backlog)
+  WHERE rn = 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(open_orders) AS BIGINT) AS s
+  FROM backlog
+)
+SELECT n_days, day AS peak_day, open_orders AS peak_backlog,
+       round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         AS mean_backlog
+FROM best, stats
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -22582,6 +22776,8 @@ QUERIES_TD = {
     "session_burstiness": q_session_burstiness,
     "hurst_exponent": q_hurst_exponent,
     "topk_churn": q_topk_churn,
+    "pvm_bridge": q_pvm_bridge,
+    "order_backlog": q_order_backlog,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -22840,6 +23036,8 @@ ORACLES_TD = {
     "session_burstiness": SQL_SESSION_BURSTINESS,
     "hurst_exponent": SQL_HURST_EXPONENT,
     "topk_churn": SQL_TOPK_CHURN,
+    "pvm_bridge": SQL_PVM_BRIDGE,
+    "order_backlog": SQL_ORDER_BACKLOG,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
