@@ -22609,6 +22609,253 @@ FROM best, stats
 """
 
 
+# --------------------------------------------------------------------------
+# ABC-XYZ inventory matrix (the planning-policy grid: Pareto revenue
+# class x demand-variability class): ABC from the EXACT integer
+# cumulative-share thresholds (cum·100 vs total·80/95 — the
+# abc_analysis discipline), XYZ from the daily-demand CV (X ≤ 0.5,
+# Y ≤ 1.0, else Z; CV from exact integer moment triples). Census of the
+# nine cells with per-cell revenue share.
+# --------------------------------------------------------------------------
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            ntz_epoch_us(F.col("l_shipdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("l_quantity").cast("long").alias("q"),
+        fixed6_long(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("r6"),
+    )
+    daily = li.groupBy("l_partkey", "day").agg(
+        F.sum("q").cast("long").alias("d"),
+        F.sum("r6").cast("long").alias("rv"),
+    ).localCheckpoint(eager=True)
+    per_part = daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+        F.sum("rv").cast("long").alias("rev6"),
+    )
+    wc = Window.orderBy(F.col("rev6").desc(), F.col("l_partkey").asc())
+    tot = per_part.agg(F.sum("rev6").cast("long").alias("t6"))
+    cum = per_part.select(
+        "l_partkey",
+        "nd",
+        "s",
+        "ss",
+        "rev6",
+        F.sum("rev6").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("cum6"),
+    ).crossJoin(F.broadcast(tot))
+    abc = (
+        F.when(F.col("cum6") * 100 <= F.col("t6") * 80, F.lit("A"))
+        .when(F.col("cum6") * 100 <= F.col("t6") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    ndd = F.col("nd").cast("double")
+    mu = F.col("s").cast("double") / ndd
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - ndd * mu * mu)
+        / (ndd - F.lit(1.0))
+    )
+    cv = sd / mu
+    xyz = (
+        F.when(F.col("nd") < 2, F.lit("Z"))
+        .when(cv <= 0.5, F.lit("X"))
+        .when(cv <= 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    classed = cum.select(
+        abc.alias("abc"), xyz.alias("xyz"), "rev6", "t6"
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                F.sum("rev6").cast("double")
+                / F.max("t6").cast("double"),
+                6,
+            ).alias("rev_share"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+SQL_ABC_XYZ = f"""
+WITH li AS (
+  SELECT l_partkey, epoch_us(l_shipdate) // {US_PER_DAY_DIV} AS day,
+         CAST(l_quantity AS BIGINT) AS q,
+         {SQL_FIXED6_LONG.format(
+             col="l_extendedprice * (1.0 - l_discount)")} AS r6
+  FROM lineitem
+),
+daily AS (
+  SELECT l_partkey, day, CAST(sum(q) AS BIGINT) AS d,
+         CAST(sum(r6) AS BIGINT) AS rv
+  FROM li GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(d) AS BIGINT) AS s,
+         CAST(sum(d * d) AS BIGINT) AS ss,
+         CAST(sum(rv) AS BIGINT) AS rev6
+  FROM daily GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(rev6) AS BIGINT) AS t6 FROM per_part),
+cum AS (
+  SELECT *,
+         CAST(sum(rev6) OVER (ORDER BY rev6 DESC, l_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum6
+  FROM per_part
+),
+classed AS (
+  SELECT CASE WHEN cum6 * 100 <= t6 * 80 THEN 'A'
+              WHEN cum6 * 100 <= t6 * 95 THEN 'B'
+              ELSE 'C' END AS abc,
+         CASE WHEN nd < 2 THEN 'Z'
+              WHEN sqrt((CAST(ss AS DOUBLE)
+                         - CAST(nd AS DOUBLE)
+                           * (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)))
+                        / (CAST(nd AS DOUBLE) - 1.0))
+                   / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) <= 0.5
+              THEN 'X'
+              WHEN sqrt((CAST(ss AS DOUBLE)
+                         - CAST(nd AS DOUBLE)
+                           * (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)))
+                        / (CAST(nd AS DOUBLE) - 1.0))
+                   / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) <= 1.0
+              THEN 'Y' ELSE 'Z' END AS xyz,
+         rev6, t6
+  FROM cum, tot
+)
+SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(rev6) AS DOUBLE) / CAST(max(t6) AS DOUBLE), 6)
+         AS rev_share
+FROM classed
+GROUP BY abc, xyz
+ORDER BY abc, xyz
+"""
+
+
+# --------------------------------------------------------------------------
+# Source-profile similarity (corpus forensics: which sources share a
+# vocabulary distribution — the source-level cousin of the doc-level
+# sparse-cosine pair): per-source term-count vectors over the bounded
+# vocabulary, pairwise dot products as EXACT BIGINT sums (integer
+# counts), cosine normalized once per pair; top-10 most similar pairs
+# with a (source_a, source_b) tiebreak on the rounded grid.
+# --------------------------------------------------------------------------
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _read(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+        ).alias("term"),
+    )
+    vec = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    norms = vec.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
+    )
+    na = norms.select(
+        F.col("source").alias("sa"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("source").alias("sb"), F.col("n2").alias("nb2")
+    )
+    scored = (
+        dots.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            "sa",
+            "sb",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    pick = Window.orderBy(
+        F.col("cosine").desc(), F.col("sa").asc(), F.col("sb").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= 10)
+        .select("sa", "sb", "dot", "cosine")
+        .orderBy("sa", "sb")
+    )
+
+
+SQL_SOURCE_SIMILARITY = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+vec AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, term
+),
+norms AS (
+  SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM vec GROUP BY source
+),
+dots AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM vec a JOIN vec b
+    ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+scored AS (
+  SELECT sa, sb, dot,
+         round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE))
+                  * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+  FROM dots
+  JOIN norms na ON na.source = dots.sa
+  JOIN norms nb ON nb.source = dots.sb
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY cosine DESC, sa ASC, sb ASC)
+           AS rn
+    FROM scored)
+  WHERE rn <= 10
+)
+SELECT sa, sb, dot, cosine FROM top
+ORDER BY sa, sb
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -22778,6 +23025,8 @@ QUERIES_TD = {
     "topk_churn": q_topk_churn,
     "pvm_bridge": q_pvm_bridge,
     "order_backlog": q_order_backlog,
+    "abc_xyz": q_abc_xyz,
+    "source_similarity": q_source_similarity,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -23038,6 +23287,8 @@ ORACLES_TD = {
     "topk_churn": SQL_TOPK_CHURN,
     "pvm_bridge": SQL_PVM_BRIDGE,
     "order_backlog": SQL_ORDER_BACKLOG,
+    "abc_xyz": SQL_ABC_XYZ,
+    "source_similarity": SQL_SOURCE_SIMILARITY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
