@@ -22856,6 +22856,249 @@ ORDER BY sa, sb
 """
 
 
+# --------------------------------------------------------------------------
+# Kingman G/G/1 waiting-time approximation (Kingman 1961: W ≈
+# rho/(1-rho) · (ca² + cs²)/2 · E[s]) — the capacity-planning estimate
+# composed from measured session statistics: rho = offered load,
+# ca² = squared CV of inter-arrival gaps (session starts, global
+# order), cs² = squared CV of session durations. Every moment comes
+# from exact integer epoch-us sums.
+# --------------------------------------------------------------------------
+def q_kingman_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.withColumn("_us", ntz_epoch_us(F.col("ts")))
+    gap = F.col("_us") - F.lag("_us").over(w_user)
+    is_break = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("_brk", is_break)
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w_user.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("_us").cast("long").alias("st"),
+             F.max("_us").cast("long").alias("en"))
+        .localCheckpoint(eager=True)
+    )
+    wg = Window.orderBy("st", "user_id")
+    arr = sessions.select(
+        (F.col("st") - F.lag("st").over(wg)).alias("ia")
+    ).filter(F.col("ia").isNotNull())
+    ia = arr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ia").cast("long").alias("s"),
+        F.sum(F.col("ia").cast("double") * F.col("ia").cast("double"))
+        .alias("ss"),
+    )
+    dur = sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("en") - F.col("st")).cast("long").alias("ds"),
+        F.sum(
+            (F.col("en") - F.col("st")).cast("double")
+            * (F.col("en") - F.col("st")).cast("double")
+        ).alias("dss"),
+        F.min("st").cast("long").alias("t0"),
+        F.max("en").cast("long").alias("t1"),
+    )
+
+    def cv2(n, s, ss):
+        nd = n.cast("double")
+        mu = s.cast("double") / nd
+        var = (ss - nd * mu * mu) / (nd - F.lit(1.0))
+        return var / (mu * mu)
+
+    j = ia.crossJoin(F.broadcast(dur))
+    rho = F.col("ds").cast("double") / (
+        F.col("t1") - F.col("t0")
+    ).cast("double")
+    ca2 = cv2(F.col("n"), F.col("s"), F.col("ss"))
+    cs2 = cv2(F.col("m"), F.col("ds"), F.col("dss"))
+    es = F.col("ds").cast("double") / F.col("m").cast("double")
+    wait_us = (
+        rho / (F.lit(1.0) - rho) * (ca2 + cs2) / F.lit(2.0) * es
+    )
+    return j.select(
+        F.round(rho, 6).alias("rho"),
+        F.round(ca2, 6).alias("ca2"),
+        F.round(cs2, 6).alias("cs2"),
+        F.round(es / F.lit(1_000_000.0), 6).alias("mean_service_s"),
+        F.round(wait_us / F.lit(1_000_000.0), 6).alias(
+            "kingman_wait_s"
+        ),
+    )
+
+
+SQL_KINGMAN_WAIT = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq,
+         us
+  FROM marked
+),
+bounds AS (
+  SELECT user_id, CAST(min(us) AS BIGINT) AS st,
+         CAST(max(us) AS BIGINT) AS en
+  FROM sessions GROUP BY user_id, session_seq
+),
+arr AS (
+  SELECT st - lag(st) OVER (ORDER BY st, user_id) AS ia FROM bounds
+  QUALIFY ia IS NOT NULL
+),
+ia AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ia) AS BIGINT) AS s,
+         sum(CAST(ia AS DOUBLE) * CAST(ia AS DOUBLE)) AS ss
+  FROM arr
+),
+dur AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(en - st) AS BIGINT) AS ds,
+         sum(CAST(en - st AS DOUBLE) * CAST(en - st AS DOUBLE)) AS dss,
+         CAST(min(st) AS BIGINT) AS t0, CAST(max(en) AS BIGINT) AS t1
+  FROM bounds
+)
+SELECT round(CAST(ds AS DOUBLE) / CAST(t1 - t0 AS DOUBLE), 6) AS rho,
+       round(((ss - CAST(n AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 1.0))
+             / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS ca2,
+       round(((dss - CAST(m AS DOUBLE)
+                     * (CAST(ds AS DOUBLE) / CAST(m AS DOUBLE))
+                     * (CAST(ds AS DOUBLE) / CAST(m AS DOUBLE)))
+              / (CAST(m AS DOUBLE) - 1.0))
+             / ((CAST(ds AS DOUBLE) / CAST(m AS DOUBLE))
+                * (CAST(ds AS DOUBLE) / CAST(m AS DOUBLE))), 6) AS cs2,
+       round(CAST(ds AS DOUBLE) / CAST(m AS DOUBLE)
+             / CAST('1000000.0' AS DOUBLE), 6) AS mean_service_s,
+       round((CAST(ds AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+             / (1.0 - CAST(ds AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+             * (((ss - CAST(n AS DOUBLE)
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) - 1.0))
+                / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                + ((dss - CAST(m AS DOUBLE)
+                          * (CAST(ds AS DOUBLE) / CAST(m AS DOUBLE))
+                          * (CAST(ds AS DOUBLE) / CAST(m AS DOUBLE)))
+                   / (CAST(m AS DOUBLE) - 1.0))
+                  / ((CAST(ds AS DOUBLE) / CAST(m AS DOUBLE))
+                     * (CAST(ds AS DOUBLE) / CAST(m AS DOUBLE)))) / 2.0
+             * (CAST(ds AS DOUBLE) / CAST(m AS DOUBLE))
+             / CAST('1000000.0' AS DOUBLE), 6) AS kingman_wait_s
+FROM ia, dur
+"""
+
+
+# --------------------------------------------------------------------------
+# Daily event-mix anomaly days (Jensen-Shannon divergence of each day's
+# event-type distribution against the corpus mix — the day-level
+# anomaly sweep complementing events_anomaly's per-bucket z-scores):
+# all distributions are exact-integer count ratios, the JS sum runs
+# over the bounded |types| support per day, and the top-5 days rank on
+# the rounded divergence with a day tiebreak.
+# --------------------------------------------------------------------------
+def q_daily_mix_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    cells = events.select(
+        F.floor(ntz_epoch_us(F.col("ts")) / F.lit(US_PER_DAY_DIV))
+        .cast("long")
+        .alias("day"),
+        "event_type",
+    ).groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    day_tot = cells.groupBy("day").agg(
+        F.sum("c").cast("long").alias("dn")
+    )
+    glob = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("gc")
+    )
+    gtot = glob.agg(F.sum("gc").cast("long").alias("gn"))
+    j = (
+        cells.join(F.broadcast(day_tot), "day")
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(gtot))
+    )
+    p = F.col("c").cast("double") / F.col("dn").cast("double")
+    q = F.col("gc").cast("double") / F.col("gn").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        p * F.log(p / m) + q * F.log(q / m)
+    ) / F.lit(2.0)
+    per_day = j.select("day", "dn", term.alias("t")).groupBy(
+        "day", "dn"
+    ).agg(F.round(F.sum("t"), 6).alias("js"))
+    pick = Window.orderBy(F.col("js").desc(), F.col("day").asc())
+    return (
+        per_day.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= 5)
+        .select("day", F.col("dn").alias("n_events"), "js")
+        .orderBy("day")
+    )
+
+
+SQL_DAILY_MIX_ANOMALY = f"""
+WITH cells AS (
+  SELECT epoch_us(ts) // {US_PER_DAY_DIV} AS day, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+day_tot AS (
+  SELECT day, CAST(sum(c) AS BIGINT) AS dn FROM cells GROUP BY day
+),
+gmix AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS gc
+  FROM cells GROUP BY event_type
+),
+gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM gmix),
+per_day AS (
+  SELECT day, dn,
+         round(sum((CAST(c AS DOUBLE) / CAST(dn AS DOUBLE)
+                    * ln((CAST(c AS DOUBLE) / CAST(dn AS DOUBLE))
+                         / ((CAST(c AS DOUBLE) / CAST(dn AS DOUBLE)
+                             + CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE))
+                            / 2.0))
+                    + CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE)
+                      * ln((CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE))
+                           / ((CAST(c AS DOUBLE) / CAST(dn AS DOUBLE)
+                               + CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE))
+                              / 2.0))) / 2.0), 6) AS js
+  FROM cells
+  JOIN day_tot USING (day)
+  JOIN gmix USING (event_type), gtot
+  GROUP BY day, dn
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY js DESC, day ASC) AS rn
+    FROM per_day)
+  WHERE rn <= 5
+)
+SELECT day, dn AS n_events, js FROM top
+ORDER BY day
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -23027,6 +23270,8 @@ QUERIES_TD = {
     "order_backlog": q_order_backlog,
     "abc_xyz": q_abc_xyz,
     "source_similarity": q_source_similarity,
+    "kingman_wait": q_kingman_wait,
+    "daily_mix_anomaly": q_daily_mix_anomaly,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -23289,6 +23534,8 @@ ORACLES_TD = {
     "order_backlog": SQL_ORDER_BACKLOG,
     "abc_xyz": SQL_ABC_XYZ,
     "source_similarity": SQL_SOURCE_SIMILARITY,
+    "kingman_wait": SQL_KINGMAN_WAIT,
+    "daily_mix_anomaly": SQL_DAILY_MIX_ANOMALY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
