@@ -23099,6 +23099,253 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# Yule's characteristic K per language (Yule 1944, "The Statistical Study
+# of Literary Vocabulary"): K = 10^4 * (sum_m m^2*V_m - N) / N^2, where
+# V_m is the count of types occurring exactly m times — so sum_m m^2*V_m
+# is simply sum(c^2) over the per-(lang, term) frequency spectrum. The
+# shape is the term_stats skew discipline: (lang, term) partial counts
+# first (map-side combine absorbs the Zipf head), then a bounded per-lang
+# rollup of exact BIGINT moments; the only division is the final K,
+# rounded 6. Completes the richness family next to ttr/entropy
+# (lexical_diversity), Heaps' law, Chao1 and Simpson.
+# --------------------------------------------------------------------------
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = tf.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return per.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.lit(10000.0)
+            * (F.col("s2") - F.col("n_tokens")).cast("double")
+            / (nd * nd),
+            6,
+        ).alias("yule_k"),
+    ).orderBy("lang")
+
+
+SQL_YULE_K = f"""
+WITH tf AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT lang,
+           unnest(regexp_extract_all(lower(text), '{WORD_RUN}')) AS term
+    FROM documents
+  ) GROUP BY lang, term
+),
+per AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM tf GROUP BY lang
+)
+SELECT lang, n_tokens, n_types,
+       round(10000.0 * CAST(s2 - n_tokens AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+             6) AS yule_k
+FROM per
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Expected Reciprocal Rank at 10 (Chapelle et al. 2009, CIKM) over the
+# NDCG_QUERIES graded rankings — the cascade-model companion to ndcg_eval.
+# With grades g in {1,2,3}, R_r = (2^g - 1)/8 is an exact rational, so
+# the whole cascade sum ERR = sum_r (1/r) R_r prod_{i<r}(1 - R_i) is
+# computed in EXACT BIGINT arithmetic over the common denominator
+# D = 2520 * 8^10: the stop-probability numerators (8 - 2^g + ... ) take
+# values {7,5,1}, so the running product is 7^a * 5^b looked up from
+# prior-rank grade counts (window sums of indicators — no float pow, no
+# exp/ln, nothing libm-dependent). One double divide at the end, round 6.
+# --------------------------------------------------------------------------
+ERR_DENOM = 2520 * 8**NDCG_K
+# (2520/r) * 8^(10-r) for rank r, and 7^a / 5^b lookup tables — all exact
+_ERR_WP = {r: (2520 // r) * 8 ** (NDCG_K - r) for r in range(1, NDCG_K + 1)}
+_POW7 = {i: 7**i for i in range(NDCG_K)}
+_POW5 = {i: 5**i for i in range(NDCG_K)}
+
+
+def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    n_df = scalar_count(docs.select("doc_id"))
+    wp_map = F.create_map(
+        *[F.lit(x) for r, w in _ERR_WP.items() for x in (r, w)]
+    )
+    p7_map = F.create_map(
+        *[F.lit(x) for i, p in _POW7.items() for x in (i, p)]
+    )
+    p5_map = F.create_map(
+        *[F.lit(x) for i, p in _POW5.items() for x in (i, p)]
+    )
+    out = None
+    for qid, terms in sorted(NDCG_QUERIES.items()):
+        qtoks = toks.filter(F.col("term").isin(*terms))
+        tf = qtoks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        dfd = F.col("doc_frequency").cast("double")
+        idf6 = (
+            doc_frequencies(qtoks)
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "term",
+                F.round(
+                    F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                    * F.lit(1000000.0),
+                    0,
+                )
+                .cast("long")
+                .alias("idf6"),
+            )
+        )
+        per_doc = tf.join(F.broadcast(idf6), "term").groupBy("doc_id").agg(
+            F.sum(F.col("tf") * F.col("idf6")).cast("long").alias("score6"),
+            F.count(F.lit(1)).cast("long").alias("grade"),
+        )
+        rw = Window.orderBy(F.desc("score6"), F.asc("doc_id"))
+        top = (
+            per_doc.withColumn("r", F.row_number().over(rw))
+            .filter(F.col("r") <= NDCG_K)
+            .select("r", "grade")
+        )
+        wprior = Window.orderBy("r").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        pri = top.select(
+            "r",
+            "grade",
+            F.coalesce(
+                F.sum((F.col("grade") == 1).cast("long")).over(wprior),
+                F.lit(0),
+            ).alias("a"),
+            F.coalesce(
+                F.sum((F.col("grade") == 2).cast("long")).over(wprior),
+                F.lit(0),
+            ).alias("b"),
+        )
+        n_r = (
+            F.when(F.col("grade") == 1, 1)
+            .when(F.col("grade") == 2, 3)
+            .otherwise(7)
+            .cast("long")
+        )
+        term_col = (
+            n_r
+            * p7_map[F.col("a").cast("int")].cast("long")
+            * p5_map[F.col("b").cast("int")].cast("long")
+            * wp_map[F.col("r")].cast("long")
+        )
+        row = pri.agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.coalesce(F.sum(term_col), F.lit(0))
+            .cast("long")
+            .alias("_s"),
+        ).select(
+            F.lit(qid).alias("qid"),
+            "n_ranked",
+            F.round(
+                F.col("_s").cast("double") / F.lit(float(ERR_DENOM)), 6
+            ).alias("err"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _err_sql() -> str:
+    wp_case = " ".join(f"WHEN {r} THEN {w}" for r, w in _ERR_WP.items())
+    p7_case = " ".join(f"WHEN {i} THEN {p}" for i, p in _POW7.items())
+    p5_case = " ".join(f"WHEN {i} THEN {p}" for i, p in _POW5.items())
+    blocks = []
+    for qid, terms in sorted(NDCG_QUERIES.items()):
+        tl = ", ".join(f"'{t}'" for t in terms)
+        blocks.append(f"""SELECT * FROM (
+  WITH qt AS (
+    SELECT doc_id, term FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+      FROM documents
+    ) WHERE term IN ({tl})
+  ),
+  n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+  tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM qt GROUP BY 1, 2
+  ),
+  idf6 AS (
+    SELECT term,
+           CAST(round(ln((n.n - count(DISTINCT doc_id) + 0.5)
+                         / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                      * 1000000.0) AS BIGINT) AS idf6
+    FROM qt, n GROUP BY term, n.n
+  ),
+  per_doc AS (
+    SELECT doc_id, CAST(sum(tf * idf6) AS BIGINT) AS score6,
+           CAST(count(*) AS BIGINT) AS grade
+    FROM tf JOIN idf6 USING (term) GROUP BY doc_id
+  ),
+  top AS (
+    SELECT grade,
+           row_number() OVER (ORDER BY score6 DESC, doc_id) AS r
+    FROM per_doc ORDER BY score6 DESC, doc_id LIMIT {NDCG_K}
+  ),
+  pri AS (
+    SELECT r, grade,
+           CAST(COALESCE(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS a,
+           CAST(COALESCE(sum(CASE WHEN grade = 2 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS b
+    FROM top
+  ),
+  terms AS (
+    SELECT CAST(CASE grade WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
+                AS BIGINT)
+           * CAST(CASE a {p7_case} END AS BIGINT)
+           * CAST(CASE b {p5_case} END AS BIGINT)
+           * CAST(CASE r {wp_case} END AS BIGINT) AS term
+    FROM pri
+  ),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+           CAST(COALESCE(sum(term), 0) AS BIGINT) AS s
+    FROM terms
+  )
+  SELECT '{qid}' AS qid, n_ranked,
+         round(CAST(s AS DOUBLE) / CAST({ERR_DENOM} AS DOUBLE), 6) AS err
+  FROM agg
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+SQL_ERR_EVAL = _err_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -23272,6 +23519,8 @@ QUERIES_TD = {
     "source_similarity": q_source_similarity,
     "kingman_wait": q_kingman_wait,
     "daily_mix_anomaly": q_daily_mix_anomaly,
+    "yule_k": q_yule_k,
+    "err_eval": q_err_eval,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -23536,6 +23785,8 @@ ORACLES_TD = {
     "source_similarity": SQL_SOURCE_SIMILARITY,
     "kingman_wait": SQL_KINGMAN_WAIT,
     "daily_mix_anomaly": SQL_DAILY_MIX_ANOMALY,
+    "yule_k": SQL_YULE_K,
+    "err_eval": SQL_ERR_EVAL,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
