@@ -23346,6 +23346,253 @@ def _err_sql() -> str:
 SQL_ERR_EVAL = _err_sql()
 
 
+# --------------------------------------------------------------------------
+# DFR PL2 top-20 (Amati & van Rijsbergen 2002, divergence-from-randomness
+# with Poisson model, Laplace after-effect, length normalization 2 at
+# c=1; Stirling 1/(12 tfn) correction as in Terrier) — the third classic
+# ranker next to bm25_topk and ql_topk over the same query terms. The
+# whole score is multiplied by ln 2 (reported in nats), which turns every
+# log2 into ln and the log2(e) coefficient into exactly 1 — no pow, no
+# log2, only ln on identical doubles plus the two shortest-repr literal
+# constants ln 2 and ln 2π (invariant 1: strings CAST AS DOUBLE in the
+# oracle). Per-(doc, term) contributions are rounded to fixed6 BIGINTs
+# and summed exactly (invariant 4); top-20 orders on the integer sum.
+# --------------------------------------------------------------------------
+LN2_STR = repr(math.log(2.0))
+LN2PI_STR = repr(math.log(2.0 * math.pi))
+
+
+def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    avgdl_df = dl.agg(F.avg(F.col("dl").cast("double")).alias("_avgdl"))
+    n_df = scalar_count(docs)
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    ctf = qtoks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("ctf")
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    ln2 = F.lit(math.log(2.0))
+    ln2pi = F.lit(math.log(2.0 * math.pi))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    lam = F.col("ctf").cast("double") / F.col("_n")
+    tfn = tfd * F.log(F.lit(1.0) + F.col("_avgdl") / dld) / ln2
+    contrib = (F.lit(1.0) / (tfn + F.lit(1.0))) * (
+        tfn * (F.log(tfn) - F.log(lam))
+        + (lam + F.lit(1.0) / (F.lit(12.0) * tfn) - tfn)
+        + F.lit(0.5) * (F.log(tfn) + ln2pi)
+    )
+    c6 = F.round(contrib * F.lit(1000000.0), 0).cast("long")
+    return (
+        tf.join(F.broadcast(ctf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .crossJoin(F.broadcast(n_df))
+        .select("doc_id", c6.alias("c6"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c6").cast("long").alias("_s6"),
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        )
+        .orderBy(F.desc("_s6"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.round(F.col("_s6") / F.lit(1000000.0), 6).alias("pl2_score"),
+            "matched_terms",
+        )
+    )
+
+
+def _pl2_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    ln2 = f"CAST('{LN2_STR}' AS DOUBLE)"
+    ln2pi = f"CAST('{LN2PI_STR}' AS DOUBLE)"
+    tfn = (
+        f"(CAST(tf AS DOUBLE) * ln(1.0 + avgdl / CAST(dl AS DOUBLE))"
+        f" / {ln2})"
+    )
+    lam = "(CAST(ctf AS DOUBLE) / n)"
+    contrib = (
+        f"(1.0 / ({tfn} + 1.0)) * ({tfn} * (ln({tfn}) - ln({lam}))"
+        f" + ({lam} + 1.0 / (12.0 * {tfn}) - {tfn})"
+        f" + 0.5 * (ln({tfn}) + {ln2pi}))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+qt AS (SELECT doc_id, term FROM toks WHERE term IN ({terms})),
+ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM qt GROUP BY term),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM qt GROUP BY 1, 2
+),
+con AS (
+  SELECT tf.doc_id,
+         CAST(round({contrib} * 1000000.0) AS BIGINT) AS c6
+  FROM tf
+  JOIN ctf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, avgdl, n
+)
+SELECT doc_id,
+       round(CAST(sum(c6) AS BIGINT) / 1000000.0, 6) AS pl2_score,
+       CAST(count(*) AS BIGINT) AS matched_terms
+FROM con GROUP BY doc_id
+ORDER BY CAST(sum(c6) AS BIGINT) DESC, doc_id
+LIMIT 20
+"""
+
+
+SQL_PL2_TOPK = _pl2_sql()
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation of daily revenue at lags 1-3 via the
+# Durbin-Levinson recursion on per-lag Pearson autocorrelations (the
+# Yule-Walker PACF an AR-order diagnostic reads) — completes the serial
+# family next to traffic_autocorr (raw ACF), durbin_watson and the
+# periodogram. The series is the exact integer daily revenue in whole
+# currency units (cents DIV 100 — integer division, no float rounding);
+# per-lag correlations come from exact BIGINT moment sums over the
+# bounded lag self-join, and the recursion's double arithmetic is
+# spelled identically in both engines (identical inputs -> identical
+# IEEE results). Only the six outputs round to 6.
+# --------------------------------------------------------------------------
+PACF_LAGS = (1, 2, 3)
+
+
+def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) DIV 100").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    lags = F.explode(F.array(*[F.lit(x) for x in PACF_LAGS])).alias("lag")
+    a = daily.select("day", F.col("x"), lags)
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("y"))
+    pairs = a.join(b, F.col("d2") == F.col("day") - F.col("lag").cast("long"))
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [
+        F.col(c).cast("double") for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    ]
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    wide = stats.select("lag", r.alias("r")).groupBy().agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"_r{k}")
+            for k in PACF_LAGS
+        ]
+    )
+    r1, r2, r3 = F.col("_r1"), F.col("_r2"), F.col("_r3")
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    lvl2 = wide.select(
+        "_r1", "_r2", "_r3", phi22.alias("_phi22"),
+        (r1 - phi22 * r1).alias("_phi21"),
+    )
+    p21, p22 = F.col("_phi21"), F.col("_phi22")
+    phi33 = (r3 - p21 * r2 - p22 * r1) / (
+        F.lit(1.0) - p21 * r1 - p22 * r2
+    )
+    return (
+        lvl2.crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.round(r1, 6).alias("r1"),
+            F.round(r2, 6).alias("r2"),
+            F.round(r3, 6).alias("r3"),
+            F.round(p22, 6).alias("pacf2"),
+            F.round(phi33, 6).alias("pacf3"),
+        )
+    )
+
+
+SQL_PACF_DAILY = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           // 100 AS x
+  FROM orders GROUP BY 1
+),
+n_days AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+pairs AS (
+  SELECT l.lag, a.x AS x, b.x AS y
+  FROM daily a, (SELECT unnest([{", ".join(str(k) for k in PACF_LAGS)}]) AS lag) l
+  JOIN daily b ON b.day = a.day - l.lag
+),
+stats AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+),
+rs AS (
+  SELECT lag,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+  FROM stats
+),
+wide AS (
+  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+         max(CASE WHEN lag = 2 THEN r END) AS r2,
+         max(CASE WHEN lag = 3 THEN r END) AS r3
+  FROM rs
+),
+lvl2 AS (
+  SELECT r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22,
+         r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1 AS phi21
+  FROM wide
+)
+SELECT n_days,
+       round(r1, 6) AS r1, round(r2, 6) AS r2, round(r3, 6) AS r3,
+       round(phi22, 6) AS pacf2,
+       round((r3 - phi21 * r2 - phi22 * r1)
+             / (1.0 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+FROM lvl2, n_days
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -23521,6 +23768,8 @@ QUERIES_TD = {
     "daily_mix_anomaly": q_daily_mix_anomaly,
     "yule_k": q_yule_k,
     "err_eval": q_err_eval,
+    "pl2_topk": q_pl2_topk,
+    "pacf_daily": q_pacf_daily,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -23787,6 +24036,8 @@ ORACLES_TD = {
     "daily_mix_anomaly": SQL_DAILY_MIX_ANOMALY,
     "yule_k": SQL_YULE_K,
     "err_eval": SQL_ERR_EVAL,
+    "pl2_topk": SQL_PL2_TOPK,
+    "pacf_daily": SQL_PACF_DAILY,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
