@@ -23593,6 +23593,285 @@ FROM lvl2, n_days
 """
 
 
+# --------------------------------------------------------------------------
+# SALSA authority/hub scores (Lempel & Moran 2001, "stochastic approach
+# for link-structure analysis") over the same synthetic link graph as
+# pagerank/hits_scores — via the paper's CLOSED FORM instead of power
+# iteration: each chain's stationary probability is
+# (|C|/|side|) * (deg(i) / sum_{j in C} deg(j)), where C is the node's
+# connected component in the co-hub (resp. co-authority) graph. So the
+# whole computation is exact integers: degrees from distinct edges,
+# components from the scale-safe star trick (every target links to its
+# hub's MIN target — linear edges, identical components to the quadratic
+# co-citation graph), one divide at the end. Spark reuses the
+# large-star/small-star contraction (training_data.dedup); the oracle
+# replays closure over the same star edges recursively.
+# --------------------------------------------------------------------------
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, edges = _edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+
+    def side(deg_key: str, star_key: str, label: str) -> DataFrame:
+        deg = (
+            edges.groupBy(deg_key)
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .withColumnRenamed(deg_key, "doc_id")
+        )
+        kmin = edges.groupBy(star_key).agg(F.min(deg_key).alias("_m"))
+        star = edges.join(kmin, star_key).select(
+            F.col(deg_key).alias("id_a"), F.col("_m").alias("id_b")
+        )
+        comps = D.connected_components(star, nodes=deg.select("doc_id"))
+        n_side = scalar_count(deg, as_double=False)
+        stat = (
+            deg.join(comps, "doc_id")
+            .groupBy("component")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("comp_size"),
+                F.sum("deg").cast("long").alias("cdeg"),
+            )
+        )
+        return (
+            deg.join(comps, "doc_id")
+            .join(F.broadcast(stat), "component")
+            .crossJoin(F.broadcast(n_side))
+            .select(
+                F.lit(label).alias("side"),
+                "doc_id",
+                "deg",
+                "comp_size",
+                F.round(
+                    (F.col("comp_size") * F.col("deg")).cast("double")
+                    / (F.col("_n") * F.col("cdeg")).cast("double"),
+                    6,
+                ).alias("salsa"),
+            )
+        )
+
+    return (
+        side("target_doc_id", "source_doc_id", "authority")
+        .unionByName(side("source_doc_id", "target_doc_id", "hub"))
+        .orderBy("side", F.desc("salsa"), F.asc("doc_id"))
+    )
+
+
+def _salsa_side_sql(deg_key: str, star_key: str, label: str, tag: str) -> str:
+    return f"""
+deg_{tag} AS (
+  SELECT {deg_key} AS doc_id, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1
+),
+kmin_{tag} AS (
+  SELECT {star_key}, min({deg_key}) AS m FROM edges GROUP BY 1
+),
+star_{tag} AS (
+  SELECT DISTINCT e.{deg_key} AS src, k.m AS dst
+  FROM edges e JOIN kmin_{tag} k USING ({star_key})
+  WHERE e.{deg_key} <> k.m
+  UNION
+  SELECT DISTINCT k.m, e.{deg_key}
+  FROM edges e JOIN kmin_{tag} k USING ({star_key})
+  WHERE e.{deg_key} <> k.m
+),
+reach_{tag} AS (
+  SELECT src AS node, dst AS peer FROM star_{tag}
+  UNION
+  SELECT r.node, e.dst FROM reach_{tag} r JOIN star_{tag} e ON e.src = r.peer
+),
+comp_{tag} AS (
+  SELECT d.doc_id,
+         COALESCE(least(d.doc_id, r.mn), d.doc_id) AS component
+  FROM deg_{tag} d
+  LEFT JOIN (SELECT node, min(peer) AS mn FROM reach_{tag} GROUP BY node) r
+    ON r.node = d.doc_id
+),
+stat_{tag} AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS comp_size,
+         CAST(sum(deg) AS BIGINT) AS cdeg
+  FROM comp_{tag} JOIN deg_{tag} USING (doc_id)
+  GROUP BY component
+),
+n_{tag} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg_{tag}),
+out_{tag} AS (
+  SELECT '{label}' AS side, d.doc_id, d.deg, s.comp_size,
+         round(CAST(s.comp_size * d.deg AS DOUBLE)
+               / CAST(n_{tag}.n * s.cdeg AS DOUBLE), 6) AS salsa
+  FROM deg_{tag} d
+  JOIN comp_{tag} c USING (doc_id)
+  JOIN stat_{tag} s ON s.component = c.component, n_{tag}
+)
+"""
+
+
+SQL_SALSA_SCORES = f"""
+WITH RECURSIVE {_EDGES_CTE},
+{_salsa_side_sql("target_doc_id", "source_doc_id", "authority", "a")},
+{_salsa_side_sql("source_doc_id", "target_doc_id", "hub", "h")}
+SELECT * FROM out_a
+UNION ALL
+SELECT * FROM out_h
+"""
+
+
+# --------------------------------------------------------------------------
+# Croston's method for intermittent demand (Croston 1972) with the
+# Syntetos-Boylan approximation correction — the forecasting companion to
+# safety_stock/reorder_interval/abc_xyz for sparse series, over the 10
+# parts with the most demand days. Demand sizes (exact fixed6 daily
+# quantity) and inter-demand intervals (exact day gaps) are smoothed with
+# recency weights alpha*(1-alpha)^k over the last 20 demand epochs; the
+# weights are precomputed ONCE in Python, scaled to 1e7 integers and
+# inlined as identical literals on both sides (pow is 1-ulp and differs
+# between Java and C libm — the ewma_control lesson), so every smoothed
+# numerator/denominator is an exact BIGINT; the rate is one double
+# divide, and SBA multiplies by CAST('0.9' AS DOUBLE).
+# --------------------------------------------------------------------------
+CROSTON_ALPHA = 0.2
+CROSTON_K = 20
+CROSTON_PARTS = 10
+# alpha*(1-alpha)^k scaled to integer 1e7 units, k = 0 (most recent) ..
+_CROSTON_W7 = [
+    int(round(CROSTON_ALPHA * (1.0 - CROSTON_ALPHA) ** k * 1e7))
+    for k in range(CROSTON_K)
+]
+
+
+def q_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.floor(
+            ntz_epoch_us(F.col("l_shipdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        fixed6_long(F.col("l_quantity")).alias("q6"),
+    )
+    demand = (
+        li.groupBy("partkey", "day")
+        .agg(F.sum("q6").cast("long").alias("q6"))
+        .localCheckpoint(eager=True)
+    )
+    cnt = demand.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand_days")
+    )
+    wtop = Window.orderBy(F.desc("n_demand_days"), F.asc("partkey"))
+    top = (
+        cnt.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= CROSTON_PARTS)
+        .select("partkey", "n_demand_days")
+    )
+    d = demand.join(F.broadcast(top.select("partkey")), "partkey")
+    wpart = Window.partitionBy("partkey").orderBy("day")
+    wrec = Window.partitionBy("partkey").orderBy(F.desc("day"))
+    warr = F.array(*[F.lit(w) for w in _CROSTON_W7])
+    sized = (
+        d.withColumn("gap", F.col("day") - F.lag("day").over(wpart))
+        .withColumn("k", F.row_number().over(wrec) - 1)
+        .filter(F.col("k") < CROSTON_K)
+        .withColumn("w", F.element_at(warr, F.col("k") + 1).cast("long"))
+    )
+    zagg = sized.groupBy("partkey").agg(
+        F.sum(F.col("w") * F.col("q6")).cast("long").alias("swq"),
+        F.sum("w").cast("long").alias("swz"),
+    )
+    ints = sized.filter(F.col("gap").isNotNull()).withColumn(
+        "ki", F.row_number().over(wrec) - 1
+    )
+    iagg = ints.groupBy("partkey").agg(
+        F.sum(F.element_at(warr, F.col("ki") + 1).cast("long") * F.col("gap"))
+        .cast("long")
+        .alias("swg"),
+        F.sum(F.element_at(warr, F.col("ki") + 1).cast("long"))
+        .cast("long")
+        .alias("swp"),
+    )
+    z_hat = F.col("swq").cast("double") / F.col("swz").cast("double") / F.lit(
+        1000000.0
+    )
+    p_hat = F.col("swg").cast("double") / F.col("swp").cast("double")
+    rate = (F.col("swq").cast("double") * F.col("swp").cast("double")) / (
+        F.col("swz").cast("double") * F.col("swg").cast("double")
+    ) / F.lit(1000000.0)
+    return (
+        top.join(zagg, "partkey")
+        .join(iagg, "partkey")
+        .select(
+            "partkey",
+            "n_demand_days",
+            F.round(z_hat, 6).alias("z_hat"),
+            F.round(p_hat, 6).alias("p_hat_days"),
+            F.round(rate, 6).alias("croston_rate"),
+            F.round(rate * F.lit(0.9), 6).alias("sba_rate"),
+        )
+        .orderBy("partkey")
+    )
+
+
+def _croston_sql() -> str:
+    wvals = ",\n    ".join(f"({k}, {w})" for k, w in enumerate(_CROSTON_W7))
+    return f"""
+WITH w AS (SELECT * FROM (VALUES {wvals}) AS t(k, w)),
+demand AS (
+  SELECT l_partkey AS partkey, epoch_us(l_shipdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum({SQL_FIXED6_LONG.format(col="l_quantity")}) AS BIGINT) AS q6
+  FROM lineitem GROUP BY 1, 2
+),
+cnt AS (
+  SELECT partkey, CAST(count(*) AS BIGINT) AS n_demand_days
+  FROM demand GROUP BY partkey
+),
+top AS (
+  SELECT partkey, n_demand_days FROM (
+    SELECT *, row_number()
+        OVER (ORDER BY n_demand_days DESC, partkey) AS rn
+    FROM cnt)
+  WHERE rn <= {CROSTON_PARTS}
+),
+sized AS (
+  SELECT d.partkey, d.q6,
+         d.day - lag(d.day) OVER (PARTITION BY d.partkey ORDER BY d.day)
+           AS gap,
+         row_number()
+           OVER (PARTITION BY d.partkey ORDER BY d.day DESC) - 1 AS k
+  FROM demand d JOIN top USING (partkey)
+),
+recent AS (SELECT * FROM sized WHERE k < {CROSTON_K}),
+zagg AS (
+  SELECT partkey, CAST(sum(w.w * q6) AS BIGINT) AS swq,
+         CAST(sum(w.w) AS BIGINT) AS swz
+  FROM recent JOIN w ON w.k = recent.k
+  GROUP BY partkey
+),
+ints AS (
+  SELECT partkey, gap,
+         row_number()
+           OVER (PARTITION BY partkey ORDER BY k) - 1 AS ki
+  FROM recent WHERE gap IS NOT NULL
+),
+iagg AS (
+  SELECT partkey, CAST(sum(w.w * gap) AS BIGINT) AS swg,
+         CAST(sum(w.w) AS BIGINT) AS swp
+  FROM ints JOIN w ON w.k = ints.ki
+  GROUP BY partkey
+)
+SELECT t.partkey, t.n_demand_days,
+       round(CAST(swq AS DOUBLE) / CAST(swz AS DOUBLE) / 1000000.0, 6)
+         AS z_hat,
+       round(CAST(swg AS DOUBLE) / CAST(swp AS DOUBLE), 6) AS p_hat_days,
+       round((CAST(swq AS DOUBLE) * CAST(swp AS DOUBLE))
+             / (CAST(swz AS DOUBLE) * CAST(swg AS DOUBLE)) / 1000000.0, 6)
+         AS croston_rate,
+       round((CAST(swq AS DOUBLE) * CAST(swp AS DOUBLE))
+             / (CAST(swz AS DOUBLE) * CAST(swg AS DOUBLE)) / 1000000.0
+             * CAST('0.9' AS DOUBLE), 6) AS sba_rate
+FROM top t JOIN zagg USING (partkey) JOIN iagg USING (partkey)
+ORDER BY partkey
+"""
+
+
+SQL_CROSTON_DEMAND = _croston_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -23770,6 +24049,8 @@ QUERIES_TD = {
     "err_eval": q_err_eval,
     "pl2_topk": q_pl2_topk,
     "pacf_daily": q_pacf_daily,
+    "salsa_scores": q_salsa_scores,
+    "croston_demand": q_croston_demand,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -24038,6 +24319,8 @@ ORACLES_TD = {
     "err_eval": SQL_ERR_EVAL,
     "pl2_topk": SQL_PL2_TOPK,
     "pacf_daily": SQL_PACF_DAILY,
+    "salsa_scores": SQL_SALSA_SCORES,
+    "croston_demand": SQL_CROSTON_DEMAND,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
