@@ -1755,6 +1755,99 @@ FROM s, unnest(range(0, n, {CHUNK_STRIDE})) AS t(start)
 """
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (subword tokens per word under the
+# trained BPE) — the metric a multilingual-tokenizer audit reads to spot
+# languages the vocabulary underserves (fertility ~1 = well covered,
+# high fertility = words shatter into many pieces). Trains the SAME
+# 8-merge BPE as bpe_merges on the full corpus, then applies the rules to
+# the per-(lang, word) vocabulary with the identical literal-replace
+# chain on both sides; subword counts weight by exact word frequencies,
+# so fertility is one divide of BIGINTs rounded 6. Segmenting the
+# VOCABULARY (not the token stream) is the scale shape: cost is |vocab|,
+# not corpus length, and the rejoin key (lang, word) is uniform.
+# ---------------------------------------------------------------------------
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = B.train_bpe_merges(docs, num_merges=BPE_MERGES_K)
+    rules = B._merge_rules(merges)
+    words = F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RUN}', 0)")
+    perword = (
+        docs.select("lang", F.explode(words).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    enc = F.regexp_replace("word", "(.)", r"|$1|")
+    for lhs, rhs in rules:
+        enc = F.replace(
+            enc, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|")
+        )
+    n_sub = F.size(
+        F.split(F.btrim(enc, F.lit("|")), r"\|\|")
+    ).cast("long")
+    return (
+        perword.select("lang", "freq", n_sub.alias("n_sub"))
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_sub"))
+            .cast("long")
+            .alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    chain = r"""perword AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT lang,
+           unnest(regexp_extract_all(lower(text), '{tok}')) AS word
+    FROM documents
+  ) GROUP BY lang, word
+),
+v0 AS (
+  SELECT lang, freq, regexp_replace(word, '(.)', '|\1|', 'g') AS enc
+  FROM perword
+)""".format(tok=TOKEN_RUN)
+    for i in range(1, BPE_MERGES_K + 1):
+        chain += f""",
+v{i} AS (
+  SELECT lang, freq,
+         replace(enc, '|' || m.lhs || '||' || m.rhs || '|',
+                 '|' || m.merged || '|') AS enc
+  FROM v{i - 1}, m{i} m
+)"""
+    return f"""
+WITH {_bpe_ctes(BPE_MERGES_K)},
+{chain}
+SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+       CAST(sum(freq * len(string_split(trim(enc, '|'), '||')))
+            AS BIGINT) AS n_subwords,
+       round(CAST(CAST(sum(freq * len(string_split(trim(enc, '|'), '||')))
+                       AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(freq) AS BIGINT) AS DOUBLE), 6) AS fertility
+FROM v{BPE_MERGES_K}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SQL_BPE_FERTILITY = _bpe_fertility_sql()
+
+
 QUERIES_CUR = {
     "pii_redaction": q_pii_redaction,
     "gopher_quality": q_gopher_quality,
@@ -1786,6 +1879,7 @@ QUERIES_CUR = {
     "hash_split": q_hash_split,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
+    "bpe_fertility": q_bpe_fertility,
     "context_chunks": q_context_chunks,
 }
 
@@ -1820,5 +1914,6 @@ ORACLES_CUR = {
     "hash_split": SQL_HASH_SPLIT,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
+    "bpe_fertility": SQL_BPE_FERTILITY,
     "context_chunks": SQL_CONTEXT_CHUNKS,
 }

@@ -23872,6 +23872,114 @@ ORDER BY partkey
 SQL_CROSTON_DEMAND = _croston_sql()
 
 
+# --------------------------------------------------------------------------
+# Newsvendor critical-fractile stocking quantities (Arrow & Harris &
+# Marschak 1951 form): for the 10 busiest parts, the empirical-quantile
+# order quantity q* = x_(ceil(n*f)) of daily demand at two cost
+# scenarios — f = cu/(cu+co) = 2/5 (cheap overage) and 9/10 (costly
+# underage, a service-level proxy). The fractile index is EXACT integer
+# arithmetic (ceil(k*n/m) = (k*n + m - 1) DIV m on positives), the pick
+# is a row_number on the total order (q6, day), and the mean is the
+# fixed6 pattern — no percentile_cont/quantile builtin whose
+# interpolation could differ between engines.
+# --------------------------------------------------------------------------
+def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.floor(
+            ntz_epoch_us(F.col("l_shipdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        fixed6_long(F.col("l_quantity")).alias("q6"),
+    )
+    demand = (
+        li.groupBy("partkey", "day")
+        .agg(F.sum("q6").cast("long").alias("q6"))
+        .localCheckpoint(eager=True)
+    )
+    cnt = demand.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand_days")
+    )
+    wtop = Window.orderBy(F.desc("n_demand_days"), F.asc("partkey"))
+    top = (
+        cnt.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= CROSTON_PARTS)
+        .select("partkey", "n_demand_days")
+    )
+    wq = Window.partitionBy("partkey").orderBy(F.asc("q6"), F.asc("day"))
+    ranked = (
+        demand.join(F.broadcast(top), "partkey")
+        .withColumn("rn", F.row_number().over(wq))
+    )
+    n = F.col("n_demand_days")
+    idx40 = F.expr("(2 * n_demand_days + 4) DIV 5")
+    idx90 = F.expr("(9 * n_demand_days + 9) DIV 10")
+    return (
+        ranked.groupBy("partkey", "n_demand_days")
+        .agg(
+            F.sum("q6").cast("long").alias("_s6"),
+            F.max(F.when(F.col("rn") == idx40, F.col("q6")))
+            .cast("long")
+            .alias("_q40"),
+            F.max(F.when(F.col("rn") == idx90, F.col("q6")))
+            .cast("long")
+            .alias("_q90"),
+        )
+        .select(
+            "partkey",
+            "n_demand_days",
+            F.round(
+                F.col("_s6").cast("double")
+                / n.cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_demand"),
+            F.round(F.col("_q40") / F.lit(1000000.0), 6).alias("q_star_40"),
+            F.round(F.col("_q90") / F.lit(1000000.0), 6).alias("q_star_90"),
+        )
+        .orderBy("partkey")
+    )
+
+
+SQL_NEWSVENDOR = f"""
+WITH demand AS (
+  SELECT l_partkey AS partkey, epoch_us(l_shipdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum({SQL_FIXED6_LONG.format(col="l_quantity")}) AS BIGINT) AS q6
+  FROM lineitem GROUP BY 1, 2
+),
+cnt AS (
+  SELECT partkey, CAST(count(*) AS BIGINT) AS n_demand_days
+  FROM demand GROUP BY partkey
+),
+top AS (
+  SELECT partkey, n_demand_days FROM (
+    SELECT *, row_number()
+        OVER (ORDER BY n_demand_days DESC, partkey) AS rn
+    FROM cnt)
+  WHERE rn <= {CROSTON_PARTS}
+),
+ranked AS (
+  SELECT d.partkey, t.n_demand_days, d.q6,
+         row_number()
+           OVER (PARTITION BY d.partkey ORDER BY d.q6 ASC, d.day ASC) AS rn
+  FROM demand d JOIN top t USING (partkey)
+)
+SELECT partkey, n_demand_days,
+       round(CAST(CAST(sum(q6) AS BIGINT) AS DOUBLE)
+             / CAST(n_demand_days AS DOUBLE) / 1000000.0, 6) AS mean_demand,
+       round(CAST(max(CASE WHEN rn = (2 * n_demand_days + 4) // 5
+                           THEN q6 END) AS BIGINT) / 1000000.0, 6)
+         AS q_star_40,
+       round(CAST(max(CASE WHEN rn = (9 * n_demand_days + 9) // 10
+                           THEN q6 END) AS BIGINT) / 1000000.0, 6)
+         AS q_star_90
+FROM ranked
+GROUP BY partkey, n_demand_days
+ORDER BY partkey
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -24051,6 +24159,7 @@ QUERIES_TD = {
     "pacf_daily": q_pacf_daily,
     "salsa_scores": q_salsa_scores,
     "croston_demand": q_croston_demand,
+    "newsvendor": q_newsvendor,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -24321,6 +24430,7 @@ ORACLES_TD = {
     "pacf_daily": SQL_PACF_DAILY,
     "salsa_scores": SQL_SALSA_SCORES,
     "croston_demand": SQL_CROSTON_DEMAND,
+    "newsvendor": SQL_NEWSVENDOR,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
