@@ -23980,6 +23980,319 @@ ORDER BY partkey
 """
 
 
+# --------------------------------------------------------------------------
+# Reciprocal rank + precision@10 over the NDCG_QUERIES rankings with
+# ALL-TERMS relevance (a doc is relevant iff it matches every query
+# term) — the binary-relevance eval completing ndcg_eval (graded) and
+# err_eval (cascade). The first-relevant rank is computed WITHOUT a
+# corpus-wide window: it is 1 + count of docs strictly better-ranked
+# than the best relevant doc (best = max score6, min doc_id tiebreak —
+# two scalar aggregates), so the plan stays aggregate-only at any corpus
+# size. rr is the single divide 1/rank; zero-relevant queries report
+# rank 0 / rr 0 by an explicit guard spelled identically in both engines.
+# --------------------------------------------------------------------------
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    n_df = scalar_count(docs.select("doc_id"))
+    out = None
+    for qid, terms in sorted(NDCG_QUERIES.items()):
+        m = len(terms)
+        qtoks = toks.filter(F.col("term").isin(*terms))
+        tf = qtoks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        dfd = F.col("doc_frequency").cast("double")
+        idf6 = (
+            doc_frequencies(qtoks)
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "term",
+                F.round(
+                    F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+                    * F.lit(1000000.0),
+                    0,
+                )
+                .cast("long")
+                .alias("idf6"),
+            )
+        )
+        per_doc = tf.join(F.broadcast(idf6), "term").groupBy("doc_id").agg(
+            F.sum(F.col("tf") * F.col("idf6")).cast("long").alias("score6"),
+            F.count(F.lit(1)).cast("long").alias("grade"),
+        ).localCheckpoint(eager=True)
+        rel = per_doc.filter(F.col("grade") == m)
+        a1 = rel.agg(
+            F.max("score6").alias("bs6"),
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+        )
+        a2 = (
+            rel.crossJoin(F.broadcast(a1.select("bs6")))
+            .filter(F.col("score6") == F.col("bs6"))
+            .agg(F.min("doc_id").alias("bdoc"))
+        )
+        rk = (
+            per_doc.crossJoin(F.broadcast(a1))
+            .crossJoin(F.broadcast(a2))
+            .agg(
+                (
+                    F.lit(1)
+                    + F.sum(
+                        F.when(
+                            (F.col("score6") > F.col("bs6"))
+                            | (
+                                (F.col("score6") == F.col("bs6"))
+                                & (F.col("doc_id") < F.col("bdoc"))
+                            ),
+                            1,
+                        ).otherwise(0)
+                    )
+                )
+                .cast("long")
+                .alias("_frank")
+            )
+        )
+        top10 = per_doc.orderBy(F.desc("score6"), F.asc("doc_id")).limit(
+            NDCG_K
+        )
+        p10 = top10.agg(
+            F.sum(F.when(F.col("grade") == m, 1).otherwise(0))
+            .cast("long")
+            .alias("_nrel10")
+        )
+        row = (
+            a1.crossJoin(F.broadcast(rk))
+            .crossJoin(F.broadcast(p10))
+            .select(
+                F.lit(qid).alias("qid"),
+                "n_rel",
+                F.when(F.col("n_rel") == 0, F.lit(0).cast("long"))
+                .otherwise(F.col("_frank"))
+                .alias("first_rel_rank"),
+                F.round(
+                    F.when(F.col("n_rel") == 0, F.lit(0.0)).otherwise(
+                        F.lit(1.0) / F.col("_frank").cast("double")
+                    ),
+                    6,
+                ).alias("rr"),
+                F.round(
+                    F.col("_nrel10").cast("double") / F.lit(10.0), 6
+                ).alias("p_at_10"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _mrr_sql() -> str:
+    blocks = []
+    for qid, terms in sorted(NDCG_QUERIES.items()):
+        m = len(terms)
+        tl = ", ".join(f"'{t}'" for t in terms)
+        blocks.append(f"""SELECT * FROM (
+  WITH qt AS (
+    SELECT doc_id, term FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+      FROM documents
+    ) WHERE term IN ({tl})
+  ),
+  n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+  tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM qt GROUP BY 1, 2
+  ),
+  idf6 AS (
+    SELECT term,
+           CAST(round(ln((n.n - count(DISTINCT doc_id) + 0.5)
+                         / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                      * 1000000.0) AS BIGINT) AS idf6
+    FROM qt, n GROUP BY term, n.n
+  ),
+  per_doc AS (
+    SELECT doc_id, CAST(sum(tf * idf6) AS BIGINT) AS score6,
+           CAST(count(*) AS BIGINT) AS grade
+    FROM tf JOIN idf6 USING (term) GROUP BY doc_id
+  ),
+  rel AS (SELECT * FROM per_doc WHERE grade = {m}),
+  a1 AS (
+    SELECT max(score6) AS bs6, CAST(count(*) AS BIGINT) AS n_rel FROM rel
+  ),
+  a2 AS (
+    SELECT min(doc_id) AS bdoc FROM rel, a1 WHERE score6 = bs6
+  ),
+  rk AS (
+    SELECT CAST(1 + sum(CASE WHEN p.score6 > a1.bs6
+                              OR (p.score6 = a1.bs6 AND p.doc_id < a2.bdoc)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS frank
+    FROM per_doc p, a1, a2
+  ),
+  top AS (
+    SELECT grade FROM per_doc ORDER BY score6 DESC, doc_id LIMIT {NDCG_K}
+  ),
+  p10 AS (
+    SELECT CAST(sum(CASE WHEN grade = {m} THEN 1 ELSE 0 END) AS BIGINT)
+      AS nrel10
+    FROM top
+  )
+  SELECT '{qid}' AS qid, n_rel,
+         CASE WHEN n_rel = 0 THEN 0 ELSE frank END AS first_rel_rank,
+         round(CASE WHEN n_rel = 0 THEN 0.0
+                    ELSE 1.0 / CAST(frank AS DOUBLE) END, 6) AS rr,
+         round(CAST(nrel10 AS DOUBLE) / 10.0, 6) AS p_at_10
+  FROM a1, rk, p10
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+SQL_MRR_EVAL = _mrr_sql()
+
+
+# --------------------------------------------------------------------------
+# Brown's double exponential smoothing on daily revenue (Brown 1959 —
+# the linear-trend forecaster a demand planner runs next to the
+# seasonal-naive MASE backtest): S' = EWMA_a(x), S'' = EWMA_a(S'),
+# level = 2S'-S'', trend = a/(1-a)*(S'-S''), 7-day-ahead forecast =
+# level + 7*trend, evaluated at the LAST observed day. Both smoothers
+# collapse to truncated weighted sums over the trailing 60 days with
+# closed-form weights (S'': a^2*(k+1)*(1-a)^k, the self-convolution of
+# the EWMA kernel) precomputed ONCE in Python, scaled to 1e7 integers
+# and inlined as identical literals (the ewma_control/croston
+# discipline), so all four numerator/denominator sums are exact BIGINTs
+# over exact cents; ratios and the recursion-free combination are the
+# only doubles, spelled identically on both sides.
+# --------------------------------------------------------------------------
+BROWN_ALPHA = 0.2
+BROWN_K = 60
+BROWN_H = 7
+_BROWN_W1_7 = [
+    int(round(BROWN_ALPHA * (1.0 - BROWN_ALPHA) ** k * 1e7))
+    for k in range(BROWN_K)
+]
+_BROWN_W2_7 = [
+    int(
+        round(
+            BROWN_ALPHA * BROWN_ALPHA * (k + 1) * (1.0 - BROWN_ALPHA) ** k * 1e7
+        )
+    )
+    for k in range(BROWN_K)
+]
+
+
+def q_brown_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("day").cast("long").alias("tmax"),
+    )
+    w1 = F.array(*[F.lit(w) for w in _BROWN_W1_7])
+    w2 = F.array(*[F.lit(w) for w in _BROWN_W2_7])
+    k = (F.col("tmax") - F.col("day")).cast("int")
+    tail = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") > F.col("tmax") - BROWN_K)
+        .select(
+            "n_days",
+            (F.element_at(w1, k + 1).cast("long") * F.col("rev")).alias("t1"),
+            F.element_at(w1, k + 1).cast("long").alias("d1"),
+            (F.element_at(w2, k + 1).cast("long") * F.col("rev")).alias("t2"),
+            F.element_at(w2, k + 1).cast("long").alias("d2"),
+        )
+        .groupBy("n_days")
+        .agg(
+            F.sum("t1").cast("long").alias("s1n"),
+            F.sum("d1").cast("long").alias("s1d"),
+            F.sum("t2").cast("long").alias("s2n"),
+            F.sum("d2").cast("long").alias("s2d"),
+        )
+    )
+    s1 = (
+        F.col("s1n").cast("double")
+        / F.col("s1d").cast("double")
+        / F.lit(100.0)
+    )
+    s2 = (
+        F.col("s2n").cast("double")
+        / F.col("s2d").cast("double")
+        / F.lit(100.0)
+    )
+    trend = F.lit(0.25) * (s1 - s2)
+    return tail.select(
+        "n_days",
+        F.round(s1, 6).alias("s_single"),
+        F.round(s2, 6).alias("s_double"),
+        F.round(F.lit(2.0) * s1 - s2, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(
+            (F.lit(2.0) * s1 - s2) + F.lit(float(BROWN_H)) * trend, 6
+        ).alias("forecast_7d"),
+    )
+
+
+def _brown_sql() -> str:
+    w1 = ",\n    ".join(f"({k}, {w})" for k, w in enumerate(_BROWN_W1_7))
+    w2 = ",\n    ".join(f"({k}, {w})" for k, w in enumerate(_BROWN_W2_7))
+    s1 = "(CAST(s1n AS DOUBLE) / CAST(s1d AS DOUBLE) / 100.0)"
+    s2 = "(CAST(s2n AS DOUBLE) / CAST(s2d AS DOUBLE) / 100.0)"
+    trend = f"(0.25 * ({s1} - {s2}))"
+    return f"""
+WITH w1 AS (SELECT * FROM (VALUES {w1}) AS t(k, w)),
+w2 AS (SELECT * FROM (VALUES {w2}) AS t(k, w)),
+daily AS (
+  SELECT epoch_us(o_orderdate) // {US_PER_DAY_DIV} AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(max(day) AS BIGINT) AS tmax
+  FROM daily
+),
+tail AS (
+  SELECT n_days,
+         CAST(sum(w1.w * rev) AS BIGINT) AS s1n,
+         CAST(sum(w1.w) AS BIGINT) AS s1d,
+         CAST(sum(w2.w * rev) AS BIGINT) AS s2n,
+         CAST(sum(w2.w) AS BIGINT) AS s2d
+  FROM daily CROSS JOIN bounds
+  JOIN w1 ON w1.k = bounds.tmax - daily.day
+  JOIN w2 ON w2.k = bounds.tmax - daily.day
+  WHERE daily.day > bounds.tmax - {BROWN_K}
+  GROUP BY n_days
+)
+SELECT n_days,
+       round({s1}, 6) AS s_single,
+       round({s2}, 6) AS s_double,
+       round(2.0 * {s1} - {s2}, 6) AS level,
+       round({trend}, 6) AS trend,
+       round((2.0 * {s1} - {s2}) + 7.0 * {trend}, 6) AS forecast_7d
+FROM tail
+"""
+
+
+SQL_BROWN_SMOOTHING = _brown_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -24160,6 +24473,8 @@ QUERIES_TD = {
     "salsa_scores": q_salsa_scores,
     "croston_demand": q_croston_demand,
     "newsvendor": q_newsvendor,
+    "mrr_eval": q_mrr_eval,
+    "brown_smoothing": q_brown_smoothing,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -24431,6 +24746,8 @@ ORACLES_TD = {
     "salsa_scores": SQL_SALSA_SCORES,
     "croston_demand": SQL_CROSTON_DEMAND,
     "newsvendor": SQL_NEWSVENDOR,
+    "mrr_eval": SQL_MRR_EVAL,
+    "brown_smoothing": SQL_BROWN_SMOOTHING,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
