@@ -24293,6 +24293,267 @@ FROM tail
 SQL_BROWN_SMOOTHING = _brown_sql()
 
 
+# --------------------------------------------------------------------------
+# Allan variance of the event arrival rate (Allan 1966 — the
+# clock-stability statistic an ingest-rate monitor reads; unlike plain
+# variance it converges for drifting rates): AVAR(tau) =
+# mean((c_{i+1}-c_i)^2)/2 over ADJACENT bucket counts at tau = 1h/4h/24h,
+# on the DENSE bucket axis (sequence(min..max) with zero-fill — a gap
+# hour is a real zero, not a missing row). Counts, differences and
+# squared sums are exact BIGINTs; the two divides and the sqrt (IEEE
+# correctly rounded) are the only doubles. Complements fano_factor
+# (dispersion at one scale) with the multi-scale stability curve.
+# --------------------------------------------------------------------------
+ALLAN_TAUS_H = (1, 4, 24)
+
+
+def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    us = ntz_epoch_us(F.col("ts"))
+    out = None
+    for tau in ALLAN_TAUS_H:
+        div = tau * 3_600_000_000
+        counts = (
+            events.select(F.floor(us / F.lit(div)).cast("long").alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        bounds = counts.agg(
+            F.min("b").alias("b0"), F.max("b").alias("b1")
+        )
+        axis = bounds.select(
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
+        )
+        dense = axis.join(counts, "b", "left").select(
+            "b", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+        nxt = dense.select(
+            (F.col("b") - 1).alias("b"), F.col("c").alias("cn")
+        )
+        pairs = dense.join(nxt, "b")
+        d = F.col("cn") - F.col("c")
+        agg = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("c").cast("long").alias("sc"),
+            F.sum(d * d).cast("long").alias("sdd"),
+        )
+        avar = F.col("sdd").cast("double") / (
+            F.lit(2.0) * F.col("n_pairs").cast("double")
+        )
+        row = agg.select(
+            F.lit(tau).cast("long").alias("tau_hours"),
+            "n_pairs",
+            F.round(
+                F.col("sc").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("mean_count"),
+            F.round(avar, 6).alias("allan_var"),
+            F.round(F.sqrt(avar), 6).alias("allan_dev"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _allan_sql() -> str:
+    blocks = []
+    for tau in ALLAN_TAUS_H:
+        div = tau * 3_600_000_000
+        blocks.append(f"""SELECT * FROM (
+  WITH counts AS (
+    SELECT epoch_us(ts) // {div} AS b, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+  ),
+  bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+  dense AS (
+    SELECT t.b, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+    FROM (SELECT unnest(range(b0, b1 + 1)) AS b FROM bounds) t
+    LEFT JOIN counts c USING (b)
+  ),
+  pairs AS (
+    SELECT a.c AS c, n.c AS cn
+    FROM dense a JOIN dense n ON n.b = a.b + 1
+  ),
+  agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(c) AS BIGINT) AS sc,
+           CAST(sum((cn - c) * (cn - c)) AS BIGINT) AS sdd
+    FROM pairs
+  )
+  SELECT CAST({tau} AS BIGINT) AS tau_hours, n_pairs,
+         round(CAST(sc AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+           AS mean_count,
+         round(CAST(sdd AS DOUBLE) / (2.0 * CAST(n_pairs AS DOUBLE)), 6)
+           AS allan_var,
+         round(sqrt(CAST(sdd AS DOUBLE) / (2.0 * CAST(n_pairs AS DOUBLE))),
+               6) AS allan_dev
+  FROM agg
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+SQL_ALLAN_VARIANCE = _allan_sql()
+
+
+# --------------------------------------------------------------------------
+# Elias-Fano vs delta-varint posting-list size audit for the 20 highest-DF
+# terms — the storage-layout decision table behind a compressed index
+# (the engine's own postings ride delta+varint; EF is the monotone-list
+# alternative with O(1) skip). Everything is EXACT integer bit
+# arithmetic: floor(log2 x) = length(bin(x)) - 1 on both engines (no
+# float log), EF total = n*l + n + (U >> l) with l = max(0,
+# floor(log2(U/n))), varint bytes per delta = 1 + (bitlen(delta)-1) DIV 7
+# over window-lag deltas (first delta = doc_id + 1, absolute-coded).
+# Only the two bits-per-posting ratios are doubles, rounded 6.
+# --------------------------------------------------------------------------
+EF_TOP_TERMS = 20
+
+
+def q_ef_vs_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.lit(1).alias("_one"))
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    wtop = Window.orderBy(F.desc("df"), F.asc("term"))
+    top = (
+        dfreq.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= EF_TOP_TERMS)
+        .select("term", "df")
+    )
+    n_df = scalar_count(docs.select("doc_id"), as_double=False)
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    deltas = (
+        postings.join(F.broadcast(top.select("term")), "term")
+        .withColumn(
+            "delta",
+            F.coalesce(
+                F.col("doc_id") - F.lag("doc_id").over(wt),
+                F.col("doc_id") + 1,
+            ).cast("long"),
+        )
+        .select(
+            "term",
+            (
+                F.lit(1)
+                + F.floor(
+                    (F.length(F.bin(F.col("delta"))) - 1) / F.lit(7)
+                )
+            )
+            .cast("long")
+            .alias("vbytes"),
+        )
+    )
+    vag = deltas.groupBy("term").agg(
+        F.sum("vbytes").cast("long").alias("varint_bytes")
+    )
+    lcol = F.greatest(
+        F.lit(0).cast("long"),
+        (F.length(F.bin(F.expr("_n DIV df"))) - 1).cast("long"),
+    )
+    out = (
+        top.join(vag, "term")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("l", lcol)
+        .select(
+            "term",
+            "df",
+            F.col("l"),
+            F.col("_n").cast("long").alias("universe"),
+            (F.col("varint_bytes") * 8).cast("long").alias("varint_bits"),
+        )
+    )
+    ef_bits = (
+        F.col("df") * F.col("l")
+        + F.col("df")
+        + F.expr(
+            "universe DIV shiftleft(CAST(1 AS BIGINT), CAST(l AS INT))"
+        )
+    )
+    return (
+        out.select(
+            "term",
+            "df",
+            "universe",
+            "l",
+            ef_bits.cast("long").alias("ef_bits"),
+            "varint_bits",
+        )
+        .select(
+            "term",
+            "df",
+            "universe",
+            "l",
+            "ef_bits",
+            "varint_bits",
+            F.round(
+                F.col("ef_bits").cast("double") / F.col("df").cast("double"),
+                6,
+            ).alias("ef_bits_per_posting"),
+            F.round(
+                F.col("varint_bits").cast("double")
+                / F.col("df").cast("double"),
+                6,
+            ).alias("varint_bits_per_posting"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+SQL_EF_VS_VARINT = f"""
+WITH postings AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  )
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+top AS (
+  SELECT term, df FROM (
+    SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM dfreq)
+  WHERE rn <= {EF_TOP_TERMS}
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS u FROM documents),
+deltas AS (
+  SELECT p.term,
+         CAST(1 + (length(bin(COALESCE(
+                 p.doc_id - lag(p.doc_id)
+                   OVER (PARTITION BY p.term ORDER BY p.doc_id),
+                 p.doc_id + 1))) - 1) // 7 AS BIGINT) AS vbytes
+  FROM postings p JOIN top USING (term)
+),
+vag AS (
+  SELECT term, CAST(sum(vbytes) AS BIGINT) AS varint_bytes
+  FROM deltas GROUP BY term
+),
+sized AS (
+  SELECT t.term, t.df, nn.u AS universe,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(length(bin(nn.u // t.df)) - 1 AS BIGINT)) AS l,
+         CAST(v.varint_bytes * 8 AS BIGINT) AS varint_bits
+  FROM top t JOIN vag v USING (term), nn
+)
+SELECT term, df, universe, l,
+       CAST(df * l + df + universe // (CAST(1 AS BIGINT) << l) AS BIGINT)
+         AS ef_bits,
+       varint_bits,
+       round(CAST(df * l + df + universe // (CAST(1 AS BIGINT) << l)
+                  AS DOUBLE) / CAST(df AS DOUBLE), 6) AS ef_bits_per_posting,
+       round(CAST(varint_bits AS DOUBLE) / CAST(df AS DOUBLE), 6)
+         AS varint_bits_per_posting
+FROM sized
+ORDER BY df DESC, term
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -24475,6 +24736,8 @@ QUERIES_TD = {
     "newsvendor": q_newsvendor,
     "mrr_eval": q_mrr_eval,
     "brown_smoothing": q_brown_smoothing,
+    "allan_variance": q_allan_variance,
+    "ef_vs_varint": q_ef_vs_varint,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -24748,6 +25011,8 @@ ORACLES_TD = {
     "newsvendor": SQL_NEWSVENDOR,
     "mrr_eval": SQL_MRR_EVAL,
     "brown_smoothing": SQL_BROWN_SMOOTHING,
+    "allan_variance": SQL_ALLAN_VARIANCE,
+    "ef_vs_varint": SQL_EF_VS_VARINT,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
