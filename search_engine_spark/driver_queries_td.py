@@ -24554,6 +24554,225 @@ ORDER BY df DESC, term
 """
 
 
+# --------------------------------------------------------------------------
+# Witten-Bell smoothing audit per source (Witten & Bell 1991, method C —
+# the escape-probability estimator PPM and many LM stacks use, distinct
+# from good_turing's frequency-of-frequencies view): escape mass
+# T/(N+T), coverage N/(N+T), and the smoothed probability c/(N+T) for
+# three probe words (seen flag carried; the unseen share is reported as
+# the escape mass, not split over an unknowable vocabulary). N and T
+# come from the two-phase (source, term) spectrum — exact BIGINTs, each
+# output one divide rounded 6.
+# --------------------------------------------------------------------------
+WB_PROBES = ("spark", "data", "nebula")
+
+
+def q_witten_bell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in WB_PROBES], "probe string"
+    )
+    pc = (
+        per.crossJoin(F.broadcast(probes))
+        .join(
+            tf.withColumnRenamed("term", "probe"),
+            ["source", "probe"],
+            "left",
+        )
+        .select(
+            "source",
+            "probe",
+            "n_tokens",
+            "n_types",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    denom = (F.col("n_tokens") + F.col("n_types")).cast("double")
+    return pc.select(
+        "source",
+        "probe",
+        "n_tokens",
+        "n_types",
+        "c",
+        (F.col("c") > 0).cast("boolean").alias("seen"),
+        F.round(F.col("n_types").cast("double") / denom, 6).alias(
+            "escape_mass"
+        ),
+        F.round(F.col("c").cast("double") / denom, 6).alias("p_wb"),
+    ).orderBy("source", "probe")
+
+
+def _witten_bell_sql() -> str:
+    pl = ", ".join(f"('{p}')" for p in WB_PROBES)
+    return f"""
+WITH tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text), '{WORD_RUN}')) AS term
+    FROM documents
+  ) GROUP BY source, term
+),
+per AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM tf GROUP BY source
+),
+probes AS (SELECT * FROM (VALUES {pl}) AS t(probe)),
+pc AS (
+  SELECT per.source, probes.probe, per.n_tokens, per.n_types,
+         CAST(COALESCE(tf.c, 0) AS BIGINT) AS c
+  FROM per CROSS JOIN probes
+  LEFT JOIN tf ON tf.source = per.source AND tf.term = probes.probe
+)
+SELECT source, probe, n_tokens, n_types, c,
+       c > 0 AS seen,
+       round(CAST(n_types AS DOUBLE)
+             / CAST(n_tokens + n_types AS DOUBLE), 6) AS escape_mass,
+       round(CAST(c AS DOUBLE)
+             / CAST(n_tokens + n_types AS DOUBLE), 6) AS p_wb
+FROM pc
+ORDER BY source, probe
+"""
+
+
+SQL_WITTEN_BELL = _witten_bell_sql()
+
+
+# --------------------------------------------------------------------------
+# Shannon-code audit of the event-type alphabet: integer code lengths
+# l = ceil(log2(N/c)) computed EXACTLY as bitlen(ceil(N/c) - 1) (binary
+# string length — no float log; the identity holds because powers of two
+# are integers), the Kraft sum as an exact shifted-integer rational, the
+# expected code length, and the entropy lower bound via per-type
+# fixed6-rounded ln (lexical_diversity discipline) — the redundancy gap
+# an encoding chooser reads next to encoding_audit's RLE table.
+# --------------------------------------------------------------------------
+def q_shannon_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    cnt = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    cl = F.expr("(n + c - 1) DIV c")
+    l = F.when(cl == 1, F.lit(0).cast("long")).otherwise(
+        F.length(F.bin(cl - 1)).cast("long")
+    )
+    e6 = F.round(
+        F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    typed = j.select(
+        "c",
+        "n",
+        "n_types",
+        l.alias("l"),
+        (F.col("c") * l).cast("long").alias("cl_sum"),
+        (F.col("c") * e6).cast("long").alias("ce6"),
+    )
+    lm = typed.agg(F.max("l").cast("long").alias("lmax"))
+    k = typed.crossJoin(F.broadcast(lm)).select(
+        "n",
+        "n_types",
+        "cl_sum",
+        "ce6",
+        "lmax",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(lmax - l AS INT))"
+        ).alias("kterm"),
+    )
+    agg = k.groupBy("n", "n_types", "lmax").agg(
+        F.sum("cl_sum").cast("long").alias("scl"),
+        F.sum("ce6").cast("long").alias("sce6"),
+        F.sum("kterm").cast("long").alias("skraft"),
+    )
+    nd = F.col("n").cast("double")
+    exp_len = F.col("scl").cast("double") / nd
+    ent = (
+        F.col("sce6").cast("double")
+        / F.lit(1000000.0)
+        / nd
+        / F.lit(math.log(2.0))
+    )
+    return agg.select(
+        "n_types",
+        F.col("n").alias("n_events"),
+        "lmax",
+        F.round(exp_len, 6).alias("expected_len_bits"),
+        F.round(ent, 6).alias("entropy_bits"),
+        F.round(exp_len - ent, 6).alias("redundancy_bits"),
+        F.round(
+            F.col("skraft").cast("double")
+            / F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(lmax AS INT))"
+                " AS DOUBLE)"
+            ),
+            6,
+        ).alias("kraft_sum"),
+    )
+
+
+SQL_SHANNON_CODE = f"""
+WITH cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt
+),
+typed AS (
+  SELECT c, n, n_types,
+         CAST(CASE WHEN (n + c - 1) // c = 1 THEN 0
+                   ELSE length(bin((n + c - 1) // c - 1)) END
+              AS BIGINT) AS l,
+         CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS e6
+  FROM cnt, tot
+),
+lm AS (SELECT CAST(max(l) AS BIGINT) AS lmax FROM typed),
+agg AS (
+  SELECT n, n_types, lmax,
+         CAST(sum(c * l) AS BIGINT) AS scl,
+         CAST(sum(c * e6) AS BIGINT) AS sce6,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(lmax - l AS INT)) AS BIGINT)
+           AS skraft
+  FROM typed, lm
+  GROUP BY n, n_types, lmax
+)
+SELECT n_types, n AS n_events, lmax,
+       round(CAST(scl AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS expected_len_bits,
+       round(CAST(sce6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+             / CAST('{LN2_STR}' AS DOUBLE), 6) AS entropy_bits,
+       round(CAST(scl AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(sce6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+               / CAST('{LN2_STR}' AS DOUBLE), 6) AS redundancy_bits,
+       round(CAST(skraft AS DOUBLE)
+             / CAST(CAST(1 AS BIGINT) << CAST(lmax AS INT) AS DOUBLE), 6)
+         AS kraft_sum
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -24738,6 +24957,8 @@ QUERIES_TD = {
     "brown_smoothing": q_brown_smoothing,
     "allan_variance": q_allan_variance,
     "ef_vs_varint": q_ef_vs_varint,
+    "witten_bell": q_witten_bell,
+    "shannon_code": q_shannon_code,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -25013,6 +25234,8 @@ ORACLES_TD = {
     "brown_smoothing": SQL_BROWN_SMOOTHING,
     "allan_variance": SQL_ALLAN_VARIANCE,
     "ef_vs_varint": SQL_EF_VS_VARINT,
+    "witten_bell": SQL_WITTEN_BELL,
+    "shannon_code": SQL_SHANNON_CODE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
