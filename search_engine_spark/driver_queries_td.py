@@ -24773,6 +24773,276 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Pairwise label-centroid cosine (cluster-separation matrix): each
+# label's centroid DIRECTION is the exact BIGINT per-dimension sum of
+# its quantized unit vectors (embedding_diversity's 1e-4 integer grid —
+# the mean's 1/n cancels in cosine, so no division ever touches the
+# vectors), the 45 label pairs join per-dimension and the dot/norms are
+# pure BIGINT sums; one sqrt-product divide per pair, rounded 6. The
+# confusion-structure diagnostic next to embedding_diversity (intra) and
+# cluster_quality (silhouette): near-1 off-diagonal = merged modes.
+# --------------------------------------------------------------------------
+CENTROID_Q = 10_000
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            v.alias("_v"),
+            nrm.alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            "label",
+            # lazy CaseWhen guard: under ANSI, CollapseProject can fold
+            # this projection into the filter predicate evaluation
+            F.transform(
+                "_v",
+                lambda x: F.round(
+                    F.when(
+                        F.col("_n") > 0, x / F.col("_n") * CENTROID_Q
+                    ),
+                    0,
+                ).cast("long"),
+            ).alias("uq"),
+        )
+    )
+    dims = (
+        base.select("label", F.posexplode("uq").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("long").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    counts = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    norms = dims.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("nsq")
+    )
+    a = dims.select(
+        F.col("label").alias("la"), "dim", F.col("s").alias("sa")
+    )
+    b = dims.select(
+        F.col("label").alias("lb"),
+        F.col("dim").alias("dimb"),
+        F.col("s").alias("sb"),
+    )
+    dots = (
+        a.join(b, (F.col("dim") == F.col("dimb")) & (F.col("la") < F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("nsq").alias("nsqa"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("nsq").alias("nsqb"))
+    ca = counts.select(F.col("label").alias("la"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("lb"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .join(F.broadcast(ca), "la")
+        .join(F.broadcast(cb), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nsqa").cast("double"))
+                    * F.sqrt(F.col("nsqb").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH base AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x / nrm * {CENTROID_Q}, 0) AS BIGINT)) AS uq
+  FROM (
+    SELECT label, embedding,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+             AS nrm
+    FROM embeddings
+  ) WHERE nrm > 0
+),
+dims AS (
+  SELECT label, i - 1 AS dim, CAST(sum(uq[i]) AS BIGINT) AS s
+  FROM base, unnest(range(1, len(uq) + 1)) AS t(i)
+  GROUP BY label, i - 1
+),
+counts AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY label
+),
+norms AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS nsq FROM dims GROUP BY label
+),
+dots AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM dims a JOIN dims b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT d.la AS label_a, d.lb AS label_b,
+       ca.n AS n_a, cb.n AS n_b,
+       round(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE))
+                * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS centroid_cos
+FROM dots d
+JOIN norms na ON na.label = d.la
+JOIN norms nb ON nb.label = d.lb
+JOIN counts ca ON ca.label = d.la
+JOIN counts cb ON cb.label = d.lb
+ORDER BY label_a, label_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverse-propensity-weighted treatment effect (Horvitz-Thompson 1952 /
+# Rosenbaum-Rubin 1983) — the design-based causal estimator completing
+# diff_in_diff and cuped_adjustment: a synthetic promo "treatment" is
+# assigned by an md5 coin whose propensity DEPENDS ON SEGMENT (0.7 for
+# BUILDING customers, 0.3 otherwise — confounding by construction), the
+# outcome is total customer spend, and the IPW estimate reweights by the
+# known design propensities. The rational weights 1/0.7 and 1/0.3 ride
+# as the integer numerators 30/70 over the common denominator 21, so
+# every accumulated sum is an exact BIGINT over exact cents; the two
+# ATEs are single double expressions, rounded 6 (dollars).
+# --------------------------------------------------------------------------
+def q_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ipw:"), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    hi = F.col("c_mktsegment") == "BUILDING"
+    t = F.when(hi, (coin < 7).cast("int")).otherwise(
+        (coin < 3).cast("int")
+    )
+    # treated weight numerator 21/e; control weight numerator 21/(1-e)
+    kt = F.when(hi, F.lit(30)).otherwise(F.lit(70)).cast("long")
+    kc = F.when(hi, F.lit(70)).otherwise(F.lit(30)).cast("long")
+    base = (
+        cust.join(spend, cust["c_custkey"] == spend["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+        .select(
+            t.alias("t"),
+            "y",
+            kt.alias("kt"),
+            kc.alias("kc"),
+        )
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n_treated"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("s1"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("s0"),
+        F.sum(F.col("t") * F.col("y") * F.col("kt"))
+        .cast("long")
+        .alias("swt"),
+        F.sum((1 - F.col("t")) * F.col("y") * F.col("kc"))
+        .cast("long")
+        .alias("swc"),
+    )
+    nd = F.col("n").cast("double")
+    n1 = F.col("n_treated").cast("double")
+    n0 = (F.col("n") - F.col("n_treated")).cast("double")
+    naive = (
+        F.col("s1").cast("double") / n1 - F.col("s0").cast("double") / n0
+    ) / F.lit(100.0)
+    ipw = (
+        (F.col("swt").cast("double") - F.col("swc").cast("double"))
+        / (F.lit(21.0) * nd)
+        / F.lit(100.0)
+    )
+    return agg.select(
+        "n",
+        "n_treated",
+        F.round(n1 / nd, 6).alias("p_treated"),
+        F.round(naive, 6).alias("naive_ate"),
+        F.round(ipw, 6).alias("ipw_ate"),
+    )
+
+
+SQL_IPW_ESTIMATE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING'
+              THEN CASE WHEN CAST('0x' || substr(md5('ipw:' ||
+                     CAST(c.c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 7
+                   THEN 1 ELSE 0 END
+              ELSE CASE WHEN CAST('0x' || substr(md5('ipw:' ||
+                     CAST(c.c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 3
+                   THEN 1 ELSE 0 END END AS t,
+         CAST(COALESCE(s.y, 0) AS BIGINT) AS y,
+         CAST(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 30 ELSE 70 END
+              AS BIGINT) AS kt,
+         CAST(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 70 ELSE 30 END
+              AS BIGINT) AS kc
+  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS n_treated,
+         CAST(sum(t * y) AS BIGINT) AS s1,
+         CAST(sum((1 - t) * y) AS BIGINT) AS s0,
+         CAST(sum(t * y * kt) AS BIGINT) AS swt,
+         CAST(sum((1 - t) * y * kc) AS BIGINT) AS swc
+  FROM base
+)
+SELECT n, n_treated,
+       round(CAST(n_treated AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_treated,
+       round((CAST(s1 AS DOUBLE) / CAST(n_treated AS DOUBLE)
+              - CAST(s0 AS DOUBLE) / CAST(n - n_treated AS DOUBLE))
+             / 100.0, 6) AS naive_ate,
+       round((CAST(swt AS DOUBLE) - CAST(swc AS DOUBLE))
+             / (21.0 * CAST(n AS DOUBLE)) / 100.0, 6) AS ipw_ate
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -24959,6 +25229,8 @@ QUERIES_TD = {
     "ef_vs_varint": q_ef_vs_varint,
     "witten_bell": q_witten_bell,
     "shannon_code": q_shannon_code,
+    "label_centroids": q_label_centroids,
+    "ipw_estimate": q_ipw_estimate,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -25236,6 +25508,8 @@ ORACLES_TD = {
     "ef_vs_varint": SQL_EF_VS_VARINT,
     "witten_bell": SQL_WITTEN_BELL,
     "shannon_code": SQL_SHANNON_CODE,
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    "ipw_estimate": SQL_IPW_ESTIMATE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
