@@ -25043,6 +25043,305 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Golomb-Rice parameter sweep for posting-list deltas (Rice 1971; the
+# Golomb-vs-varint decision ef_vs_varint leaves open): for the 10
+# highest-DF terms and every k in 0..7, the exact coded size is
+# sum(delta >> k) + n*(1+k) bits (unary quotient + stop bit + k
+# remainder bits) — pure BIGINT shift arithmetic, no entropy estimate.
+# The per-term argmin k (bits asc, k asc tiebreak) lands within one bit
+# per posting of the Shannon bound for geometric gaps; varint bits ride
+# along for the three-way comparison.
+# --------------------------------------------------------------------------
+RICE_TOP_TERMS = 10
+RICE_KS = tuple(range(8))
+
+
+def q_rice_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.lit(1).alias("_one"))
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    wtop = Window.orderBy(F.desc("df"), F.asc("term"))
+    top = (
+        dfreq.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= RICE_TOP_TERMS)
+        .select("term", "df")
+    )
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    deltas = (
+        postings.join(F.broadcast(top.select("term")), "term")
+        .withColumn(
+            "delta",
+            F.coalesce(
+                F.col("doc_id") - F.lag("doc_id").over(wt),
+                F.col("doc_id") + 1,
+            ).cast("long"),
+        )
+        .select(
+            "term",
+            "delta",
+            (
+                F.lit(1)
+                + F.floor(
+                    (F.length(F.bin(F.col("delta"))) - 1) / F.lit(7)
+                )
+            )
+            .cast("long")
+            .alias("vbytes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vag = deltas.groupBy("term").agg(
+        (F.sum("vbytes") * 8).cast("long").alias("varint_bits")
+    )
+    grid = spark.createDataFrame([(k,) for k in RICE_KS], "k int")
+    costs = (
+        deltas.crossJoin(F.broadcast(grid))
+        .select(
+            "term",
+            "k",
+            F.expr("shiftright(delta, k)").cast("long").alias("q"),
+        )
+        .groupBy("term", "k")
+        .agg(
+            F.sum("q").cast("long").alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "term",
+            "k",
+            (F.col("sq") + F.col("n") * (1 + F.col("k")))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    wbest = Window.partitionBy("term").orderBy(
+        F.asc("bits"), F.asc("k")
+    )
+    best = (
+        costs.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("term", F.col("k").cast("long").alias("best_k"), "bits")
+    )
+    return (
+        top.join(best, "term")
+        .join(vag, "term")
+        .select(
+            "term",
+            "df",
+            "best_k",
+            F.col("bits").alias("rice_bits"),
+            "varint_bits",
+            F.round(
+                F.col("bits").cast("double") / F.col("df").cast("double"), 6
+            ).alias("rice_bits_per_posting"),
+            F.round(
+                F.col("varint_bits").cast("double")
+                / F.col("df").cast("double"),
+                6,
+            ).alias("varint_bits_per_posting"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+SQL_RICE_PARAM = f"""
+WITH postings AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  )
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+top AS (
+  SELECT term, df FROM (
+    SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM dfreq)
+  WHERE rn <= {RICE_TOP_TERMS}
+),
+deltas AS (
+  SELECT p.term,
+         COALESCE(p.doc_id - lag(p.doc_id)
+                    OVER (PARTITION BY p.term ORDER BY p.doc_id),
+                  p.doc_id + 1) AS delta
+  FROM postings p JOIN top USING (term)
+),
+vag AS (
+  SELECT term,
+         CAST(sum(1 + (length(bin(delta)) - 1) // 7) * 8 AS BIGINT)
+           AS varint_bits
+  FROM deltas GROUP BY term
+),
+costs AS (
+  SELECT term, k,
+         CAST(sum(delta >> k) + count(*) * (1 + k) AS BIGINT) AS bits
+  FROM deltas, (SELECT unnest(range({len(RICE_KS)})) AS k) g
+  GROUP BY term, k
+),
+best AS (
+  SELECT term, CAST(k AS BIGINT) AS best_k, bits FROM (
+    SELECT *, row_number()
+        OVER (PARTITION BY term ORDER BY bits ASC, k ASC) AS rn
+    FROM costs)
+  WHERE rn = 1
+)
+SELECT t.term, t.df, b.best_k, b.bits AS rice_bits, v.varint_bits,
+       round(CAST(b.bits AS DOUBLE) / CAST(t.df AS DOUBLE), 6)
+         AS rice_bits_per_posting,
+       round(CAST(v.varint_bits AS DOUBLE) / CAST(t.df AS DOUBLE), 6)
+         AS varint_bits_per_posting
+FROM top t JOIN best b USING (term) JOIN vag v USING (term)
+ORDER BY df DESC, term
+"""
+
+
+# --------------------------------------------------------------------------
+# Consistent-hash ring rebalance proof (Karger et al. 1997) — the
+# alternative to shard_rebalance's mod-N story: 4 shards x 32 vnodes on
+# the md5 ring (lexicographic hex order IS the ring order — invariant 2,
+# no numeric conversion needed), sampled customer keys route to the
+# first vnode clockwise (min position >= key hash, wrapping to the
+# global min). Adding shard 4 re-routes ONLY keys that land on the new
+# shard: the per-shard report shows n_before/n_after/gained with
+# gained = 0 for every old shard — the property that makes ring hashing
+# the scale answer. All counts exact; shares one divide each.
+# --------------------------------------------------------------------------
+RING_VNODES = 32
+RING_SHARDS = 4
+
+
+def _ring_assign(spark: SparkSession, keys: DataFrame, n_shards: int):
+    vn = spark.createDataFrame(
+        [(s, v) for s in range(n_shards) for v in range(RING_VNODES)],
+        "shard int, v int",
+    )
+    ring = vn.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.md5(
+            F.concat(
+                F.lit("shard:"),
+                F.col("shard").cast("string"),
+                F.lit(":"),
+                F.col("v").cast("string"),
+            )
+        ).alias("pos"),
+    )
+    gmin = ring.agg(F.min("pos").alias("_g"))
+    cand = (
+        keys.crossJoin(F.broadcast(ring))
+        .groupBy("key", "kh")
+        .agg(
+            F.min(
+                F.when(F.col("pos") >= F.col("kh"), F.col("pos"))
+            ).alias("_c")
+        )
+    )
+    owner_pos = cand.crossJoin(F.broadcast(gmin)).select(
+        "key", F.coalesce("_c", "_g").alias("pos")
+    )
+    return owner_pos.join(F.broadcast(ring), "pos").select("key", "shard")
+
+
+def q_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 20 == 0
+    )
+    keys = cust.select(
+        F.col("c_custkey").cast("long").alias("key"),
+        F.md5(
+            F.concat(F.lit("key:"), F.col("c_custkey").cast("string"))
+        ).alias("kh"),
+    ).localCheckpoint(eager=True)
+    n_keys = scalar_count(keys, as_double=False)
+    before = _ring_assign(spark, keys, RING_SHARDS).withColumnRenamed(
+        "shard", "s_before"
+    )
+    after = _ring_assign(spark, keys, RING_SHARDS + 1).withColumnRenamed(
+        "shard", "s_after"
+    )
+    j = before.join(after, "key")
+    return (
+        j.groupBy(F.col("s_after").alias("shard"))
+        .agg(
+            F.sum((F.col("s_before") == F.col("s_after")).cast("long"))
+            .cast("long")
+            .alias("kept"),
+            F.sum((F.col("s_before") != F.col("s_after")).cast("long"))
+            .cast("long")
+            .alias("gained"),
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            "shard",
+            "kept",
+            "gained",
+            "n_after",
+            F.round(
+                F.col("n_after").cast("double") / F.col("_n").cast("double"),
+                6,
+            ).alias("share_after"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _ring_cte(tag: str, n_shards: int) -> str:
+    return f"""
+ring_{tag} AS (
+  SELECT CAST(s AS BIGINT) AS shard,
+         md5('shard:' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR))
+           AS pos
+  FROM (SELECT unnest(range({n_shards})) AS s) ss,
+       (SELECT unnest(range({RING_VNODES})) AS v) vv
+),
+gmin_{tag} AS (SELECT min(pos) AS g FROM ring_{tag}),
+own_{tag} AS (
+  SELECT k.key,
+         COALESCE(min(CASE WHEN r.pos >= k.kh THEN r.pos END),
+                  (SELECT g FROM gmin_{tag})) AS pos
+  FROM keys k CROSS JOIN ring_{tag} r
+  GROUP BY k.key, k.kh
+),
+asg_{tag} AS (
+  SELECT o.key, r.shard FROM own_{tag} o JOIN ring_{tag} r USING (pos)
+)
+"""
+
+
+SQL_HASH_RING = f"""
+WITH keys AS (
+  SELECT CAST(c_custkey AS BIGINT) AS key,
+         md5('key:' || CAST(c_custkey AS VARCHAR)) AS kh
+  FROM customer WHERE c_custkey % 20 = 0
+),
+nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keys),
+{_ring_cte("a", RING_SHARDS)},
+{_ring_cte("b", RING_SHARDS + 1)}
+SELECT b.shard,
+       CAST(sum(CASE WHEN a.shard = b.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept,
+       CAST(sum(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS gained,
+       CAST(count(*) AS BIGINT) AS n_after,
+       round(CAST(count(*) AS DOUBLE) / CAST(nk.n AS DOUBLE), 6)
+         AS share_after
+FROM asg_a a JOIN asg_b b USING (key), nk
+GROUP BY b.shard, nk.n
+ORDER BY b.shard
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -25231,6 +25530,8 @@ QUERIES_TD = {
     "shannon_code": q_shannon_code,
     "label_centroids": q_label_centroids,
     "ipw_estimate": q_ipw_estimate,
+    "rice_param": q_rice_param,
+    "hash_ring": q_hash_ring,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -25510,6 +25811,8 @@ ORACLES_TD = {
     "shannon_code": SQL_SHANNON_CODE,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "ipw_estimate": SQL_IPW_ESTIMATE,
+    "rice_param": SQL_RICE_PARAM,
+    "hash_ring": SQL_HASH_RING,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
