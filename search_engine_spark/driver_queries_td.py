@@ -25342,6 +25342,168 @@ ORDER BY b.shard
 """
 
 
+# --------------------------------------------------------------------------
+# Query-term first-occurrence positions — the early-term bias feature a
+# ranker adds next to tf (title/lede terms matter more; the reference's
+# field weights 3.2/1.7/1.0 encode the same prior): per query term, the
+# document frequency, the exact mean first-occurrence token index over
+# docs containing it, and the share of docs where it appears within the
+# first 50 tokens. First index = min over the posexploded token stream —
+# exact BIGINTs everywhere, one divide per ratio.
+# --------------------------------------------------------------------------
+FIRSTPOS_EARLY = 50
+
+
+def q_first_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    firsts = toks.groupBy("term", "doc_id").agg(
+        F.min("pos").cast("long").alias("fp")
+    )
+    return (
+        firsts.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("fp").cast("long").alias("_sfp"),
+            F.sum((F.col("fp") < FIRSTPOS_EARLY).cast("long"))
+            .cast("long")
+            .alias("_early"),
+        )
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.col("_sfp").cast("double") / F.col("df").cast("double"), 6
+            ).alias("mean_first_pos"),
+            F.round(
+                F.col("_early").cast("double") / F.col("df").cast("double"),
+                6,
+            ).alias("early_share"),
+        )
+        .orderBy("term")
+    )
+
+
+def _first_position_sql() -> str:
+    tl = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS term
+  FROM (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '{TOKEN_RUN}') AS w
+    FROM documents
+  ), unnest(range(1, len(w) + 1)) AS t(i)
+  WHERE w[i] IN ({tl})
+),
+firsts AS (
+  SELECT term, doc_id, CAST(min(pos) AS BIGINT) AS fp
+  FROM toks GROUP BY term, doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       round(CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_first_pos,
+       round(CAST(CAST(sum(CASE WHEN fp < {FIRSTPOS_EARLY} THEN 1 ELSE 0
+                              END) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS early_share
+FROM firsts
+GROUP BY term
+ORDER BY term
+"""
+
+
+SQL_FIRST_POSITION = _first_position_sql()
+
+
+# --------------------------------------------------------------------------
+# Lincoln-Petersen capture-recapture estimate of corpus size: two
+# independent md5-coin "captures" of the documents table (p = 3/10
+# each), the mark-recapture estimator N_hat = n1*n2/m vs the true count
+# — the classic audit for estimating an unknown population (dedup'd
+# entities, crawl frontier) from overlapping samples when a full scan is
+# impossible. Coins are engine-portable md5 integer arithmetic
+# (invariant 2); every count is exact; N_hat and the relative error are
+# single double expressions rounded 6.
+# --------------------------------------------------------------------------
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def coin(seed: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed + ":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 3
+        ).cast("long")
+    marked = docs.select(
+        coin("cap1").alias("c1"), coin("cap2").alias("c2")
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("m"),
+    )
+    nhat = (F.col("n1") * F.col("n2")).cast("double") / F.col("m").cast(
+        "double"
+    )
+    return agg.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.round(nhat, 6).alias("n_hat"),
+        F.round(
+            (nhat - F.col("n_true").cast("double"))
+            / F.col("n_true").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+SQL_CAPTURE_RECAPTURE = """
+WITH marked AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5('cap1:' ||
+              CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 3
+         THEN 1 ELSE 0 END AS c1,
+         CASE WHEN CAST('0x' || substr(md5('cap2:' ||
+              CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 3
+         THEN 1 ELSE 0 END AS c2
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * c2) AS BIGINT) AS m
+  FROM marked
+)
+SELECT n_true, n1, n2, m,
+       round(CAST(n1 * n2 AS DOUBLE) / CAST(m AS DOUBLE), 6) AS n_hat,
+       round((CAST(n1 * n2 AS DOUBLE) / CAST(m AS DOUBLE)
+              - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE), 6)
+         AS rel_error
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -25532,6 +25694,8 @@ QUERIES_TD = {
     "ipw_estimate": q_ipw_estimate,
     "rice_param": q_rice_param,
     "hash_ring": q_hash_ring,
+    "first_position": q_first_position,
+    "capture_recapture": q_capture_recapture,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -25813,6 +25977,8 @@ ORACLES_TD = {
     "ipw_estimate": SQL_IPW_ESTIMATE,
     "rice_param": SQL_RICE_PARAM,
     "hash_ring": SQL_HASH_RING,
+    "first_position": SQL_FIRST_POSITION,
+    "capture_recapture": SQL_CAPTURE_RECAPTURE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
