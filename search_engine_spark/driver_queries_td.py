@@ -25504,6 +25504,198 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Coupon-collector completion audit: per user, the number of events it
+# took to see every event type at least once (first-occurrence marks →
+# running sum → first index hitting K), against the theoretical
+# K·H_K expectation for uniform draws — the engagement-breadth
+# diagnostic (real users complete much slower than uniform because type
+# mixes are skewed). K and H_K are derived IN-PLAN from the data; the
+# tiny harmonic sum folds a sequence in EXPLICIT ascending order on both
+# engines (ordered fold, invariant 4). All counts exact; two divides.
+# --------------------------------------------------------------------------
+def q_coupon_collector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wut = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    marked = events.select(
+        "user_id",
+        F.row_number().over(wu).cast("long").alias("rn"),
+        (F.row_number().over(wut) == 1).cast("long").alias("first"),
+    ).withColumn(
+        "seen",
+        F.sum("first").over(
+            Window.partitionBy("user_id")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    k_df = events.groupBy("event_type").agg(F.lit(1).alias("_o")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    n_users = events.groupBy("user_id").agg(F.lit(1).alias("_o")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    done = (
+        marked.crossJoin(F.broadcast(k_df))
+        .filter(F.col("seen") == F.col("k"))
+        .groupBy("user_id")
+        .agg(F.min("rn").cast("long").alias("t"))
+    )
+    agg = done.agg(
+        F.count(F.lit(1)).cast("long").alias("n_complete"),
+        F.sum("t").cast("long").alias("_st"),
+    )
+    harm = F.aggregate(
+        F.sequence(F.lit(1), F.col("k").cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / i.cast("double"),
+    )
+    expected = F.col("k").cast("double") * harm
+    mean_obs = F.col("_st").cast("double") / F.col("n_complete").cast(
+        "double"
+    )
+    return (
+        agg.crossJoin(F.broadcast(k_df))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("k").alias("n_types"),
+            "n_users",
+            "n_complete",
+            F.round(mean_obs, 6).alias("mean_events_to_complete"),
+            F.round(expected, 6).alias("expected_uniform"),
+            F.round(mean_obs / expected, 6).alias("slowdown_ratio"),
+        )
+    )
+
+
+SQL_COUPON_COLLECTOR = """
+WITH marked AS (
+  SELECT user_id,
+         CAST(row_number() OVER wu AS BIGINT) AS rn,
+         CASE WHEN row_number()
+                OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first
+  FROM events
+  WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seen AS (
+  SELECT user_id, rn,
+         CAST(sum(first) OVER (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS seen
+  FROM marked
+),
+kk AS (
+  SELECT CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+nu AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+done AS (
+  SELECT user_id, CAST(min(rn) AS BIGINT) AS t
+  FROM seen, kk WHERE seen = kk.k
+  GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_complete,
+         CAST(sum(t) AS BIGINT) AS st
+  FROM done
+)
+SELECT kk.k AS n_types, nu.n_users, agg.n_complete,
+       round(CAST(st AS DOUBLE) / CAST(n_complete AS DOUBLE), 6)
+         AS mean_events_to_complete,
+       round(CAST(kk.k AS DOUBLE)
+             * list_sum(list_transform(range(1, CAST(kk.k AS INT) + 1),
+                                       i -> 1.0 / CAST(i AS DOUBLE))), 6)
+         AS expected_uniform,
+       round((CAST(st AS DOUBLE) / CAST(n_complete AS DOUBLE))
+             / (CAST(kk.k AS DOUBLE)
+                * list_sum(list_transform(range(1, CAST(kk.k AS INT) + 1),
+                                          i -> 1.0 / CAST(i AS DOUBLE)))),
+             6) AS slowdown_ratio
+FROM agg, kk, nu
+"""
+
+
+# --------------------------------------------------------------------------
+# Inspection paradox (length-biased sampling) on inter-event gaps: the
+# interval containing a uniformly random probe has mean E[g^2]/E[g],
+# not E[g] — the waiting-time bias every on-call latency report should
+# correct for. Gaps quantize to EXACT integer minutes (µs DIV 6e7 —
+# floor division keeps BIGINT squares safe at any corpus size where µs²
+# would overflow); both moment sums are exact BIGINTs and the ratio
+# n·Σg²/(Σg)² is a single double expression, rounded 6.
+# --------------------------------------------------------------------------
+def q_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            ntz_epoch_us(F.col("ts")).alias("_us"),
+            "event_id",
+        )
+        .select(
+            "user_id",
+            (F.col("_us") - F.lag("_us").over(
+                Window.partitionBy("user_id").orderBy("_us", "event_id")
+            )).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(F.expr("g DIV 60000000").cast("long").alias("gm"))
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gm").cast("long").alias("sg"),
+        F.sum(F.col("gm") * F.col("gm")).cast("long").alias("sgg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("n_gaps").cast("double")
+    lbias = F.col("sgg").cast("double") / F.col("sg").cast("double")
+    return agg.select(
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_min"),
+        F.round(lbias, 6).alias("length_biased_mean_min"),
+        F.round(
+            F.col("n_gaps").cast("double")
+            * F.col("sgg").cast("double")
+            / (F.col("sg").cast("double") * F.col("sg").cast("double")),
+            6,
+        ).alias("inspection_ratio"),
+    )
+
+
+SQL_INSPECTION_PARADOX = """
+WITH gaps AS (
+  SELECT (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 60000000 AS gm
+  FROM events
+  QUALIFY gm IS NOT NULL
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gm) AS BIGINT) AS sg,
+         CAST(sum(gm * gm) AS BIGINT) AS sgg
+  FROM gaps
+)
+SELECT n_gaps,
+       round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)
+         AS mean_gap_min,
+       round(CAST(sgg AS DOUBLE) / CAST(sg AS DOUBLE), 6)
+         AS length_biased_mean_min,
+       round(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+             / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)), 6)
+         AS inspection_ratio
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -25696,6 +25888,8 @@ QUERIES_TD = {
     "hash_ring": q_hash_ring,
     "first_position": q_first_position,
     "capture_recapture": q_capture_recapture,
+    "coupon_collector": q_coupon_collector,
+    "inspection_paradox": q_inspection_paradox,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -25979,6 +26173,8 @@ ORACLES_TD = {
     "hash_ring": SQL_HASH_RING,
     "first_position": SQL_FIRST_POSITION,
     "capture_recapture": SQL_CAPTURE_RECAPTURE,
+    "coupon_collector": SQL_COUPON_COLLECTOR,
+    "inspection_paradox": SQL_INSPECTION_PARADOX,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
