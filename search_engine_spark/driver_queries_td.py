@@ -25696,6 +25696,312 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# Doubly-robust causal estimates on the ipw_estimate design (same
+# md5-coin treatment, segment-confounded propensities 0.7/0.3): the
+# g-formula (stratified outcome-model) ATE sum_g n_g*(m1_g - m0_g)/n
+# and the AIPW estimator combining the GLOBAL outcome means with the
+# design-propensity corrections (Robins/Rotnitzky/Zhao 1994). Every
+# accumulated quantity is an exact BIGINT (cents, counts, and the
+# 30/70-over-21 rational weights); empty strata contribute 0 via a
+# guard spelled identically on both sides; the estimator combinations
+# are single double expressions, rounded 6 (dollars).
+# --------------------------------------------------------------------------
+def q_aipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ipw:"), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    hi = F.col("c_mktsegment") == "BUILDING"
+    t = F.when(hi, (coin < 7).cast("int")).otherwise(
+        (coin < 3).cast("int")
+    )
+    kt = F.when(hi, F.lit(30)).otherwise(F.lit(70)).cast("long")
+    kc = F.when(hi, F.lit(70)).otherwise(F.lit(30)).cast("long")
+    base = (
+        cust.join(spend, cust["c_custkey"] == spend["o_custkey"], "left")
+        .select(
+            "c_mktsegment",
+            t.alias("t"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+            kt.alias("kt"),
+            kc.alias("kc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seg = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("t").cast("long").alias("n1g"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("s1g"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("s0g"),
+    )
+    m1g = F.col("s1g").cast("double") / F.col("n1g").cast("double")
+    m0g = F.col("s0g").cast("double") / (
+        F.col("ng") - F.col("n1g")
+    ).cast("double")
+    strat_num = seg.select(
+        F.when(
+            (F.col("n1g") > 0) & (F.col("ng") - F.col("n1g") > 0),
+            F.col("ng").cast("double") * (m1g - m0g),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contrib"),
+        "ng",
+    ).agg(
+        F.round(F.sum(F.col("contrib") * F.lit(1000000.0)), 0)
+        .cast("long")
+        .alias("snum6"),
+        F.sum("ng").cast("long").alias("n"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n1"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("s1"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("s0"),
+        F.sum(F.col("t") * F.col("y") * F.col("kt"))
+        .cast("long")
+        .alias("swt"),
+        F.sum((1 - F.col("t")) * F.col("y") * F.col("kc"))
+        .cast("long")
+        .alias("swc"),
+        F.sum(F.col("t") * F.col("kt")).cast("long").alias("cwt"),
+        F.sum((1 - F.col("t")) * F.col("kc")).cast("long").alias("cwc"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m0 = F.col("s0").cast("double") / (
+        F.col("n") - F.col("n1")
+    ).cast("double")
+    corr = (
+        F.col("swt").cast("double")
+        - m1 * F.col("cwt").cast("double")
+        - F.col("swc").cast("double")
+        + m0 * F.col("cwc").cast("double")
+    ) / (F.lit(21.0) * nd)
+    return (
+        glob.crossJoin(F.broadcast(strat_num.select("snum6")))
+        .select(
+            "n",
+            F.round(m1 / F.lit(100.0), 6).alias("mean_treated"),
+            F.round(m0 / F.lit(100.0), 6).alias("mean_control"),
+            F.round(
+                F.col("snum6").cast("double")
+                / F.lit(1000000.0)
+                / nd
+                / F.lit(100.0),
+                6,
+            ).alias("gformula_ate"),
+            F.round((m1 - m0 + corr) / F.lit(100.0), 6).alias("aipw_ate"),
+        )
+    )
+
+
+SQL_AIPW_ESTIMATE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN c.c_mktsegment = 'BUILDING'
+              THEN CASE WHEN CAST('0x' || substr(md5('ipw:' ||
+                     CAST(c.c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 7
+                   THEN 1 ELSE 0 END
+              ELSE CASE WHEN CAST('0x' || substr(md5('ipw:' ||
+                     CAST(c.c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 3
+                   THEN 1 ELSE 0 END END AS t,
+         CAST(COALESCE(s.y, 0) AS BIGINT) AS y,
+         CAST(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 30 ELSE 70 END
+              AS BIGINT) AS kt,
+         CAST(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 70 ELSE 30 END
+              AS BIGINT) AS kc
+  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+),
+seg AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(t) AS BIGINT) AS n1g,
+         CAST(sum(t * y) AS BIGINT) AS s1g,
+         CAST(sum((1 - t) * y) AS BIGINT) AS s0g
+  FROM base GROUP BY c_mktsegment
+),
+strat AS (
+  SELECT CAST(round(sum(CASE WHEN n1g > 0 AND ng - n1g > 0
+                  THEN CAST(ng AS DOUBLE)
+                       * (CAST(s1g AS DOUBLE) / CAST(n1g AS DOUBLE)
+                          - CAST(s0g AS DOUBLE)
+                            / CAST(ng - n1g AS DOUBLE))
+                  ELSE 0.0 END * 1000000.0)) AS BIGINT) AS snum6
+  FROM seg
+),
+g_all AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS n1,
+         CAST(sum(t * y) AS BIGINT) AS s1,
+         CAST(sum((1 - t) * y) AS BIGINT) AS s0,
+         CAST(sum(t * y * kt) AS BIGINT) AS swt,
+         CAST(sum((1 - t) * y * kc) AS BIGINT) AS swc,
+         CAST(sum(t * kt) AS BIGINT) AS cwt,
+         CAST(sum((1 - t) * kc) AS BIGINT) AS cwc
+  FROM base
+)
+SELECT n,
+       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0, 6)
+         AS mean_treated,
+       round(CAST(s0 AS DOUBLE) / CAST(n - n1 AS DOUBLE) / 100.0, 6)
+         AS mean_control,
+       round(CAST(snum6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+             / 100.0, 6) AS gformula_ate,
+       round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) / CAST(n - n1 AS DOUBLE)
+              + (CAST(swt AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   * CAST(cwt AS DOUBLE)
+                 - CAST(swc AS DOUBLE)
+                 + (CAST(s0 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+                   * CAST(cwc AS DOUBLE))
+                / (21.0 * CAST(n AS DOUBLE))) / 100.0, 6) AS aipw_ate
+FROM g_all, strat
+"""
+
+
+# --------------------------------------------------------------------------
+# LRU stack-distance curve over per-user event-type streams (Mattson et
+# al. 1970): for every reuse of a type, the number of DISTINCT other
+# types touched since its previous access; the cumulative histogram IS
+# the LRU hit-rate-vs-capacity curve (inclusion property — one pass
+# prices every cache size). Distances come from a bounded interval
+# self-join (fan-out = sum of same-type gaps ≈ |alphabet| x events, not
+# events²) with the two-phase distinct discipline; first accesses are
+# compulsory misses. All counts exact; hit rates single divides.
+# --------------------------------------------------------------------------
+def q_stack_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).cast("long").alias("rn"),
+    ).localCheckpoint(eager=True)
+    wt = Window.partitionBy("user_id", "event_type").orderBy("rn")
+    reuse = seq.select(
+        "user_id",
+        F.col("rn").alias("r2"),
+        F.lag("rn").over(wt).alias("r1"),
+    ).filter(F.col("r1").isNotNull())
+    mid = seq.select(
+        F.col("user_id").alias("u2"),
+        F.col("rn").alias("rm"),
+        F.col("event_type").alias("tm"),
+    )
+    between = (
+        reuse.join(
+            mid,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("rm") > F.col("r1"))
+            & (F.col("rm") < F.col("r2")),
+            "left",
+        )
+        .groupBy("user_id", "r2", "tm")
+        .agg(F.lit(1).alias("_o"))
+        .groupBy("user_id", "r2")
+        .agg(
+            F.sum(F.col("tm").isNotNull().cast("long"))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    n_acc = scalar_count(seq, as_double=False)
+    hist = between.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reuses")
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.withColumn(
+            "cum", F.sum("n_reuses").over(wcum).cast("long")
+        )
+        .crossJoin(F.broadcast(n_acc))
+        .select(
+            F.col("d").alias("distance"),
+            "n_reuses",
+            (F.col("d") + 1).cast("long").alias("capacity"),
+            F.round(
+                F.col("cum").cast("double") / F.col("_n").cast("double"),
+                6,
+            ).alias("hit_rate"),
+        )
+        .orderBy("distance")
+    )
+
+
+SQL_STACK_DISTANCE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM events
+),
+reuse AS (
+  SELECT user_id, rn AS r2,
+         lag(rn) OVER (PARTITION BY user_id, event_type ORDER BY rn) AS r1
+  FROM seq
+  QUALIFY r1 IS NOT NULL
+),
+between_types AS (
+  SELECT r.user_id, r.r2, m.event_type AS tm
+  FROM reuse r
+  LEFT JOIN seq m ON m.user_id = r.user_id
+                 AND m.rn > r.r1 AND m.rn < r.r2
+  GROUP BY r.user_id, r.r2, m.event_type
+),
+dists AS (
+  SELECT user_id, r2,
+         CAST(sum(CASE WHEN tm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS d
+  FROM between_types GROUP BY user_id, r2
+),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+hist AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_reuses FROM dists GROUP BY d
+)
+SELECT d AS distance, n_reuses,
+       CAST(d + 1 AS BIGINT) AS capacity,
+       round(CAST(CAST(sum(n_reuses) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS DOUBLE) / CAST(na.n AS DOUBLE), 6)
+         AS hit_rate
+FROM hist, na
+ORDER BY distance
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -25890,6 +26196,8 @@ QUERIES_TD = {
     "capture_recapture": q_capture_recapture,
     "coupon_collector": q_coupon_collector,
     "inspection_paradox": q_inspection_paradox,
+    "aipw_estimate": q_aipw_estimate,
+    "stack_distance": q_stack_distance,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -26175,6 +26483,8 @@ ORACLES_TD = {
     "capture_recapture": SQL_CAPTURE_RECAPTURE,
     "coupon_collector": SQL_COUPON_COLLECTOR,
     "inspection_paradox": SQL_INSPECTION_PARADOX,
+    "aipw_estimate": SQL_AIPW_ESTIMATE,
+    "stack_distance": SQL_STACK_DISTANCE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
