@@ -26002,6 +26002,263 @@ ORDER BY distance
 """
 
 
+# --------------------------------------------------------------------------
+# Pivoted length-normalization ranking (Singhal/Buckley/Mitra 1996,
+# s = 0.2) — the fifth classic ranker next to search_topk's tf-idf,
+# bm25_topk, bm25f_topk, ql_topk and pl2_topk, over the same query
+# terms: contribution = (1 + ln(1 + ln(tf))) / ((1-s) + s*dl/avgdl)
+# * ln((N+1)/df). Double-log tf damping and the pivoted slope are the
+# paper's exact form; per-(doc, term) contributions round to fixed6
+# BIGINTs and sum exactly (invariant 4); top-20 orders on the integer
+# sum with the doc-id tiebreak.
+# --------------------------------------------------------------------------
+def q_pivoted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    avgdl_df = dl.agg(F.avg(F.col("dl").cast("double")).alias("_avgdl"))
+    n_df = scalar_count(docs)
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    dfreq = doc_frequencies(qtoks)
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tfd = F.col("tf").cast("double")
+    idf = F.log(
+        (F.col("_n") + F.lit(1.0))
+        / F.col("doc_frequency").cast("double")
+    )
+    stats = dfreq.crossJoin(F.broadcast(n_df)).select(
+        "term", idf.alias("idf")
+    )
+    contrib = (
+        (F.lit(1.0) + F.log(F.lit(1.0) + F.log(tfd)))
+        / (
+            F.lit(0.8)
+            + F.lit(0.2) * F.col("dl").cast("double") / F.col("_avgdl")
+        )
+        * F.col("idf")
+    )
+    c6 = F.round(contrib * F.lit(1000000.0), 0).cast("long")
+    return (
+        tf.join(F.broadcast(stats), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select("doc_id", c6.alias("c6"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c6").cast("long").alias("_s6"),
+            F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        )
+        .orderBy(F.desc("_s6"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.round(F.col("_s6") / F.lit(1000000.0), 6).alias(
+                "pivoted_score"
+            ),
+            "matched_terms",
+        )
+    )
+
+
+def _pivoted_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    contrib = (
+        "((1.0 + ln(1.0 + ln(CAST(tf AS DOUBLE))))"
+        " / (0.8 + 0.2 * CAST(dl AS DOUBLE) / avgdl)"
+        " * ln((n + 1.0) / CAST(df AS DOUBLE)))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+qt AS (SELECT doc_id, term FROM toks WHERE term IN ({terms})),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM qt GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM qt GROUP BY 1, 2
+),
+con AS (
+  SELECT tf.doc_id,
+         CAST(round({contrib} * 1000000.0) AS BIGINT) AS c6
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, avgdl, n
+)
+SELECT doc_id,
+       round(CAST(sum(c6) AS BIGINT) / 1000000.0, 6) AS pivoted_score,
+       CAST(count(*) AS BIGINT) AS matched_terms
+FROM con GROUP BY doc_id
+ORDER BY CAST(sum(c6) AS BIGINT) DESC, doc_id
+LIMIT 20
+"""
+
+
+SQL_PIVOTED_TOPK = _pivoted_sql()
+
+
+# --------------------------------------------------------------------------
+# Normalized mutual information between embedding labels and the sign
+# OCTANT of the first three vector components — the cheapest possible
+# space-partition-vs-ground-truth association audit (the question every
+# LSH/IVF bucketing asks: do the buckets know anything about the
+# classes?). The contingency table is exact BIGINT counts; each
+# MI/entropy term rounds ln of an exact-integer ratio to fixed6 BEFORE
+# the count-weighted exact sum (lexical_diversity discipline), and
+# NMI = MI / sqrt(H_label * H_bucket) is one double expression over the
+# three integer-scaled sums, rounded 6.
+# --------------------------------------------------------------------------
+def q_embedding_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        F.col("label").cast("long").alias("label"),
+        (
+            (v[0] > 0).cast("long") * 4
+            + (v[1] > 0).cast("long") * 2
+            + (v[2] > 0).cast("long")
+        ).alias("octant"),
+    )
+    cells = base.groupBy("label", "octant").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    la = cells.groupBy("label").agg(F.sum("c").cast("long").alias("a"))
+    lb = cells.groupBy("octant").agg(F.sum("c").cast("long").alias("b"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+
+    def e6(x) -> F.Column:
+        return F.round(F.log(x) * F.lit(1000000.0), 0).cast("long")
+
+    mi_cell = (
+        cells.join(F.broadcast(la), "label")
+        .join(F.broadcast(lb), "octant")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (
+                F.col("c")
+                * e6(
+                    F.col("c").cast("double")
+                    * F.col("n").cast("double")
+                    / (
+                        F.col("a").cast("double")
+                        * F.col("b").cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("n")
+        .agg(F.sum("t").cast("long").alias("smi"))
+    )
+    ha = (
+        la.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("a")
+                * e6(
+                    F.col("n").cast("double") / F.col("a").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("sha"))
+    )
+    hb = (
+        lb.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("b")
+                * e6(
+                    F.col("n").cast("double") / F.col("b").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("shb"))
+    )
+    nd = F.col("n").cast("double")
+    mi = F.col("smi").cast("double") / F.lit(1000000.0) / nd
+    hla = F.col("sha").cast("double") / F.lit(1000000.0) / nd
+    hlb = F.col("shb").cast("double") / F.lit(1000000.0) / nd
+    return (
+        mi_cell.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.round(mi, 6).alias("mi_nats"),
+            F.round(hla, 6).alias("h_label"),
+            F.round(hlb, 6).alias("h_bucket"),
+            F.round(mi / F.sqrt(hla * hlb), 6).alias("nmi"),
+        )
+    )
+
+
+SQL_EMBEDDING_NMI = """
+WITH base AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS octant
+  FROM embeddings
+),
+cells AS (
+  SELECT label, octant, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY label, octant
+),
+la AS (SELECT label, CAST(sum(c) AS BIGINT) AS a FROM cells GROUP BY label),
+lb AS (SELECT octant, CAST(sum(c) AS BIGINT) AS b FROM cells GROUP BY octant),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(a AS DOUBLE) * CAST(b AS DOUBLE)))
+                  * 1000000.0) AS BIGINT)) AS BIGINT) AS smi,
+         CAST(max(n) AS BIGINT) AS n
+  FROM cells JOIN la USING (label) JOIN lb USING (octant), tot
+),
+ha AS (
+  SELECT CAST(sum(a * CAST(round(ln(CAST(n AS DOUBLE) / CAST(a AS DOUBLE))
+                  * 1000000.0) AS BIGINT)) AS BIGINT) AS sha
+  FROM la, tot
+),
+hb AS (
+  SELECT CAST(sum(b * CAST(round(ln(CAST(n AS DOUBLE) / CAST(b AS DOUBLE))
+                  * 1000000.0) AS BIGINT)) AS BIGINT) AS shb
+  FROM lb, tot
+)
+SELECT mi.n AS n_vectors,
+       round(CAST(smi AS DOUBLE) / 1000000.0 / CAST(mi.n AS DOUBLE), 6)
+         AS mi_nats,
+       round(CAST(sha AS DOUBLE) / 1000000.0 / CAST(mi.n AS DOUBLE), 6)
+         AS h_label,
+       round(CAST(shb AS DOUBLE) / 1000000.0 / CAST(mi.n AS DOUBLE), 6)
+         AS h_bucket,
+       round((CAST(smi AS DOUBLE) / 1000000.0 / CAST(mi.n AS DOUBLE))
+             / sqrt((CAST(sha AS DOUBLE) / 1000000.0 / CAST(mi.n AS DOUBLE))
+                    * (CAST(shb AS DOUBLE) / 1000000.0
+                       / CAST(mi.n AS DOUBLE))), 6) AS nmi
+FROM mi, ha, hb
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -26198,6 +26455,8 @@ QUERIES_TD = {
     "inspection_paradox": q_inspection_paradox,
     "aipw_estimate": q_aipw_estimate,
     "stack_distance": q_stack_distance,
+    "pivoted_topk": q_pivoted_topk,
+    "embedding_nmi": q_embedding_nmi,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -26485,6 +26744,8 @@ ORACLES_TD = {
     "inspection_paradox": SQL_INSPECTION_PARADOX,
     "aipw_estimate": SQL_AIPW_ESTIMATE,
     "stack_distance": SQL_STACK_DISTANCE,
+    "pivoted_topk": SQL_PIVOTED_TOPK,
+    "embedding_nmi": SQL_EMBEDDING_NMI,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
