@@ -26259,6 +26259,282 @@ FROM mi, ha, hb
 """
 
 
+# --------------------------------------------------------------------------
+# Length-bias audit of the scoring stack (Singhal's diagnosis that
+# motivated pivoted normalization): Pearson correlation of document
+# length against (a) raw matched-term frequency and (b) the fixed6 BM25
+# score, over all candidate docs. BM25's length normalization should
+# pull the correlation toward 0 while raw tf stays positive — the
+# before/after picture in one row. Scores quantize to fixed6 BIGINTs
+# first, so every moment sum is exact; the two correlations are single
+# sqrt expressions, rounded 6.
+# --------------------------------------------------------------------------
+def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    avgdl_df = dl.agg(F.avg(F.col("dl").cast("double")).alias("_avgdl"))
+    n_df = scalar_count(docs)
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS))
+    dfd = F.col("doc_frequency").cast("double")
+    stats = (
+        doc_frequencies(qtoks)
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "idf", F.log((F.col("_n") - dfd + 0.5) / (dfd + 0.5) + 1.0)
+        )
+        .select("term", "idf")
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        1.0
+        - BM25_B
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("_avgdl")
+    )
+    contrib = F.col("idf") * (tfd * (BM25_K1 + 1.0) / (tfd + norm))
+    per_doc = (
+        tf.join(F.broadcast(stats), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.sum("tf").cast("long").alias("tft"),
+            F.sum(
+                F.round(contrib * F.lit(1000000.0), 0).cast("long")
+            )
+            .cast("long")
+            .alias("b6"),
+        )
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sx"),
+        F.sum(F.col("dl") * F.col("dl")).cast("long").alias("sxx"),
+        F.sum("tft").cast("long").alias("st"),
+        F.sum(F.col("tft") * F.col("tft")).cast("long").alias("stt"),
+        F.sum(F.col("dl") * F.col("tft")).cast("long").alias("sxt"),
+        F.sum("b6").cast("long").alias("sb"),
+        F.sum(
+            F.col("b6").cast("double") * F.col("b6").cast("double")
+        ).alias("sbb"),
+        F.sum(F.col("dl").cast("double") * F.col("b6").cast("double"))
+        .alias("sxb"),
+    )
+
+    def corr(n, sx, sy, sxy, sxx, syy):
+        return (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    n, sx, sxx = [
+        F.col(c).cast("double") for c in ["n", "sx", "sxx"]
+    ]
+    st, stt, sxt = [
+        F.col(c).cast("double") for c in ["st", "stt", "sxt"]
+    ]
+    sb, sbb, sxb = [
+        F.col("sb").cast("double"),
+        F.col("sbb"),
+        F.col("sxb"),
+    ]
+    return agg.select(
+        F.col("n").alias("n_candidates"),
+        F.round(corr(n, sx, st, sxt, sxx, stt), 6).alias("corr_len_tf"),
+        F.round(corr(n, sx, sb, sxb, sxx, sbb), 6).alias(
+            "corr_len_bm25"
+        ),
+    )
+
+
+def _length_bias_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+  FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT avg(dl::DOUBLE) AS avgdl FROM dl),
+qt AS (SELECT doc_id, term FROM toks WHERE term IN ({terms})),
+stats AS (
+  SELECT term,
+         ln((n.n - count(DISTINCT doc_id) + 0.5)
+            / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+  FROM qt, n GROUP BY term, n.n
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM qt GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT tf.doc_id, dl.dl,
+         CAST(sum(tf.tf) AS BIGINT) AS tft,
+         CAST(sum(CAST(round(stats.idf * (tf.tf::DOUBLE * ({BM25_K1} + 1.0)
+               / (tf.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                  * dl.dl::DOUBLE / avgdl.avgdl))) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS b6
+  FROM tf
+  JOIN stats USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id, avgdl
+  GROUP BY tf.doc_id, dl.dl
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS BIGINT) AS sx,
+         CAST(sum(dl * dl) AS BIGINT) AS sxx,
+         CAST(sum(tft) AS BIGINT) AS st,
+         CAST(sum(tft * tft) AS BIGINT) AS stt,
+         CAST(sum(dl * tft) AS BIGINT) AS sxt,
+         CAST(sum(b6) AS BIGINT) AS sb,
+         sum(CAST(b6 AS DOUBLE) * CAST(b6 AS DOUBLE)) AS sbb,
+         sum(CAST(dl AS DOUBLE) * CAST(b6 AS DOUBLE)) AS sxb
+  FROM per_doc
+)
+SELECT n AS n_candidates,
+       round((CAST(n AS DOUBLE) * CAST(sxt AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(st AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 6)
+         AS corr_len_tf,
+       round((CAST(n AS DOUBLE) * sxb
+              - CAST(sx AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * sbb
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+         AS corr_len_bm25
+FROM agg
+"""
+
+
+SQL_LENGTH_BIAS = _length_bias_sql()
+
+
+# --------------------------------------------------------------------------
+# Robertson-Sparck Jones relevance weights (1976) with the all-terms
+# candidate set as pseudo-relevance judgments — the probabilistic-IR
+# term weight BM25's idf degenerates to when R = r = 0, here computed
+# with REAL feedback counts: w = ln(((r+0.5)(N-n-R+r+0.5)) /
+# ((n-r+0.5)(R-r+0.5))). N, n (term df), R (relevant set size), r
+# (relevant docs containing the term) are exact two-phase counts; the
+# one ln rounds to 6.
+# --------------------------------------------------------------------------
+def q_rsj_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    qtoks = toks.filter(F.col("term").isin(NEWS_QUERY_TERMS)).localCheckpoint(
+        eager=True
+    )
+    n_df = scalar_count(docs, as_double=False)
+    per_doc = qtoks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_hits"),
+        F.count_distinct("term").alias("_m"),
+    )
+    rel = per_doc.filter(F.col("_m") == len(NEWS_QUERY_TERMS)).select(
+        "doc_id"
+    ).localCheckpoint(eager=True)
+    r_df = rel.agg(F.count(F.lit(1)).cast("long").alias("_r"))
+    dfreq = doc_frequencies(qtoks)
+    rterm = (
+        qtoks.join(F.broadcast(rel), "doc_id")
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1).alias("_o"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    j = (
+        dfreq.join(rterm, "term", "left")
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(r_df))
+        .select(
+            "term",
+            F.col("doc_frequency").cast("long").alias("n_term"),
+            F.coalesce("r", F.lit(0)).cast("long").alias("r"),
+            F.col("_n").cast("long").alias("n_docs"),
+            F.col("_r").alias("n_rel"),
+        )
+    )
+    rd = F.col("r").cast("double")
+    nd = F.col("n_docs").cast("double")
+    ntd = F.col("n_term").cast("double")
+    rrd = F.col("n_rel").cast("double")
+    w = F.log(
+        ((rd + 0.5) * (nd - ntd - rrd + rd + 0.5))
+        / ((ntd - rd + 0.5) * (rrd - rd + 0.5))
+    )
+    return j.select(
+        "term",
+        "n_term",
+        "r",
+        "n_rel",
+        F.round(w, 6).alias("rsj_weight"),
+    ).orderBy("term")
+
+
+def _rsj_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NEWS_QUERY_TERMS)
+    m = len(NEWS_QUERY_TERMS)
+    return f"""
+WITH qt AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
+    FROM documents
+  ) WHERE term IN ({terms})
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+rel AS (
+  SELECT doc_id FROM qt GROUP BY doc_id
+  HAVING count(DISTINCT term) = {m}
+),
+rr AS (SELECT CAST(count(*) AS BIGINT) AS r FROM rel),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_term
+  FROM qt GROUP BY term
+),
+rterm AS (
+  SELECT term, CAST(count(DISTINCT qt.doc_id) AS BIGINT) AS r
+  FROM qt JOIN rel USING (doc_id)
+  GROUP BY term
+)
+SELECT d.term, d.n_term,
+       CAST(COALESCE(rt.r, 0) AS BIGINT) AS r,
+       rr.r AS n_rel,
+       round(ln(((CAST(COALESCE(rt.r, 0) AS DOUBLE) + 0.5)
+                 * (CAST(nn.n AS DOUBLE) - CAST(d.n_term AS DOUBLE)
+                    - CAST(rr.r AS DOUBLE)
+                    + CAST(COALESCE(rt.r, 0) AS DOUBLE) + 0.5))
+                / ((CAST(d.n_term AS DOUBLE)
+                    - CAST(COALESCE(rt.r, 0) AS DOUBLE) + 0.5)
+                   * (CAST(rr.r AS DOUBLE)
+                      - CAST(COALESCE(rt.r, 0) AS DOUBLE) + 0.5))), 6)
+         AS rsj_weight
+FROM dfreq d LEFT JOIN rterm rt USING (term), nn, rr
+ORDER BY term
+"""
+
+
+SQL_RSJ_WEIGHTS = _rsj_sql()
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -26457,6 +26733,8 @@ QUERIES_TD = {
     "stack_distance": q_stack_distance,
     "pivoted_topk": q_pivoted_topk,
     "embedding_nmi": q_embedding_nmi,
+    "length_bias": q_length_bias,
+    "rsj_weights": q_rsj_weights,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -26746,6 +27024,8 @@ ORACLES_TD = {
     "stack_distance": SQL_STACK_DISTANCE,
     "pivoted_topk": SQL_PIVOTED_TOPK,
     "embedding_nmi": SQL_EMBEDDING_NMI,
+    "length_bias": SQL_LENGTH_BIAS,
+    "rsj_weights": SQL_RSJ_WEIGHTS,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
