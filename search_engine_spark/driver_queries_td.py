@@ -25216,13 +25216,13 @@ ORDER BY df DESC, term
 # gained = 0 for every old shard — the property that makes ring hashing
 # the scale answer. All counts exact; shares one divide each.
 # --------------------------------------------------------------------------
-RING_VNODES = 32
-RING_SHARDS = 4
+HASHRING_VNODES = 32
+HASHRING_SHARDS = 4
 
 
 def _ring_assign(spark: SparkSession, keys: DataFrame, n_shards: int):
     vn = spark.createDataFrame(
-        [(s, v) for s in range(n_shards) for v in range(RING_VNODES)],
+        [(s, v) for s in range(n_shards) for v in range(HASHRING_VNODES)],
         "shard int, v int",
     )
     ring = vn.select(
@@ -25263,10 +25263,10 @@ def q_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kh"),
     ).localCheckpoint(eager=True)
     n_keys = scalar_count(keys, as_double=False)
-    before = _ring_assign(spark, keys, RING_SHARDS).withColumnRenamed(
+    before = _ring_assign(spark, keys, HASHRING_SHARDS).withColumnRenamed(
         "shard", "s_before"
     )
-    after = _ring_assign(spark, keys, RING_SHARDS + 1).withColumnRenamed(
+    after = _ring_assign(spark, keys, HASHRING_SHARDS + 1).withColumnRenamed(
         "shard", "s_after"
     )
     j = before.join(after, "key")
@@ -25303,7 +25303,7 @@ ring_{tag} AS (
          md5('shard:' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR))
            AS pos
   FROM (SELECT unnest(range({n_shards})) AS s) ss,
-       (SELECT unnest(range({RING_VNODES})) AS v) vv
+       (SELECT unnest(range({HASHRING_VNODES})) AS v) vv
 ),
 gmin_{tag} AS (SELECT min(pos) AS g FROM ring_{tag}),
 own_{tag} AS (
@@ -25326,8 +25326,8 @@ WITH keys AS (
   FROM customer WHERE c_custkey % 20 = 0
 ),
 nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keys),
-{_ring_cte("a", RING_SHARDS)},
-{_ring_cte("b", RING_SHARDS + 1)}
+{_ring_cte("a", HASHRING_SHARDS)},
+{_ring_cte("b", HASHRING_SHARDS + 1)}
 SELECT b.shard,
        CAST(sum(CASE WHEN a.shard = b.shard THEN 1 ELSE 0 END) AS BIGINT)
          AS kept,
@@ -26535,6 +26535,169 @@ ORDER BY term
 SQL_RSJ_WEIGHTS = _rsj_sql()
 
 
+# --------------------------------------------------------------------------
+# Order-to-ship lag deciles: the fulfillment-latency distribution
+# (per-lineitem l_shipdate - o_orderdate in EXACT integer days), its
+# deciles picked by the newsvendor ceil-index discipline — explicit
+# order statistics x_(ceil(q*n)) on a (lag, orderkey, linenumber) total
+# order, no percentile interpolation that could differ between engines —
+# plus the exact mean. The report a fulfillment SLA review reads next to
+# late_supplier's binary lateness count.
+# --------------------------------------------------------------------------
+def q_ship_lag_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            ntz_epoch_us(F.col("l_shipdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("sday"),
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(
+            ntz_epoch_us(F.col("o_orderdate")) / F.lit(US_PER_DAY_DIV)
+        )
+        .cast("long")
+        .alias("oday"),
+    )
+    lags = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        (F.col("sday") - F.col("oday")).alias("lag"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n_df = scalar_count(lags, as_double=False)
+    w = Window.orderBy("lag", "l_orderkey", "l_linenumber")
+    ranked = lags.withColumn("rn", F.row_number().over(w).cast("long"))
+    agg = lags.agg(
+        F.sum("lag").cast("long").alias("slag"),
+    )
+    picks = None
+    j = ranked.crossJoin(F.broadcast(n_df))
+    for d in range(1, 10):
+        idx = F.expr(f"({d} * _n + 9) DIV 10")
+        row = (
+            j.filter(F.col("rn") == idx)
+            .agg(F.max("lag").cast("long").alias("lag_days"))
+            .select(
+                F.lit(d * 10).cast("long").alias("percentile"),
+                "lag_days",
+            )
+        )
+        picks = row if picks is None else picks.unionByName(row)
+    mean_row = (
+        agg.crossJoin(F.broadcast(n_df))
+        .select(
+            F.lit(0).cast("long").alias("percentile"),
+            F.round(
+                F.col("slag").cast("double") / F.col("_n").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    return mean_row.unionByName(picks).orderBy("percentile")
+
+
+SQL_SHIP_LAG_DECILES = f"""
+WITH lags AS (
+  SELECT (epoch_us(l.l_shipdate) // {US_PER_DAY_DIV})
+         - (epoch_us(o.o_orderdate) // {US_PER_DAY_DIV}) AS lag,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lags),
+ranked AS (
+  SELECT lag,
+         CAST(row_number()
+              OVER (ORDER BY lag, l_orderkey, l_linenumber) AS BIGINT)
+           AS rn
+  FROM lags
+),
+picks AS (
+  SELECT CAST(d * 10 AS BIGINT) AS percentile,
+         CAST(max(CASE WHEN rn = (d * nn.n + 9) // 10 THEN lag END)
+              AS BIGINT) AS lag_days
+  FROM ranked, nn, (SELECT unnest(range(1, 10)) AS d) g
+  GROUP BY d, nn.n
+),
+mean_row AS (
+  SELECT CAST(0 AS BIGINT) AS percentile,
+         CAST(round(CAST(sum(lag) AS DOUBLE) / CAST(max(nn.n) AS DOUBLE))
+              AS BIGINT) AS lag_days
+  FROM lags, nn
+)
+SELECT * FROM mean_row
+UNION ALL
+SELECT * FROM picks
+ORDER BY percentile
+"""
+
+
+# --------------------------------------------------------------------------
+# Hapax profile per language: V1 (hapax legomena), V2 (dis legomena),
+# the hapax share V1/V, and Sichel's S = V2/V (1975 — empirically
+# near-constant across corpus sizes for natural text, so drift flags
+# synthetic/duplicated content) — the frequency-spectrum face of the
+# richness family (yule_k uses its second moment). All counts exact from
+# the (lang, term) spectrum; two divides rounded 6.
+# --------------------------------------------------------------------------
+def q_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RUN), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("v1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("v2"),
+    )
+    vd = F.col("n_types").cast("double")
+    return per.select(
+        "lang",
+        "n_types",
+        "v1",
+        "v2",
+        F.round(F.col("v1").cast("double") / vd, 6).alias("hapax_share"),
+        F.round(F.col("v2").cast("double") / vd, 6).alias("sichel_s"),
+    ).orderBy("lang")
+
+
+SQL_HAPAX_PROFILE = f"""
+WITH tf AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT lang,
+           unnest(regexp_extract_all(lower(text), '{WORD_RUN}')) AS term
+    FROM documents
+  ) GROUP BY lang, term
+),
+per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM tf GROUP BY lang
+)
+SELECT lang, n_types, v1, v2,
+       round(CAST(v1 AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+         AS hapax_share,
+       round(CAST(v2 AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+         AS sichel_s
+FROM per
+ORDER BY lang
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -26735,6 +26898,8 @@ QUERIES_TD = {
     "embedding_nmi": q_embedding_nmi,
     "length_bias": q_length_bias,
     "rsj_weights": q_rsj_weights,
+    "ship_lag_deciles": q_ship_lag_deciles,
+    "hapax_profile": q_hapax_profile,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -27026,6 +27191,8 @@ ORACLES_TD = {
     "embedding_nmi": SQL_EMBEDDING_NMI,
     "length_bias": SQL_LENGTH_BIAS,
     "rsj_weights": SQL_RSJ_WEIGHTS,
+    "ship_lag_deciles": SQL_SHIP_LAG_DECILES,
+    "hapax_profile": SQL_HAPAX_PROFILE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
