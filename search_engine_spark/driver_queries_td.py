@@ -26698,6 +26698,217 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Bipartite butterfly census on the user-eventtype graph (butterfly =
+# 2x2 biclique, the bipartite analog of the triangle; Sanei-Mehri et
+# al. 2018): per type pair, the number of users touching both and the
+# C(n,2) butterflies that pair closes, plus each pair's share of the
+# global count. The alphabet side is tiny so the pair join is bounded
+# at |types|² rows after a distinct-first edge reduction; every count
+# is an exact BIGINT (C(n,2) = n*(n-1)/2 stays integral via DIV 2).
+# --------------------------------------------------------------------------
+def q_butterfly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    edges = events.groupBy("user_id", "event_type").agg(
+        F.lit(1).alias("_o")
+    ).select("user_id", "event_type")
+    a = edges.select("user_id", F.col("event_type").alias("ta"))
+    b = edges.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("tb")
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2")) & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_users"))
+    )
+    bf = F.expr("(co_users * (co_users - 1)) DIV 2")
+    pairs = co.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "co_users",
+        bf.cast("long").alias("butterflies"),
+    )
+    tot = pairs.agg(F.sum("butterflies").cast("long").alias("_t"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "co_users",
+            "butterflies",
+            F.round(
+                F.col("butterflies").cast("double")
+                / F.col("_t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_BUTTERFLY_COUNTS = """
+WITH edges AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS co_users
+  FROM edges a JOIN edges b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+pairs AS (
+  SELECT type_a, type_b, co_users,
+         CAST((co_users * (co_users - 1)) // 2 AS BIGINT) AS butterflies
+  FROM co
+),
+tot AS (SELECT CAST(sum(butterflies) AS BIGINT) AS t FROM pairs)
+SELECT type_a, type_b, co_users, butterflies,
+       round(CAST(butterflies AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+         AS share
+FROM pairs, tot
+ORDER BY type_a, type_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices between the order-timeline
+# halves (the index-number decomposition behind pvm_bridge's additive
+# story): per-part unit prices are ratios of exact fixed6 revenue and
+# quantity sums; each basket term p_t * q_s rounds to a fixed6 BIGINT
+# BEFORE the cross-part sum (invariant 4 — a bare double SUM over parts
+# could flip the 6th decimal with aggregation order), so the three
+# indices are single divides (Fisher adds one sqrt), rounded 6. Only
+# parts traded in BOTH halves enter (the matched-basket convention).
+# --------------------------------------------------------------------------
+def q_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        ntz_epoch_us(F.col("l_shipdate")).alias("_us"),
+        fixed6_long(F.col("l_extendedprice")).alias("ext6"),
+        fixed6_long(F.col("l_quantity")).alias("qty6"),
+    )
+    bounds = li.agg(
+        F.min("_us").alias("t0"), F.max("_us").alias("t1")
+    )
+    half = (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "partkey",
+            "ext6",
+            "qty6",
+            (F.col("_us") * 2 > F.col("t0") + F.col("t1"))
+            .cast("int")
+            .alias("h"),
+        )
+        .groupBy("partkey", "h")
+        .agg(
+            F.sum("ext6").cast("long").alias("se"),
+            F.sum("qty6").cast("long").alias("sq"),
+        )
+    )
+    h0 = half.filter(F.col("h") == 0).select(
+        "partkey",
+        F.col("se").alias("se0"),
+        F.col("sq").alias("sq0"),
+    )
+    h1 = half.filter(F.col("h") == 1).select(
+        "partkey",
+        F.col("se").alias("se1"),
+        F.col("sq").alias("sq1"),
+    )
+    j = h0.join(h1, "partkey")
+    p0 = F.col("se0").cast("double") / F.col("sq0").cast("double")
+    p1 = F.col("se1").cast("double") / F.col("sq1").cast("double")
+    q0 = F.col("sq0").cast("double") / F.lit(1000000.0)
+    q1 = F.col("sq1").cast("double") / F.lit(1000000.0)
+
+    def t6(x) -> F.Column:
+        return F.round(x * F.lit(1000000.0), 0).cast("long")
+
+    terms = j.select(
+        t6(p1 * q0).alias("p1q0"),
+        t6(p0 * q0).alias("p0q0"),
+        t6(p1 * q1).alias("p1q1"),
+        t6(p0 * q1).alias("p0q1"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("p1q0").cast("long").alias("s10"),
+        F.sum("p0q0").cast("long").alias("s00"),
+        F.sum("p1q1").cast("long").alias("s11"),
+        F.sum("p0q1").cast("long").alias("s01"),
+    )
+    lasp = F.col("s10").cast("double") / F.col("s00").cast("double")
+    paas = F.col("s11").cast("double") / F.col("s01").cast("double")
+    return agg.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+SQL_PRICE_INDICES = f"""
+WITH li AS (
+  SELECT l_partkey AS partkey, epoch_us(l_shipdate) AS us,
+         {SQL_FIXED6_LONG.format(col="l_extendedprice")} AS ext6,
+         {SQL_FIXED6_LONG.format(col="l_quantity")} AS qty6
+  FROM lineitem
+),
+bounds AS (SELECT min(us) AS t0, max(us) AS t1 FROM li),
+half AS (
+  SELECT partkey,
+         CASE WHEN us * 2 > bounds.t0 + bounds.t1 THEN 1 ELSE 0 END AS h,
+         CAST(sum(ext6) AS BIGINT) AS se,
+         CAST(sum(qty6) AS BIGINT) AS sq
+  FROM li, bounds
+  GROUP BY partkey, CASE WHEN us * 2 > bounds.t0 + bounds.t1
+                         THEN 1 ELSE 0 END
+),
+j AS (
+  SELECT h0.partkey,
+         h0.se AS se0, h0.sq AS sq0, h1.se AS se1, h1.sq AS sq1
+  FROM (SELECT * FROM half WHERE h = 0) h0
+  JOIN (SELECT * FROM half WHERE h = 1) h1 USING (partkey)
+),
+terms AS (
+  SELECT
+    CAST(round((CAST(se1 AS DOUBLE) / CAST(sq1 AS DOUBLE))
+               * (CAST(sq0 AS DOUBLE) / 1000000.0) * 1000000.0)
+         AS BIGINT) AS p1q0,
+    CAST(round((CAST(se0 AS DOUBLE) / CAST(sq0 AS DOUBLE))
+               * (CAST(sq0 AS DOUBLE) / 1000000.0) * 1000000.0)
+         AS BIGINT) AS p0q0,
+    CAST(round((CAST(se1 AS DOUBLE) / CAST(sq1 AS DOUBLE))
+               * (CAST(sq1 AS DOUBLE) / 1000000.0) * 1000000.0)
+         AS BIGINT) AS p1q1,
+    CAST(round((CAST(se0 AS DOUBLE) / CAST(sq0 AS DOUBLE))
+               * (CAST(sq1 AS DOUBLE) / 1000000.0) * 1000000.0)
+         AS BIGINT) AS p0q1
+  FROM j
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(p1q0) AS BIGINT) AS s10,
+         CAST(sum(p0q0) AS BIGINT) AS s00,
+         CAST(sum(p1q1) AS BIGINT) AS s11,
+         CAST(sum(p0q1) AS BIGINT) AS s01
+  FROM terms
+)
+SELECT n_parts,
+       round(CAST(s10 AS DOUBLE) / CAST(s00 AS DOUBLE), 6) AS laspeyres,
+       round(CAST(s11 AS DOUBLE) / CAST(s01 AS DOUBLE), 6) AS paasche,
+       round(sqrt((CAST(s10 AS DOUBLE) / CAST(s00 AS DOUBLE))
+                  * (CAST(s11 AS DOUBLE) / CAST(s01 AS DOUBLE))), 6)
+         AS fisher
+FROM agg
+"""
+
+
 QUERIES_TD = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_diversity": q_embedding_diversity,
@@ -26900,6 +27111,8 @@ QUERIES_TD = {
     "rsj_weights": q_rsj_weights,
     "ship_lag_deciles": q_ship_lag_deciles,
     "hapax_profile": q_hapax_profile,
+    "butterfly_counts": q_butterfly_counts,
+    "price_indices": q_price_indices,
     "minhash_calibration": q_minhash_calibration,
     "prefix_complete": q_prefix_complete,
     "cascade_overlap": q_cascade_overlap,
@@ -27193,6 +27406,8 @@ ORACLES_TD = {
     "rsj_weights": SQL_RSJ_WEIGHTS,
     "ship_lag_deciles": SQL_SHIP_LAG_DECILES,
     "hapax_profile": SQL_HAPAX_PROFILE,
+    "butterfly_counts": SQL_BUTTERFLY_COUNTS,
+    "price_indices": SQL_PRICE_INDICES,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "prefix_complete": SQL_PREFIX_COMPLETE,
     "cascade_overlap": SQL_CASCADE_OVERLAP,
