@@ -685,6 +685,43 @@ DRIVERLIKE_QUERIES = [
     # degree-ordered triangle orientation -> canonical edge refs, all
     # BIGINT, bounded-level cumulative window under ANSI
     "edge_support",
+    # late-r03 batch: every pair added after the 308-pair sweep — ln/fixed6
+    # sums, NTZ day indices, md5 coins, shift arithmetic and ranker
+    # contributions must all hold under the non-UTC/ANSI/200-partition
+    # session (the shard_rebalance constant-shadowing regression was
+    # caught exactly here)
+    "yule_k",
+    "err_eval",
+    "pl2_topk",
+    "pacf_daily",
+    "salsa_scores",
+    "croston_demand",
+    "bpe_fertility",
+    "newsvendor",
+    "mrr_eval",
+    "brown_smoothing",
+    "allan_variance",
+    "ef_vs_varint",
+    "witten_bell",
+    "shannon_code",
+    "label_centroids",
+    "ipw_estimate",
+    "rice_param",
+    "hash_ring",
+    "first_position",
+    "capture_recapture",
+    "coupon_collector",
+    "inspection_paradox",
+    "aipw_estimate",
+    "stack_distance",
+    "pivoted_topk",
+    "embedding_nmi",
+    "length_bias",
+    "rsj_weights",
+    "ship_lag_deciles",
+    "hapax_profile",
+    "butterfly_counts",
+    "price_indices",
 ]
 
 
