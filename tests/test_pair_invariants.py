@@ -722,6 +722,8 @@ DRIVERLIKE_QUERIES = [
     "hapax_profile",
     "butterfly_counts",
     "price_indices",
+    "weighted_jaccard",
+    "k1_sweep",
 ]
 
 
