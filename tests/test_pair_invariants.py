@@ -724,6 +724,8 @@ DRIVERLIKE_QUERIES = [
     "price_indices",
     "weighted_jaccard",
     "k1_sweep",
+    "map_eval",
+    "idf_variants",
 ]
 
 
