@@ -726,6 +726,8 @@ DRIVERLIKE_QUERIES = [
     "k1_sweep",
     "map_eval",
     "idf_variants",
+    "smart_ltc_topk",
+    "residual_idf",
 ]
 
 
