@@ -728,6 +728,8 @@ DRIVERLIKE_QUERIES = [
     "idf_variants",
     "smart_ltc_topk",
     "residual_idf",
+    "leadtime_icc",
+    "friendship_paradox",
 ]
 
 
