@@ -730,6 +730,8 @@ DRIVERLIKE_QUERIES = [
     "residual_idf",
     "leadtime_icc",
     "friendship_paradox",
+    "perfect_orders",
+    "term_gini",
 ]
 
 
