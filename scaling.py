@@ -66,7 +66,10 @@ if len(LEVELS) != 2:
         f"levels (N,4N), got {LEVELS!r}"
     )
 DEFAULT_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "200000"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+# 5, not 3: measured repeatedly (BENCH.md §2), the wide level needs ~2
+# extra warm runs before JIT/page-cache/SMT scheduling settle — best-of-3
+# truncated that climb and under-reported the speedup by up to 0.5x
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
 
 
 def _burn(n: int) -> int:
