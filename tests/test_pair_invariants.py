@@ -732,6 +732,7 @@ DRIVERLIKE_QUERIES = [
     "friendship_paradox",
     "perfect_orders",
     "term_gini",
+    "kendall_w",
 ]
 
 
