@@ -733,6 +733,8 @@ DRIVERLIKE_QUERIES = [
     "perfect_orders",
     "term_gini",
     "kendall_w",
+    "exposure_bias",
+    "nqc_predictor",
 ]
 
 
