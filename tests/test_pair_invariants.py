@@ -735,6 +735,8 @@ DRIVERLIKE_QUERIES = [
     "kendall_w",
     "exposure_bias",
     "nqc_predictor",
+    "success_at_k",
+    "degree_age_corr",
 ]
 
 
