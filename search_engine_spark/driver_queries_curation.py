@@ -1687,9 +1687,10 @@ m{i} AS (
   FROM p{i} ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
 ),
 w{i} AS (
-  SELECT replace(enc, '|' || lhs || '||' || rhs || '|',
-                 '|' || merged || '|') AS enc, freq
-  FROM w{i - 1}, m{i}
+  SELECT CASE WHEN m.lhs IS NULL THEN enc
+              ELSE replace(enc, '|' || m.lhs || '||' || m.rhs || '|',
+                           '|' || m.merged || '|') END AS enc, freq
+  FROM w{i - 1} LEFT JOIN m{i} m ON TRUE
 )"""
     return cte
 
@@ -1826,9 +1827,10 @@ v0 AS (
         chain += f""",
 v{i} AS (
   SELECT lang, freq,
-         replace(enc, '|' || m.lhs || '||' || m.rhs || '|',
-                 '|' || m.merged || '|') AS enc
-  FROM v{i - 1}, m{i} m
+         CASE WHEN m.lhs IS NULL THEN enc
+              ELSE replace(enc, '|' || m.lhs || '||' || m.rhs || '|',
+                           '|' || m.merged || '|') END AS enc
+  FROM v{i - 1} LEFT JOIN m{i} m ON TRUE
 )"""
     return f"""
 WITH {_bpe_ctes(BPE_MERGES_K)},

@@ -405,339 +405,14 @@ def test_ntz_epoch_us_is_timezone_invariant(spark):
 # time/float-sensitive pairs must match the oracle under those conditions,
 # not just under the test session's defaults.
 # ---------------------------------------------------------------------------
-DRIVERLIKE_QUERIES = [
-    "event_sessions",
-    "events_hourly",
-    "events_rollup",
-    "freshness_scores",
-    "rfc2822_parse",
-    "news_feed_freshness",
-    "fallback_search",
-    "article_upsert",
-    # r03-touched pairs: ANSI-mode sum/shift arithmetic (simhash),
-    # fixed-point Lloyd means (trained IVF), union-sum merge
-    "ann_ivf_trained",
-    "simhash_fingerprints",
-    "word_source_merge",
-    # r03 curation pairs: in-query injected corpora, ratio rounding
-    "pii_redaction",
-    "gopher_quality",
-    "repetition_stats",
-    # r03-touched late in the round: map-side argmax assignment
-    # (ann_ivf_topk), cached-node/eager-inlinks PageRank under 200
-    # shuffle partitions, float32-exact media features under ANSI
-    "ann_ivf_topk",
-    "pagerank",
-    "media_features",
-    # r03 mixing pairs: md5 hex-prefix thresholds (string compare),
-    # broadcast eval-ngram join, salted two-phase top-k under 200
-    # shuffle partitions
-    "decontamination",
-    "stratified_sample",
-    "domain_top_k",
-    # global line dedup: struct-min first-occurrence + ordered reassembly
-    "line_dedup",
-    # exact-count hash-order quota sampling
-    "quota_sample",
-    # r03 late pairs: recursive closure vs star contraction (semantic
-    # dedup), distributed prefix sum vs naive window under 200 shuffle
-    # partitions + ANSI integer div (packing), in-plan grand total
-    "semantic_dedup",
-    "sequence_packing",
-    "corpus_mix_report",
-    # suffix-chain blocklist join: string splits under ANSI
-    "url_blocklist",
-    # late-r03 pairs: ln/fixed6 sums under ANSI + 200 partitions (LM
-    # scoring, DSIR weights), in-plan sqrt thresholds + conv() hash ints
-    # (temperature), literal hash-range splits
-    "lm_quality",
-    "lm_quality_by_lang",
-    "dsir_weights",
-    "temperature_sample",
-    "hash_split",
-    # full Gopher repetition suite: position-union char coverage, per-doc
-    # windows + pivots under 200 shuffle partitions and ANSI arithmetic
-    "gopher_repetition",
-    # C4 line/page rules: per-row array filters + regexp counts under ANSI
-    "c4_rules",
-    # ExactSubstr span dedup: global min-(doc,pos) vs oracle window under
-    # 200 shuffle partitions, overlap-union reassembly
-    "dedup_spans",
-    # BFF bloom dedup: conv() hash ints + global min-setter under 200
-    # partitions; TF-IDF: ln under ANSI + two-phase df + in-plan N scalar
-    "bloom_dedup",
-    "tfidf_keywords",
-    "bigram_pmi",
-    # Zipf OLS: pure-BIGINT sums of once-quantized ln points under ANSI
-    "zipf_stats",
-    # Gram-identity mean cosine: once-quantized unit vectors, BIGINT sums
-    "embedding_diversity",
-    # duplication profile: md5 grams + two exact-BIGINT divides
-    "dup_profile",
-    # Flesch: decimal literals + fixed6 mean + rounded-band counts
-    "readability",
-    # retention: tz-invariant integer day index from ntz_epoch_us
-    "cohort_retention",
-    # triangles: pure-integer rank orientation + one rounded divide
-    "triangle_counts",
-    # shingle overlap: md5 sets + one exact-BIGINT divide
-    "source_overlap",
-    # funnel: tz-invariant epoch windows + exact-BIGINT rate divides
-    "event_funnel",
-    # anomaly: integer moments, one z expression, rounded-z flag
-    "events_anomaly",
-    # HLL: integer register folds + one double division/ln; quantiles:
-    # pure-integer window cumsum; ES sample: rounded-ln ranking + LIMIT
-    "hll_distinct",
-    "length_quantiles",
-    "weighted_sample",
-    # CMS: pure-BIGINT counters, min-fold estimates, integer threshold
-    "cms_heavy_hitters",
-    # codec framing: real encode_postings in an Arrow grouped-map stage vs
-    # the oracle's integer varint ladder — pure-integer, but the Arrow
-    # round trip must hold under ANSI + 200 shuffle partitions
-    "postings_bytes",
-    # RRF: rounded-score ranking + 1/(60+r) doubles under ANSI
-    "rank_fusion",
-    # snippets: 1-based substring/locate arithmetic under ANSI
-    "search_snippets",
-    # Heaps fit: integer `div` slicing + fixed6 ln OLS under ANSI
-    "heaps_law",
-    # balance stats: BIGINT products + guarded divisions under ANSI
-    "shard_balance",
-    # TPC-H-ish quartet: NTZ date predicates + fixed6 money sums must hold
-    # under a non-UTC session with ANSI on
-    "pricing_summary",
-    "ship_priority",
-    "nation_revenue",
-    "returns_report",
-    "promo_share",
-    # map-side function-word filter + bounded-key rates under ANSI
-    "stylometry",
-    # exact-fixed6 tie-at-max filter + NTZ window under a DST session
-    "top_supplier",
-    # pure-BIGINT classes² Gini fold + one divide under ANSI
-    "order_gini",
-    # exact power sums -> single-expression moments (sqrt not pow)
-    "length_moments",
-    # basket-bounded pair fan-out + exact support/confidence/lift
-    "market_basket",
-    # JSONPath extraction NULL semantics + BIGINT stats under ANSI
-    "props_extract",
-    # session assignment + struct-min entry attribution under a DST tz
-    "bounce_rate",
-    # grouped fixed6 entropy + exp on the rounded value under ANSI
-    "behavior_entropy",
-    # singleton/doubleton folds + one estimate expression under ANSI
-    "chao1_vocab",
-    # one exp() expression of exact BIGINTs rounded 6, in-plan N scalar
-    "term_burstiness",
-    # fixed6-quantized ln contributions, pure-BIGINT ranking under ANSI
-    "ql_topk",
-    # fixed6-quantized pow terms over the two rankings under ANSI
-    "rank_overlap",
-    # floor-bucket boundaries on raw stored doubles + one share divide
-    "value_histogram",
-    # fixed6-quantized O·ln(O/E) terms, pure-BIGINT G² ranking under ANSI
-    "keyness_llr",
-    # per-row fixed6 entropy folds under ANSI (zero shuffles)
-    "lexical_diversity",
-    # tz-invariant day indexes + fixed6 money sums under a DST session
-    "rfm_segments",
-    # exact class-sum divide over bounded degree classes under ANSI
-    "degree_correlation",
-    # two-phase distinct-set Jaccard + one exact divide
-    "cohort_overlap",
-    # pure-integer dow/hour arithmetic under a DST-observing session
-    "weekly_profile",
-    # gaps-and-islands row_number offsets under 200 partitions
-    "user_streaks",
-    # one ln + rounded-pmi ranking under ANSI, like bigram_pmi
-    "skipgram_pmi",
-    # temporal joins: ntz_epoch_us time math + null-sentinel coalesce must
-    # hold under a DST-observing session with ANSI on
-    "asof_join",
-    "interval_join",
-    # 1-based slice arithmetic + sequence bounds under ANSI
-    "context_chunks",
-    # exact-integer HITS: BIGINT sums across 20 iterations under ANSI
-    # (an overflow would raise, never wrap) + two final max-divides
-    "hits_scores",
-    # pure-integer pair counts + in-degree stop-list under 200 partitions
-    "cocitation_coupling",
-    # integer min-relaxation over a fixed horizon under ANSI
-    "link_distance",
-    # tz-invariant day index + two-phase rolling distinct + one divide
-    "rolling_active",
-    # per-user lag windows on the (epoch_us, event_id) total order; the
-    # gap mean is pure-BIGINT floor division (half-ulp-proof)
-    "event_gaps",
-    "event_transitions",
-    # 8 synchronous integer peeling rounds under ANSI + 200 partitions
-    "k_core",
-    # BIGINT moments -> one sqrt expression under ANSI; in-plan scalars
-    "graph_mixing",
-    # seed-teleport float iteration under 200 partitions, rounded 9
-    "personalized_pagerank",
-    # integer mode-argmax rounds: struct-max vs QUALIFY must agree
-    "label_propagation",
-    # slice-then-filter anchor phrases + per-target rank window under
-    # 200 partitions (permutation %N target key)
-    "anchor_text",
-    # integer-exact tf·idf6 feedback ranking + floor-quantized RM1
-    # contributions under ANSI (the ÷dl is pure IEEE, no libm)
-    "prf_expansion",
-    # positional joins + per-phrase TakeOrderedAndProject under 200
-    # partitions (0-based posexplode vs 1-based subscripts alignment)
-    "phrase_match",
-    # fixed6-quantized 1/ln(deg) hub terms, BIGINT sums under ANSI
-    "link_prediction",
-    # tz-invariant 7-day lookback windows + struct-min/max entry pick
-    "touch_attribution",
-    # fixed6 idf + python-constant log2 discounts, exact BIGINT DCG sums
-    "ndcg_eval",
-    # exact-integer HAVING gate + epoch-µs order dates under ANSI/DST
-    "large_orders",
-    # 4 integer path-count rounds + one exact /4096 binary divide
-    "katz_centrality",
-    # cross-multiplied integer above-average gate + floored micro-average
-    "cust_balance",
-    # epoch-µs lateness threshold arithmetic under a DST session
-    "late_supplier",
-    # window plane-sweep spans under 200 shuffle partitions
-    "proximity_rank",
-    # integer mmr6 ladder picks under an ANSI non-UTC session
-    "mmr_rerank",
-    # smaller-side prefix filter + exact BIGINT/BIGINT overlap divide
-    # under 200 shuffle partitions
-    "containment_pairs",
-    # star-contraction components + struct-max canonical pick under 200
-    # partitions (all-BIGINT outputs)
-    "canonical_docs",
-    # injected-footer corpus + one exact BIGINT/BIGINT rate divide
-    "boilerplate_shingles",
-    # deterministic df-desc/term-asc top-K + independence-estimate divide
-    # against an in-plan N under 200 shuffle partitions
-    "selectivity_estimates",
-    # two-phase df + broadcast grid join + in-plan totals divides
-    "vocab_pruning",
-    # deterministic top-100 vocab + broadcast anti-join + one rate divide
-    "oov_rate",
-    # aggregated-bigram argmax window + one conditional-prob divide
-    "next_word",
-    # full-outer version join + string-equality classification, all BIGINT
-    "corpus_delta",
-    # fixed6 idf, IEEE-pure impact ratios, floor-quantized bucket under
-    # ANSI + 200 shuffle partitions
-    "impact_quantization",
-    # ids-only reciprocation semi-join + one exact-int rate divide
-    "link_reciprocity",
-    # per-b argmax windows over exactly-binary grid values under ANSI
-    "bm25_b_sweep",
-    # deterministic tf-sum stage-1 cut + broadcast membership flag
-    "cascade_overlap",
-    # min-first-occurrence join + one exact-int novelty divide
-    "novelty_curve",
-    # aggregated-ctf argmax window per prefix, all-BIGINT outputs
-    "prefix_complete",
-    # integer log2 buckets (bin-string length) under ANSI subtraction
-    "gap_histogram",
-    # md5 signature agreement + exact-int jaccard/error divides
-    "minhash_calibration",
-    # exact conjunctive match counts against broadcast literal queries
-    "standing_alerts",
-    # rounded-fold cosine ranks + RRF double sums under ANSI
-    "hybrid_rrf",
-    # fixed6 relevance-model sums + KL log2 terms under ANSI
-    "query_clarity",
-    # exact-int tier masses; single rounded divides under ANSI
-    "tiered_index",
-    # fixed9 JS-term sums + log2 of exact-rational probabilities under ANSI
-    "lang_divergence",
-    # exact-int drains; single rounded share divide under ANSI
-    "crawl_schedule",
-    # fixed9 |Δrank| BIGINT sums per checkpointed iteration + one
-    # double contraction divide rounded 6 under ANSI + 200 partitions
-    "pagerank_convergence",
-    # pure-BIGINT power sums -> one Pearson sqrt expression under ANSI
-    "feature_correlation",
-    # fixed-point integer TextRank: div-floor messages + damping mix
-    # under ANSI (an overflow would raise, never wrap), window-lag
-    # adjacency under 200 shuffle partitions
-    "textrank_keywords",
-    # host-contracted weighted fixed-point recurrence, uniform-key
-    # contraction joins under ANSI + 200 partitions
-    "host_authority",
-    # pure-integer bin-length codec formulas + per-term lag windows
-    # under ANSI + 200 shuffle partitions
-    "codec_compare",
-    # vocabulary-bounded global window + monotone prefix-count LCP
-    # expression under ANSI
-    "dict_frontcoding",
-    # md5 hex-prefix hash ints (invariant 2) + wrap-priority row_number
-    # ring pick over a broadcast token cross join under 200 partitions
-    "shard_rebalance",
-    # aggregated-vocab LFU ranking + in-plan grand total, one rate divide
-    "query_cache_model",
-    # doc-bounded pair fan-out + one sqrt of exact-int product, ranked
-    # on the rounded value under 200 shuffle partitions
-    "term_association",
-    # degree-ordered triangle orientation -> canonical edge refs, all
-    # BIGINT, bounded-level cumulative window under ANSI
-    "edge_support",
-    # late-r03 batch: every pair added after the 308-pair sweep — ln/fixed6
-    # sums, NTZ day indices, md5 coins, shift arithmetic and ranker
-    # contributions must all hold under the non-UTC/ANSI/200-partition
-    # session (the shard_rebalance constant-shadowing regression was
-    # caught exactly here)
-    "yule_k",
-    "err_eval",
-    "pl2_topk",
-    "pacf_daily",
-    "salsa_scores",
-    "croston_demand",
-    "bpe_fertility",
-    "newsvendor",
-    "mrr_eval",
-    "brown_smoothing",
-    "allan_variance",
-    "ef_vs_varint",
-    "witten_bell",
-    "shannon_code",
-    "label_centroids",
-    "ipw_estimate",
-    "rice_param",
-    "hash_ring",
-    "first_position",
-    "capture_recapture",
-    "coupon_collector",
-    "inspection_paradox",
-    "aipw_estimate",
-    "stack_distance",
-    "pivoted_topk",
-    "embedding_nmi",
-    "length_bias",
-    "rsj_weights",
-    "ship_lag_deciles",
-    "hapax_profile",
-    "butterfly_counts",
-    "price_indices",
-    "weighted_jaccard",
-    "k1_sweep",
-    "map_eval",
-    "idf_variants",
-    "smart_ltc_topk",
-    "residual_idf",
-    "leadtime_icc",
-    "friendship_paradox",
-    "perfect_orders",
-    "term_gini",
-    "kendall_w",
-    "exposure_bias",
-    "nqc_predictor",
-    "success_at_k",
-    "degree_age_corr",
-]
+# Auto-derived per CLAUDE.md invariant 8: EVERY pair runs under the
+# driver-like session (non-UTC tz, ANSI on, 200 shuffle partitions) — the
+# conditions that caught r01's event_sessions HUGEINT bug and r03's
+# hash_ring/shard_rebalance constant-shadowing break. Derived from
+# queries() so a new pair is registered by construction; list exclusions
+# here ONLY with a written justification (currently none).
+DRIVERLIKE_EXCLUDE: set = set()
+DRIVERLIKE_QUERIES = sorted(set(entry_mod.queries()) - DRIVERLIKE_EXCLUDE)
 
 
 @pytest.fixture(scope="module")
@@ -1039,3 +714,44 @@ def test_ntz_epoch_us_sweep_vs_duckdb(spark):
         )
         got = [r["us"] for r in df.collect()]
         assert got == expected, f"tz={tz}: first mismatch at {next(i for i,(a,b) in enumerate(zip(got,expected)) if a!=b)}"
+
+
+# ---------------------------------------------------------------------------
+# BPE merge exhaustion (ADVICE r03): a corpus whose vocabulary fuses to
+# single symbols before BPE_MERGES_K steps must NOT zero out the oracle —
+# each oracle merge CTE is a LEFT JOIN on its (possibly empty) 1-row
+# argmax, passing `enc` through unchanged, exactly mirroring Spark's
+# early-stopped rule list. All three BPE pairs share the CTE chain.
+# ---------------------------------------------------------------------------
+def _exhausted_bpe_docs(spark, tmp_path):
+    # vocabulary {ab, cd}: step1 merges (a,b), step2 merges (c,d),
+    # steps 3..8 find no adjacent pair anywhere
+    rows = [
+        (1, "ab ab cd", "en", "web", 8),
+        (2, "ab cd", "de", "web", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("name", ["bpe_merges", "bpe_tokenize", "bpe_fertility"])
+def test_bpe_pairs_survive_merge_exhaustion(spark, tmp_path, name):
+    sf_dir = _exhausted_bpe_docs(spark, tmp_path)
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    sc_cols, sc_rows = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+    assert sc_rows, f"{name}: Spark side returned zero rows on tiny corpus"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    d_cols, d_rows = _norm([d[0] for d in res.description], res.fetchall())
+
+    assert sc_cols == d_cols
+    assert sc_rows == d_rows, f"{name}: engines disagree after merge exhaustion"
