@@ -18,9 +18,14 @@ through this seam instead of hard-coding either layout:
 Both sides expose the SAME five operations, so ``pipeline`` code is
 storage-agnostic; :func:`table_io_for` picks the implementation from a
 location string ("s3://…/warehouse" path -> parquet, "catalog.namespace"
--> Iceberg). The Iceberg branch is exercised only when a runtime jar +
-catalog are configured (``iceberg_available``); its calls are the plain
-documented Spark/Iceberg API, not a reimplementation.
+-> Iceberg). The Iceberg branch's calls are the plain documented
+Spark/Iceberg API, not a reimplementation, and every one of them —
+including all three MERGE INTO variants — is EXECUTED by
+``tests/test_tableio.py::test_iceberg_merge_roundtrip`` against a DSv2
+catalog implementing the same row-level-operation contract as Iceberg's
+SparkCatalog (``tests/java/RowLevelTestCatalog.java``); production
+deployments additionally need the runtime jar + catalog conf
+(``iceberg_available``).
 """
 
 from __future__ import annotations

@@ -135,13 +135,52 @@ def test_iceberg_gate_reports_absent(spark):
     assert iceberg_available(spark, "nonexistent_catalog") is False
 
 
-@pytest.mark.skipif(True, reason="Iceberg runtime jar not baked into this sandbox")
-def test_iceberg_merge_roundtrip(spark):
-    """Executed in deployments with spark.sql.catalog.<name> configured:
-    replace -> insert_if_absent -> upsert through MERGE INTO, same
-    assertions as the parquet tests."""
-    io = IcebergIO("lake", "search")
-    df = spark.createDataFrame([(1, "a")], "k long, v string")
-    io.replace(df, "t")
-    io.insert_if_absent(spark.createDataFrame([(1, "X"), (2, "b")], "k long, v string"), "t", "k")
-    io.upsert(spark.createDataFrame([(2, "NEW")], "k long, v string"), "t", "k")
+def test_iceberg_merge_roundtrip(tmp_path):
+    """EXECUTES the IcebergIO MERGE INTO branch (r03 VERDICT task 5).
+
+    The Iceberg runtime jar cannot be vendored into this sandbox (no
+    network), so the branch runs against the filesystem-catalog
+    equivalent: a minimal DSv2 catalog (tests/java/RowLevelTestCatalog
+    .java, compiled here with the sandbox JDK) that implements the SAME
+    row-level-operation contract Iceberg's SparkCatalog implements for
+    MERGE — SupportsRowLevelOperations -> RowLevelOperation(MERGE) ->
+    scan + copy-on-write replace. Spark analyzes and rewrites IcebergIO's
+    exact MERGE statements (RewriteMergeIntoTable) and executes them for
+    real; a subprocess owns the run because the catalog class must be on
+    the driver classpath at JVM launch. Asserts replace/append/
+    insert_if_absent/upsert semantics plus the ARTICLE_MERGE_SET column
+    merge against the upsert_articles operator spelling."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    javac = shutil.which("javac")
+    if javac is None:
+        pytest.skip("no JDK in this environment")
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    classes = str(tmp_path / "rlc_classes")
+    os.makedirs(classes, exist_ok=True)
+    src = os.path.join(os.path.dirname(__file__), "java", "RowLevelTestCatalog.java")
+    subprocess.run(
+        [javac, "-encoding", "UTF-8", "-cp", os.path.join(jars, "*"),
+         "-d", classes, src],
+        check=True, capture_output=True,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "_iceberg_branch_driver.py"), classes],
+        check=True, capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT:"))
+    out = json.loads(line[len("RESULT:"):])
+
+    assert out["exists"] == [True, False]
+    assert out["after_append"] == [[1, "a"], [5, "e"]]
+    assert out["after_insert_if_absent"] == [[1, "a"], [2, "b"], [5, "e"]]
+    assert out["after_upsert"] == [[1, "a"], [2, "NEW"], [3, "c"], [5, "e"]]
+    assert out["after_replace"] == [[9, "z"]]  # createOrReplace truncates
+    assert out["articles_match"], "MERGE INTO UPDATE SET drifted from upsert_articles"
