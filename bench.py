@@ -119,14 +119,23 @@ def main() -> None:
         comp["bytes"] / comp["n_postings"] if comp["n_postings"] else 0.0
     )
 
-    # --- search latency p50 (flagship block-max WAND postings path) ----------
+    # --- shallow-corpus search (pipeline-built 4k-page index) ----------------
+    # Continuity entry: this is byte-for-byte what r01-r03 recorded as
+    # "search_20q" (the 4k extract-pipeline corpus, where flat synthetic
+    # tf makes every block max ~= the global max, so pruning cannot act
+    # BY CONSTRUCTION). r04 renames it search_20q_shallow and moves the
+    # HEADLINE search_20q + p50/p95 + decoded-fraction to the deep-list
+    # corpus below, where block-max WAND has room to work (r03 verdict
+    # task 3).
     spark._jvm.System.gc()
     # interactive=True scopes the query-service tuning (AQE off, small
     # shuffle partitioning) around each search() action; the session
     # configuration is untouched outside those scopes (r02 verdict item 2:
     # the old constructor-side mutation leaked a 4-partition/no-AQE profile
     # into the token-engine section below and tripled its time)
-    engine = PostingsSearchEngine(docs, postings, stats, interactive=True)
+    engine = PostingsSearchEngine(
+        docs, postings, stats, interactive=True, pin_shard_layout=True
+    )
     token_engine = SearchEngine(docs, tokens, stats)
     stat_rows = stats.orderBy("term").limit(500).collect()
     by_df = sorted(stat_rows, key=lambda r: (-r["doc_frequency"], r["term"]))
@@ -141,18 +150,12 @@ def main() -> None:
     # best-of-2 like every other section (this was the only single-pass
     # measurement in r02; ambient variance hit it hardest)
     search_wall = float("inf")
-    lat: list[float] = []
     for _ in range(2):
-        pass_lat = []
         t0 = time.perf_counter()
         for q in qset:
-            s = time.perf_counter()
             engine.search(q, 20, 0)
-            pass_lat.append(time.perf_counter() - s)
-        wall = time.perf_counter() - t0
-        if wall < search_wall:
-            search_wall, lat = wall, pass_lat
-    queries["search_20q"] = round(search_wall, 4)
+        search_wall = min(search_wall, time.perf_counter() - t0)
+    queries["search_20q_shallow"] = round(search_wall, 4)
     total += search_wall
 
     # token-table engine on the same query set, for comparison
@@ -166,12 +169,13 @@ def main() -> None:
     queries["search_20q_tokens"] = round(tok_wall, 4)
     total += queries["search_20q_tokens"]
 
-    # --- WAND at depth -------------------------------------------------------
-    # At 4k docs every (term, shard) list fits one 128-posting block, so the
-    # flagship block-max pruning is unexercised BY CONSTRUCTION in the main
-    # search section (r02 verdict item 5). This section synthesizes a
-    # deep-list corpus directly at the tokens level (pure JVM expressions —
-    # no extract/tokenize cost), builds real postings, and measures the
+    # --- WAND at depth: the HEADLINE corpus ----------------------------------
+    # The 4k extract-pipeline corpus above cannot show pruning: its flat
+    # synthetic tf keeps every block max at the global max (r02 verdict
+    # item 5), so since r04 the flagship search numbers come from THIS
+    # section (r03 verdict task 3). It synthesizes a deep-list corpus
+    # directly at the tokens level (pure JVM expressions — no
+    # extract/tokenize cost), builds real postings, and measures the
     # fraction of blocks actually decoded over a query mix hitting the
     # Zipf-head lists. Sized so head terms span hundreds of blocks.
     # Corpus shape (mirrors what makes pruning work on real crawls):
@@ -246,12 +250,44 @@ def main() -> None:
     queries["wand_depth_build"] = round(time.perf_counter() - t0, 4)
     total += queries["wand_depth_build"]
 
-    deep_engine = PostingsSearchEngine(docs_w, postings_w, stats_w, interactive=True)
-    # rare+common pairs across regions, one 3-term, one pure-common (the
-    # last two decode ~all their blocks — the honest part of the mix)
+    deep_engine = PostingsSearchEngine(
+        docs_w, postings_w, stats_w, interactive=True, pin_shard_layout=True
+    )
+
+    # --- HEADLINE search: 20 queries over the deep-list corpus ---------------
+    # The flagship latency + pruning record (r03 verdict task 3): rare+
+    # common pairs across doc-id regions (theta fills from the rare term's
+    # region, then whole common-list block runs fall below the block max
+    # and are skipped), three-term conjunctions, rare-only probes, and
+    # pure-common queries (which decode ~all their blocks — the honest
+    # part of the mix). 10 distinct queries x 2 passes; p50/p95 and the
+    # blocks-decoded fraction reported from THIS set.
+    headline_qset = [
+        "r2x5 c0", "r5x17 c1", "r7x3 c2 c3", "r1x9 c4", "c0",
+        "r3x11 c5", "r8x2 c6", "r4x7 c7 c8", "r6x13 c9", "c1",
+    ] * 2
+    deep_engine.search(headline_qset[0], 20, 0)  # warm (also counted in
+    # the decode fraction — every pass exercises the same pruning)
+    search_wall = float("inf")
+    lat: list[float] = []
+    for _ in range(2):
+        pass_lat = []
+        t0 = time.perf_counter()
+        for q in headline_qset:
+            s = time.perf_counter()
+            deep_engine.search(q, 20, 0)
+            pass_lat.append(time.perf_counter() - s)
+        wall = time.perf_counter() - t0
+        if wall < search_wall:
+            search_wall, lat = wall, pass_lat
+    queries["search_20q"] = round(search_wall, 4)
+    total += search_wall
+    # snapshot BEFORE the continuity set below so the headline fraction
+    # is attributable to the headline queries alone
+    headline_stats = deep_engine.scan_stats()
+
+    # continuity entry: r03's 10-query deep set, unchanged
     deep_qset = ["r2x5 c0", "r5x17 c1", "r7x3 c2 c3", "r1x9 c4", "c0"] * 2
-    deep_engine.search(deep_qset[0], 20, 0)  # warm (also counted in the
-    # decode fraction — every pass exercises the same pruning)
     deep_wall = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -336,19 +372,30 @@ def main() -> None:
             "sec_per_entry": round(total / len(queries), 4) if queries else None,
             "index_build_docs_per_sec": round(docs_per_sec, 2),
             "postings_bytes_per_posting": round(bytes_per_posting, 2),
+            # HEADLINE latency + pruning: the 20-query set over the
+            # deep-list corpus (wand_deep_docs docs), where posting lists
+            # span hundreds of blocks. decoded_fraction < 1.0 is the
+            # block-max pruning at work: skipped blocks were never
+            # deserialized.
             "search_p50_ms": round(statistics.median(lat) * 1000, 2),
             "search_p95_ms": round(sorted(lat)[int(len(lat) * 0.95) - 1] * 1000, 2),
-            # executor-side WAND telemetry over the whole query set: the
-            # fraction of posting blocks actually decoded (skipped blocks
-            # were never deserialized — the block-max pruning at work)
             "wand_blocks_decoded_fraction": (
+                round(headline_stats["decoded_fraction"], 4)
+                if headline_stats["decoded_fraction"] is not None
+                else None
+            ),
+            "wand_blocks_total": headline_stats["blocks_total"],
+            "wand_deep_docs": wand_docs,
+            # the 4k extract-pipeline corpus (search_20q_shallow): flat
+            # synthetic tf keeps every block max at the global max, so
+            # ~1.0 here is expected BY CONSTRUCTION — kept as the honest
+            # no-pruning-possible control
+            "wand_shallow_decoded_fraction": (
                 round(engine.scan_stats()["decoded_fraction"], 4)
                 if engine.scan_stats()["decoded_fraction"] is not None
                 else None
             ),
-            # same telemetry over the deep-list corpus, where lists span
-            # hundreds of blocks and pruning has room to act
-            "wand_deep_docs": wand_docs,
+            # cumulative deep-engine telemetry incl. the continuity set
             "wand_deep_blocks_total": deep_stats["blocks_total"],
             "wand_deep_decoded_fraction": (
                 round(deep_stats["decoded_fraction"], 4)

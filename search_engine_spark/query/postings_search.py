@@ -87,6 +87,7 @@ class PostingsSearchEngine:
         term_statistics: DataFrame,
         n_term_buckets: int | None = None,
         interactive: bool = False,
+        pin_shard_layout: bool = False,
     ) -> None:
         self.documents = documents
         self.postings = postings
@@ -105,6 +106,20 @@ class PostingsSearchEngine:
         # 16.1s < parts=16 19.4s for the 20-query set — 8 keeps the doc
         # join / top-k parallel without AQE's per-exchange round trips
         self.interactive_shuffle_partitions = 8
+        # Serving-cache layout (r04): pin the postings cache to
+        # HashPartitioning(shard, interactive_shuffle_partitions) so each
+        # query's groupBy(shard) -> WAND stage reuses the cached
+        # partitioning instead of shuffling the hit lists — one fewer
+        # stage boundary per query (~100 ms at local[32]; plan-asserted
+        # in tests/test_plans.py). Requires querying under
+        # interactive_conf (same shuffle-partition count at plan time).
+        # Materialized eagerly: serving pays the layout cost once at
+        # startup, never on the first user query.
+        if pin_shard_layout:
+            self.postings = postings.repartition(
+                self.interactive_shuffle_partitions, "shard"
+            ).cache()
+            self.postings.count()
         # MUST match the modulus the postings were built with, or bucket
         # pruning silently drops valid partitions (CLAUDE.md invariant 7;
         # load_engines reads it from the build's meta file). When the
@@ -239,8 +254,15 @@ class PostingsSearchEngine:
             schema=_CANDIDATE_SCHEMA,
         )
         docs_slim = self.documents.select("doc_id", "title", "description", "url")
+        # the candidate side is <= candidate_limit rows per shard but comes
+        # out of an Arrow grouped-map stage, so Catalyst has no stats and
+        # would otherwise plan a SHUFFLE join — at 10^12 docs that shuffles
+        # the documents table once per query. The explicit broadcast pins
+        # the only sane plan at scale: stream/probe the (huge) documents
+        # side, broadcast the tiny candidate set (plan-asserted in
+        # tests/test_plans.py).
         return (
-            scored.join(docs_slim, "doc_id", "inner")
+            F.broadcast(scored).join(docs_slim, "doc_id", "inner")
             .select("title", "description", "url", "token_score", "matched_terms")
             .orderBy(F.desc("token_score"), F.asc("url"))
             .limit(ctx.candidate_limit)
