@@ -978,6 +978,92 @@ SQL_MEDIA_FEATURES = _media_features_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# PNG decode pair (r04, VERDICT task 7): the REAL stdlib PNG path — zlib
+# IDAT inflate + filter reconstruction — through the distributed Arrow
+# decode stage, paired against an import-time replay of the same pure
+# decoder. Exercises the width/height parse, the CRC gate (a corrupt
+# payload would fail the task, not this pair), and the shared dim-bin
+# luminance feature space; the resize digest column proves the
+# decode->nearest-neighbor->re-encode chain is byte-deterministic.
+# --------------------------------------------------------------------------
+N_MEDIA_PNG = 24
+PNG_RESIZE_W, PNG_RESIZE_H = 10, 8
+
+
+def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.multimodal import (
+        FEAT_DIM,
+        decode_features,
+        resize_images,
+        synthesize_png,
+    )
+
+    media = spark.createDataFrame(
+        [(i, synthesize_png(i)) for i in range(N_MEDIA_PNG)],
+        "media_id long, payload binary",
+    )
+    feats = decode_features(media, dim=FEAT_DIM).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+    resized = resize_images(media, PNG_RESIZE_W, PNG_RESIZE_H).select(
+        "media_id", F.md5("payload").alias("digest")
+    )
+    return feats.join(resized, "media_id").select(
+        "media_id",
+        "width",
+        "height",
+        F.col("pos").cast("int").alias("pos"),
+        # float32 widened to double is exact; the oracle replay applies
+        # the same float32 quantization (struct.pack round trip)
+        F.col("x").cast("double").alias("x"),
+        "digest",
+    )
+
+
+def _media_png_oracle_sql() -> str:
+    import hashlib
+    import struct
+
+    from .training_data.multimodal import (
+        FEAT_DIM,
+        _resize_png,
+        decode_payload,
+        synthesize_png,
+    )
+
+    def f32(v: float) -> float:
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    rows = []
+    for mid in range(N_MEDIA_PNG):
+        payload = synthesize_png(mid)
+        width, height, _nf, feature = decode_payload(payload, FEAT_DIM)
+        digest = hashlib.md5(
+            _resize_png(payload, PNG_RESIZE_W, PNG_RESIZE_H)
+        ).hexdigest()
+        for pos, x in enumerate(feature):
+            # value as a STRING literal: DuckDB routes bare numeric
+            # literals through DECIMAL, perturbing the last bits
+            # (invariant 1); VARCHAR -> DOUBLE parses shortest-repr exact
+            rows.append(
+                f"({mid}, {width}, {height}, {pos}, '{f32(x)!r}', "
+                f"'{digest}')"
+            )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(pos AS INT) AS pos, CAST(x AS DOUBLE) AS x, digest
+FROM (VALUES {", ".join(rows)}) t(media_id, width, height, pos, x, digest)
+"""
+
+
+SQL_MEDIA_PNG = _media_png_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # IVF ANN pair #1: deterministic SAMPLED quantizer (every 50th vector) —
 # the cheap assignment-only shape. The TRAINED production quantizer
 # (train_ivf_centroids, deterministic fixed-point Lloyd) has its own full
@@ -3286,6 +3372,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "lsh_transitivity": q_lsh_transitivity,
     "media_features": q_media_features,
+    "media_png": q_media_png,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
     "minhash_calibration": q_minhash_calibration,
@@ -3329,6 +3416,7 @@ ORACLES = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "lsh_transitivity": SQL_LSH_TRANSITIVITY,
     "media_features": SQL_MEDIA_FEATURES,
+    "media_png": SQL_MEDIA_PNG,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_resize": SQL_MEDIA_RESIZE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,

@@ -10,10 +10,14 @@ Decode support is format-honest:
 
 - **REAL decoders, stdlib-only**: RIFF/WAVE audio (the ``wave`` module —
   sample rate, channel count, frame count, per-window RMS energy profile
-  as the feature vector) and binary PPM ``P6`` images (header + RGB
-  raster parse — width/height, dim-bin luminance histogram feature).
+  as the feature vector), binary PPM ``P6`` images (header + RGB raster
+  parse), and **PNG** (r04: zlib IDAT inflate + full filter
+  reconstruction — None/Sub/Up/Average/Paeth — for 8-bit
+  gray/palette/RGB/RGBA, CRC-verified, plus a deterministic RGB
+  encoder); both image formats produce width/height and the dim-bin
+  luminance histogram feature and support nearest-neighbor resize.
 - **STUB**: formats that require external codec libraries absent from
-  this environment (JPEG/PNG/MP4/...) raise NotImplementedError inside
+  this environment (JPEG/MP4/...) raise NotImplementedError inside
   the task (fail-fast, clearly marked); ``fake=True`` substitutes the
   deterministic pseudo-decoder for every payload so plumbing tests can
   run format-agnostically.
@@ -208,17 +212,189 @@ def _decode_ppm(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
     return width, height, 1, [h / tot for h in hist]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Full stdlib PNG decode -> (width, height, RGB raster bytes).
+
+    Real decompression (zlib inflate of the IDAT stream) and real filter
+    reconstruction (None/Sub/Up/Average/Paeth per the PNG spec §9), for
+    8-bit gray / gray+alpha / palette / RGB / RGBA, non-interlaced.
+    Chunk CRCs are verified — corrupt bytes fail loudly, never decode to
+    a silently wrong image. Alpha is dropped (features/resize operate on
+    color); palette entries resolve through PLTE."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/compression {comp} unsupported "
+            "(8-bit, method-0 only)"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color} invalid")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    prev = bytearray(stride)
+    rgb = bytearray()
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        row = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"PNG filter type {f} invalid")
+        prev = row
+        if color == 2:  # RGB
+            rgb += row
+        elif color == 6:  # RGBA -> drop alpha
+            for i in range(0, stride, 4):
+                rgb += row[i : i + 3]
+        elif color == 0:  # gray
+            for v in row:
+                rgb += bytes((v, v, v))
+        elif color == 4:  # gray+alpha
+            for i in range(0, stride, 2):
+                v = row[i]
+                rgb += bytes((v, v, v))
+        else:  # palette
+            for v in row:
+                rgb += plte[v * 3 : v * 3 + 3]
+    return w, h, bytes(rgb)
+
+
+def _decode_png(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
+    """PNG decode. Feature = the same ``dim``-bin luminance histogram as
+    P6 (shared downstream semantics: one feature space per modality)."""
+    w, h, rgb = _parse_png(payload)
+    hist = [0] * dim
+    for i in range(0, len(rgb) - 2, 3):
+        y = (rgb[i] * 299 + rgb[i + 1] * 587 + rgb[i + 2] * 114) // 1000
+        hist[min(dim - 1, y * dim // 256)] += 1
+    tot = float(sum(hist)) or 1.0
+    return w, h, 1, [v / tot for v in hist]
+
+
+def _encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal deterministic PNG encoder: 8-bit RGB, filter 0 rows, one
+    zlib-deflated IDAT. Fixed compression level so identical rasters
+    encode to identical bytes (the digest-replay property the media
+    pairs rely on)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(media_id: int, width: int = 24, height: int = 18) -> bytes:
+    """Deterministic PNG: a diagonal gradient offset by media_id (distinct
+    pattern from the PPM fixture so mixed-corpus tests tell them apart)."""
+    raster = bytearray()
+    for y in range(height):
+        for x in range(width):
+            v = (x * 11 + y * 17 + media_id * 29) % 256
+            raster += bytes((v, 255 - v, (v + media_id) % 256))
+    return _encode_png(width, height, bytes(raster))
+
+
+def _resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a PNG, re-encoded as 8-bit RGB PNG with
+    the same deterministic integer source indexing as _resize_ppm."""
+    w, h, rgb = _parse_png(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * h // out_h
+        row_base = sy * w * 3
+        for x in range(out_w):
+            sx = x * w // out_w
+            i = row_base + sx * 3
+            out += rgb[i : i + 3]
+    return _encode_png(out_w, out_h, bytes(out))
+
+
 def decode_payload(payload: bytes | None, dim: int) -> tuple[int | None, int | None, int, list[float]]:
     """Magic-byte dispatch to a real decoder; raises NotImplementedError
-    for formats needing external codecs (JPEG/PNG/MP4/...)."""
+    for formats needing external codecs (JPEG/MP4/...)."""
     if payload is None:
         return None, None, 0, [0.0] * dim
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload, dim)
     if payload[:2] == b"P6":
         return _decode_ppm(payload, dim)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload, dim)
     raise NotImplementedError(
-        f"no stdlib decoder for magic {payload[:4]!r}; JPEG/PNG/MP4 need "
+        f"no stdlib decoder for magic {payload[:4]!r}; JPEG/MP4 need "
         "codec libraries not installed in this environment"
     )
 
@@ -311,12 +487,15 @@ def resize_images(
                         "filter null payloads before resizing"
                     )
                 b = bytes(p)
-                if b[:2] != b"P6":
+                if b[:2] == b"P6":
+                    payloads.append(_resize_ppm(b, width, height))
+                elif b[:8] == _PNG_MAGIC:
+                    payloads.append(_resize_png(b, width, height))
+                else:
                     raise NotImplementedError(
                         f"resize: no stdlib decoder for magic {b[:4]!r}; "
-                        "JPEG/PNG need codec libraries not installed here"
+                        "JPEG needs codec libraries not installed here"
                     )
-                payloads.append(_resize_ppm(b, width, height))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),

@@ -216,3 +216,177 @@ def test_sample_frames_spark_one_row_per_window(spark):
 def test_sample_frames_rejects_codec_formats(spark, media):
     with pytest.raises(PythonException, match="NotImplementedError"):
         multimodal.sample_frames(media).collect()
+
+
+# --------------------------------------------------------------------------
+# PNG codec (r04): real zlib inflate + filter reconstruction, stdlib-only
+# --------------------------------------------------------------------------
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_roundtrip_and_dispatch():
+    from search_engine_spark.training_data.multimodal import (
+        _encode_png,
+        _parse_png,
+        _resize_png,
+        decode_payload,
+        synthesize_png,
+    )
+
+    for mid in range(4):
+        p = synthesize_png(mid)
+        w, h, rgb = _parse_png(p)
+        assert (w, h) == (24, 18) and len(rgb) == 24 * 18 * 3
+        assert _parse_png(_encode_png(w, h, rgb))[2] == rgb
+    w, h, nf, feat = decode_payload(synthesize_png(3), 16)
+    assert (w, h, nf) == (24, 18, 1)
+    assert abs(sum(feat) - 1.0) < 1e-9
+    rw, rh, _ = _parse_png(_resize_png(synthesize_png(3), 12, 9))
+    assert (rw, rh) == (12, 9)
+
+
+def test_png_all_filter_types_reconstruct():
+    """A raster encoded with each of the five PNG row filters must decode
+    to the identical RGB bytes — the filter math is the decoder's core."""
+    import struct
+    import zlib
+
+    from search_engine_spark.training_data.multimodal import (
+        _PNG_MAGIC,
+        _parse_png,
+    )
+
+    w, h = 7, 6
+    rgb = bytes(
+        (x * 37 + y * 11 + c * 5) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    stride = w * 3
+
+    def encode(filters):
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            row = rgb[y * stride : (y + 1) * stride]
+            f = filters[y % len(filters)]
+            out = bytearray([f])
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if f == 0:
+                    v = row[i]
+                elif f == 1:
+                    v = (row[i] - a) & 0xFF
+                elif f == 2:
+                    v = (row[i] - b) & 0xFF
+                elif f == 3:
+                    v = (row[i] - ((a + b) >> 1)) & 0xFF
+                else:
+                    p_ = a + b - c
+                    pa, pb, pc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    v = (row[i] - pred) & 0xFF
+                out.append(v)
+            raw += out
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert _parse_png(encode(filters)) == (w, h, rgb), filters
+
+
+def test_png_color_types_and_crc():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from search_engine_spark.training_data.multimodal import (
+        _PNG_MAGIC,
+        _parse_png,
+        synthesize_png,
+    )
+
+    w, h = 7, 6
+
+    def encode_ct(ct, ch, pix, plte=None):
+        stride = w * ch
+        raw = b"".join(
+            b"\x00" + pix[y * stride : (y + 1) * stride] for y in range(h)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte)
+        return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+    rgb = bytes(
+        (x * 37 + y * 11 + c * 5) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    gray = bytes((x * 9 + y * 3) % 256 for y in range(h) for x in range(w))
+    # grayscale expands to (v, v, v)
+    assert _parse_png(encode_ct(0, 1, gray))[2] == b"".join(
+        bytes((v, v, v)) for v in gray
+    )
+    # RGBA drops alpha
+    rgba = b"".join(rgb[i * 3 : i * 3 + 3] + b"\x80" for i in range(w * h))
+    assert _parse_png(encode_ct(6, 4, rgba))[2] == rgb
+    # gray+alpha
+    ga = b"".join(bytes((v, 200)) for v in gray)
+    assert _parse_png(encode_ct(4, 2, ga))[2] == b"".join(
+        bytes((v, v, v)) for v in gray
+    )
+    # palette resolves through PLTE
+    plte = bytes(b for v in range(256) for b in (v, (v * 2) % 256, 255 - v))
+    idx = bytes((x + y) % 256 for y in range(h) for x in range(w))
+    assert _parse_png(encode_ct(3, 1, idx, plte))[2] == b"".join(
+        plte[v * 3 : v * 3 + 3] for v in idx
+    )
+    # corrupt bytes fail the CRC gate, never silently decode
+    bad = bytearray(synthesize_png(1))
+    bad[40] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(bad))
+
+
+def test_resize_images_handles_mixed_ppm_png(spark):
+    from search_engine_spark.training_data.multimodal import (
+        _parse_png,
+        _parse_ppm,
+        resize_images,
+        synthesize_png,
+        synthesize_ppm,
+    )
+
+    media = spark.createDataFrame(
+        [(1, synthesize_ppm(1)), (2, synthesize_png(2))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 5).collect()}
+    assert _parse_ppm(rows[1])[:2] == (8, 5)
+    assert _parse_png(rows[2])[:2] == (8, 5)
