@@ -13,7 +13,11 @@ Scale notes: brute-force kNN is probe-set x corpus (use only for small probe
 sets or as the verifier); the SRP bucket join shuffles on the band value —
 corpus-sized key space, no cross join — and exact cosine runs only on bucket
 collisions. For 100 TB, raise ``n_planes``/``bands`` so buckets stay small
-and pre-partition the corpus by bucket so repeated queries prune.
+and pre-partition the corpus by bucket so repeated queries prune — that
+layout is implemented (r04): ``write_srp_index`` writes the corpus
+``partitionBy(band, bucket)`` and ``srp_index_probe`` serves each query
+from a partition-pruned scan of its probe buckets (plan- and row-count-
+asserted in tests/test_ann_layout.py).
 """
 
 from __future__ import annotations
@@ -572,4 +576,73 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
         .select(id_col, "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-partitioned ANN index layout (r04, VERDICT task 6): the scale
+# path the module docstring promises — write the corpus once partitioned
+# by (band, bucket), then serve each probe with a partition-PRUNED scan
+# of its `bands` probe buckets plus an exact cosine re-rank. At 10^8+
+# vectors a probe touches bands x |bucket| rows instead of the corpus;
+# the pruning is plan-asserted in tests/test_ann_layout.py.
+# ---------------------------------------------------------------------------
+def write_srp_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 4,
+    dim: int | None = None,
+) -> None:
+    """Materialize the SRP-LSH index: one row per (band, vector) with the
+    full embedding payload, written ``partitionBy(band, bucket)`` so a
+    probe's literal (band, bucket) filters become directory-level
+    partition pruning (the term_bucket pattern from the postings store).
+    Each vector is stored ``bands`` times — the classic LSH space-for-
+    recall trade; the blowup factor is the band count, not corpus^2."""
+    banded = srp_banded(df, id_col, vec_col, n_planes, bands, dim)
+    (
+        banded.join(df.select(F.col(id_col).alias("id"), vec_col), "id")
+        .select("id", vec_col, "band", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(path)
+    )
+
+
+def srp_index_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 32,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over the bucket-partitioned index: the probe's buckets come
+    from the driver-side ``srp_probe_buckets`` twin (zero Spark jobs), so
+    the scan filter is a literal (band, bucket) disjunction that prunes
+    to ``bands`` directories; candidates collapse per id (a vector
+    collides in up to ``bands`` buckets) and the exact cosine re-rank +
+    top-k runs on the pruned slice only."""
+    probes = srp_probe_buckets(query_vec, n_planes, bands)
+    cond = None
+    for band, bucket in probes:
+        clause = (F.col("band") == band) & (F.col("bucket") == bucket)
+        cond = clause if cond is None else (cond | clause)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scan = spark.read.parquet(path).filter(cond)
+    if exclude_id is not None:
+        scan = scan.filter(F.col("id") != exclude_id)
+    return (
+        scan.dropDuplicates(["id"])
+        .withColumn(
+            "cosine", F.round(cosine_similarity_col(F.col(vec_col), qlit), 6)
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .select("id", "cosine")
     )
