@@ -26,6 +26,10 @@ Measured job: the throughput-bound index-build stages (extract -> validate ->
 exact-dedup -> tokenize -> compressed postings -> term stats), materializing
 each stage to parquet exactly like the real pipeline (pipeline/build.py) —
 NOT DataFrame.cache(), whose columnar-compression build is a serial tax.
+Like the pipeline (r04), the two independent consumers of tokens —
+postings and term_statistics — submit their jobs from separate threads,
+so stage-boundary scheduling/commit tails overlap; the composite
+statistic accounts the overlapped wave at max(), not sum.
 PageRank is excluded: fixed-iteration graph work, not corpus-throughput.
 Each level runs in its own subprocess (one JVM cannot change master) and
 warms the full stage chain twice first (pandas-UDF workers pay a fork +
@@ -40,6 +44,7 @@ from __future__ import annotations
 import argparse
 import json
 import multiprocessing as mp
+import threading
 import os
 import shutil
 import subprocess
@@ -121,16 +126,26 @@ def run_inner(cpus: int, n_pages: int, repeats: int) -> None:
             build_tokens(docs).write.mode("overwrite").parquet(f"{tmp}/tokens")
             tokens = spark.read.parquet(f"{tmp}/tokens")
             stages["tokenize"] = time.perf_counter() - t
-            t = time.perf_counter()
-            build_postings(tokens, n_shards=n_shards_for(n_docs)).write.mode(
-                "overwrite"
-            ).parquet(f"{tmp}/postings")
-            stages["postings"] = time.perf_counter() - t
-            t = time.perf_counter()
-            build_term_statistics(tokens, docs).write.mode("overwrite").parquet(
-                f"{tmp}/term_statistics"
-            )
-            stages["term_stats"] = time.perf_counter() - t
+            # postings || term_stats: independent consumers of tokens,
+            # submitted from two threads like pipeline/build.py (r04)
+            def _postings():
+                t = time.perf_counter()
+                build_postings(tokens, n_shards=n_shards_for(n_docs)).write.mode(
+                    "overwrite"
+                ).parquet(f"{tmp}/postings")
+                stages["postings"] = time.perf_counter() - t
+
+            def _stats():
+                t = time.perf_counter()
+                build_term_statistics(tokens, docs).write.mode(
+                    "overwrite"
+                ).parquet(f"{tmp}/term_statistics")
+                stages["term_stats"] = time.perf_counter() - t
+
+            th = threading.Thread(target=_stats)
+            th.start()
+            _postings()
+            th.join()
             return n_docs, stages
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -172,7 +187,13 @@ def run_inner(cpus: int, n_pages: int, repeats: int) -> None:
     stage_min = {
         k: min(r["stages_sec"][k] for r in runs) for k in runs[0]["stages_sec"]
     }
-    composite_wall = sum(stage_min.values())
+    # postings and term_stats run concurrently: the composite wave costs
+    # the slower of the two, not their sum
+    composite_wall = (
+        stage_min["extract_dedup"]
+        + stage_min["tokenize"]
+        + max(stage_min["postings"], stage_min["term_stats"])
+    )
     print(
         json.dumps(
             {

