@@ -59,16 +59,7 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(~F.col("term").isin(SQL_STOPWORDS))
 
 
-_TOKS_CTE = f"""
-toks AS (
-  SELECT doc_id,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_RUN}')) AS term
-  FROM documents
-  QUALIFY term NOT IN ({_SQL_STOPWORD_LIST})
-)
-"""
-
-# DuckDB QUALIFY needs a window; use a plain subquery filter instead.
+# (a plain subquery filter, not QUALIFY — DuckDB QUALIFY needs a window)
 _TOKS_CTE = f"""
 toks AS (
   SELECT * FROM (

@@ -223,8 +223,22 @@ def build_index(
     return result
 
 
-def load_engines(spark: SparkSession, out_root: str):
-    """Convenience: open the built tables and return both search engines."""
+def load_engines(
+    spark: SparkSession,
+    out_root: str,
+    *,
+    interactive: bool = False,
+    pin_shard_layout: bool = False,
+):
+    """Convenience: open the built tables and return both search engines.
+
+    A long-lived query service passes ``interactive=True`` (scoped
+    serving configs around each search action) and
+    ``pin_shard_layout=True`` (cache the postings in the shard-hash
+    layout once at startup so every query's WAND stage skips the shard
+    shuffle — see PostingsSearchEngine). Batch/one-shot callers keep the
+    defaults: no cache is built, the parquet scans stay partition-pruned.
+    """
     from ..query.postings_search import PostingsSearchEngine
     from ..query.search import SearchEngine
 
@@ -242,6 +256,11 @@ def load_engines(spark: SparkSession, out_root: str):
     return (
         SearchEngine(documents, tokens, stats),
         PostingsSearchEngine(
-            documents, postings, stats, n_term_buckets=n_term_buckets
+            documents,
+            postings,
+            stats,
+            n_term_buckets=n_term_buckets,
+            interactive=interactive,
+            pin_shard_layout=pin_shard_layout,
         ),
     )

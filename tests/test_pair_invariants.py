@@ -755,3 +755,55 @@ def test_bpe_pairs_survive_merge_exhaustion(spark, tmp_path, name):
 
     assert sc_cols == d_cols
     assert sc_rows == d_rows, f"{name}: engines disagree after merge exhaustion"
+
+
+# ---------------------------------------------------------------------------
+# Invariant 8, statically: within a pair module no top-level name may be
+# bound twice. Oracle SQL bakes constants at import while Spark-side q_*
+# functions read them at call time, so a rebind silently desyncs every
+# earlier pair using the name (the r03 hash_ring/shard_rebalance bug; a
+# same-value duplicate of US_PER_HOUR_DIV also hid in the pre-split
+# monolith). Sanctioned exception: the two-step ``X = X.format(...)``
+# build, where the second binding's RHS reads the name itself.
+# ---------------------------------------------------------------------------
+def test_no_top_level_rebinding_in_pair_modules():
+    import ast
+    import glob
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "search_engine_spark",
+    )
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(root, "driver_queries*.py"))):
+        tree = ast.parse(open(path).read())
+        seen: set = set()
+        for stmt in tree.body:
+            names, self_ref = [], False
+            if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                names = [stmt.name]
+            elif isinstance(stmt, ast.Assign):
+                for t in stmt.targets:
+                    if isinstance(t, ast.Name):
+                        names.append(t.id)
+                    elif isinstance(t, ast.Tuple):
+                        names.extend(
+                            e.id for e in t.elts if isinstance(e, ast.Name)
+                        )
+                rhs_loads = {
+                    n.id
+                    for n in ast.walk(stmt.value)
+                    if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
+                }
+                self_ref = any(n in rhs_loads for n in names)
+            for n in names:
+                if n in seen and not self_ref:
+                    offenders.append(
+                        f"{os.path.basename(path)}:{stmt.lineno}: {n}"
+                    )
+                seen.add(n)
+    assert not offenders, (
+        "top-level rebinding in pair modules (invariant 8): "
+        + ", ".join(offenders)
+    )
