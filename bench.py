@@ -65,17 +65,25 @@ def main() -> None:
     for _ in range(2):
         warm.mapInPandas(_noop, T.StructType([T.StructField("x", T.LongType())])).count()
 
+    loadavg_start = os.getloadavg()
     queries: dict[str, float] = {}
+    queries_run1: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(driver_queries.QUERIES.items()):
         # best-of-2: ambient VM noise varies identical runs up to 2x
         # (BENCH.md §2); the second pass also runs with warm file/page
-        # caches, which is the steady state a long-lived cluster sees
+        # caches, which is the steady state a long-lived cluster sees.
+        # Both the first-run time (queries_run1 in extras) and the min are
+        # recorded so cross-round A/B can tell variance (run1 moves, min
+        # stable) from a real regression (both move) — r04 verdict task 6.
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(2):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if attempt == 0:
+                queries_run1[name] = round(dt, 4)
+            best = min(best, dt)
         queries[name] = round(best, 4)
         total += best
 
@@ -366,6 +374,15 @@ def main() -> None:
         "extras": {
             "cpus": CPUS,
             "bench_pages": N_BENCH_PAGES,
+            # idle/contended marker: 1-min load average at suite start/end.
+            # On this 32-vCPU VM, start-load >> 1 while the suite warms up
+            # means another job was running and cross-round per-entry
+            # comparisons should be discounted (BENCH.md §2 variance).
+            "loadavg_start_1m": round(loadavg_start[0], 2),
+            "loadavg_end_1m": round(os.getloadavg()[0], 2),
+            # first-run (cold-ish) time per pair, alongside the best-of-2
+            # in "queries": variance shows as run1-only movement
+            "queries_run1": queries_run1,
             # suite size: the wall total is only comparable across rounds
             # per-entry (r02 recorded 36 pairs, r03 records 100+)
             "n_entries": len(queries),

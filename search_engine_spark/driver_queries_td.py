@@ -1,4 +1,4 @@
-"""Training-data pipeline (Spark, DuckDB-oracle) query pairs.
+"""Training-data pipeline (Spark, DuckDB-oracle) query pairs — aggregator.
 
 Same contract as ``driver_queries``: each Spark callable has an ANSI-SQL twin
 producing identical column names and (order-insensitive) values on the
@@ -6,979 +6,23 @@ driver's parquet tables. All hashing is engine-portable (md5 hex strings,
 integer bit arithmetic), so even MinHash signatures and SimHash fingerprints
 replay bit-for-bit in DuckDB.
 
-Near-dup queries that need guaranteed duplicates run over a *mutated corpus*:
-``documents`` unioned with deterministic variants (doc_id + 100000, first 30
-chars dropped / first embedding component perturbed) planted identically on
-both sides.
+The pairs themselves live in nine per-domain modules
+(``driver_queries_td_{graph,ir,index,ann,tpch,events,text,stats,exp}``) with
+cross-domain constants in ``driver_queries_td_shared``; this module is a
+generated-style back-compat shim that re-exports every public binding of
+those modules so historical ``from .driver_queries_td import X`` imports keep
+working, and merges the per-module QUERIES/ORACLES dicts into
+``QUERIES_TD``/``ORACLES_TD``.
+
+Both merges fail loudly on a clash instead of silently shadowing: a duplicate
+pair name across modules would otherwise drop one module's definition (the
+same hazard ``driver_queries._merge_disjoint`` guards at the td/news/curation
+level, which cannot see collisions *between* the td domain modules), and a
+same-named but different-valued constant in two modules would desync oracle
+SQL baked against one value from Spark code reading the other (invariant 8).
 """
 
-# Split into domain modules in r04 (VERDICT r03 task 2): each
-# pair and its import-baked oracle SQL live in exactly one
-# driver_queries_td_* module; cross-domain constants live in
-# driver_queries_td_shared. This module re-exports every name so
-# existing imports keep working, and merges the per-module
-# QUERIES/ORACLES dicts into QUERIES_TD/ORACLES_TD.
-
-from .driver_queries_td_shared import (  # noqa: F401
-    AB_CONV_VALUE6,
-    BM25_B,
-    BM25_K1,
-    CHURN_GAP_US,
-    LIFE_BUCKET_US,
-    LN2_STR,
-    MARKOV_ITERS,
-    MUT_OFFSET,
-    ND_BANDS,
-    ND_PLANES,
-    NEWS_QUERY_TERMS,
-    TOKEN_RUN,
-    US_PER_DAY_DIV,
-    US_PER_HOUR_DIV,
-    US_PER_MINUTE_DIV,
-    WORD_RUN,
-    _BASE_GENS,
-    _EDGES_CTE,
-    _EDGES_DOC,
-    _EMB_DIM,
-    _MARKOV_CTES,
-    _SQL_TD_STOPWORD_LIST,
-    _TD_STOPWORDS,
-    _edges,
-    _edges_cte,
-    _lang_sql,
-    _markov_chain,
-    _mut_docs,
-    _read,
-    _shingle_cte,
-    _srp_cte,
-    _tf,
-    _tf_cte,
-)
-from .driver_queries_td_graph import (  # noqa: F401
-    ANCHOR_TOP,
-    ANCHOR_WORDS,
-    BFS_ITERS,
-    BFS_SEED_MOD,
-    BOWTIE_HOPS,
-    COCIT_MAX_IN_DEGREE,
-    HARM_ITERS,
-    HARM_LCM,
-    HARM_SEED_MOD,
-    HOST_ITERS,
-    KATZ_BETA_DEN,
-    KATZ_ITERS,
-    KCORE_K,
-    KCORE_ROUNDS,
-    KNOCKOUT_HUBS,
-    KNOCKOUT_LP_ROUNDS,
-    LPA_ROUNDS,
-    LP_TOP,
-    PPR_SEED_MOD,
-    PR_CONV_ITERS,
-    RICH_CLUB_KS,
-    SQL_ANCHOR_TEXT,
-    SQL_BOWTIE_STRUCTURE,
-    SQL_BUTTERFLY_COUNTS,
-    SQL_COCITATION_COUPLING,
-    SQL_DEGREE_AGE_CORR,
-    SQL_DEGREE_CCDF,
-    SQL_DEGREE_CORRELATION,
-    SQL_DEGREE_COUNTS,
-    SQL_EDGE_PERCOLATION,
-    SQL_EDGE_SUPPORT,
-    SQL_FRIENDSHIP_PARADOX,
-    SQL_GLOBAL_TRANSITIVITY,
-    SQL_GRAPH_MIXING,
-    SQL_HARMONIC_CENTRALITY,
-    SQL_HITS_SCORES,
-    SQL_HOST_AUTHORITY,
-    SQL_HUB_KNOCKOUT,
-    SQL_KATZ_CENTRALITY,
-    SQL_K_CORE,
-    SQL_LABEL_MODULARITY,
-    SQL_LABEL_PROPAGATION,
-    SQL_LINK_DISTANCE,
-    SQL_LINK_PREDICTION,
-    SQL_LINK_RECIPROCITY,
-    SQL_MARKOV_STATIONARY,
-    SQL_PAGERANK,
-    SQL_PAGERANK_CONVERGENCE,
-    SQL_PERSONALIZED_PAGERANK,
-    SQL_RICH_CLUB,
-    SQL_SALSA_SCORES,
-    SQL_TEXTRANK_KEYWORDS,
-    SQL_TRIANGLE_COUNTS,
-    TR_ITERS,
-    TR_TOKEN,
-    TR_UNIT,
-    _TRI_EDGES_CTE,
-    _TRI_GENS,
-    _katz_sql,
-    _kcore_sql,
-    _lpa_sql,
-    _rich_club_sql,
-    _salsa_side_sql,
-    q_anchor_text,
-    q_bowtie_structure,
-    q_butterfly_counts,
-    q_cocitation_coupling,
-    q_degree_age_corr,
-    q_degree_ccdf,
-    q_degree_correlation,
-    q_degree_counts,
-    q_edge_percolation,
-    q_edge_support,
-    q_friendship_paradox,
-    q_global_transitivity,
-    q_graph_mixing,
-    q_harmonic_centrality,
-    q_hits_scores,
-    q_host_authority,
-    q_hub_knockout,
-    q_k_core,
-    q_katz_centrality,
-    q_label_modularity,
-    q_label_propagation,
-    q_link_distance,
-    q_link_prediction,
-    q_link_reciprocity,
-    q_markov_stationary,
-    q_pagerank,
-    q_pagerank_convergence,
-    q_personalized_pagerank,
-    q_rich_club,
-    q_salsa_scores,
-    q_textrank_keywords,
-    q_triangle_counts,
-)
-from .driver_queries_td_ir import (  # noqa: F401
-    ASSOC_TOP,
-    BM25F_TITLE_CHARS,
-    BM25F_TITLE_W,
-    B_SWEEP_GRID,
-    CASCADE_DEPTH,
-    CLARITY_K,
-    CLARITY_QUERIES,
-    ERR_DENOM,
-    EXPOSURE_K,
-    FIRSTPOS_EARLY,
-    HARD_NEG_PROBE_MOD,
-    K1_SWEEP_GRID,
-    LN2PI_STR,
-    MMR_K,
-    MMR_LAM10,
-    MMR_POOL,
-    NDCG_K,
-    NDCG_QUERIES,
-    NEG_SAMPLE_TOP,
-    NEXT_WORD_TOP_K,
-    PHRASES,
-    PHRASE_TOP,
-    PRF_FB_DOCS,
-    PRF_TOP,
-    PROX_QUERIES,
-    PROX_TOP,
-    QL_MU,
-    RBO_K,
-    RBO_P,
-    RIDF_TOP,
-    ROCCHIO_B1000,
-    ROCCHIO_G1000,
-    RRF_K,
-    SNIPPET_BEFORE,
-    SNIPPET_LEN,
-    SQL_BM25F_TOPK,
-    SQL_BM25_B_SWEEP,
-    SQL_BM25_TOPK,
-    SQL_CASCADE_OVERLAP,
-    SQL_ERR_EVAL,
-    SQL_EXPANSION_AGREEMENT,
-    SQL_EXPOSURE_BIAS,
-    SQL_FIRST_POSITION,
-    SQL_HARD_NEGATIVES,
-    SQL_HYBRID_RRF,
-    SQL_IDF_VARIANTS,
-    SQL_K1_SWEEP,
-    SQL_KENDALL_W,
-    SQL_LTR_FEATURES,
-    SQL_MAP_EVAL,
-    SQL_MMR_RERANK,
-    SQL_MRR_EVAL,
-    SQL_NDCG_EVAL,
-    SQL_NEGATIVE_SAMPLING,
-    SQL_NEXT_WORD,
-    SQL_NOVELTY_CURVE,
-    SQL_NQC_PREDICTOR,
-    SQL_PHRASE_MATCH,
-    SQL_PIVOTED_TOPK,
-    SQL_PL2_TOPK,
-    SQL_PRF_EXPANSION,
-    SQL_PROXIMITY_RANK,
-    SQL_QL_TOPK,
-    SQL_QUERY_CLARITY,
-    SQL_RANK_CORRELATION,
-    SQL_RANK_FUSION,
-    SQL_RANK_OVERLAP,
-    SQL_RESIDUAL_IDF,
-    SQL_ROCCHIO_EXPANSION,
-    SQL_RSJ_WEIGHTS,
-    SQL_SEARCH_SNIPPETS,
-    SQL_SMART_LTC_TOPK,
-    SQL_SUCCESS_AT_K,
-    SQL_TERM_ASSOCIATION,
-    SQL_THRESHOLD_ALGORITHM,
-    SQL_TOPK_CHURN,
-    _ERR_WP,
-    _NDCG_D6,
-    _POW5,
-    _POW7,
-    _SNIPPET_ABSENT,
-    _b_sweep_sql,
-    _bm25_sql,
-    _bm25f_sql,
-    _cascade_sql,
-    _clarity_sql,
-    _err_sql,
-    _exposure_sql,
-    _first_position_sql,
-    _idf_variants_sql,
-    _k1_sweep_sql,
-    _kendall_w_sql,
-    _ltr_sql,
-    _map_sql,
-    _mmr_sql,
-    _mrr_sql,
-    _ndcg_sql,
-    _nqc_sql,
-    _phrase_sql,
-    _pivoted_sql,
-    _pl2_sql,
-    _prf_sql,
-    _proximity_sql,
-    _ql_sql,
-    _rocchio_sql,
-    _rsj_sql,
-    _search_snippets_sql,
-    _smart_sql,
-    _success_sql,
-    q_bm25_b_sweep,
-    q_bm25_topk,
-    q_bm25f_topk,
-    q_cascade_overlap,
-    q_err_eval,
-    q_expansion_agreement,
-    q_exposure_bias,
-    q_first_position,
-    q_hard_negatives,
-    q_hybrid_rrf,
-    q_idf_variants,
-    q_k1_sweep,
-    q_kendall_w,
-    q_ltr_features,
-    q_map_eval,
-    q_mmr_rerank,
-    q_mrr_eval,
-    q_ndcg_eval,
-    q_negative_sampling,
-    q_next_word,
-    q_novelty_curve,
-    q_nqc_predictor,
-    q_phrase_match,
-    q_pivoted_topk,
-    q_pl2_topk,
-    q_prf_expansion,
-    q_proximity_rank,
-    q_ql_topk,
-    q_query_clarity,
-    q_rank_correlation,
-    q_rank_fusion,
-    q_rank_overlap,
-    q_residual_idf,
-    q_rocchio_expansion,
-    q_rsj_weights,
-    q_search_snippets,
-    q_smart_ltc_topk,
-    q_success_at_k,
-    q_term_association,
-    q_threshold_algorithm,
-    q_topk_churn,
-)
-from .driver_queries_td_index import (  # noqa: F401
-    ALERT_QUERIES,
-    BLOCK_K,
-    BLOCK_MIN_BLOCKS,
-    BLOCK_TOP,
-    CACHE_CAPS,
-    CRAWL_SPACING_S,
-    EF_TOP_TERMS,
-    EXTERNAL_WORDS,
-    FC_BLOCKS,
-    HASHRING_SHARDS,
-    HASHRING_VNODES,
-    IMPACT_BUCKETS,
-    OOV_VOCAB_K,
-    PREFIX_LEN,
-    PRUNING_GRID,
-    RICE_KS,
-    RICE_TOP_TERMS,
-    RING_SHARDS,
-    RING_VNODES,
-    SELECTIVITY_TOP_K,
-    SHARD_BUCKETS,
-    SPELL_INPUTS,
-    SQL_BLOCK_MAX_SCORES,
-    SQL_CODEC_COMPARE,
-    SQL_CRAWL_SCHEDULE,
-    SQL_DICT_FRONTCODING,
-    SQL_EF_VS_VARINT,
-    SQL_GAP_HISTOGRAM,
-    SQL_HASH_RING,
-    SQL_IMPACT_QUANTIZATION,
-    SQL_OOV_RATE,
-    SQL_POSTINGS_BYTES,
-    SQL_PREFIX_COMPLETE,
-    SQL_QUERY_CACHE_MODEL,
-    SQL_RICE_PARAM,
-    SQL_SELECTIVITY_ESTIMATES,
-    SQL_SHANNON_CODE,
-    SQL_SHARD_BALANCE,
-    SQL_SHARD_REBALANCE,
-    SQL_SPELLCHECK_CANDIDATES,
-    SQL_STACK_DISTANCE,
-    SQL_STANDING_ALERTS,
-    SQL_TIERED_INDEX,
-    SQL_VOCAB_PRUNING,
-    SQL_WORD_SOURCE_MERGE,
-    TIER_M0,
-    TIER_M1,
-    _EXT_SQL,
-    _LCP_SPARK,
-    _SPELL_INPUT_SQL,
-    _alerts_sql,
-    _cache_sql,
-    _frontcoding_sql,
-    _hash32,
-    _postings_bytes_sql,
-    _ring_assign,
-    _ring_cte,
-    _ring_owner,
-    _ring_sql,
-    _ring_tokens,
-    _varint_len_sql,
-    q_block_max_scores,
-    q_codec_compare,
-    q_crawl_schedule,
-    q_dict_frontcoding,
-    q_ef_vs_varint,
-    q_gap_histogram,
-    q_hash_ring,
-    q_impact_quantization,
-    q_oov_rate,
-    q_postings_bytes,
-    q_prefix_complete,
-    q_query_cache_model,
-    q_rice_param,
-    q_selectivity_estimates,
-    q_shannon_code,
-    q_shard_balance,
-    q_shard_rebalance,
-    q_spellcheck_candidates,
-    q_stack_distance,
-    q_standing_alerts,
-    q_tiered_index,
-    q_vocab_pruning,
-    q_word_source_merge,
-)
-from .driver_queries_td_ann import (  # noqa: F401
-    ANN_BANDS,
-    ANN_PLANES,
-    ANN_RECALL_K,
-    ANN_RECALL_MOD,
-    BOILERPLATE_RATE,
-    CENTROID_Q,
-    CMS_B,
-    CMS_D,
-    CMS_SAMPLE_SEED,
-    CMS_SEED,
-    CMS_SUPPORT,
-    CONTAINMENT_THRESHOLD,
-    DIVERSITY_Q,
-    FRAME_SAMPLES,
-    FRAME_WINDOW,
-    HLL_B,
-    HLL_SEED,
-    IVF_NPROBE,
-    IVF_TRAIN_ITERS,
-    IVF_TRAIN_K,
-    IVF_TRAIN_NPROBE,
-    MIN_LONG_SQL,
-    N_MEDIA_AUDIO,
-    N_MEDIA_IMAGES,
-    PCA_ITERS,
-    PQ_K,
-    PQ_M,
-    PQ_SUB,
-    RESIZE_H,
-    RESIZE_W,
-    SEMDEDUP_THRESHOLD,
-    SPARSE_COS6_MIN,
-    SPARSE_RARE_DF,
-    SQL_ANN_IVF_TOPK,
-    SQL_ANN_IVF_TRAINED,
-    SQL_ANN_LSH_TOPK,
-    SQL_ANN_RECALL,
-    SQL_BINARY_META,
-    SQL_BOILERPLATE_SHINGLES,
-    SQL_CANONICAL_DOCS,
-    SQL_CDC_CHUNKING,
-    SQL_CLUSTER_QUALITY,
-    SQL_CMS_HEAVY_HITTERS,
-    SQL_CONTAINMENT_PAIRS,
-    SQL_DEDUP_AP,
-    SQL_DEDUP_COMPONENTS,
-    SQL_DEDUP_EVAL,
-    SQL_DEDUP_ROC,
-    SQL_EMBEDDING_DIVERSITY,
-    SQL_EMBEDDING_KNN,
-    SQL_EMBEDDING_NEAR_DUP,
-    SQL_EMBEDDING_NMI,
-    SQL_HLL_DISTINCT,
-    SQL_LABEL_CENTROIDS,
-    SQL_LSH_TRANSITIVITY,
-    SQL_MEDIA_FEATURES,
-    SQL_MEDIA_FRAME_SAMPLE,
-    SQL_MEDIA_RESIZE,
-    SQL_MINHASH_CALIBRATION,
-    SQL_MINHASH_LSH_PAIRS,
-    SQL_NGRAM_JACCARD_PAIRS,
-    SQL_PCA_POWER,
-    SQL_PQ_AUDIT,
-    SQL_SEMANTIC_DEDUP,
-    SQL_SIMHASH_BIT_BALANCE,
-    SQL_SIMHASH_FINGERPRINTS,
-    SQL_SIMHASH_NEAR_DUP,
-    SQL_SOURCE_SIMILARITY,
-    SQL_SPARSE_COSINE_PAIRS,
-    SQL_SQ8_QUANTIZATION,
-    SQL_SRP_DISTORTION,
-    SQL_WEIGHTED_JACCARD,
-    SQL_WINNOW_FINGERPRINTS,
-    SRP_DIST_MOD,
-    SRP_DIST_PLANES,
-    _ANN_BPB,
-    _COS_AB,
-    _COS_LIST,
-    _FOOTER_SQL,
-    _MUT_DOCS_CTE,
-    _MUT_EMB_CTE,
-    _SD_PAIR_COS,
-    _SIMHASH_CORE_CTE,
-    _WINNOW_GRAM,
-    _cms_sql,
-    _hll_sql,
-    _ivf_trained_oracle_sql,
-    _media_features_oracle_sql,
-    _media_frame_sample_oracle_sql,
-    _media_resize_oracle_sql,
-    _mut_emb,
-    q_ann_ivf_topk,
-    q_ann_ivf_trained,
-    q_ann_lsh_topk,
-    q_ann_recall,
-    q_binary_meta,
-    q_boilerplate_shingles,
-    q_canonical_docs,
-    q_cdc_chunking,
-    q_cluster_quality,
-    q_cms_heavy_hitters,
-    q_containment_pairs,
-    q_dedup_ap,
-    q_dedup_components,
-    q_dedup_eval,
-    q_dedup_roc,
-    q_embedding_diversity,
-    q_embedding_knn,
-    q_embedding_near_dup,
-    q_embedding_nmi,
-    q_hll_distinct,
-    q_label_centroids,
-    q_lsh_transitivity,
-    q_media_features,
-    q_media_frame_sample,
-    q_media_resize,
-    q_minhash_calibration,
-    q_minhash_lsh_pairs,
-    q_ngram_jaccard_pairs,
-    q_pca_power,
-    q_pq_audit,
-    q_semantic_dedup,
-    q_simhash_bit_balance,
-    q_simhash_fingerprints,
-    q_simhash_near_dup,
-    q_source_similarity,
-    q_sparse_cosine_pairs,
-    q_sq8_quantization,
-    q_srp_distortion,
-    q_weighted_jaccard,
-    q_winnow_fingerprints,
-)
-from .driver_queries_td_tpch import (  # noqa: F401
-    BASKET_MIN_PAIR,
-    CROSTON_ALPHA,
-    CROSTON_K,
-    CROSTON_PARTS,
-    LATE_GAP_US,
-    PERFECT_SLA_DAYS,
-    PIVOT_TYPES,
-    Q18_MIN_QTY6,
-    Q18_TOP,
-    RFM_FREQ_FLOOR,
-    RFM_RECENT_DAYS,
-    SQL_ABC_ANALYSIS,
-    SQL_ABC_XYZ,
-    SQL_BRAND_CONCENTRATION,
-    SQL_CHURN_HAZARD,
-    SQL_CONVERSION_LAG,
-    SQL_CROSTON_DEMAND,
-    SQL_CUST_BALANCE,
-    SQL_CUST_ORDER_DIST,
-    SQL_DISCOUNT_ELASTICITY,
-    SQL_DISJUNCTIVE_REVENUE,
-    SQL_FORECAST_REVENUE,
-    SQL_LARGE_ORDERS,
-    SQL_LATE_SUPPLIER,
-    SQL_LEADTIME_ICC,
-    SQL_MARKET_BASKET,
-    SQL_MARKET_SHARE,
-    SQL_NATION_REVENUE,
-    SQL_NEWSVENDOR,
-    SQL_ORDER_BACKLOG,
-    SQL_ORDER_GINI,
-    SQL_ORDER_PRIORITY_CHECK,
-    SQL_PERFECT_ORDERS,
-    SQL_PIVOT_REPORT,
-    SQL_PRICE_INDICES,
-    SQL_PRICING_SUMMARY,
-    SQL_PROMO_SHARE,
-    SQL_REGION_TOP_NATIONS,
-    SQL_RETURNS_REPORT,
-    SQL_RFM_SEGMENTS,
-    SQL_ROLLUP_REPORT,
-    SQL_SAFETY_STOCK,
-    SQL_SEGMENT_MIGRATION,
-    SQL_SHIPMODE_PRIORITY,
-    SQL_SHIP_LAG_DECILES,
-    SQL_SHIP_PRIORITY,
-    SQL_SKYLINE_FRONTIER,
-    SQL_SMALL_QTY_REVENUE,
-    SQL_SUPPLIER_RELATION_COUNT,
-    SQL_THEIL_SEN,
-    SQL_TOP_SUPPLIER,
-    SQL_VALUE_AT_RISK,
-    SQL_VOLUME_SHIPPING,
-    TPCH_LATE_DAYS,
-    TPCH_Q10_END,
-    TPCH_Q10_K,
-    TPCH_Q10_START,
-    TPCH_Q12_BUCKET_CAP,
-    TPCH_Q12_BUCKET_DAYS,
-    TPCH_Q12_END,
-    TPCH_Q12_START,
-    TPCH_Q13_EXCLUDE,
-    TPCH_Q14_END,
-    TPCH_Q14_START,
-    TPCH_Q15_END,
-    TPCH_Q15_START,
-    TPCH_Q16_EXCL_BRAND,
-    TPCH_Q16_TOP,
-    TPCH_Q17_BRAND,
-    TPCH_Q19_ARMS,
-    TPCH_Q1_CUTOFF,
-    TPCH_Q3_DATE,
-    TPCH_Q3_SEGMENT,
-    TPCH_Q4_END,
-    TPCH_Q4_START,
-    TPCH_Q5_END,
-    TPCH_Q5_REGION,
-    TPCH_Q5_START,
-    TPCH_Q6_END,
-    TPCH_Q6_START,
-    TPCH_Q7_END,
-    TPCH_Q7_N1,
-    TPCH_Q7_N2,
-    TPCH_Q7_START,
-    TPCH_Q8_NATION,
-    TPCH_Q8_REGION,
-    TPCH_Q8_TYPE,
-    _CROSTON_W7,
-    _SQL_AVG6,
-    _SQL_DISC_PRICE,
-    _croston_sql,
-    _disc_price,
-    _ntz,
-    _pivot_sql,
-    _q19_sql,
-    q_abc_analysis,
-    q_abc_xyz,
-    q_brand_concentration,
-    q_churn_hazard,
-    q_conversion_lag,
-    q_croston_demand,
-    q_cust_balance,
-    q_cust_order_dist,
-    q_discount_elasticity,
-    q_disjunctive_revenue,
-    q_forecast_revenue,
-    q_large_orders,
-    q_late_supplier,
-    q_leadtime_icc,
-    q_market_basket,
-    q_market_share,
-    q_nation_revenue,
-    q_newsvendor,
-    q_order_backlog,
-    q_order_gini,
-    q_order_priority_check,
-    q_perfect_orders,
-    q_pivot_report,
-    q_price_indices,
-    q_pricing_summary,
-    q_promo_share,
-    q_region_top_nations,
-    q_returns_report,
-    q_rfm_segments,
-    q_rollup_report,
-    q_safety_stock,
-    q_segment_migration,
-    q_ship_lag_deciles,
-    q_ship_priority,
-    q_shipmode_priority,
-    q_skyline_frontier,
-    q_small_qty_revenue,
-    q_supplier_relation_count,
-    q_theil_sen,
-    q_top_supplier,
-    q_value_at_risk,
-    q_volume_shipping,
-)
-from .driver_queries_td_events import (  # noqa: F401
-    ACF_LAGS,
-    ALLAN_TAUS_H,
-    ANOMALY_Z,
-    ATTR_LOOKBACK_US,
-    ATTR_TOUCH_TYPES,
-    ERR_WINDOW_US,
-    EWMA_ALPHA,
-    EWMA_WEIGHTS,
-    EWMA_WINDOW,
-    FUNNEL_STEPS,
-    FUNNEL_WINDOW_US,
-    HIST_WIDTH,
-    PACF_LAGS,
-    SESSION_GAP_MIN,
-    SESSION_SWEEP_MIN,
-    SQL_ALLAN_VARIANCE,
-    SQL_ANOVA_DOW,
-    SQL_ASOF_JOIN,
-    SQL_BEHAVIOR_ENTROPY,
-    SQL_BOUNCE_RATE,
-    SQL_CIRCADIAN_PROFILE,
-    SQL_COHORT_OVERLAP,
-    SQL_COHORT_RETENTION,
-    SQL_CUSUM_CHANGEPOINT,
-    SQL_DAILY_MIX_ANOMALY,
-    SQL_ERLANG_B,
-    SQL_EVENTS_ANOMALY,
-    SQL_EVENTS_ROLLUP,
-    SQL_EVENT_FUNNEL,
-    SQL_EVENT_GAPS,
-    SQL_EVENT_SESSIONS,
-    SQL_EVENT_TRANSITIONS,
-    SQL_EWMA_CONTROL,
-    SQL_FANO_FACTOR,
-    SQL_HAAR_ENERGY,
-    SQL_HURST_EXPONENT,
-    SQL_INTERVAL_JOIN,
-    SQL_KINGMAN_WAIT,
-    SQL_LOGNORMAL_SESSIONS,
-    SQL_MANN_KENDALL,
-    SQL_MAX_CONCURRENCY,
-    SQL_MONTHLY_SEASONALITY,
-    SQL_OFFERED_LOAD,
-    SQL_PACF_DAILY,
-    SQL_PERIODOGRAM,
-    SQL_PETTITT_TEST,
-    SQL_PROPS_EXTRACT,
-    SQL_PURCHASE_REGULARITY,
-    SQL_REORDER_INTERVAL,
-    SQL_ROLLING_ACTIVE,
-    SQL_SESSION_BURSTINESS,
-    SQL_SESSION_GAP_SWEEP,
-    SQL_TOUCH_ATTRIBUTION,
-    SQL_TRAFFIC_AUTOCORR,
-    SQL_TRAFFIC_BURSTS,
-    SQL_USER_ACCUMULATION,
-    SQL_USER_STREAKS,
-    SQL_VALUE_HISTOGRAM,
-    SQL_WEEKLY_PROFILE,
-    WAU_WINDOW_DAYS,
-    _EWMA_WEIGHTS_SQL,
-    _FACTORIALS,
-    _FACT_SQL,
-    _acf_sql,
-    _allan_sql,
-    _session_sweep_sql,
-    q_allan_variance,
-    q_anova_dow,
-    q_asof_join,
-    q_behavior_entropy,
-    q_bounce_rate,
-    q_circadian_profile,
-    q_cohort_overlap,
-    q_cohort_retention,
-    q_cusum_changepoint,
-    q_daily_mix_anomaly,
-    q_erlang_b,
-    q_event_funnel,
-    q_event_gaps,
-    q_event_sessions,
-    q_event_transitions,
-    q_events_anomaly,
-    q_events_rollup,
-    q_ewma_control,
-    q_fano_factor,
-    q_haar_energy,
-    q_hurst_exponent,
-    q_interval_join,
-    q_kingman_wait,
-    q_lognormal_sessions,
-    q_mann_kendall,
-    q_max_concurrency,
-    q_monthly_seasonality,
-    q_offered_load,
-    q_pacf_daily,
-    q_periodogram,
-    q_pettitt_test,
-    q_props_extract,
-    q_purchase_regularity,
-    q_reorder_interval,
-    q_rolling_active,
-    q_session_burstiness,
-    q_session_gap_sweep,
-    q_touch_attribution,
-    q_traffic_autocorr,
-    q_traffic_bursts,
-    q_user_accumulation,
-    q_user_streaks,
-    q_value_histogram,
-    q_weekly_profile,
-)
-from .driver_queries_td_text import (  # noqa: F401
-    BROWN_ALPHA,
-    BROWN_H,
-    BROWN_K,
-    BURST_MIN_CTF,
-    DELTA_ADD_OFFSET,
-    FUNC_WORDS,
-    KEYNESS_K,
-    KEYNESS_LANG,
-    KEYNESS_MIN_CTF,
-    LQ_PERCENTS,
-    PATH_TRIGRAM_TOP,
-    SQL_BROWN_SMOOTHING,
-    SQL_CHAO1_VOCAB,
-    SQL_CHAR_ENTROPY,
-    SQL_CORPUS_DELTA,
-    SQL_ENCODING_AUDIT,
-    SQL_ENTROPY_RATE,
-    SQL_FIGHTIN_WORDS,
-    SQL_GOOD_TURING,
-    SQL_HAPAX_PROFILE,
-    SQL_KEYNESS_LLR,
-    SQL_LANGUAGE_ID,
-    SQL_LANG_DIVERGENCE,
-    SQL_LENGTH_BIAS,
-    SQL_LENGTH_MOMENTS,
-    SQL_LENGTH_QUANTILES,
-    SQL_LEXICAL_DIVERSITY,
-    SQL_MUTUAL_INFORMATION,
-    SQL_NAIVE_BAYES_LANG,
-    SQL_PATH_TRIGRAMS,
-    SQL_STYLOMETRY,
-    SQL_TERM_BURSTINESS,
-    SQL_TERM_GINI,
-    SQL_TOKEN_COUNTS,
-    SQL_UNIGRAM_PERPLEXITY,
-    SQL_WITTEN_BELL,
-    SQL_YULE_K,
-    WB_PROBES,
-    _BROWN_W1_7,
-    _BROWN_W2_7,
-    _FUNC_SQL,
-    _brown_sql,
-    _delta_v2,
-    _length_bias_sql,
-    _witten_bell_sql,
-    q_brown_smoothing,
-    q_chao1_vocab,
-    q_char_entropy,
-    q_corpus_delta,
-    q_encoding_audit,
-    q_entropy_rate,
-    q_fightin_words,
-    q_good_turing,
-    q_hapax_profile,
-    q_keyness_llr,
-    q_lang_divergence,
-    q_language_id,
-    q_length_bias,
-    q_length_moments,
-    q_length_quantiles,
-    q_lexical_diversity,
-    q_mutual_information,
-    q_naive_bayes_lang,
-    q_path_trigrams,
-    q_stylometry,
-    q_term_burstiness,
-    q_term_gini,
-    q_token_counts,
-    q_unigram_perplexity,
-    q_witten_bell,
-    q_yule_k,
-)
-from .driver_queries_td_stats import (  # noqa: F401
-    EQUIDEPTH_BUCKETS,
-    ES_K,
-    ES_SEED,
-    POWERLAW_DMIN,
-    SQL_ANDERSON_DARLING,
-    SQL_BENFORD_AUDIT,
-    SQL_BROWN_FORSYTHE,
-    SQL_CAPTURE_RECAPTURE,
-    SQL_COHEN_KAPPA,
-    SQL_CONTINGENCY_CHI2,
-    SQL_COUPON_COLLECTOR,
-    SQL_DURBIN_WATSON,
-    SQL_EQUIDEPTH_HISTOGRAM,
-    SQL_FEATURE_CORRELATION,
-    SQL_FRIEDMAN_TEST,
-    SQL_GROUP_PERCENTILES,
-    SQL_GRUBBS_TEST,
-    SQL_GUMBEL_MAXIMA,
-    SQL_HILL_TAIL_INDEX,
-    SQL_INSPECTION_PARADOX,
-    SQL_JACKKNIFE_SE,
-    SQL_JARQUE_BERA,
-    SQL_KENDALL_TAU,
-    SQL_KRUSKAL_WALLIS,
-    SQL_KS_TWO_SAMPLE,
-    SQL_LORENZ_DECILES,
-    SQL_MAD_OUTLIERS,
-    SQL_MANN_WHITNEY,
-    SQL_MEDIAN_CI,
-    SQL_NB_DISPERSION,
-    SQL_ODDS_RATIO,
-    SQL_PEARSON_RESIDUALS,
-    SQL_POWERLAW_FIT,
-    SQL_PVM_BRIDGE,
-    SQL_RUNS_TEST,
-    SQL_SIMPSON_DIVERSITY,
-    SQL_THEIL_DECOMPOSITION,
-    SQL_TRIMMED_STATS,
-    SQL_WEIGHTED_SAMPLE,
-    _sql_cohen_kappa,
-    q_anderson_darling,
-    q_benford_audit,
-    q_brown_forsythe,
-    q_capture_recapture,
-    q_cohen_kappa,
-    q_contingency_chi2,
-    q_coupon_collector,
-    q_durbin_watson,
-    q_equidepth_histogram,
-    q_feature_correlation,
-    q_friedman_test,
-    q_group_percentiles,
-    q_grubbs_test,
-    q_gumbel_maxima,
-    q_hill_tail_index,
-    q_inspection_paradox,
-    q_jackknife_se,
-    q_jarque_bera,
-    q_kendall_tau,
-    q_kruskal_wallis,
-    q_ks_two_sample,
-    q_lorenz_deciles,
-    q_mad_outliers,
-    q_mann_whitney,
-    q_median_ci,
-    q_nb_dispersion,
-    q_odds_ratio,
-    q_pearson_residuals,
-    q_powerlaw_fit,
-    q_pvm_bridge,
-    q_runs_test,
-    q_simpson_diversity,
-    q_theil_decomposition,
-    q_trimmed_stats,
-    q_weighted_sample,
-)
-from .driver_queries_td_exp import (  # noqa: F401
-    SPRT_P0,
-    SPRT_P1,
-    SQL_AB_TEST_Z,
-    SQL_AIPW_ESTIMATE,
-    SQL_BH_FDR,
-    SQL_CALIBRATION_ECE,
-    SQL_CUPED_ADJUSTMENT,
-    SQL_DECISION_STUMP,
-    SQL_DIFF_IN_DIFF,
-    SQL_EB_SHRINKAGE,
-    SQL_GAINS_TABLE,
-    SQL_IPF_RAKING,
-    SQL_IPW_ESTIMATE,
-    SQL_KISH_ESS,
-    SQL_K_ANONYMITY,
-    SQL_LOGISTIC_STEP,
-    SQL_LOGRANK_TEST,
-    SQL_L_DIVERSITY,
-    SQL_MASE_BACKTEST,
-    SQL_NEYMAN_ALLOCATION,
-    SQL_POWER_ANALYSIS,
-    SQL_RANKING_AUC,
-    SQL_RMST,
-    SQL_SHAPLEY_ATTRIBUTION,
-    SQL_SPRT_STOP,
-    SQL_UCB_SCORES,
-    _ERFC_COEFS,
-    _erfc_col,
-    _erfc_sql,
-    q_ab_test_z,
-    q_aipw_estimate,
-    q_bh_fdr,
-    q_calibration_ece,
-    q_cuped_adjustment,
-    q_decision_stump,
-    q_diff_in_diff,
-    q_eb_shrinkage,
-    q_gains_table,
-    q_ipf_raking,
-    q_ipw_estimate,
-    q_k_anonymity,
-    q_kish_ess,
-    q_l_diversity,
-    q_logistic_step,
-    q_logrank_test,
-    q_mase_backtest,
-    q_neyman_allocation,
-    q_power_analysis,
-    q_ranking_auc,
-    q_rmst,
-    q_shapley_attribution,
-    q_sprt_stop,
-    q_ucb_scores,
-)
-
+from . import driver_queries_td_shared as _td_shared  # noqa: E402
 from . import driver_queries_td_graph as _td_graph  # noqa: E402
 from . import driver_queries_td_ir as _td_ir  # noqa: E402
 from . import driver_queries_td_index as _td_index  # noqa: E402
@@ -989,5 +33,54 @@ from . import driver_queries_td_text as _td_text  # noqa: E402
 from . import driver_queries_td_stats as _td_stats  # noqa: E402
 from . import driver_queries_td_exp as _td_exp  # noqa: E402
 
-QUERIES_TD = dict(_td_graph.QUERIES) | dict(_td_ir.QUERIES) | dict(_td_index.QUERIES) | dict(_td_ann.QUERIES) | dict(_td_tpch.QUERIES) | dict(_td_events.QUERIES) | dict(_td_text.QUERIES) | dict(_td_stats.QUERIES) | dict(_td_exp.QUERIES)
-ORACLES_TD = dict(_td_graph.ORACLES) | dict(_td_ir.ORACLES) | dict(_td_index.ORACLES) | dict(_td_ann.ORACLES) | dict(_td_tpch.ORACLES) | dict(_td_events.ORACLES) | dict(_td_text.ORACLES) | dict(_td_stats.ORACLES) | dict(_td_exp.ORACLES)
+_TD_MODULES = (
+    _td_shared,
+    _td_graph,
+    _td_ir,
+    _td_index,
+    _td_ann,
+    _td_tpch,
+    _td_events,
+    _td_text,
+    _td_stats,
+    _td_exp,
+)
+
+QUERIES_TD: dict = {}
+ORACLES_TD: dict = {}
+
+
+def _reexport() -> None:
+    # Names a module merely imported from a sibling arrive as the *same*
+    # object, so the identity check only trips on a genuine double
+    # definition. QUERIES/ORACLES are per-module dicts, merged (disjointly)
+    # below rather than re-exported.
+    g = globals()
+    pair_origin: dict = {}
+    name_origin: dict = {}
+    for mod in _TD_MODULES:
+        tag = mod.__name__.rsplit("_", 1)[-1]
+        for name, val in vars(mod).items():
+            if name.startswith("__"):
+                continue
+            if name in ("QUERIES", "ORACLES"):
+                clash = g[f"{name}_TD"].keys() & val.keys()
+                if clash:
+                    raise ValueError(
+                        f"duplicate td pair names across domain modules "
+                        f"({pair_origin.get(sorted(clash)[0], '?')} vs {tag}): "
+                        f"{sorted(clash)}"
+                    )
+                g[f"{name}_TD"].update(val)
+                pair_origin.update({k: tag for k in val})
+                continue
+            if name in name_origin and g.get(name) is not val:
+                raise ValueError(
+                    f"conflicting td module binding {name!r}: "
+                    f"{name_origin[name]} vs {tag} (invariant 8)"
+                )
+            g[name] = val
+            name_origin.setdefault(name, tag)
+
+
+_reexport()

@@ -311,6 +311,14 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
                 rgb += bytes((v, v, v))
         else:  # palette
             for v in row:
+                if v * 3 + 3 > len(plte):
+                    # an out-of-range index would slice to <3 bytes and
+                    # silently misalign the RGB raster — fail loudly like
+                    # every other corrupt-bytes path in this decoder
+                    raise ValueError(
+                        f"PNG palette index {v} out of range "
+                        f"(PLTE has {len(plte) // 3} entries)"
+                    )
                 rgb += plte[v * 3 : v * 3 + 3]
     return w, h, bytes(rgb)
 

@@ -372,6 +372,11 @@ def test_png_color_types_and_crc():
     bad[40] ^= 0xFF
     with _pytest.raises(ValueError, match="CRC"):
         _parse_png(bytes(bad))
+    # a palette index past the PLTE table fails loudly, never truncates
+    # the raster (the CRC is valid here — only the index is out of range)
+    short_plte = plte[: 8 * 3]  # max index in idx is 11 -> out of range
+    with _pytest.raises(ValueError, match="palette index"):
+        _parse_png(encode_ct(3, 1, idx, short_plte))
 
 
 def test_resize_images_handles_mixed_ppm_png(spark):

@@ -783,6 +783,24 @@ def test_no_top_level_rebinding_in_pair_modules():
             names, self_ref = [], False
             if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 names = [stmt.name]
+            elif isinstance(stmt, (ast.Import, ast.ImportFrom)):
+                # an import binds a name too: `from x import C` followed by
+                # `C = ...` rebinds a constant other modules' oracle SQL may
+                # have baked — the exact desync class this lint exists for
+                names = [
+                    a.asname or a.name.split(".")[0]
+                    for a in stmt.names
+                    if a.name != "*"
+                ]
+            elif isinstance(stmt, ast.AnnAssign):
+                if isinstance(stmt.target, ast.Name) and stmt.value is not None:
+                    names = [stmt.target.id]
+                    rhs_loads = {
+                        n.id
+                        for n in ast.walk(stmt.value)
+                        if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
+                    }
+                    self_ref = stmt.target.id in rhs_loads
             elif isinstance(stmt, ast.Assign):
                 for t in stmt.targets:
                     if isinstance(t, ast.Name):
