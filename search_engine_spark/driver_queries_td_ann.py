@@ -1064,6 +1064,92 @@ SQL_MEDIA_PNG = _media_png_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# GIF decode pair (r05, VERDICT task 4): the REAL stdlib GIF path —
+# variable-width LZW decompression + color-table resolution — through the
+# distributed Arrow decode stage, paired against an import-time replay of
+# the same pure decoder. Same shape as media_png: the resize digest column
+# proves the decode -> nearest-neighbor -> palette+LZW re-encode chain is
+# byte-deterministic, and the feature columns ride the shared dim-bin
+# luminance space.
+# --------------------------------------------------------------------------
+N_MEDIA_GIF = 24
+GIF_RESIZE_W, GIF_RESIZE_H = 10, 8
+
+
+def q_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.multimodal import (
+        FEAT_DIM,
+        decode_features,
+        resize_images,
+        synthesize_gif,
+    )
+
+    media = spark.createDataFrame(
+        [(i, synthesize_gif(i)) for i in range(N_MEDIA_GIF)],
+        "media_id long, payload binary",
+    )
+    feats = decode_features(media, dim=FEAT_DIM).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+    resized = resize_images(media, GIF_RESIZE_W, GIF_RESIZE_H).select(
+        "media_id", F.md5("payload").alias("digest")
+    )
+    return feats.join(resized, "media_id").select(
+        "media_id",
+        "width",
+        "height",
+        F.col("pos").cast("int").alias("pos"),
+        # float32 widened to double is exact; the oracle replay applies
+        # the same float32 quantization (struct.pack round trip)
+        F.col("x").cast("double").alias("x"),
+        "digest",
+    )
+
+
+def _media_gif_oracle_sql() -> str:
+    import hashlib
+    import struct
+
+    from .training_data.multimodal import (
+        FEAT_DIM,
+        _resize_gif,
+        decode_payload,
+        synthesize_gif,
+    )
+
+    def f32(v: float) -> float:
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    rows = []
+    for mid in range(N_MEDIA_GIF):
+        payload = synthesize_gif(mid)
+        width, height, _nf, feature = decode_payload(payload, FEAT_DIM)
+        digest = hashlib.md5(
+            _resize_gif(payload, GIF_RESIZE_W, GIF_RESIZE_H)
+        ).hexdigest()
+        for pos, x in enumerate(feature):
+            # value as a STRING literal: DuckDB routes bare numeric
+            # literals through DECIMAL, perturbing the last bits
+            # (invariant 1); VARCHAR -> DOUBLE parses shortest-repr exact
+            rows.append(
+                f"({mid}, {width}, {height}, {pos}, '{f32(x)!r}', "
+                f"'{digest}')"
+            )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(pos AS INT) AS pos, CAST(x AS DOUBLE) AS x, digest
+FROM (VALUES {", ".join(rows)}) t(media_id, width, height, pos, x, digest)
+"""
+
+
+SQL_MEDIA_GIF = _media_gif_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # IVF ANN pair #1: deterministic SAMPLED quantizer (every 50th vector) —
 # the cheap assignment-only shape. The TRAINED production quantizer
 # (train_ivf_centroids, deterministic fixed-point Lloyd) has its own full
@@ -3373,6 +3459,7 @@ QUERIES = {
     "lsh_transitivity": q_lsh_transitivity,
     "media_features": q_media_features,
     "media_png": q_media_png,
+    "media_gif": q_media_gif,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
     "minhash_calibration": q_minhash_calibration,
@@ -3417,6 +3504,7 @@ ORACLES = {
     "lsh_transitivity": SQL_LSH_TRANSITIVITY,
     "media_features": SQL_MEDIA_FEATURES,
     "media_png": SQL_MEDIA_PNG,
+    "media_gif": SQL_MEDIA_GIF,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_resize": SQL_MEDIA_RESIZE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,

@@ -11,11 +11,14 @@ Decode support is format-honest:
 - **REAL decoders, stdlib-only**: RIFF/WAVE audio (the ``wave`` module —
   sample rate, channel count, frame count, per-window RMS energy profile
   as the feature vector), binary PPM ``P6`` images (header + RGB raster
-  parse), and **PNG** (r04: zlib IDAT inflate + full filter
+  parse), **PNG** (r04: zlib IDAT inflate + full filter
   reconstruction — None/Sub/Up/Average/Paeth — for 8-bit
   gray/palette/RGB/RGBA, CRC-verified, plus a deterministic RGB
-  encoder); both image formats produce width/height and the dim-bin
-  luminance histogram feature and support nearest-neighbor resize.
+  encoder), and **GIF** (r05: real variable-width LZW decompression,
+  global/local color tables, interlace reconstruction, plus a
+  deterministic palette+LZW encoder); all three image formats produce
+  width/height and the dim-bin luminance histogram feature and support
+  nearest-neighbor resize.
 - **STUB**: formats that require external codec libraries absent from
   this environment (JPEG/MP4/...) raise NotImplementedError inside
   the task (fail-fast, clearly marked); ``fake=True`` substitutes the
@@ -390,6 +393,306 @@ def _resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
     return _encode_png(out_w, out_h, bytes(out))
 
 
+# --------------------------------------------------------------------------
+# GIF (r05, VERDICT task 4): real stdlib decoder — variable-width LZW
+# (LSB-first packing, clear/EOI codes, table growth to 12 bits, deferred
+# clear), global/local color tables, interlace reconstruction — plus a
+# deterministic palette+LZW encoder so fixtures and resize round-trip.
+# Structure is enforced fail-loudly like the PNG decoder: bad magic,
+# truncated blocks, an LZW code beyond the table, a palette index beyond
+# the active color table, or a pixel count disagreeing with the image
+# descriptor all raise ValueError. Format per the public GIF89a
+# specification (CompuServe, 1990).
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """LZW decompress a GIF image data stream to exactly n_pixels indices."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    roots = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    code_size = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + code_size > total_bits:
+            raise ValueError("GIF LZW stream ended without an EOI code")
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(roots)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW first code {code} out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwK case
+        else:
+            raise ValueError(
+                f"GIF LZW code {code} beyond table size {len(table)}"
+            )
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+        if len(out) > n_pixels:
+            raise ValueError(
+                f"GIF LZW decoded {len(out)}+ pixels, descriptor says "
+                f"{n_pixels}"
+            )
+    if len(out) != n_pixels:
+        raise ValueError(
+            f"GIF decoded {len(out)} pixels, descriptor says {n_pixels}"
+        )
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """LZW compress palette indices (the exact decoder inverse: same
+    code-width schedule, clear-and-reset when the table fills)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    roots = {bytes((i,)): i for i in range(clear)}
+    table = dict(roots)
+    next_code = eoi + 1
+    code_size = min_code + 1
+
+    def bump_after_emit() -> None:
+        # the decoder appends one table entry per data code it reads (after
+        # the first); mirror that growth so both sides widen codes on the
+        # same bit boundary
+        nonlocal next_code, code_size
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+
+    put(clear, code_size)
+    w = b""
+    for v in indices:
+        k = w + bytes((v,))
+        if k in table:
+            w = k
+            continue
+        put(table[w], code_size)
+        if next_code < 4096:
+            table[k] = next_code
+            bump_after_emit()
+        else:
+            put(clear, code_size)
+            table = dict(roots)
+            next_code = eoi + 1
+            code_size = min_code + 1
+        w = bytes((v,))
+    if w:
+        put(table[w], code_size)
+        bump_after_emit()
+    put(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_DEINTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _parse_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """First-frame GIF decode to an RGB raster (width, height, rgb).
+
+    GIF89a extensions are skipped; only the first image descriptor is
+    decoded (animated GIFs are a frame stream — frame sampling beyond
+    frame 0 stays with the video stubs)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload (magic {payload[:6]!r})")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated in logical screen descriptor")
+    _sw, _sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("GIF truncated in global color table")
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before any image descriptor")
+        block = payload[pos]
+        pos += 1
+        if block == 0x2C:
+            break
+        if block == 0x3B:
+            raise ValueError("GIF trailer before any image descriptor")
+        if block != 0x21:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        pos += 1  # extension label
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF truncated in extension sub-blocks")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            pos += sz
+    if pos + 9 > len(payload):
+        raise ValueError("GIF truncated in image descriptor")
+    _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if iw == 0 or ih == 0:
+        raise ValueError("GIF image descriptor has zero dimension")
+    table = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        table = payload[pos : pos + 3 * n]
+        if len(table) < 3 * n:
+            raise ValueError("GIF truncated in local color table")
+        pos += 3 * n
+    if not table:
+        raise ValueError("GIF image has neither global nor local color table")
+    if pos >= len(payload):
+        raise ValueError("GIF truncated before LZW minimum code size")
+    min_code = payload[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"GIF LZW minimum code size {min_code} invalid")
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated in image data sub-blocks")
+        sz = payload[pos]
+        pos += 1
+        if sz == 0:
+            break
+        chunk = payload[pos : pos + sz]
+        if len(chunk) < sz:
+            raise ValueError("GIF truncated inside an image data sub-block")
+        data += chunk
+        pos += sz
+    indices = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+    if ipacked & 0x40:  # interlaced: rows arrive in four passes
+        deinterlaced = bytearray(iw * ih)
+        src = 0
+        for start, step in _GIF_DEINTERLACE:
+            for y in range(start, ih, step):
+                deinterlaced[y * iw : (y + 1) * iw] = indices[src : src + iw]
+                src += iw
+        indices = bytes(deinterlaced)
+    n_entries = len(table) // 3
+    rgb = bytearray()
+    for v in indices:
+        if v >= n_entries:
+            raise ValueError(
+                f"GIF palette index {v} out of range (color table has "
+                f"{n_entries} entries)"
+            )
+        rgb += table[v * 3 : v * 3 + 3]
+    return iw, ih, bytes(rgb)
+
+
+def _decode_gif(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
+    """GIF decode. Feature = the shared ``dim``-bin luminance histogram
+    (one feature space per modality, like P6/PNG)."""
+    w, h, rgb = _parse_gif(payload)
+    hist = [0] * dim
+    for i in range(0, len(rgb) - 2, 3):
+        y = (rgb[i] * 299 + rgb[i + 1] * 587 + rgb[i + 2] * 114) // 1000
+        hist[min(dim - 1, y * dim // 256)] += 1
+    tot = float(sum(hist)) or 1.0
+    return w, h, 1, [v / tot for v in hist]
+
+
+def _encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Deterministic single-frame GIF89a encoder: first-seen-order palette
+    (<=256 colors, else ValueError), global color table, non-interlaced,
+    real LZW compression. Identical rasters encode to identical bytes —
+    the digest-replay property the media pairs rely on."""
+    import struct
+
+    palette: dict[bytes, int] = {}
+    indices = bytearray()
+    for i in range(0, width * height * 3, 3):
+        c = bytes(rgb[i : i + 3])
+        idx = palette.setdefault(c, len(palette))
+        if idx > 255:
+            raise ValueError("GIF encoder: raster has more than 256 colors")
+        indices.append(idx)
+    size_exp = max(1, (len(palette) - 1).bit_length())  # 2<<(exp-1) entries
+    n_entries = 1 << size_exp
+    min_code = max(2, size_exp)
+    gct = b"".join(palette) + b"\x00\x00\x00" * (n_entries - len(palette))
+    lzw = _gif_lzw_encode(bytes(indices), min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | (size_exp - 1), 0, 0)
+    out += gct
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synthesize_gif(media_id: int, width: int = 24, height: int = 18) -> bytes:
+    """Deterministic GIF: a 64-color banded pattern offset by media_id
+    (distinct from the PPM and PNG fixtures so mixed-corpus tests tell
+    the three image formats apart)."""
+    raster = bytearray()
+    for y in range(height):
+        for x in range(width):
+            v = (x * 7 + y * 13 + media_id * 31) % 64
+            raster += bytes((v * 4 % 256, (255 - v * 3) % 256, (v * 2 + media_id) % 256))
+    return _encode_gif(width, height, bytes(raster))
+
+
+def _resize_gif(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a GIF, re-encoded with the same
+    deterministic integer source indexing as _resize_ppm/_resize_png
+    (the palette can only shrink, so re-encoding cannot overflow)."""
+    w, h, rgb = _parse_gif(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * h // out_h
+        row_base = sy * w * 3
+        for x in range(out_w):
+            sx = x * w // out_w
+            i = row_base + sx * 3
+            out += rgb[i : i + 3]
+    return _encode_gif(out_w, out_h, bytes(out))
+
+
 def decode_payload(payload: bytes | None, dim: int) -> tuple[int | None, int | None, int, list[float]]:
     """Magic-byte dispatch to a real decoder; raises NotImplementedError
     for formats needing external codecs (JPEG/MP4/...)."""
@@ -401,6 +704,8 @@ def decode_payload(payload: bytes | None, dim: int) -> tuple[int | None, int | N
         return _decode_ppm(payload, dim)
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload, dim)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload, dim)
     raise NotImplementedError(
         f"no stdlib decoder for magic {payload[:4]!r}; JPEG/MP4 need "
         "codec libraries not installed in this environment"
@@ -499,6 +804,8 @@ def resize_images(
                     payloads.append(_resize_ppm(b, width, height))
                 elif b[:8] == _PNG_MAGIC:
                     payloads.append(_resize_png(b, width, height))
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    payloads.append(_resize_gif(b, width, height))
                 else:
                     raise NotImplementedError(
                         f"resize: no stdlib decoder for magic {b[:4]!r}; "

@@ -379,19 +379,140 @@ def test_png_color_types_and_crc():
         _parse_png(encode_ct(3, 1, idx, short_plte))
 
 
-def test_resize_images_handles_mixed_ppm_png(spark):
+def test_resize_images_handles_mixed_ppm_png_gif(spark):
     from search_engine_spark.training_data.multimodal import (
+        _parse_gif,
         _parse_png,
         _parse_ppm,
         resize_images,
+        synthesize_gif,
         synthesize_png,
         synthesize_ppm,
     )
 
     media = spark.createDataFrame(
-        [(1, synthesize_ppm(1)), (2, synthesize_png(2))],
+        [(1, synthesize_ppm(1)), (2, synthesize_png(2)), (3, synthesize_gif(3))],
         "media_id long, payload binary",
     )
     rows = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 5).collect()}
     assert _parse_ppm(rows[1])[:2] == (8, 5)
     assert _parse_png(rows[2])[:2] == (8, 5)
+    assert _parse_gif(rows[3])[:2] == (8, 5)
+
+
+def test_gif_roundtrip_and_dispatch():
+    from search_engine_spark.training_data.multimodal import (
+        _encode_gif,
+        _parse_gif,
+        _resize_gif,
+        decode_payload,
+        synthesize_gif,
+    )
+
+    for mid in range(4):
+        p = synthesize_gif(mid)
+        w, h, rgb = _parse_gif(p)
+        assert (w, h) == (24, 18) and len(rgb) == 24 * 18 * 3
+        assert _parse_gif(_encode_gif(w, h, rgb))[2] == rgb
+        # deterministic bytes (the digest-replay property)
+        assert synthesize_gif(mid) == p
+    w, h, nf, feat = decode_payload(synthesize_gif(3), 16)
+    assert (w, h, nf) == (24, 18, 1)
+    assert abs(sum(feat) - 1.0) < 1e-9
+    rw, rh, _ = _parse_gif(_resize_gif(synthesize_gif(3), 12, 9))
+    assert (rw, rh) == (12, 9)
+
+
+def test_gif_lzw_codec_properties():
+    """LZW decode must invert LZW encode across alphabet sizes and
+    lengths that force every code-width bump and the table-full
+    clear/reset path — the variable-code-width schedule is the
+    decoder's core."""
+    import random
+
+    from search_engine_spark.training_data.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(1234)
+    for n_sym in (4, 16, 64, 256):
+        min_code = max(2, (n_sym - 1).bit_length())
+        for n in (1, 2, 37, 700, 5000):
+            data = bytes(rng.randrange(n_sym) for _ in range(n))
+            assert _gif_lzw_decode(_gif_lzw_encode(data, min_code), min_code, n) == data
+    # highly repetitive input fills the 4096-entry table -> clear/reset
+    data = bytes([1, 2] * 30000)
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data)) == data
+    # KwK case: aba ab abab-style self-referencing code sequence
+    data = b"\x01\x01\x01\x01\x01\x01\x01"
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data)) == data
+
+
+def _gif_craft(w, h, indices, palette, interlace=False, pre_image=b"",
+               min_code=None):
+    """Hand-assemble a GIF (the test-side encoder, independent of
+    _encode_gif's choices) so interlace/extension/corruption paths are
+    exercised from raw bytes."""
+    import struct
+
+    from search_engine_spark.training_data.multimodal import _gif_lzw_encode
+
+    size_exp = max(1, (len(palette) // 3 - 1).bit_length())
+    mc = min_code if min_code is not None else max(2, size_exp)
+    gct = palette + b"\x00" * (3 * (1 << size_exp) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_exp - 1), 0, 0)
+    out += gct
+    out += pre_image
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(mc)
+    lzw = _gif_lzw_encode(bytes(indices), mc)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_interlace_extensions_and_structure_checks():
+    import pytest as _pytest
+
+    from search_engine_spark.training_data.multimodal import (
+        _parse_gif,
+        synthesize_gif,
+    )
+
+    w, h = 6, 10
+    palette = bytes(b for v in range(4) for b in (v * 60, 255 - v * 60, v * 80))
+    rows = [bytes((x + y) % 4 for x in range(w)) for y in range(h)]
+    flat = b"".join(rows)
+    # interlaced rows arrive in pass order 0,8 / 4 / 2,6 / 1,3,5,7,9
+    pass_order = [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    inter = b"".join(rows[y] for y in pass_order)
+    expect = b"".join(palette[v * 3 : v * 3 + 3] for v in flat)
+    assert _parse_gif(_gif_craft(w, h, flat, palette))[2] == expect
+    assert _parse_gif(_gif_craft(w, h, inter, palette, interlace=True))[2] == expect
+    # GIF89a extensions (e.g. graphic control) are skipped, not fatal
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert _parse_gif(_gif_craft(w, h, flat, palette, pre_image=gce))[2] == expect
+    # structure failures are loud, never a silently wrong raster:
+    with _pytest.raises(ValueError, match="not a GIF"):
+        _parse_gif(b"NOTGIF" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_gif(synthesize_gif(1)[:40])
+    # palette index beyond the color table: 2-entry palette, codes up to 3
+    small_palette = palette[: 2 * 3]
+    bad_idx = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    with _pytest.raises(ValueError, match="palette index"):
+        _parse_gif(_gif_craft(w, h, bad_idx, small_palette, min_code=2))
+    # pixel count disagreeing with the image descriptor
+    with _pytest.raises(ValueError, match="pixels"):
+        _parse_gif(_gif_craft(w, h, flat[: w * h - 5], palette))
+    # trailer before any image descriptor
+    trailer_first = synthesize_gif(0)[:13] + synthesize_gif(0)[13 : 13 + 3 * 64] + b"\x3b"
+    with _pytest.raises(ValueError, match="trailer"):
+        _parse_gif(trailer_first)
