@@ -28,6 +28,11 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraClassPath", classes_dir)
         .config("spark.sql.catalog.lake", "sesparktest.RowLevelTestCatalog")
+        # the SAME catalog class in delta (merge-on-read) mode — the mode
+        # Iceberg v2 tables default to on real clusters; MERGE plans as
+        # WriteDelta instead of ReplaceData (r04 VERDICT task 5)
+        .config("spark.sql.catalog.lakemor", "sesparktest.RowLevelTestCatalog")
+        .config("spark.sql.catalog.lakemor.mode", "merge-on-read")
         .getOrCreate()
     )
     from search_engine_spark.news.feeds import ARTICLE_MERGE_SET, upsert_articles
@@ -95,6 +100,49 @@ def main() -> None:
     via_op = sorted([list(r) for r in upsert_articles(old, new).collect()])
     out["articles_match"] = via_io == via_op
     out["articles_via_io"] = via_io
+
+    # ---- the same MERGE sequence through the DELTA-BASED (merge-on-read)
+    # contract: Spark rewrites these statements to WriteDelta (per-row
+    # DELETE/UPDATE/INSERT instructions keyed by row identity) instead of
+    # the copy-on-write ReplaceData. Results must be identical.
+    mio = IcebergIO("lakemor", "search")
+    mio.replace(spark.createDataFrame([(1, "a")], "k long, v string"), "t")
+    mio.append(spark.createDataFrame([(5, "e")], "k long, v string"), "t")
+    mio.insert_if_absent(
+        spark.createDataFrame([(1, "X"), (2, "b")], "k long, v string"), "t", "k"
+    )
+    out["mor_after_insert_if_absent"] = sorted(
+        [list(r) for r in mio.read(spark, "t").collect()]
+    )
+    mio.upsert(
+        spark.createDataFrame([(2, "NEW"), (3, "c")], "k long, v string"), "t", "k"
+    )
+    out["mor_after_upsert"] = sorted(
+        [list(r) for r in mio.read(spark, "t").collect()]
+    )
+    mio.replace(old, "articles")
+    mio.merge_columns(new, "articles", "url", ARTICLE_MERGE_SET)
+    out["mor_articles_match"] = (
+        sorted([list(r) for r in mio.read(spark, "articles").collect()]) == via_op
+    )
+
+    # plan-level proof both row-level modes are actually exercised:
+    # copy-on-write merges plan ReplaceData, merge-on-read plans WriteDelta
+    spark.createDataFrame([(2, "zz")], "k long, v string").createOrReplaceTempView(
+        "plansrc"
+    )
+    merge_tail = (
+        "t USING plansrc s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    cow_plan = spark.sql(f"EXPLAIN MERGE INTO lake.search.t {merge_tail}").first()[0]
+    mor_plan = spark.sql(f"EXPLAIN MERGE INTO lakemor.search.t {merge_tail}").first()[0]
+    out["cow_plan_replace_data"] = (
+        "ReplaceData" in cow_plan and "WriteDelta" not in cow_plan
+    )
+    out["mor_plan_write_delta"] = (
+        "WriteDelta" in mor_plan and "ReplaceData" not in mor_plan
+    )
 
     print("RESULT:" + json.dumps(out))
     spark.stop()

@@ -50,6 +50,8 @@ import org.apache.spark.sql.connector.catalog.TableCapability;
 import org.apache.spark.sql.connector.catalog.TableCatalog;
 import org.apache.spark.sql.connector.catalog.TableChange;
 import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.expressions.Expressions;
+import org.apache.spark.sql.connector.expressions.NamedReference;
 import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.connector.read.Batch;
 import org.apache.spark.sql.connector.read.InputPartition;
@@ -60,11 +62,17 @@ import org.apache.spark.sql.connector.read.ScanBuilder;
 import org.apache.spark.sql.connector.write.BatchWrite;
 import org.apache.spark.sql.connector.write.DataWriter;
 import org.apache.spark.sql.connector.write.DataWriterFactory;
+import org.apache.spark.sql.connector.write.DeltaBatchWrite;
+import org.apache.spark.sql.connector.write.DeltaWrite;
+import org.apache.spark.sql.connector.write.DeltaWriteBuilder;
+import org.apache.spark.sql.connector.write.DeltaWriter;
+import org.apache.spark.sql.connector.write.DeltaWriterFactory;
 import org.apache.spark.sql.connector.write.LogicalWriteInfo;
 import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
 import org.apache.spark.sql.connector.write.RowLevelOperation;
 import org.apache.spark.sql.connector.write.RowLevelOperationBuilder;
 import org.apache.spark.sql.connector.write.RowLevelOperationInfo;
+import org.apache.spark.sql.connector.write.SupportsDelta;
 import org.apache.spark.sql.connector.write.SupportsTruncate;
 import org.apache.spark.sql.connector.write.Write;
 import org.apache.spark.sql.connector.write.WriteBuilder;
@@ -98,9 +106,14 @@ public class RowLevelTestCatalog implements TableCatalog, SupportsNamespaces {
   }
 
   private String name = "rowlevel";
+  /** catalog option mode=merge-on-read switches row-level operations from
+   * the group-based (copy-on-write) path to the delta-based path — the
+   * mode Iceberg v2 tables default to on real clusters. */
+  private boolean mergeOnRead = false;
 
   @Override public void initialize(String name, CaseInsensitiveStringMap options) {
     this.name = name;
+    this.mergeOnRead = "merge-on-read".equals(options.get("mode"));
   }
 
   @Override public String name() { return name; }
@@ -123,7 +136,7 @@ public class RowLevelTestCatalog implements TableCatalog, SupportsNamespaces {
   @Override public Table loadTable(Identifier ident) throws NoSuchTableException {
     TableState st = STORE.get(key(ident));
     if (st == null) throw new NoSuchTableException(ident);
-    return new MemTable(key(ident), st.schema);
+    return new MemTable(key(ident), st.schema, mergeOnRead);
   }
 
   @Override public Table createTable(Identifier ident, StructType schema,
@@ -131,7 +144,7 @@ public class RowLevelTestCatalog implements TableCatalog, SupportsNamespaces {
       throws TableAlreadyExistsException {
     if (STORE.containsKey(key(ident))) throw new TableAlreadyExistsException(ident);
     STORE.put(key(ident), new TableState(schema));
-    return new MemTable(key(ident), schema);
+    return new MemTable(key(ident), schema, mergeOnRead);
   }
 
   @Override public Table alterTable(Identifier ident, TableChange... changes)
@@ -185,7 +198,21 @@ public class RowLevelTestCatalog implements TableCatalog, SupportsNamespaces {
   static class MemTable implements SupportsRead, SupportsWrite, SupportsRowLevelOperations {
     final String key;
     final StructType schema;
-    MemTable(String key, StructType schema) { this.key = key; this.schema = schema; }
+    final boolean mergeOnRead;
+    MemTable(String key, StructType schema, boolean mergeOnRead) {
+      this.key = key; this.mergeOnRead = mergeOnRead;
+      if (mergeOnRead) {
+        // WriteDelta rejects nullable row-id attributes
+        // (NULLABLE_ROW_ID_ATTRIBUTES); the first column is this
+        // catalog's row identity (a primary key), so declare it NOT NULL
+        StructField[] fs = schema.fields().clone();
+        fs[0] = new StructField(fs[0].name(), fs[0].dataType(), false,
+            fs[0].metadata());
+        this.schema = new StructType(fs);
+      } else {
+        this.schema = schema;
+      }
+    }
 
     @Override public String name() { return key.replace('\0', '.'); }
     @Override public StructType schema() { return schema; }
@@ -205,6 +232,9 @@ public class RowLevelTestCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override public RowLevelOperationBuilder newRowLevelOperationBuilder(
         RowLevelOperationInfo info) {
+      if (mergeOnRead) {
+        return () -> new MemDeltaOp(key, schema, info.command());
+      }
       return () -> new MemRowLevelOp(key, schema, info.command());
     }
   }
@@ -350,6 +380,144 @@ public class RowLevelTestCatalog implements TableCatalog, SupportsNamespaces {
       // the whole table is one copy-on-write group: the rewrite write
       // replaces the full contents with the post-operation rows
       return new MemWriteBuilder(key, info.schema(), true);
+    }
+  }
+
+  // -- row-level operations, DELTA-BASED (merge-on-read) ----------------
+  // The other RowLevelOperation contract Spark can plan
+  // (RewriteMergeIntoTable -> WriteDelta/WriteDeltaExec): instead of
+  // rewriting whole groups, the writer receives per-row DELETE / UPDATE /
+  // INSERT instructions keyed by a row identity — the shape Iceberg v2
+  // merge-on-read tables (position/equality delete files) present. The
+  // storage's row identity is its FIRST column, treated as a primary key
+  // (the analog of Iceberg's _file/_pos metadata pair for an in-memory
+  // list; both driver tables — t(k, v) and articles(url, ...) — are keyed
+  // on their first column).
+  static class MemDeltaOp implements SupportsDelta {
+    final String key;
+    final StructType schema;
+    final Command command;
+    MemDeltaOp(String key, StructType schema, Command command) {
+      this.key = key; this.schema = schema; this.command = command;
+    }
+    @Override public Command command() { return command; }
+    @Override public NamedReference[] rowId() {
+      return new NamedReference[] {
+        Expressions.column(schema.fields()[0].name())
+      };
+    }
+    @Override public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+      return () -> new MemScan(key, schema);
+    }
+    @Override public DeltaWriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+      StructType idSchema = info.rowIdSchema().get();
+      StructType dataSchema = info.schema();
+      return new DeltaWriteBuilder() {
+        @Override public DeltaWrite build() {
+          return new DeltaWrite() {
+            @Override public DeltaBatchWrite toBatch() {
+              return new MemDeltaBatchWrite(key, dataSchema, idSchema);
+            }
+          };
+        }
+      };
+    }
+  }
+
+  /** one delta instruction: op 'D' (id), 'U' (id + row), 'I' (row). */
+  static class DeltaOp implements Serializable {
+    final char op;
+    final Object id;
+    final Object[] row;
+    DeltaOp(char op, Object id, Object[] row) {
+      this.op = op; this.id = id; this.row = row;
+    }
+  }
+
+  static class DeltaMessage implements WriterCommitMessage, Serializable {
+    final ArrayList<DeltaOp> ops;
+    DeltaMessage(List<DeltaOp> ops) { this.ops = new ArrayList<>(ops); }
+  }
+
+  static class MemDeltaBatchWrite implements DeltaBatchWrite {
+    final String key;
+    final StructType dataSchema;
+    final StructType idSchema;
+    MemDeltaBatchWrite(String key, StructType dataSchema, StructType idSchema) {
+      this.key = key; this.dataSchema = dataSchema; this.idSchema = idSchema;
+    }
+    @Override public DeltaWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
+      return new MemDeltaWriterFactory(dataSchema, idSchema, STORE.get(key).schema);
+    }
+    @Override public void commit(WriterCommitMessage[] messages) {
+      TableState st = STORE.get(key);
+      int idOrdinal = st.schema.fieldIndex(st.schema.fields()[0].name());
+      synchronized (st.rows) {
+        // deletes and update-removals first, then the replacement and
+        // inserted rows (MERGE guarantees at most one match per target
+        // row, so ordering across messages cannot conflict)
+        for (WriterCommitMessage m : messages) {
+          for (DeltaOp op : ((DeltaMessage) m).ops) {
+            if (op.op == 'D' || op.op == 'U') {
+              boolean removed = st.rows.removeIf(
+                  r -> java.util.Objects.equals(r[idOrdinal], op.id));
+              if (!removed) {
+                throw new IllegalStateException(
+                    "delta " + op.op + " for absent row id " + op.id);
+              }
+            }
+          }
+        }
+        for (WriterCommitMessage m : messages) {
+          for (DeltaOp op : ((DeltaMessage) m).ops) {
+            if (op.op == 'U' || op.op == 'I') st.rows.add(op.row);
+          }
+        }
+      }
+    }
+    @Override public void abort(WriterCommitMessage[] messages) {}
+  }
+
+  static class MemDeltaWriterFactory implements DeltaWriterFactory {
+    final StructType dataSchema;
+    final StructType idSchema;
+    final StructType tableSchema;
+    MemDeltaWriterFactory(StructType dataSchema, StructType idSchema,
+        StructType tableSchema) {
+      this.dataSchema = dataSchema; this.idSchema = idSchema;
+      this.tableSchema = tableSchema;
+    }
+    @Override public DeltaWriter<InternalRow> createWriter(int partitionId, long taskId) {
+      final List<DeltaOp> buf = new ArrayList<>();
+      final StructField[] out = tableSchema.fields();
+      final DataType idType = idSchema.fields()[0].dataType();
+      // incoming data rows are in WRITE order; storage is in TABLE order
+      final int[] src = new int[out.length];
+      for (int j = 0; j < out.length; j++) {
+        src[j] = dataSchema.fieldIndex(out[j].name());
+      }
+      return new DeltaWriter<InternalRow>() {
+        private Object idOf(InternalRow id) { return toStorage(id, 0, idType); }
+        private Object[] rowOf(InternalRow row) {
+          Object[] vals = new Object[out.length];
+          for (int j = 0; j < out.length; j++) {
+            vals[j] = toStorage(row, src[j], dataSchema.fields()[src[j]].dataType());
+          }
+          return vals;
+        }
+        @Override public void delete(InternalRow meta, InternalRow id) {
+          buf.add(new DeltaOp('D', idOf(id), null));
+        }
+        @Override public void update(InternalRow meta, InternalRow id, InternalRow row) {
+          buf.add(new DeltaOp('U', idOf(id), rowOf(row)));
+        }
+        @Override public void insert(InternalRow row) {
+          buf.add(new DeltaOp('I', null, rowOf(row)));
+        }
+        @Override public WriterCommitMessage commit() { return new DeltaMessage(buf); }
+        @Override public void abort() {}
+        @Override public void close() {}
+      };
     }
   }
 }

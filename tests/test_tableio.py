@@ -184,3 +184,10 @@ def test_iceberg_merge_roundtrip(tmp_path):
     assert out["after_upsert"] == [[1, "a"], [2, "NEW"], [3, "c"], [5, "e"]]
     assert out["after_replace"] == [[9, "z"]]  # createOrReplace truncates
     assert out["articles_match"], "MERGE INTO UPDATE SET drifted from upsert_articles"
+    # merge-on-read (delta-based) row-level operations: same statements,
+    # same results, but planned as WriteDelta (r04 VERDICT task 5)
+    assert out["mor_after_insert_if_absent"] == [[1, "a"], [2, "b"], [5, "e"]]
+    assert out["mor_after_upsert"] == [[1, "a"], [2, "NEW"], [3, "c"], [5, "e"]]
+    assert out["mor_articles_match"], "delta MERGE drifted from upsert_articles"
+    assert out["cow_plan_replace_data"], "copy-on-write MERGE should plan ReplaceData"
+    assert out["mor_plan_write_delta"], "merge-on-read MERGE should plan WriteDelta"
