@@ -319,10 +319,11 @@ def main() -> None:
     # because the synthetic word-soup corpus fails their English-specific
     # rules (stop-word kinds, terminal punctuation) outright — both are
     # pair-benched on their own. Single pass (the pair sections above
-    # already warmed the same operator codegen); ~12 stage-count actions
-    # + 11 localCheckpoint barriers dominate at toy scale, so this
-    # measures orchestration overhead more than data throughput — the
-    # per-stage operators' own scaling is what the pair sections measure.
+    # already warmed the same operator codegen). r05: the dominant cost
+    # was never orchestration — profiling showed gopher_repetition's
+    # A1.2 metrics at 75% of the wall, 5x-inflated by filter-predicate
+    # inlining (no subexpression elimination) on one AQE-coalesced
+    # partition; both fixed in curate_corpus (see pipeline.py).
     from search_engine_spark.training_data.pipeline import curate_corpus  # noqa: PLC0415
 
     spark._jvm.System.gc()
