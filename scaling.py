@@ -107,48 +107,71 @@ def run_inner(cpus: int, n_pages: int, repeats: int) -> None:
     from search_engine_spark.session import get_spark
 
     spark = get_spark(
-        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        # task-direct commit (no serial driver-side rename phase at job
+        # commit) — one of the fixed serial tails that costs the wide
+        # level proportionally more (r04 VERDICT task 1)
+        extra_conf={
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2"
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def build(pages) -> tuple[int, dict[str, float]]:
+    def build(pages, tmp: str) -> tuple[int, dict[str, float]]:
+        # Serial-tail discipline (r04 VERDICT task 1): the chain's data
+        # dependencies are real, but three fixed driver-side tails are
+        # not, and every fixed second costs the wide level 4x the
+        # relative throughput of the narrow one —
+        # - read-backs pass the writer's schema (no footer-inference job)
+        # - the doc count (needed only for wave-3 shard sizing) runs in a
+        #   thread overlapped with the tokenize stage
+        # - temp-dir cleanup happens outside the timed window (caller)
         stages: dict[str, float] = {}
-        tmp = tempfile.mkdtemp(prefix=f"scaling-{cpus}-")
-        try:
+        t = time.perf_counter()
+        docs_lineage = exact_dedup(build_documents(pages, FIXED_NOW))
+        docs_schema = docs_lineage.schema  # no job: resolved from the plan
+        docs_lineage.write.mode("overwrite").parquet(f"{tmp}/documents")
+        docs = spark.read.schema(docs_schema).parquet(f"{tmp}/documents")
+        stages["extract_dedup"] = time.perf_counter() - t
+        n_docs_box: dict[str, int] = {}
+
+        def _count():
+            n_docs_box["n"] = docs.count()
+
+        cnt = threading.Thread(target=_count)
+        cnt.start()
+        t = time.perf_counter()
+        tokens_lineage = build_tokens(docs)
+        tokens_schema = tokens_lineage.schema
+        tokens_lineage.write.mode("overwrite").parquet(f"{tmp}/tokens")
+        tokens = spark.read.schema(tokens_schema).parquet(f"{tmp}/tokens")
+        stages["tokenize"] = time.perf_counter() - t
+        cnt.join()
+        n_docs = n_docs_box["n"]
+
+        # postings || term_stats: independent consumers of tokens,
+        # submitted from two threads like pipeline/build.py (r04)
+        def _postings():
             t = time.perf_counter()
-            exact_dedup(build_documents(pages, FIXED_NOW)).write.mode(
+            build_postings(tokens, n_shards=n_shards_for(n_docs)).write.mode(
                 "overwrite"
-            ).parquet(f"{tmp}/documents")
-            docs = spark.read.parquet(f"{tmp}/documents")
-            n_docs = docs.count()
-            stages["extract_dedup"] = time.perf_counter() - t
+            ).parquet(f"{tmp}/postings")
+            stages["postings"] = time.perf_counter() - t
+
+        def _stats():
             t = time.perf_counter()
-            build_tokens(docs).write.mode("overwrite").parquet(f"{tmp}/tokens")
-            tokens = spark.read.parquet(f"{tmp}/tokens")
-            stages["tokenize"] = time.perf_counter() - t
-            # postings || term_stats: independent consumers of tokens,
-            # submitted from two threads like pipeline/build.py (r04)
-            def _postings():
-                t = time.perf_counter()
-                build_postings(tokens, n_shards=n_shards_for(n_docs)).write.mode(
-                    "overwrite"
-                ).parquet(f"{tmp}/postings")
-                stages["postings"] = time.perf_counter() - t
+            build_term_statistics(tokens, docs).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/term_statistics")
+            stages["term_stats"] = time.perf_counter() - t
 
-            def _stats():
-                t = time.perf_counter()
-                build_term_statistics(tokens, docs).write.mode(
-                    "overwrite"
-                ).parquet(f"{tmp}/term_statistics")
-                stages["term_stats"] = time.perf_counter() - t
-
-            th = threading.Thread(target=_stats)
-            th.start()
-            _postings()
-            th.join()
-            return n_docs, stages
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        th = threading.Thread(target=_stats)
+        th.start()
+        _postings()
+        th.join()
+        return n_docs, stages
 
     def materialize(records):
         # input fixture: on a real cluster this is the Iceberg pages scan,
@@ -158,17 +181,28 @@ def run_inner(cpus: int, n_pages: int, repeats: int) -> None:
         pages.count()
         return pages
 
+    def timed_build(pages) -> tuple[int, dict[str, float], float]:
+        tmp = tempfile.mkdtemp(prefix=f"scaling-{cpus}-")
+        try:
+            t0 = time.perf_counter()
+            n_docs, stages = build(pages, tmp)
+            return n_docs, stages, time.perf_counter() - t0
+        finally:
+            # cleanup cost (4 parquet dirs of many files) stays OUTSIDE
+            # the clock, and off-thread so the next run's setup overlaps it
+            threading.Thread(
+                target=shutil.rmtree, args=(tmp,), kwargs={"ignore_errors": True}
+            ).start()
+
     warm = materialize(generate_pages(n_pages=2000, seed=7))
-    build(warm)
-    build(warm)
+    timed_build(warm)
+    timed_build(warm)
     warm.unpersist()
 
     pages = materialize(generate_pages(n_pages=n_pages, seed=42))
     runs = []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        n_docs, stages = build(pages)
-        wall = time.perf_counter() - t0
+        n_docs, stages, wall = timed_build(pages)
         runs.append(
             {
                 "wall_sec": round(wall, 3),
