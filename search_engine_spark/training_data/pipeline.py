@@ -295,14 +295,20 @@ def curate_corpus(
     q = gate("quality", exact, q)
 
     # 2b. optional Gopher rule set (word count / mean word length / symbol
-    # ratio / bullet + ellipsis lines / alpha words / required stopwords)
+    # ratio / bullet + ellipsis lines / alpha words / required stopwords).
+    # Same flags-through-a-Project guard as the repetition gate below:
+    # filtering directly on `passes` would inline every rule into one
+    # Filter conjunction, and Filter predicates get no common-
+    # subexpression elimination, so the shared word split would be
+    # re-derived per rule.
     if gopher:
-        g = (
+        g_flags = (
             gopher_quality(q, text_col=text_col)
-            .filter(F.col("passes") == 1)
-            .select(id_col, text_col)
+            .select(id_col, "passes")
+            .localCheckpoint(eager=False)
         )
-        q = gate("gopher", q, g)
+        ok = g_flags.filter(F.col("passes") == 1).select(id_col)
+        q = gate("gopher", q, q.join(ok, id_col, "inner"))
 
     # 2c. optional Gopher repetition rule set (A1.2: dup line/paragraph
     # fractions, top-n-gram and dup-n-gram char coverage) — drop documents
