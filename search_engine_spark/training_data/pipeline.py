@@ -284,7 +284,14 @@ def curate_corpus(
     # < 5 retained sentences, 'lorem ipsum' or a curly bracket drop —
     # both the transform and the drop attributed to one stage.
     if c4:
-        r = c4_rules(exact, id_col=id_col, text_col=text_col)
+        # same no-CSE-in-Filter-predicates guard as the Gopher gates: the
+        # Filter on `passes` and the Project of `cleaned` would otherwise
+        # each inline their own copy of the per-line processing
+        r = (
+            c4_rules(exact, id_col=id_col, text_col=text_col)
+            .select(id_col, "cleaned", "passes")
+            .localCheckpoint(eager=False)
+        )
         rewritten = r.filter(F.col("passes") == 1).select(
             F.col(id_col), F.col("cleaned").alias(text_col)
         )

@@ -825,3 +825,29 @@ def test_no_top_level_rebinding_in_pair_modules():
         "top-level rebinding in pair modules (invariant 8): "
         + ", ".join(offenders)
     )
+
+
+# ---------------------------------------------------------------------------
+# Doc-count sync (r04 VERDICT task 7): the pair count stated in the docs
+# must match len(queries()) — it drifted by one in three of four rounds
+# when hand-typed. The full regeneration (incl. the collected-test count)
+# is tools/gen_counts.py; this guard catches the cheap-to-check half at
+# pytest time.
+# ---------------------------------------------------------------------------
+def test_doc_pair_counts_in_sync():
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n = len(entry_mod.queries())
+    for fname, pat in (
+        ("CLAUDE.md", r"(\d+) Spark/DuckDB pairs"),
+        ("COVERAGE.md", r"\*\*(\d+) pairs total\*\*"),
+        ("README.md", r"(\d+) `queries\(\)`"),
+    ):
+        text = open(os.path.join(root, fname)).read()
+        m = re.search(pat, text)
+        assert m, f"{fname}: pair-count sentence not found ({pat})"
+        assert int(m.group(1)) == n, (
+            f"{fname} says {m.group(1)} pairs but queries() has {n} — "
+            "run tools/gen_counts.py"
+        )
