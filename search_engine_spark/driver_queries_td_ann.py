@@ -1150,6 +1150,83 @@ SQL_MEDIA_GIF = _media_gif_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# JPEG decode pair (r05): the REAL stdlib baseline-JPEG path — Huffman
+# entropy decode + dequantize + IDCT + YCbCr->RGB (training_data/jpeg.py)
+# — through the distributed Arrow decode stage, paired against an
+# import-time replay of the same pure decoder. Same shape as
+# media_png/media_gif; JPEG is lossy but DETERMINISTIC, which is all the
+# digest-replay identity needs.
+# --------------------------------------------------------------------------
+N_MEDIA_JPEG = 24
+JPEG_RESIZE_W, JPEG_RESIZE_H = 10, 8
+
+
+def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.jpeg import synthesize_jpeg
+    from .training_data.multimodal import FEAT_DIM, decode_features, resize_images
+
+    media = spark.createDataFrame(
+        [(i, synthesize_jpeg(i)) for i in range(N_MEDIA_JPEG)],
+        "media_id long, payload binary",
+    )
+    feats = decode_features(media, dim=FEAT_DIM).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.posexplode("feature").alias("pos", "x"),
+    )
+    resized = resize_images(media, JPEG_RESIZE_W, JPEG_RESIZE_H).select(
+        "media_id", F.md5("payload").alias("digest")
+    )
+    return feats.join(resized, "media_id").select(
+        "media_id",
+        "width",
+        "height",
+        F.col("pos").cast("int").alias("pos"),
+        # float32 widened to double is exact; the oracle replay applies
+        # the same float32 quantization (struct.pack round trip)
+        F.col("x").cast("double").alias("x"),
+        "digest",
+    )
+
+
+def _media_jpeg_oracle_sql() -> str:
+    import hashlib
+    import struct
+
+    from .training_data.jpeg import _resize_jpeg, synthesize_jpeg
+    from .training_data.multimodal import FEAT_DIM, decode_payload
+
+    def f32(v: float) -> float:
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    rows = []
+    for mid in range(N_MEDIA_JPEG):
+        payload = synthesize_jpeg(mid)
+        width, height, _nf, feature = decode_payload(payload, FEAT_DIM)
+        digest = hashlib.md5(
+            _resize_jpeg(payload, JPEG_RESIZE_W, JPEG_RESIZE_H)
+        ).hexdigest()
+        for pos, x in enumerate(feature):
+            # value as a STRING literal: DuckDB routes bare numeric
+            # literals through DECIMAL, perturbing the last bits
+            # (invariant 1); VARCHAR -> DOUBLE parses shortest-repr exact
+            rows.append(
+                f"({mid}, {width}, {height}, {pos}, '{f32(x)!r}', "
+                f"'{digest}')"
+            )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(pos AS INT) AS pos, CAST(x AS DOUBLE) AS x, digest
+FROM (VALUES {", ".join(rows)}) t(media_id, width, height, pos, x, digest)
+"""
+
+
+SQL_MEDIA_JPEG = _media_jpeg_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # IVF ANN pair #1: deterministic SAMPLED quantizer (every 50th vector) —
 # the cheap assignment-only shape. The TRAINED production quantizer
 # (train_ivf_centroids, deterministic fixed-point Lloyd) has its own full
@@ -3460,6 +3537,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_png": q_media_png,
     "media_gif": q_media_gif,
+    "media_jpeg": q_media_jpeg,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
     "minhash_calibration": q_minhash_calibration,
@@ -3505,6 +3583,7 @@ ORACLES = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_png": SQL_MEDIA_PNG,
     "media_gif": SQL_MEDIA_GIF,
+    "media_jpeg": SQL_MEDIA_JPEG,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_resize": SQL_MEDIA_RESIZE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,

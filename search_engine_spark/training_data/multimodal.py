@@ -14,13 +14,16 @@ Decode support is format-honest:
   parse), **PNG** (r04: zlib IDAT inflate + full filter
   reconstruction — None/Sub/Up/Average/Paeth — for 8-bit
   gray/palette/RGB/RGBA, CRC-verified, plus a deterministic RGB
-  encoder), and **GIF** (r05: real variable-width LZW decompression,
+  encoder), **GIF** (r05: real variable-width LZW decompression,
   global/local color tables, interlace reconstruction, plus a
-  deterministic palette+LZW encoder); all three image formats produce
-  width/height and the dim-bin luminance histogram feature and support
-  nearest-neighbor resize.
+  deterministic palette+LZW encoder), and **baseline JPEG** (r05,
+  ``jpeg.py``: marker parse, canonical Huffman entropy decode with
+  restart markers, dequantization, float IDCT, 4:4:4/4:2:2/4:2:0 chroma
+  upsampling, BT.601 YCbCr→RGB, plus a deterministic Annex-K encoder);
+  all four image formats produce width/height and the dim-bin luminance
+  histogram feature and support nearest-neighbor resize.
 - **STUB**: formats that require external codec libraries absent from
-  this environment (JPEG/MP4/...) raise NotImplementedError inside
+  this environment (MP4/MKV video) raise NotImplementedError inside
   the task (fail-fast, clearly marked); ``fake=True`` substitutes the
   deterministic pseudo-decoder for every payload so plumbing tests can
   run format-agnostically.
@@ -706,8 +709,12 @@ def decode_payload(payload: bytes | None, dim: int) -> tuple[int | None, int | N
         return _decode_png(payload, dim)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload, dim)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import _decode_jpeg
+
+        return _decode_jpeg(payload, dim)
     raise NotImplementedError(
-        f"no stdlib decoder for magic {payload[:4]!r}; JPEG/MP4 need "
+        f"no stdlib decoder for magic {payload[:4]!r}; MP4/MKV video needs "
         "codec libraries not installed in this environment"
     )
 
@@ -806,10 +813,14 @@ def resize_images(
                     payloads.append(_resize_png(b, width, height))
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     payloads.append(_resize_gif(b, width, height))
+                elif b[:2] == b"\xff\xd8":
+                    from .jpeg import _resize_jpeg
+
+                    payloads.append(_resize_jpeg(b, width, height))
                 else:
                     raise NotImplementedError(
                         f"resize: no stdlib decoder for magic {b[:4]!r}; "
-                        "JPEG needs codec libraries not installed here"
+                        "video formats need codec libraries not installed here"
                     )
             yield pd.DataFrame(
                 {

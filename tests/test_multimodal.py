@@ -516,3 +516,124 @@ def test_gif_interlace_extensions_and_structure_checks():
     trailer_first = synthesize_gif(0)[:13] + synthesize_gif(0)[13 : 13 + 3 * 64] + b"\x3b"
     with _pytest.raises(ValueError, match="trailer"):
         _parse_gif(trailer_first)
+
+
+def test_jpeg_flat_color_exact_and_roundtrip_error_bounded():
+    """Flat blocks are DC-only and must decode exactly; smooth gradients
+    round-trip within small quantization error (JPEG is lossy — what must
+    be exact is determinism, asserted in the dispatch test)."""
+    import math
+
+    import numpy as np
+
+    from search_engine_spark.training_data.jpeg import _parse_jpeg, encode_jpeg
+
+    w, h = 16, 16
+    flat = bytes([120, 200, 64] * (w * h))
+    for samp in ((1, 1), (2, 2), (2, 1)):
+        dw, dh, out = _parse_jpeg(encode_jpeg(w, h, flat, quality=90, luma_sampling=samp))
+        assert (dw, dh) == (w, h)
+        assert np.abs(
+            np.frombuffer(out, dtype=np.uint8).astype(int)
+            - np.frombuffer(flat, dtype=np.uint8).astype(int)
+        ).max() == 0, f"flat color must be DC-exact at {samp}"
+    w, h = 24, 18
+    grad = bytes(
+        max(0, min(255, int(127 + 60 * math.sin(x * 0.3) + 40 * math.cos(y * 0.4))))
+        for y in range(h) for x in range(w) for _ in range(3)
+    )
+    for q, bound in ((50, 4.0), (90, 2.0)):
+        _, _, out = _parse_jpeg(encode_jpeg(w, h, grad, quality=q))
+        a = np.frombuffer(out, dtype=np.uint8).astype(float)
+        b = np.frombuffer(grad, dtype=np.uint8).astype(float)
+        rmse = float(np.sqrt(((a - b) ** 2).mean()))
+        assert rmse < bound, f"q{q}: rmse {rmse}"
+
+
+def test_jpeg_subsampling_restarts_grayscale():
+    """4:2:0 / 4:2:2 streams, RSTn markers (incl. the mod-8 ordinal wrap)
+    and single-component frames — all produced by the encoder itself, so
+    the decoder paths are driven by honestly-encoded streams."""
+    import numpy as np
+
+    from search_engine_spark.training_data.jpeg import _parse_jpeg, encode_jpeg
+
+    w, h = 40, 25
+    raster = bytes(
+        c for y in range(h) for x in range(w)
+        for c in ((x * 9) % 256, (y * 13) % 256, (x * 7 + y * 11) % 256)
+    )
+    base = np.frombuffer(raster, dtype=np.uint8).astype(float)
+    for samp, dri in (((2, 2), 0), ((2, 1), 0), ((2, 2), 2)):
+        dw, dh, out = _parse_jpeg(
+            encode_jpeg(w, h, raster, quality=85, luma_sampling=samp, restart_interval=dri)
+        )
+        assert (dw, dh) == (w, h)
+        a = np.frombuffer(out, dtype=np.uint8).astype(float)
+        assert float(np.sqrt(((a - base) ** 2).mean())) < 30  # chroma decimation bound
+    # restart ordinal wraps past RST7 (24 MCUs at dri=1)
+    w2, h2 = 96, 16
+    r2 = bytes((x * 3 + y * 5) % 256 for y in range(h2) for x in range(w2) for _ in range(3))
+    enc = encode_jpeg(w2, h2, r2, quality=80, restart_interval=1)
+    assert b"\xff\xd7" in enc and b"\xff\xd0" in enc  # really wrapped
+    _, _, out = _parse_jpeg(enc)
+    a = np.frombuffer(out, dtype=np.uint8).astype(float)
+    b = np.frombuffer(r2, dtype=np.uint8).astype(float)
+    assert float(np.sqrt(((a - b) ** 2).mean())) < 5
+    # grayscale: one component, replicated channels, tracks BT.601 luma
+    enc = encode_jpeg(w, h, raster, quality=85, grayscale=True)
+    _, _, out = _parse_jpeg(enc)
+    a = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3)
+    assert (a[..., 0] == a[..., 1]).all() and (a[..., 1] == a[..., 2]).all()
+    rb = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(float)
+    yexp = 0.299 * rb[..., 0] + 0.587 * rb[..., 1] + 0.114 * rb[..., 2]
+    assert float(np.sqrt(((a[..., 0] - yexp) ** 2).mean())) < 5
+
+
+def test_jpeg_structure_failures_and_dispatch():
+    import pytest as _pytest
+
+    from search_engine_spark.training_data.jpeg import (
+        _parse_jpeg,
+        _resize_jpeg,
+        synthesize_jpeg,
+    )
+    from search_engine_spark.training_data.multimodal import decode_payload
+
+    enc = synthesize_jpeg(1)
+    # deterministic bytes (the digest-replay property)
+    assert synthesize_jpeg(1) == enc
+    w, h, nf, feat = decode_payload(enc, 16)
+    assert (w, h, nf) == (24, 18, 1) and abs(sum(feat) - 1.0) < 1e-9
+    r = _resize_jpeg(enc, 10, 8)
+    assert _parse_jpeg(r)[:2] == (10, 8) and _resize_jpeg(enc, 10, 8) == r
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        _parse_jpeg(b"\x00\x01" + enc[2:])
+    with _pytest.raises(ValueError, match="overruns|truncat"):
+        _parse_jpeg(enc[:40])  # cut inside a header segment
+    with _pytest.raises(ValueError, match="truncat|ended"):
+        _parse_jpeg(enc[:-8])  # cut inside the entropy stream
+    i = enc.index(b"\xff\xc0")
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        _parse_jpeg(enc[:i] + b"\xff\xc2" + enc[i + 2 :])
+    # an out-of-sequence restart marker is a structural error
+    from search_engine_spark.training_data.jpeg import encode_jpeg
+
+    raster = bytes((x + y) % 256 for y in range(16) for x in range(96) for _ in range(3))
+    enc2 = encode_jpeg(96, 16, raster, quality=80, restart_interval=1)
+    j = enc2.index(b"\xff\xd1")
+    with _pytest.raises(ValueError, match="restart marker"):
+        _parse_jpeg(enc2[:j] + b"\xff\xd5" + enc2[j + 2 :])
+
+
+def test_resize_images_includes_jpeg(spark):
+    from search_engine_spark.training_data.jpeg import _parse_jpeg, synthesize_jpeg
+    from search_engine_spark.training_data.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(1, synthesize_jpeg(1)), (2, synthesize_jpeg(2))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 5).collect()}
+    assert _parse_jpeg(rows[1])[:2] == (8, 5)
+    assert _parse_jpeg(rows[2])[:2] == (8, 5)
