@@ -1227,6 +1227,70 @@ SQL_MEDIA_JPEG = _media_jpeg_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# Animated-GIF frame sampling pair (r05): the temporal-media path for the
+# one animation format decodable stdlib — full GIF89a compositing
+# (partial frames, transparency, disposal) -> evenly-spaced frames
+# re-encoded as deterministic PNG, through the distributed sample_frames
+# stage vs an import-time replay of the same pure pipeline. Completes the
+# media family: still images (PPM/PNG/GIF/JPEG decode+resize), audio
+# windows (WAV), animation frames (GIF).
+# --------------------------------------------------------------------------
+N_MEDIA_GIF_ANIM = 12
+GIF_ANIM_FRAMES = 7
+GIF_ANIM_SAMPLES = 4
+
+
+def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data.multimodal import sample_frames, synthesize_gif_animation
+
+    media = spark.createDataFrame(
+        [
+            (i, synthesize_gif_animation(i, n_frames=GIF_ANIM_FRAMES))
+            for i in range(N_MEDIA_GIF_ANIM)
+        ],
+        "media_id long, payload binary",
+    )
+    out = sample_frames(media, n_samples=GIF_ANIM_SAMPLES)
+    return out.select(
+        "media_id",
+        "sample_idx",
+        "start_frame",
+        "n_frames",
+        F.md5("payload").alias("digest"),
+    )
+
+
+def _media_gif_frames_oracle_sql() -> str:
+    import hashlib
+
+    from .training_data.multimodal import (
+        _sample_gif_frames,
+        synthesize_gif_animation,
+    )
+
+    rows = []
+    for i in range(N_MEDIA_GIF_ANIM):
+        payload = synthesize_gif_animation(i, n_frames=GIF_ANIM_FRAMES)
+        for k, (start, take, blob) in enumerate(
+            _sample_gif_frames(payload, GIF_ANIM_SAMPLES)
+        ):
+            rows.append(
+                f"({i}, {k}, {start}, {take}, "
+                f"'{hashlib.md5(blob).hexdigest()}')"
+            )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(sample_idx AS INT) AS sample_idx,
+       CAST(start_frame AS BIGINT) AS start_frame,
+       CAST(n_frames AS INT) AS n_frames, digest
+FROM (VALUES {", ".join(rows)}) t(media_id, sample_idx, start_frame, n_frames, digest)
+"""
+
+
+SQL_MEDIA_GIF_FRAMES = _media_gif_frames_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # IVF ANN pair #1: deterministic SAMPLED quantizer (every 50th vector) —
 # the cheap assignment-only shape. The TRAINED production quantizer
 # (train_ivf_centroids, deterministic fixed-point Lloyd) has its own full
@@ -3538,6 +3602,7 @@ QUERIES = {
     "media_png": q_media_png,
     "media_gif": q_media_gif,
     "media_jpeg": q_media_jpeg,
+    "media_gif_frames": q_media_gif_frames,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
     "minhash_calibration": q_minhash_calibration,
@@ -3584,6 +3649,7 @@ ORACLES = {
     "media_png": SQL_MEDIA_PNG,
     "media_gif": SQL_MEDIA_GIF,
     "media_jpeg": SQL_MEDIA_JPEG,
+    "media_gif_frames": SQL_MEDIA_GIF_FRAMES,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_resize": SQL_MEDIA_RESIZE,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,

@@ -622,16 +622,246 @@ def _parse_gif(payload: bytes) -> tuple[int, int, bytes]:
     return iw, ih, bytes(rgb)
 
 
+def _parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """FULL animated-GIF decode -> (width, height, [RGB frame, ...]).
+
+    Proper frame compositing per the GIF89a spec: each image descriptor
+    paints its (left, top, w, h) region onto the logical-screen canvas,
+    transparency (graphic-control flag + index) leaves the underlying
+    canvas pixel, and disposal methods are honored — 0/1 keep the
+    composited result, 2 restores the frame's region to the background
+    color, 3 restores the previous canvas. Structure failures raise, same
+    contract as the single-frame parser."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload (magic {payload[:6]!r})")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated in logical screen descriptor")
+    sw, sh, packed, bg_idx = struct.unpack_from("<HHBB", payload, 6)
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("GIF truncated in global color table")
+        pos += 3 * n
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF logical screen has zero dimension")
+    bg_rgb = (
+        tuple(gct[bg_idx * 3 : bg_idx * 3 + 3])
+        if gct and bg_idx * 3 + 3 <= len(gct)
+        else (0, 0, 0)
+    )
+    canvas = bytearray(bytes(bg_rgb) * (sw * sh))
+    frames: list[bytes] = []
+    disposal = 0
+    transparent: int | None = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("GIF truncated in extension")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control: applies to the NEXT image
+                if pos + 6 > len(payload) or payload[pos] != 4:
+                    raise ValueError("GIF graphic control extension malformed")
+                flags = payload[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = payload[pos + 4] if flags & 1 else None
+                pos += 5
+                if payload[pos] != 0:
+                    raise ValueError("GIF graphic control missing terminator")
+                pos += 1
+            else:
+                while True:
+                    if pos >= len(payload):
+                        raise ValueError("GIF truncated in extension sub-blocks")
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF truncated in image descriptor")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if left + iw > sw or top + ih > sh:
+            raise ValueError("GIF frame region exceeds the logical screen")
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = payload[pos : pos + 3 * n]
+            if len(table) < 3 * n:
+                raise ValueError("GIF truncated in local color table")
+            pos += 3 * n
+        if not table:
+            raise ValueError("GIF frame has neither global nor local color table")
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before LZW minimum code size")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"GIF LZW minimum code size {min_code} invalid")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF truncated in image data sub-blocks")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunk = payload[pos : pos + sz]
+            if len(chunk) < sz:
+                raise ValueError("GIF truncated inside an image data sub-block")
+            data += chunk
+            pos += sz
+        indices = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        if ipacked & 0x40:
+            deinterlaced = bytearray(iw * ih)
+            src = 0
+            for start, step in _GIF_DEINTERLACE:
+                for y in range(start, ih, step):
+                    deinterlaced[y * iw : (y + 1) * iw] = indices[src : src + iw]
+                    src += iw
+            indices = bytes(deinterlaced)
+        n_entries = len(table) // 3
+        prev_canvas = bytes(canvas) if disposal == 3 else None
+        for y in range(ih):
+            row = (top + y) * sw
+            for x in range(iw):
+                v = indices[y * iw + x]
+                if transparent is not None and v == transparent:
+                    continue
+                if v >= n_entries:
+                    raise ValueError(
+                        f"GIF palette index {v} out of range (color table "
+                        f"has {n_entries} entries)"
+                    )
+                i = (row + left + x) * 3
+                canvas[i : i + 3] = table[v * 3 : v * 3 + 3]
+        frames.append(bytes(canvas))
+        if disposal == 2:  # restore region to background
+            for y in range(ih):
+                row = (top + y) * sw
+                for x in range(iw):
+                    i = (row + left + x) * 3
+                    canvas[i : i + 3] = bytes(bg_rgb)
+        elif disposal == 3 and prev_canvas is not None:
+            canvas = bytearray(prev_canvas)
+        disposal = 0
+        transparent = None
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return sw, sh, frames
+
+
+def _sample_gif_frames(
+    payload: bytes, n_samples: int
+) -> list[tuple[int, int, bytes]]:
+    """Animated-GIF temporal sampling -> [(frame_idx, 1, png_payload)].
+
+    Evenly-spaced composited frames, re-encoded as deterministic PNG —
+    the format-normalized shape a downstream embed stage wants (PNG
+    because a composited canvas can exceed 256 colors, which a GIF
+    re-encode could not hold; same normalization choice as real
+    pipelines make)."""
+    w, h, frames = _parse_gif_frames(payload)
+    n = min(n_samples, len(frames))
+    if n == 1:
+        picks = [0]
+    else:
+        picks = [i * (len(frames) - 1) // (n - 1) for i in range(n)]
+    return [(fi, 1, _encode_png(w, h, frames[fi])) for fi in picks]
+
+
+def encode_gif_animation(
+    width: int, height: int, frames: list[bytes], delay_cs: int = 4
+) -> bytes:
+    """Deterministic multi-frame GIF89a encoder: full-canvas frames,
+    per-frame local color tables (first-seen order, <=256 colors each),
+    disposal 1, a graphic-control delay per frame."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_gif_animation needs at least one frame")
+    out = bytearray(b"GIF89a")
+
+    def palette_of(rgb: bytes) -> tuple[dict, bytearray]:
+        palette: dict[bytes, int] = {}
+        idx = bytearray()
+        for i in range(0, width * height * 3, 3):
+            c = bytes(rgb[i : i + 3])
+            j = palette.setdefault(c, len(palette))
+            if j > 255:
+                raise ValueError("GIF encoder: frame has more than 256 colors")
+            idx.append(j)
+        return palette, idx
+
+    pal0, _ = palette_of(frames[0])
+    size_exp0 = max(1, (len(pal0) - 1).bit_length())
+    out += struct.pack("<HHBBB", width, height, 0x80 | (size_exp0 - 1), 0, 0)
+    out += b"".join(pal0) + b"\x00\x00\x00" * ((1 << size_exp0) - len(pal0))
+    for rgb in frames:
+        if len(rgb) != width * height * 3:
+            raise ValueError("encode_gif_animation: frame size mismatch")
+        palette, indices = palette_of(rgb)
+        size_exp = max(1, (len(palette) - 1).bit_length())
+        min_code = max(2, size_exp)
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, width, height, 0x80 | (size_exp - 1)
+        )
+        out += b"".join(palette) + b"\x00\x00\x00" * ((1 << size_exp) - len(palette))
+        out.append(min_code)
+        lzw = _gif_lzw_encode(bytes(indices), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def synthesize_gif_animation(
+    media_id: int, n_frames: int = 6, width: int = 20, height: int = 14
+) -> bytes:
+    """Deterministic animated GIF: a banded pattern whose phase advances
+    per frame (distinct per media_id and per frame)."""
+    frames = []
+    for f in range(n_frames):
+        raster = bytearray()
+        for y in range(height):
+            for x in range(width):
+                v = (x * 5 + y * 9 + f * 17 + media_id * 23) % 48
+                raster += bytes((v * 5 % 256, (200 - v * 3) % 256, (v * 2 + f * 7) % 256))
+        frames.append(bytes(raster))
+    return encode_gif_animation(width, height, frames)
+
+
 def _decode_gif(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
-    """GIF decode. Feature = the shared ``dim``-bin luminance histogram
-    (one feature space per modality, like P6/PNG)."""
-    w, h, rgb = _parse_gif(payload)
+    """GIF decode. Feature = the shared ``dim``-bin luminance histogram of
+    the FIRST composited frame (one feature space per image modality, like
+    P6/PNG); ``n_frames`` reports the true animation length (r05)."""
+    w, h, frames = _parse_gif_frames(payload)
+    rgb = frames[0]
     hist = [0] * dim
     for i in range(0, len(rgb) - 2, 3):
         y = (rgb[i] * 299 + rgb[i + 1] * 587 + rgb[i + 2] * 114) // 1000
         hist[min(dim - 1, y * dim // 256)] += 1
     tot = float(sum(hist)) or 1.0
-    return w, h, 1, [v / tot for v in hist]
+    return w, h, len(frames), [v / tot for v in hist]
 
 
 def _encode_gif(width: int, height: int, rgb: bytes) -> bytes:
@@ -896,15 +1126,20 @@ def sample_frames(
                         "payload; filter null payloads before sampling"
                     )
                 b = bytes(p)
-                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    samples = _sample_wav(b, n_samples, window_frames)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: evenly-spaced COMPOSITED frames,
+                    # re-encoded as deterministic PNG (r05 — the one
+                    # animation format decodable stdlib)
+                    samples = _sample_gif_frames(b, n_samples)
+                else:
                     raise NotImplementedError(
                         f"sample_frames: no stdlib demuxer for magic "
                         f"{b[:4]!r}; MP4/MKV need codec libraries not "
                         "installed here"
                     )
-                for k, (start, take, blob) in enumerate(
-                    _sample_wav(b, n_samples, window_frames)
-                ):
+                for k, (start, take, blob) in enumerate(samples):
                     ids.append(int(mid))
                     idxs.append(k)
                     starts.append(start)

@@ -637,3 +637,118 @@ def test_resize_images_includes_jpeg(spark):
     rows = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 5).collect()}
     assert _parse_jpeg(rows[1])[:2] == (8, 5)
     assert _parse_jpeg(rows[2])[:2] == (8, 5)
+
+
+def _gif_anim_craft(sw, sh, frames_spec, palette, bg_idx=0):
+    """Hand-assemble a multi-frame GIF: frames_spec = list of
+    (left, top, iw, ih, indices, disposal, transparent_idx_or_None)."""
+    import struct
+
+    from search_engine_spark.training_data.multimodal import _gif_lzw_encode
+
+    size_exp = max(1, (len(palette) // 3 - 1).bit_length())
+    mc = max(2, size_exp)
+    gct = palette + b"\x00" * (3 * (1 << size_exp) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (size_exp - 1), bg_idx, 0)
+    out += gct
+    for left, top, iw, ih, idx, disposal, transp in frames_spec:
+        flags = (disposal << 2) | (1 if transp is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([flags, 0, 0, transp or 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, left, top, iw, ih, 0)
+        out.append(mc)
+        lzw = _gif_lzw_encode(bytes(idx), mc)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing_semantics():
+    """Partial-frame painting, transparency holes, disposal 2 (restore
+    region to background) and 3 (restore previous) — the full GIF89a
+    compositing model, asserted pixel-by-pixel."""
+    import pytest as _pytest
+
+    from search_engine_spark.training_data.multimodal import _parse_gif_frames
+
+    # palette: 0=red (also background), 1=green, 2=blue, 3=white
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    sw, sh = 4, 3
+
+    def px(frame, x, y):
+        i = (y * sw + x) * 3
+        return tuple(frame[i : i + 3])
+
+    frames_spec = [
+        # frame 0: full canvas green, keep (disposal 1)
+        (0, 0, 4, 3, [1] * 12, 1, None),
+        # frame 1: 2x1 patch at (1,1) blue with a transparent hole at its
+        # second pixel (index 3 transparent) -> underlying green shows
+        (1, 1, 2, 1, [2, 3], 1, 3),
+        # frame 2: 1x1 white at (0,0), disposal 2 -> region restored to
+        # background (red) before the NEXT frame
+        (0, 0, 1, 1, [3], 2, None),
+        # frame 3: 1x1 white at (3,2), disposal 3 over the restored canvas
+        (3, 2, 1, 1, [3], 3, None),
+        # frame 4: empty-ish patch (transparent) -> shows the canvas with
+        # frame 3's region restored to the PRE-frame-3 state
+        (0, 0, 1, 1, [0], 1, 0),
+    ]
+    w, h, frames = _parse_gif_frames(_gif_anim_craft(sw, sh, frames_spec, pal))
+    assert (w, h) == (sw, sh) and len(frames) == 5
+    green, red, blue, white = (0, 255, 0), (255, 0, 0), (0, 0, 255), (255, 255, 255)
+    assert px(frames[0], 0, 0) == green
+    # frame 1: blue painted at (1,1); transparent hole at (2,1) keeps green
+    assert px(frames[1], 1, 1) == blue and px(frames[1], 2, 1) == green
+    # frame 2: white at origin, rest as frame 1
+    assert px(frames[2], 0, 0) == white and px(frames[2], 1, 1) == blue
+    # frame 3: disposal-2 of frame 2 restored (0,0) to BACKGROUND red
+    assert px(frames[3], 0, 0) == red and px(frames[3], 3, 2) == white
+    # frame 4: disposal-3 of frame 3 restored (3,2) to its prior green
+    assert px(frames[4], 3, 2) == green and px(frames[4], 0, 0) == red
+    # structure: a frame region past the logical screen is loud
+    bad = [(3, 2, 2, 1, [1, 1], 0, None)]
+    with _pytest.raises(ValueError, match="exceeds the logical screen"):
+        _parse_gif_frames(_gif_anim_craft(sw, sh, bad, pal))
+
+
+def test_gif_animation_sampling_and_spark_stage(spark):
+    from search_engine_spark.training_data.multimodal import (
+        _parse_gif_frames,
+        _parse_png,
+        _sample_gif_frames,
+        decode_payload,
+        sample_frames,
+        synthesize_gif_animation,
+        FEAT_DIM,
+    )
+
+    anim = synthesize_gif_animation(3, n_frames=7)
+    w, h, frames = _parse_gif_frames(anim)
+    assert len(frames) == 7
+    # decode_payload reports the true animation length
+    assert decode_payload(anim, FEAT_DIM)[2] == 7
+    # evenly spaced picks incl. first and last frame; PNG payloads carry
+    # the exact composited rasters
+    picks = _sample_gif_frames(anim, 4)
+    assert [p[0] for p in picks] == [0, 2, 4, 6]
+    for fi, n, png in picks:
+        assert n == 1 and _parse_png(png)[2] == frames[fi]
+    # distributed stage: mixed WAV + animated GIF in one pass
+    from search_engine_spark.training_data.multimodal import synthesize_wav
+
+    media = spark.createDataFrame(
+        [(1, synthesize_wav(1)), (2, anim)], "media_id long, payload binary"
+    )
+    rows = [
+        (r["media_id"], r["sample_idx"], r["start_frame"], bytes(r["payload"]))
+        for r in sample_frames(media, n_samples=3).collect()
+    ]
+    gif_rows = sorted((r for r in rows if r[0] == 2), key=lambda r: r[1])
+    assert [r[2] for r in gif_rows] == [0, 3, 6]
+    assert _parse_png(gif_rows[1][3])[2] == frames[3]
+    assert len([r for r in rows if r[0] == 1]) == 3  # WAV windows intact
